@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Scale stance (SURVEY §7.1): everything is declarative DataFrame/Dataset
+  * work, so Catalyst + AQE own the physical planning. The knobs below are
+  * the ones that matter at both test scale (local[32]) and design scale
+  * (1000-executor cluster):
+  *
+  *  - `spark.sql.shuffle.partitions`: sized to the local core count here;
+  *    on a real cluster AQE coalesces post-shuffle partitions anyway.
+  *  - AQE on: runtime re-planning (skew-join splitting, dynamic coalescing,
+  *    broadcast-join conversion) is the 100 TB safety net.
+  *  - `parquet.nanosAsLong`: the driver testdata's `events.ts` column is
+  *    parquet TIMESTAMP(NANOS), which Spark does not map to TimestampType;
+  *    we read it as epoch-nanos long and convert with `timestamp_micros`
+  *    (see [[graft.sources.Tables]] callers / EventQueries).
+  *  - UTC session TZ: all oracle comparisons are naive-UTC.
+  */
+object GraftSession {
+
+  /** Defaults applied to every session the engine creates. */
+  def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cores)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    configure(SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+      .getOrCreate()
+  }
+
+  /** Ensure confs that queries rely on are set even when the caller built
+    * the session (the driver calls `SparkEntry.entry(spark)` with its own
+    * session). All of these are runtime-settable. */
+  def ensureConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+}
