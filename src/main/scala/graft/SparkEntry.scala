@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered query specs, in evaluation order. */
-  def specs: Seq[QuerySpec] = RelationalQueries.specs
+  def specs: Seq[QuerySpec] =
+    RelationalQueries.specs ++ ExtensionQueries.specs ++ EventQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

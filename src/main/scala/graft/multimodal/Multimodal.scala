@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media carried as opaque `binary` payloads
+  * with a typed metadata struct, processed per-partition in bounded
+  * batches.
+  *
+  * The decode step is STUBBED (this container ships no image/audio
+  * codecs): [[FakeCodec]] derives deterministic pseudo-features from the
+  * payload bytes. Everything around it — schema, partitioning, the
+  * iterator-based per-partition batch shape, and the typed boundary —
+  * is the real 100 TB design:
+  *
+  *  - payloads stay off the driver (mapPartitions, never collect);
+  *  - the decode boundary is `Iterator[MediaRecord] → Iterator[MediaFeatures]`,
+  *    the same shape a vectorized (Arrow/pandas-UDF-style) decoder uses,
+  *    so swapping in a real codec changes one function;
+  *  - feature extraction emits fixed-width columns → columnar parquet;
+  *  - repartition count controls decode parallelism independently of
+  *    upstream file splits (decode is CPU-bound, not IO-bound).
+  */
+object Multimodal {
+
+  final case class MediaMeta(mime: String, n_bytes: Long, source: String)
+  final case class MediaRecord(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, mime: String, n_bytes: Long,
+      width: Int, height: Int, channels: Int, mean_intensity: Double)
+
+  /** Deterministic fake decoder: features derived from payload bytes.
+    * Stands in for a real image decode (STUB — no codec libs here). */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
+      val h = java.util.Arrays.hashCode(payload)
+      val width = 64 + math.abs(h % 1024)
+      val height = 64 + math.abs((h >> 10) % 1024)
+      val channels = 1 + math.abs(h % 3)
+      val mean = if (payload.isEmpty) 0.0
+        else payload.iterator.map(b => (b & 0xff).toDouble).sum / payload.length
+      (width, height, channels, mean)
+    }
+  }
+
+  /** Wrap a text table as a media table: payload = utf-8 bytes, typed
+    * metadata struct. Real deployments read payloads from binary-file
+    * or parquet-binary sources with the same schema. */
+  def toMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        col("source").as("source")).as("meta"))
+
+  /** Per-partition batched decode: the Spark-side plumbing is real;
+    * only [[FakeCodec.decode]] is a stand-in. */
+  def extractFeatures(media: DataFrame, decodeParallelism: Int = 0): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized = if (decodeParallelism > 0) media.repartition(decodeParallelism) else media
+    sized.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val (w, h, c, m) = FakeCodec.decode(rec.payload)
+        MediaFeatures(rec.media_id, rec.meta.mime, rec.meta.n_bytes, w, h, c, m)
+      }
+    }
+  }
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.multimodal.Multimodal
+
+/** The LLM-data-pipeline extension surface (SURVEY §2.3): dedup (exact,
+  * MinHash+LSH+Jaccard, embedding-cosine), similarity search, text
+  * analysis (tokens, quality, language-ID, fingerprints), multimodal
+  * metadata. All over the driver's `documents`/`embeddings` tables, with
+  * DuckDB oracles wherever the op is SQL-expressible (the md5-based
+  * MinHash family is chosen precisely because it is). */
+object ExtensionQueries {
+  import QuerySpec.MoneyAddend
+
+  private val StopList = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
+  private def markers(l: String) = TextFunctions.LangMarkers(l).map(s => s"'$s'").mkString(", ")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q23_dedup_exact",
+      """Exact dedup via content hash: one group per distinct normalized
+        |text, min id kept. Same kernel as the CDC upsert precombine; one
+        |hash shuffle at any scale.""".stripMargin,
+      (s, d) => Dedup.exactGroups(Tables.documents(s, d)),
+      Some("""SELECT md5(lower(text)) AS h, min(doc_id) AS keeper_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(lower(text))""".stripMargin)),
+
+    QuerySpec(
+      "q24_token_stats",
+      """Token counting: whitespace tokenization, all codegen'd (split +
+        |size; no UDF).""".stripMargin,
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars")),
+      Some("""SELECT doc_id,
+             | CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+             | CAST(length(text) AS BIGINT) AS len_chars
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "q25_text_quality",
+      """Quality scoring: length saturation + stopword density +
+        |punctuation sparsity, fully arithmetic (deterministic per-row
+        |doubles both engines).""".stripMargin,
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.punctCount(col("text")).as("punct_cnt"),
+        TextFunctions.stopwordCount(col("text")).as("stop_cnt"),
+        TextFunctions.qualityScore(col("text")).as("quality")),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+              |  CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) n_tokens,
+              |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) punct_cnt,
+              |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              |       x -> x IN ($StopList))) AS BIGINT) stop_cnt
+              |FROM documents)
+              |SELECT doc_id, n_tokens, punct_cnt, stop_cnt,
+              |  least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) * 0.5
+              |  + (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)) * 0.3
+              |  + (1.0 - least((CAST(punct_cnt AS DOUBLE) /
+              |       greatest(CAST(length(text) AS BIGINT), 1)) * 5.0, 1.0)) * 0.2 AS quality
+              |FROM t""".stripMargin)),
+
+    QuerySpec(
+      "q26_lang_id",
+      """Language-ID heuristic: marker-word votes per language, argmax
+        |with fixed priority ties (en>de>fr>es).""".stripMargin,
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred")),
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+              |  len(list_filter(string_split_regex(lower(text),'\\s+'), x -> x IN (${markers("en")}))) s_en,
+              |  len(list_filter(string_split_regex(lower(text),'\\s+'), x -> x IN (${markers("de")}))) s_de,
+              |  len(list_filter(string_split_regex(lower(text),'\\s+'), x -> x IN (${markers("fr")}))) s_fr,
+              |  len(list_filter(string_split_regex(lower(text),'\\s+'), x -> x IN (${markers("es")}))) s_es
+              |FROM documents)
+              |SELECT doc_id, lang,
+              |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+              |FROM t""".stripMargin)),
+
+    QuerySpec(
+      "q27_fingerprint",
+      """Document fingerprinting: min-md5 over word 3-shingles (1-perm
+        |minhash). NULL for <3-token docs in both engines.""".stripMargin,
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.minShingleFingerprint(col("text")).as("fp")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') toks FROM documents)
+             |SELECT doc_id, list_min(list_transform(range(1, greatest(len(toks) - 1, 1)),
+             |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) AS fp
+             |FROM t""".stripMargin)),
+
+    QuerySpec(
+      "q28_dedup_minhash_lsh",
+      """Near-dup text dedup: shingle → 16 MinHash sigs (i-prefixed md5)
+        |→ 4-row LSH bands → bucket-join candidates → exact 3-gram
+        |Jaccard ≥ 0.8 verification. Bucket-local quadratic only; every
+        |hash is a codegen'd md5 — reproducible in SQL, which is why this
+        |whole pipeline oracle-checks.""".stripMargin,
+      (s, d) => Dedup.nearDupPairs(Tables.documents(s, d)),
+      Some("""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\s+') toks FROM documents),
+             |sh AS (SELECT doc_id, sh FROM (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+             |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
+             |sigs AS (SELECT doc_id, i, min(md5(concat(i, '|', sh))) sig
+             |         FROM sh, range(0, 16) t(i) GROUP BY doc_id, i),
+             |bands AS (SELECT doc_id, i // 4 band, md5(string_agg(sig, ',' ORDER BY i)) bh
+             |          FROM sigs GROUP BY doc_id, i // 4),
+             |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+             |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+             |          AND a.doc_id < b.doc_id),
+             |sets AS (SELECT doc_id, list(sh) s FROM sh GROUP BY doc_id)
+             |SELECT a_id, b_id,
+             |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) AS jacc
+             |FROM cand JOIN sets x ON x.doc_id = a_id JOIN sets y ON y.doc_id = b_id
+             |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) >= 0.8""".stripMargin)),
+
+    QuerySpec(
+      "q29_embedding_neardup",
+      """Embedding-cosine near-dup pairs (id-bounded slice; unbounded
+        |scale path is the LSH-bucketed ANN). Cosine is left-fold double
+        |— bitwise equal to DuckDB's list_cosine_similarity on
+        |DOUBLE[].""".stripMargin,
+      (s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 0.35, 1000L),
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+             |FROM embeddings a, embeddings b
+             |WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
+             |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""".stripMargin)),
+
+    QuerySpec(
+      "q30_cosine_topk",
+      """Similarity search: brute-force exact cosine top-5 for 8 query
+        |vectors over the whole corpus — broadcast queries, stream corpus,
+        |one pass + k·|q| window. The exactness baseline the ANN path is
+        |measured against.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, 5)
+      },
+      Some("""WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 8),
+             |c AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings)
+             |SELECT q_id, n_id, cos, rank FROM (
+             |  SELECT q.q_id, c.n_id, list_cosine_similarity(q.v, c.v) AS cos,
+             |    CAST(row_number() OVER (PARTITION BY q.q_id
+             |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.n_id ASC) AS BIGINT) AS rank
+             |  FROM q, c WHERE q.q_id <> c.n_id) t
+             |WHERE rank <= 5""".stripMargin)),
+
+    QuerySpec(
+      "q31_multimodal_meta",
+      """Multimodal column plumbing: opaque binary payload + typed
+        |metadata (mime, byte size, source). The decode stage is the
+        |mapPartitions path in graft.multimodal (stubbed codec, real
+        |plumbing) — this query oracle-checks the metadata layer.""".stripMargin,
+      (s, d) => Multimodal.toMediaTable(Tables.documents(s, d)).select(
+        col("media_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"), col("meta.source").as("source")),
+      Some("""SELECT doc_id AS media_id, 'text/plain' AS mime,
+             | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, source
+             |FROM documents""".stripMargin)),
+
+    QuerySpec(
+      "q32_approx_distinct",
+      """Approximate distinct (HLL++ sketch) beside exact counts. No
+        |oracle: DuckDB's sketch differs; the exactness bound is asserted
+        |in the spec instead (rows-only driver check).""".stripMargin,
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+      None)
+  )
+}

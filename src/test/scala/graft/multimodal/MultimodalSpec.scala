@@ -1,0 +1,35 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Tables
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("media table carries binary payload + typed metadata") {
+    val m = Multimodal.toMediaTable(Tables.documents(spark, sf001))
+    val r = m.head()
+    assert(r.getAs[Array[Byte]]("payload").nonEmpty)
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[String]("mime") == "text/plain")
+    assert(meta.getAs[Long]("n_bytes") > 0)
+  }
+
+  test("feature extraction runs distributed per-partition and is deterministic") {
+    val m = Multimodal.toMediaTable(Tables.documents(spark, sf001))
+    val f1 = Multimodal.extractFeatures(m, decodeParallelism = 4).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(m, decodeParallelism = 2).collect().sortBy(_.media_id)
+    assert(f1.length == 500)
+    assert(f1.toSeq == f2.toSeq, "features must not depend on partitioning")
+    assert(f1.forall(f => f.width >= 64 && f.height >= 64 && f.channels >= 1))
+    assert(f1.forall(f => f.mean_intensity > 0))
+  }
+
+  test("payload bytes round-trip: n_bytes metadata equals payload length") {
+    val m = Multimodal.toMediaTable(Tables.documents(spark, sf001))
+    val bad = m.filter(length(col("payload")).cast("long") =!= col("meta.n_bytes")).count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Tables
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val d = docs((1L, "Hello World"), (2L, "hello world"), (3L, "other text"))
+    val g = Dedup.exactGroups(d).collect()
+    assert(g.length == 2)
+    val dup = g.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+    assert(Dedup.dropExactDuplicates(d).count() == 2)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "changed" else s"token$i").mkString(" ")
+    val other = (100 to 160).map(i => s"word$i").mkString(" ")
+    val pairs = Dedup.nearDupPairs(docs((1L, base), (2L, nearDup), (3L, other)))
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("a_id") == 1L && pairs.head.getAs[Long]("b_id") == 2L)
+    assert(pairs.head.getAs[Double]("jacc") > 0.9)
+  }
+
+  test("near-dup pipeline on driver documents finds the planted pairs with high jaccard") {
+    val pairs = Dedup.nearDupPairs(Tables.documents(spark, sf001))
+    val n = pairs.count()
+    assert(n > 0, "driver documents contain planted near-dups; LSH must surface them")
+    assert(pairs.agg(min("jacc")).head.getDouble(0) >= 0.8)
+  }
+
+  test("jaccard verification rejects band false-positives") {
+    // identical 4-token prefix shingles but mostly different: LSH may or
+    // may not candidate them, Jaccard must reject either way
+    val a = "a b c d " + (1 to 50).map("x" + _).mkString(" ")
+    val b = "a b c d " + (1 to 50).map("y" + _).mkString(" ")
+    val pairs = Dedup.nearDupPairs(docs((1L, a), (2L, b))).collect()
+    assert(pairs.isEmpty)
+  }
+
+  test("embedding near-dup finds an exact duplicate vector") {
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val w = Array.tabulate(8)(i => (8 - i).toFloat)
+    val e = Seq((0L, v), (1L, v), (2L, w)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(e, 0.99, 100L).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("a_id") == 0L && pairs.head.getAs[Long]("b_id") == 1L)
+    assert(math.abs(pairs.head.getAs[Double]("cos") - 1.0) < 1e-12)
+  }
+}
