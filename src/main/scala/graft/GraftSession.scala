@@ -40,9 +40,15 @@ object GraftSession {
 
   /** Ensure confs that queries rely on are set even when the caller built
     * the session (the driver calls `SparkEntry.entry(spark)` with its own
-    * session). All of these are runtime-settable. */
+    * session). All of these are runtime-settable. Also registers the
+    * engine's native expressions (e.g. `graft_dot`) in the session's
+    * function registry. */
   def ensureConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => graft.functions.DotProductD(exprs(0), exprs(1)),
+      "built-in")
   }
 }

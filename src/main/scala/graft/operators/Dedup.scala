@@ -36,24 +36,55 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signatures: doc_id, hash index i ∈ [0,numHashes), sig =
-    * min over shingles of md5(i ∥ '|' ∥ shingle). The i-prefixed md5
-    * family is a public standard trick for k independent permutations
-    * and is exactly reproducible in the DuckDB oracle. */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame =
-    docs.select(col("doc_id"), explode(TextFunctions.shingles3(col("text"))).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("sh")))).as("sig"))
+  /** Distinct word-3-shingle rows (doc_id, sh), built relationally:
+    * posexplode the tokens, assemble shingles with two window `lead`s,
+    * dedup. Deliberately NOT `explode(shingles3(text))`: a generator
+    * re-evaluates its (interpreted, higher-order) child per output row,
+    * which benched 28s at sf0.1 vs ~1s for this shape. Same shingle set
+    * as [[TextFunctions.shingles3]] / the DuckDB oracle. */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), lead("tok", 1).over(w), lead("tok", 2).over(w)).as("sh"),
+        lead("tok", 2).over(w).isNotNull.as("__full"))
+      .filter(col("__full")).select("doc_id", "sh")
+    // NOTE: rows are positional, NOT distinct — min-aggregation (minhash)
+    // is duplicate-insensitive, so the expensive global (doc_id, sh)
+    // dedup shuffle is deferred to the few places that need set
+    // semantics (Jaccard verification dedups candidate docs only).
+  }
 
-  /** LSH bands: group `rowsPerBand` consecutive signatures, hash the
-    * ordered concatenation. Docs sharing any band hash are candidates. */
-  def lshBands(sigs: DataFrame, rowsPerBand: Int = 4): DataFrame =
-    sigs.withColumn("band", floor(col("i") / rowsPerBand))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("i"), col("sig")))),
-        x => x.getField("sig")), ",")).as("bh"))
+  /** MinHash signatures in wide-column form: one row per doc with
+    * numHashes `sig_i` columns, sig_i = min over shingles of
+    * md5(i ∥ '|' ∥ shingle). The i-prefixed md5 family is a public
+    * standard trick for k independent permutations and is exactly
+    * reproducible in the DuckDB oracle.
+    *
+    * Wide aggregation instead of an explode-by-i: the k mins are k
+    * aggregate expressions over ONE pass of the shingle rows, with
+    * map-side partial aggregation, rather than multiplying the shuffle
+    * input k-fold. */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame = {
+    val sigCols = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"sig_$i"))
+    shingleRows(docs).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH bands from wide signatures: hash the ordered comma-join of each
+    * band's `rowsPerBand` consecutive sigs, then unpivot to one row per
+    * (doc, band). Docs sharing any band hash are candidates. */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = sigs.columns.count(_.startsWith("sig_"))
+    val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
+      struct(lit(b.toLong).as("band"), md5(concat_ws(",", cols: _*)).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
 
   /** Candidate pairs (a_id < b_id) sharing at least one band bucket.
     * The self-join shuffles on (band, bh) — bucket-local quadratic only. */
@@ -64,21 +95,39 @@ object Dedup {
       .select("a_id", "b_id").distinct()
   }
 
-  /** Jaccard similarity of the two docs' distinct shingle sets. */
-  private def jaccard(aSh: Column, bSh: Column): Column =
-    size(array_intersect(aSh, bSh)).cast("double") /
-      size(array_distinct(concat(aSh, bSh)))
-
-  /** Full near-dup pipeline: MinHash → LSH candidates → exact n-gram
-    * Jaccard verification at `threshold`. Returns (a_id, b_id, jacc). */
+  /** Full near-dup pipeline: MinHash → LSH candidates → exact 3-gram
+    * Jaccard verification at `threshold`. Returns (a_id, b_id, jacc).
+    *
+    * Jaccard is computed relationally — |A∩B| by joining the two docs'
+    * shingle rows on shingle equality, |A∪B| = |A|+|B|−|A∩B| — instead
+    * of materializing arrays per pair. Values are identical to the
+    * array formulation (exact integer identity, one double division);
+    * the work is a semi-bounded shuffle join over only the candidate
+    * docs' shingles, which is the shape that survives 100 TB. */
   def nearDupPairs(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
+    // Candidate pairs are referenced three times below (ids, a-side,
+    // b-side); materialize once — they are tiny (bucket collisions) —
+    // so the minhash subtree executes exactly once.
     val cands = candidatePairs(lshBands(minhashSignatures(docs, numHashes), rowsPerBand))
-    val sh = docs.select(col("doc_id"), TextFunctions.shingles3(col("text")).as("sh"))
-    cands
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jacc"))
+      .localCheckpoint(true)
+    // Set semantics only from here on, and only for candidate docs: a
+    // semi-join bounds the distinct to bucket collisions (tiny at any
+    // scale), not the whole corpus.
+    val candIds = cands.select(col("a_id").as("doc_id"))
+      .union(cands.select(col("b_id").as("doc_id"))).distinct()
+    val sh = shingleRows(docs)
+      .join(candIds, Seq("doc_id"), "left_semi").distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_int"))
+    inter
+      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int"))).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
 
@@ -86,13 +135,15 @@ object Dedup {
     * keeps the O(n²) oracle-checkable slice small; the unbounded scale
     * path goes through LSH bucketing in [[Similarity]]). */
   def embeddingNearDupPairs(embs: DataFrame, threshold: Double, idBound: Long): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
     val e = embs.filter(col("vec_id") < idBound)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+      .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("n").as("a_n"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("n").as("b_n"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        Similarity.cosine(col("a_v"), col("b_v")).as("cos"))
+        (Similarity.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

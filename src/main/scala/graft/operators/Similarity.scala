@@ -21,9 +21,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Left-fold double dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Left-fold double dot product — the native codegen'd
+    * [[graft.functions.DotProductD]] expression (registered as
+    * `graft_dot` by GraftSession.ensureConfs). Bitwise identical to the
+    * `aggregate(zip_with(...))` HOF formulation, ~10× faster: HOFs are
+    * interpreted per element, this is one codegen'd primitive loop. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Cosine similarity: dot/(‖a‖·‖b‖), each norm a left-fold sqrt. */
   def cosine(a: Column, b: Column): Column =
@@ -33,12 +36,19 @@ object Similarity {
     * corpus vectors by cosine (self-match excluded), ranked with a
     * deterministic id tiebreak. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.GraftSession.ensureConfs(queries.sparkSession)
+    // Norms are precomputed once per vector (not once per pair): the
+    // cosine denominator is sqrt(dot(v,v)) either way, so values are
+    // bitwise unchanged while the pair loop does 1 dot instead of 3.
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_v"))
+      .withColumn("q_n", sqrt(dot(col("q_v"), col("q_v"))))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_v"))
+      .withColumn("n_n", sqrt(dot(col("n_v"), col("n_v"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("q_v"), col("n_v")).as("cos"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n"))).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -64,16 +74,20 @@ object Similarity {
     * probe cost: expected bucket size |corpus| / 2^bits. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 4, seed: Long = 42L): DataFrame = {
+    graft.GraftSession.ensureConfs(queries.sparkSession)
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     val planes = hyperplanes(dim, bits, seed)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_v"))
       .withColumn("bucket", lshBucket(col("q_v"), planes))
+      .withColumn("q_n", sqrt(dot(col("q_v"), col("q_v"))))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_v"))
       .withColumn("bucket", lshBucket(col("n_v"), planes))
+      .withColumn("n_n", sqrt(dot(col("n_v"), col("n_v"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     c.join(broadcast(q), "bucket")
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("q_v"), col("n_v")).as("cos"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n"))).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }

@@ -11,6 +11,7 @@ object TestSpark {
       SparkSession.builder().master("local[4]").appName("graft-test"), "4")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftSession.ensureConfs(s)
     s
   }
   val sf001 = "/root/testdata/sf0.001"
