@@ -9,13 +9,20 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Generic session warmup (codegen framework, task scheduler, JIT) —
-    // not query-specific work.
+    // Generic session warmup (codegen framework, vectorized parquet
+    // reader, decimal/window aggregation classes, task scheduler, JIT)
+    // — touches only the 5-row region table, no query-specific work.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    region.selectExpr("count(*)", "sum(cast(r_regionkey as decimal(18,6)))").collect()
+    region.selectExpr("max(r_name) over ()").collect()
     val results = SparkEntry.specs.map(s => s.name -> SparkEntry.queries(s.name)).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
+      // failed queries report -1 so a timing regression can't mask a breakage
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.DotProductD
+
+/** Spark extensions entry point: registers the engine's native
+  * expressions at session build time, so a cluster deployment gets them
+  * with zero code:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Interactive/driver-owned sessions get the same registrations at
+  * runtime via [[GraftSession.ensureConfs]] — both paths resolve
+  * `graft_dot(a, b)` in SQL and `Similarity.dot` in the DataFrame API.
+  */
+object GraftExtensions {
+  /** Shared builder with a real arity check (a bare `exprs(1)` would
+    * surface as an IndexOutOfBounds instead of an analysis error). */
+  def buildDot(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): DotProductD = {
+    require(exprs.length == 2,
+      s"graft_dot expects exactly 2 arguments (array<double>, array<double>), got ${exprs.length}")
+    DotProductD(exprs(0), exprs(1))
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.buildDot(exprs)))
+  }
+}

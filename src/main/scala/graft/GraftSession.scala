@@ -47,8 +47,6 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      exprs => graft.functions.DotProductD(exprs(0), exprs(1)),
-      "built-in")
+      "graft_dot", GraftExtensions.buildDot, "built-in")
   }
 }

@@ -112,6 +112,39 @@ object ExtraQueries {
              |FROM part""".stripMargin)),
 
     QuerySpec(
+      "q43_full_outer_join",
+      """FULL OUTER join: per-nation customer vs supplier counts, keeping
+        |nations present on either side only.""".stripMargin,
+      (s, d) => {
+        val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val p = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(p, Seq("nationkey"), "full_outer")
+          .select(
+            coalesce(col("nationkey"), lit(-1)).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""SELECT COALESCE(nationkey, -1) AS nationkey,
+             | COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+             |      FROM customer GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             |      FROM supplier GROUP BY 1) s USING (nationkey)""".stripMargin)),
+
+    QuerySpec(
+      "q44_intersect",
+      """INTERSECT (distinct): nations that have both customers with
+        |positive balances and suppliers.""".stripMargin,
+      (s, d) => Tables.customer(s, d).filter(col("c_acctbal") > 0)
+        .select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 0
+             |INTERSECT
+             |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin)),
+
+    QuerySpec(
       "q42_array_funcs",
       """Array functions over embeddings: size, element access, L2 norm
         |via the native dot expression (sqrt ∘ graft_dot — bitwise equal
