@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation kernels for 100 TB shuffles.
+  *
+  * AQE's skew-join splitting handles join-side skew at runtime; these
+  * cover the aggregation-side case AQE does not: a groupBy where one key
+  * carries a disproportionate share of rows, so a single reducer
+  * partition becomes the straggler.
+  *
+  * [[saltedAgg]] is the classic two-phase shape: phase 1 aggregates on
+  * (key, salt) — spreading the hot key over `saltBuckets` reducers —
+  * phase 2 re-aggregates the per-salt partials on the key alone. Works
+  * for any algebraic aggregate (sum/count/min/max); the caller supplies
+  * both the partial and the merge expression per output column.
+  */
+object Skew {
+
+  final case class SaltedCol(partial: Column, merge: String => Column, name: String)
+
+  /** sum(x) decomposed for two-phase aggregation. */
+  def saltedSum(c: Column, name: String): SaltedCol =
+    SaltedCol(sum(c).as(name), p => sum(col(p)).as(name), name)
+
+  /** count(*) decomposed (partial counts merge by summing). */
+  def saltedCount(name: String): SaltedCol =
+    SaltedCol(count(lit(1)).as(name), p => sum(col(p)).as(name), name)
+
+  def saltedMin(c: Column, name: String): SaltedCol =
+    SaltedCol(min(c).as(name), p => min(col(p)).as(name), name)
+
+  def saltedMax(c: Column, name: String): SaltedCol =
+    SaltedCol(max(c).as(name), p => max(col(p)).as(name), name)
+
+  /** Two-phase salted aggregation over `keys`, semantically identical to
+    * `df.groupBy(keys).agg(...)` for algebraic aggregates. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+      cols: SaltedCol*): DataFrame = {
+    // Deterministic salt from the row content, not rand(): spreads a hot
+    // key uniformly while keeping reruns reproducible.
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(cols.head.partial, cols.tail.map(_.partial): _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(cols.head.merge(cols.head.name), cols.tail.map(c => c.merge(c.name)): _*)
+  }
+}

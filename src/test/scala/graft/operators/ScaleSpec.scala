@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.TestSpark
+import graft.sources.Tables
+
+/** Scale-mechanism specs: salted aggregation equivalence and bucketed
+  * co-located joins (shuffle elimination) — the two knobs SURVEY's
+  * 100 TB stance leans on beyond AQE defaults. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def collectShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    var n = 0
+    plan.foreach {
+      case _: ShuffleExchangeExec => n += 1
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        n += collectShuffles(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        n += collectShuffles(s.plan)
+      case _ =>
+    }
+    n
+  }
+
+  test("salted two-phase aggregation equals direct aggregation on skewed data") {
+    // 90% of rows on one key — the shape that straggles a single reducer
+    val rows = (1 to 10000).map(i => (if (i % 10 == 0) s"k${i % 50}" else "HOT", i.toDouble))
+    val df = rows.toDF("k", "v").repartition(8)
+    val direct = df.groupBy("k")
+      .agg(sum($"v").as("s"), count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val salted = Skew.saltedAgg(df, Seq("k"), saltBuckets = 16,
+      Skew.saltedSum($"v", "s"), Skew.saltedCount("n"),
+      Skew.saltedMin($"v", "mn"), Skew.saltedMax($"v", "mx"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(salted.keySet == direct.keySet)
+    direct.foreach { case (k, (s, n, mn, mx)) =>
+      val (s2, n2, mn2, mx2) = salted(k)
+      assert(n2 == n && mn2 == mn && mx2 == mx)
+      assert(math.abs(s2 - s) < 1e-6 * math.abs(s) + 1e-9) // fp assoc tolerance
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // explicit per-table paths → external tables; no warehouse conf needed
+    val wh = java.nio.file.Files.createTempDirectory("warehouse").toString
+    val n = 16
+    Tables.orders(spark, sf001).write.mode("overwrite")
+      .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    Tables.lineitem(spark, sf001).write.mode("overwrite")
+      .bucketBy(n, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+
+    // disable auto-broadcast so the measurement isolates bucketing (a
+    // broadcast join would be trivially shuffle-free either way)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(sum("l_quantity"))
+
+    assert(joined.count() > 0)
+    // after materialization the adaptive plan is final: at most the
+    // groupBy exchange may remain — the JOIN itself must be shuffle-free
+    // because both sides share bucketing on the join key
+    val shuffles = collectShuffles(joined.queryExecution.executedPlan)
+    assert(shuffles <= 1, s"expected at most the groupBy exchange, got $shuffles")
+    // control: the same join on unbucketed parquet DOES shuffle both sides
+    val plain = Tables.lineitem(spark, sf001)
+      .join(Tables.orders(spark, sf001), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(sum("l_quantity"))
+    assert(plain.count() > 0)
+    assert(collectShuffles(plain.queryExecution.executedPlan) > shuffles)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
