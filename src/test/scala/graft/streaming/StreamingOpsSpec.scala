@@ -83,6 +83,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 12.0)))
   }
 
+  test("file-source streaming over driver events parquet matches the batch window agg") {
+    graft.GraftSession.ensureConfs(spark)
+    // the file source needs a directory: stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    // the raw parquet schema (nanosAsLong): ts is epoch-nanos LongType
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("filestream")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("filestream")
+      .select(col("window.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.sources.Tables.events(spark, sf001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("df.observe metrics surface through the streaming progress (O1)") {
     val rec = Observability.attach(spark)
     try {
