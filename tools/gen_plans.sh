@@ -1,0 +1,22 @@
+#!/bin/bash
+# Dev-only: regenerate PLANS.md (formatted physical plans of headline queries).
+set -e
+cd /root/repo
+/opt/spark/bin/spark-shell --master 'local[8]' --conf spark.ui.enabled=false \
+  --conf spark.sql.shuffle.partitions=8 \
+  --driver-class-path target/scala-2.13/classes <<'EOF'
+import java.io.PrintWriter
+graft.GraftSession.ensureConfs(spark)
+val d = "/root/testdata/sf0.01"
+val picks = Seq("q01_agg_pricing_summary","q03_filter_pushdown","q04_join_revenue_by_nation",
+  "q08_window_topk_per_group","q20_upsert_lww","q28_dedup_minhash_lsh","q30_cosine_topk","q33_window_tumbling")
+val sb = new StringBuilder
+sb ++= "# PLANS — physical plans of headline queries (sf0.01, local[8])\n\n"
+sb ++= "Generated from `df.explain(\"formatted\")` via spark-shell; regenerate with tools/gen_plans.sh.\n"
+for (name <- picks) {
+  val df = graft.SparkEntry.queries(name)(spark, d)
+  val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  sb ++= s"\n## $name\n\n```\n" ++= plan ++= "\n```\n"
+}
+new PrintWriter("/root/repo/PLANS.md") { write(sb.toString); close() }
+EOF
