@@ -18,7 +18,10 @@ object Bench {
     region.selectExpr("max(r_name) over ()").collect()
     val results = SparkEntry.specs.map(s => s.name -> SparkEntry.queries(s.name)).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // toRdd.count() materializes every output row: a plain df.count()
+      // would let Catalyst prune the projected expressions and time an
+      // empty-column scan for projection-only queries.
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       // failed queries report -1 so a timing regression can't mask a breakage
@@ -26,7 +29,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.count(_._2 < 0)
+    // total excludes failure sentinels (summing -1 would make a breakage
+    // look FASTER); a nonzero failed count marks the run invalid instead
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum + failed * 1e6
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

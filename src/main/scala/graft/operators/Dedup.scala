@@ -78,6 +78,9 @@ object Dedup {
     * (doc, band). Docs sharing any band hash are candidates. */
   def lshBands(sigs: DataFrame, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = sigs.columns.count(_.startsWith("sig_"))
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand); " +
+        "trailing signatures would be silently dropped from banding")
     val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
       struct(lit(b.toLong).as("band"), md5(concat_ws(",", cols: _*)).as("bh"))

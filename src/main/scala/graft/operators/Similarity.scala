@@ -75,8 +75,11 @@ object Similarity {
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 4, seed: Long = 42L): DataFrame = {
     graft.GraftSession.ensureConfs(queries.sparkSession)
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val planes = hyperplanes(dim, bits, seed)
+    val dims = corpus.select(size(col("embedding"))).limit(1).collect()
+    if (dims.isEmpty) return queries.sparkSession.emptyDataFrame
+      .select(lit(0L).as("q_id"), lit(0L).as("n_id"), lit(0.0).as("cos"), lit(0L).as("rank"))
+      .limit(0)
+    val planes = hyperplanes(dims.head.getInt(0), bits, seed)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_v"))
       .withColumn("bucket", lshBucket(col("q_v"), planes))
       .withColumn("q_n", sqrt(dot(col("q_v"), col("q_v"))))

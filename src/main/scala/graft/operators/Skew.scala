@@ -38,10 +38,13 @@ object Skew {
     * `df.groupBy(keys).agg(...)` for algebraic aggregates. */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       cols: SaltedCol*): DataFrame = {
-    // Deterministic salt from the row content, not rand(): spreads a hot
-    // key uniformly while keeping reruns reproducible.
+    // Salt from a per-row id, NOT row content: content hashing sends
+    // duplicate rows of a hot key to one bucket — exactly the straggler
+    // this operator exists to remove. Any salt assignment yields the
+    // same final result (phase-2 merges are algebraic), so the salt
+    // needs uniformity, not reproducibility.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(cols.head.partial, cols.tail.map(_.partial): _*)

@@ -91,17 +91,21 @@ object BusStatusSchema {
     StructField("event_time", TimestampType)))
 }
 
-/** Typed view of a normalized bus_status row. */
+/** Typed view of a normalized bus_status row. Only `record_id` is
+  * non-optional ([[EnvelopeParser.dropTombstones]] guarantees it);
+  * every other field can be null on the wire — partial after-images are
+  * legal Debezium — and an Option-less field would make the encoder
+  * throw mid-job on the first sparse row. */
 final case class BusStatus(
     record_id: Int,
-    id: Int,
-    routeId: Int,
+    id: Option[Int],
+    routeId: Option[Int],
     directionId: Option[String],
     predictable: Option[Int],
-    secsSinceReport: Int,
-    kph: Int,
+    secsSinceReport: Option[Int],
+    kph: Option[Int],
     heading: Option[Int],
-    lat: Double,
-    lon: Double,
+    lat: Option[Double],
+    lon: Option[Double],
     leadingVehicleId: Option[Int],
-    event_time: java.sql.Timestamp)
+    event_time: Option[java.sql.Timestamp])

@@ -405,7 +405,7 @@ object RelationalQueries {
       },
       Some("""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
              |  SELECT *, row_number() OVER (PARTITION BY user_id
-             |    ORDER BY ts DESC, event_id DESC) AS rn
+             |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
              |  FROM events) t WHERE rn = 1""".stripMargin)),
 
     // ------------------------------------------------------------------

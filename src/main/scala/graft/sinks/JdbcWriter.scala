@@ -15,7 +15,9 @@ object JdbcWriter {
       user: String, password: String,
       batchSize: Int = 100, maxConnections: Int = 8,
       mode: SaveMode = SaveMode.Append): Unit =
-    df.coalesce(maxConnections)
+    // repartition, not coalesce: coalesce would propagate upstream and
+    // strangle the parallelism of the computation feeding the sink.
+    df.repartition(maxConnections)
       .write.mode(mode)
       .format("jdbc")
       .option("url", url)

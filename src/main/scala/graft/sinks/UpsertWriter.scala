@@ -57,16 +57,25 @@ object UpsertWriter {
 
     val incoming = precombine(batch, keys).withColumn("__src", lit(1))
 
-    val dir = new java.io.File(tableDir)
-    val hasTable = dir.exists() && dir.listFiles() != null &&
-      dir.listFiles().exists(f => f.getName.startsWith(s"${keys.partition}="))
+    // Filesystem-agnostic existence check (java.io.File would silently
+    // report false for hdfs://, s3a://, … and the merge would be skipped).
+    val hadoopPath = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasTable = fs.exists(hadoopPath) &&
+      fs.listStatus(hadoopPath).exists(_.getPath.getName.startsWith(s"${keys.partition}="))
 
     val merged = if (hasTable) {
       // Touched-partition set: micro-batch-sized, so the driver-side
-      // collect is bounded by batch cardinality, not table size.
+      // collect is bounded by batch cardinality, not table size. A null
+      // partition value needs explicit handling: isin() never matches
+      // null, which would drop the table's null-partition rows from the
+      // merge and let dynamic overwrite erase them.
       val touched = incoming.select(keys.partition).distinct().collect().map(_.get(0))
+      val (nullTouched, nonNull) = (touched.contains(null), touched.filter(_ != null))
+      val pruned = col(keys.partition).isin(nonNull: _*) ||
+        (lit(nullTouched) && col(keys.partition).isNull)
       val current = spark.read.parquet(tableDir)
-        .filter(col(keys.partition).isin(touched: _*))   // partition pruning
+        .filter(pruned)   // partition pruning
         .select(incoming.columns.filter(_ != "__src").map(col): _*)
         .withColumn("__src", lit(0))
       current.unionByName(incoming)
