@@ -64,7 +64,7 @@ object Similarity {
     * stays codegen'd — no UDF. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
     planes.zipWithIndex.map { case (p, j) =>
-      val plane = array(p.map(lit): _*)
+      val plane = array(p.toIndexedSeq.map(lit): _*)
       when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

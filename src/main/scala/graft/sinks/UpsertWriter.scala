@@ -72,11 +72,11 @@ object UpsertWriter {
       // merge and let dynamic overwrite erase them.
       val touched = incoming.select(keys.partition).distinct().collect().map(_.get(0))
       val (nullTouched, nonNull) = (touched.contains(null), touched.filter(_ != null))
-      val pruned = col(keys.partition).isin(nonNull: _*) ||
+      val pruned = col(keys.partition).isin(nonNull.toIndexedSeq: _*) ||
         (lit(nullTouched) && col(keys.partition).isNull)
       val current = spark.read.parquet(tableDir)
         .filter(pruned)   // partition pruning
-        .select(incoming.columns.filter(_ != "__src").map(col): _*)
+        .select(incoming.columns.filter(_ != "__src").toIndexedSeq.map(col): _*)
         .withColumn("__src", lit(0))
       current.unionByName(incoming)
     } else incoming
