@@ -88,10 +88,17 @@ object ExtensionQueries {
     QuerySpec(
       "q27_fingerprint",
       """Document fingerprinting: min-md5 over word 3-shingles (1-perm
-        |minhash). NULL for <3-token docs in both engines.""".stripMargin,
-      (s, d) => Tables.documents(s, d).select(
-        col("doc_id"),
-        TextFunctions.minShingleFingerprint(col("text")).as("fp")),
+        |minhash). NULL for <3-token docs in both engines. Computed over
+        |the relational shingle rows (same values as the per-row
+        |TextFunctions.minShingleFingerprint column, ~10× faster: the
+        |HOF transform evaluates interpreted per element); the left join
+        |restores the NULL rows shingleRows drops.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val fp = graft.operators.Dedup.shingleRows(docs)
+          .groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fp"))
+        docs.select("doc_id").join(fp, Seq("doc_id"), "left_outer")
+      },
       Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') toks FROM documents)
              |SELECT doc_id, list_min(list_transform(range(1, greatest(len(toks) - 1, 1)),
              |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) AS fp
