@@ -8,6 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // Only stop the session if this main created it (the contract spec
+    // invokes main inside a shared test session).
+    val hadActive = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isDefined
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-verify"), cpus)
       .getOrCreate()
@@ -35,6 +38,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    if (!hadActive) spark.stop()
   }
 }

@@ -41,6 +41,19 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(rawTokens(text)).cast("long")
 
+  /** BPE-style pre-tokenization pattern (GPT-2-family shape, public):
+    * contractions, optionally-space-prefixed letter runs, digit runs,
+    * punctuation runs. Kept in the Java∩RE2 common subset so the DuckDB
+    * oracle matches. */
+  val BpeishPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** Count of BPE-ish pre-tokens — the LLM-pipeline token estimator
+    * (an actual BPE merge table is model-specific; the pre-tokenizer
+    * split is the public, deterministic part). */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern)).cast("long")
+
   /** Count of punctuation characters. */
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.,!?;:]")).cast("long")

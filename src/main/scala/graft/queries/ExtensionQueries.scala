@@ -36,11 +36,13 @@ object ExtensionQueries {
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
         length(col("text")).cast("long").as("len_chars")),
-      Some("""SELECT doc_id,
-             | CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
-             | CAST(length(text) AS BIGINT) AS len_chars
-             |FROM documents""".stripMargin)),
+      Some(s"""SELECT doc_id,
+              | CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+              | CAST(length(regexp_extract_all(text, '${TextFunctions.BpeishPattern.replace("'", "''")}')) AS BIGINT) AS n_bpeish,
+              | CAST(length(text) AS BIGINT) AS len_chars
+              |FROM documents""".stripMargin)),
 
     QuerySpec(
       "q25_text_quality",
