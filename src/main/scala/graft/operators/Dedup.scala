@@ -134,6 +134,47 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** SimHash-64 document signatures, fully deterministic and
+    * oracle-reproducible: per token, the 16 md5 hex digits supply 64
+    * bits; each bit votes ±1 across the doc's token multiset; the sign
+    * of each vote total reassembles into a 16-hex-digit signature
+    * string (string form sidesteps 64-bit shift overflow in SQL).
+    * Near-identical docs differ in few bits (compare with
+    * [[hammingHex]]). One explode + one wide 64-column sum aggregate —
+    * the same map-side-combined shape as the MinHash signatures. */
+  def simhashSignature(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    // per-hex-digit value: strpos('0123456789abcdef', hex_char) - 1
+    val withDigits = (0 until 16).foldLeft(toks) { (df, k) =>
+      df.withColumn(s"d$k",
+        expr(s"instr('0123456789abcdef', substring(h, ${k + 1}, 1)) - 1"))
+    }
+    val votes = (0 until 16).flatMap { k =>
+      (0 until 4).map { b =>
+        sum(expr(s"CASE WHEN (d$k div ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END"))
+          .as(s"v${k}_$b")
+      }
+    }
+    val agg = withDigits.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val digitExprs = (0 until 16).map { k =>
+      val d = (0 until 4).map(b => s"(CASE WHEN v${k}_$b >= 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+      s"substring('0123456789abcdef', ($d) + 1, 1)"
+    }
+    agg.select(col("doc_id"), expr(s"concat(${digitExprs.mkString(", ")})").as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length hex-string signature
+    * columns (referenced by name). */
+  def hammingHex(aCol: String, bCol: String): Column =
+    (0 until 16).map { k =>
+      expr(s"""bit_count(cast(
+        | (instr('0123456789abcdef', substring($aCol, ${k + 1}, 1)) - 1) ^
+        | (instr('0123456789abcdef', substring($bCol, ${k + 1}, 1)) - 1) as bigint))""".stripMargin)
+        .cast("long")
+    }.reduce(_ + _)
+
   /** Embedding-cosine near-dup pairs among ids < `idBound` (the bound
     * keeps the O(n²) oracle-checkable slice small; the unbounded scale
     * path goes through LSH bucketing in [[Similarity]]). */

@@ -177,6 +177,15 @@ object ExtensionQueries {
              |FROM documents""".stripMargin)),
 
     QuerySpec(
+      "q45_dedup_simhash",
+      """SimHash-64 signatures per document — fully integer/string
+        |arithmetic over md5 hex digits, so even this hash-sketch
+        |operator oracle-checks exactly. Near-dup pairs are found by
+        |hamming distance over these signatures (spec-verified).""".stripMargin,
+      (s, d) => graft.operators.Dedup.simhashSignature(Tables.documents(s, d)),
+      Some(SimhashOracle.sql)),
+
+    QuerySpec(
       "q32_approx_distinct",
       """Approximate distinct (HLL++ sketch) beside exact counts. No
         |oracle: DuckDB's sketch differs; the exactness bound is asserted

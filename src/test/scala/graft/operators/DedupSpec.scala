@@ -47,6 +47,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.isEmpty)
   }
 
+  test("simhash: near-dup docs are close in hamming distance, unrelated docs far") {
+    val base = (1 to 80).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 80).map(i => if (i % 40 == 0) "changed" else s"token$i").mkString(" ")
+    val other = (200 to 280).map(i => s"word$i").mkString(" ")
+    val sigs = Dedup.simhashSignature(docs((1L, base), (2L, nearDup), (3L, other)))
+    val pairs = sigs.select(col("doc_id").as("a_id"), col("simhash").as("sig_a"))
+      .crossJoin(sigs.select(col("doc_id").as("b_id"), col("simhash").as("sig_b")))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), Dedup.hammingHex("sig_a", "sig_b").as("ham"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) < 12, s"near-dups too far: ${pairs((1L, 2L))}")
+    assert(pairs((1L, 3L)) > 20 && pairs((2L, 3L)) > 20,
+      s"unrelated too close: ${pairs((1L, 3L))}, ${pairs((2L, 3L))}")
+    // identical docs → identical signature
+    val same = Dedup.simhashSignature(docs((1L, base), (2L, base)))
+      .select("simhash").distinct().count()
+    assert(same == 1)
+  }
+
   test("embedding near-dup finds an exact duplicate vector") {
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
     val w = Array.tabulate(8)(i => (8 - i).toFloat)
