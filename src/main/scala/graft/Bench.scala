@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** 1-minute load average — recorded into the output so a contended
+    * run is self-identifying (round 1's driver-recorded bench was ~13×
+    * inflated by machine load; the numbers alone couldn't show it). */
+  private def loadavg: Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -16,24 +25,35 @@ object Bench {
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     region.selectExpr("count(*)", "sum(cast(r_regionkey as decimal(18,6)))").collect()
     region.selectExpr("max(r_name) over ()").collect()
-    val results = SparkEntry.specs.map(s => s.name -> SparkEntry.queries(s.name)).map { case (name, fn) =>
+    val loadStart = loadavg
+    // toRdd.count() materializes every output row: a plain df.count()
+    // would let Catalyst prune the projected expressions and time an
+    // empty-column scan for projection-only queries.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): Double = {
       val t0 = System.nanoTime()
-      // toRdd.count() materializes every output row: a plain df.count()
-      // would let Catalyst prune the projected expressions and time an
-      // empty-column scan for projection-only queries.
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
-      // failed queries report -1 so a timing regression can't mask a breakage
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val results = SparkEntry.specs.map(s => s.name -> SparkEntry.queries(s.name)).map {
+      case (name, fn) =>
+        // best-of-2: a transient contention spike (GC, a concurrent
+        // process) inflates one run, rarely both — the min is the
+        // honest steady-state number. A failed first run is not retried
+        // (a timing regression must never mask a breakage).
+        val t1 = timeOnce(fn, name)
+        name -> (if (t1 < 0) t1 else math.min(t1, timeOnce(fn, name)))
+    }
+    val loadEnd = loadavg
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     // total excludes failure sentinels (summing -1 would make a breakage
     // look FASTER); a nonzero failed count marks the run invalid instead
     val total = results.collect { case (_, v) if v >= 0 => v }.sum + failed * 1e6
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"best_of_2","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     spark.stop()
   }
 }

@@ -46,7 +46,11 @@ object GraftSession {
   def ensureConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", GraftExtensions.buildDot, "built-in")
+    // Register once per session: re-registering an existing function
+    // logs a replace warning on every query invocation (warn-spam in
+    // driver logs) without changing behavior.
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      reg.createOrReplaceTempFunction("graft_dot", GraftExtensions.buildDot, "built-in")
   }
 }

@@ -54,6 +54,24 @@ object Multimodal {
         length(col("text").cast("binary")).cast("long").as("n_bytes"),
         col("source").as("source")).as("meta"))
 
+  /** Real binary ingestion: read raw media files via Spark's
+    * `binaryFile` source into the engine's media-table schema. This is
+    * the production entry point for image/audio/video payloads — the
+    * scan is distributed (one file per task, driver never sees bytes),
+    * `pathGlobFilter` selects by extension, and the resulting frame
+    * feeds [[extractFeatures]] unchanged. media_id is the xxhash64 of
+    * the file path: deterministic across runs, unique per file. */
+  def fromBinaryFiles(spark: SparkSession, path: String,
+      mime: String = "application/octet-stream", glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content").as("payload"),
+        struct(
+          lit(mime).as("mime"),
+          col("length").cast("long").as("n_bytes"),
+          col("path").as("source")).as("meta"))
+
   /** Per-partition batched decode: the Spark-side plumbing is real;
     * only [[FakeCodec.decode]] is a stand-in. */
   def extractFeatures(media: DataFrame, decodeParallelism: Int = 0): Dataset[MediaFeatures] = {

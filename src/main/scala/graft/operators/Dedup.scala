@@ -23,6 +23,17 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Eagerly materialize a small reused intermediate so its subtree runs
+    * exactly once. Uses a RELIABLE checkpoint when the caller configured
+    * a checkpoint dir (`sc.setCheckpointDir`) — the cluster-safe path:
+    * localCheckpoint stores blocks unreplicated on executors, so an
+    * executor loss or dynamic-allocation decommission after the
+    * checkpoint would fail the job. Local/test runs without a checkpoint
+    * dir keep the cheap localCheckpoint. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Exact dedup by content hash: one group per distinct (normalized)
     * text, keeping the minimum id as the canonical copy. */
   def exactGroups(docs: DataFrame, text: Column = col("text"), id: Column = col("doc_id")): DataFrame =
@@ -112,8 +123,8 @@ object Dedup {
     // Candidate pairs are referenced three times below (ids, a-side,
     // b-side); materialize once — they are tiny (bucket collisions) —
     // so the minhash subtree executes exactly once.
-    val cands = candidatePairs(lshBands(minhashSignatures(docs, numHashes), rowsPerBand))
-      .localCheckpoint(true)
+    val cands = materialize(
+      candidatePairs(lshBands(minhashSignatures(docs, numHashes), rowsPerBand)))
     // Set semantics only from here on, and only for candidate docs: a
     // semi-join bounds the distinct to bucket collisions (tiny at any
     // scale), not the whole corpus.
@@ -174,6 +185,45 @@ object Dedup {
         | (instr('0123456789abcdef', substring($bCol, ${k + 1}, 1)) - 1) as bigint))""".stripMargin)
         .cast("long")
     }.reduce(_ + _)
+
+  /** LSH bands over simhash signatures: the 16-hex signature splits into
+    * `16 / bandChars` consecutive bands; docs sharing any band substring
+    * are candidates. With 4 bands of 16 bits, any pair within hamming
+    * distance 3 is GUARANTEED to collide (pigeonhole: ≤3 differing bits
+    * cannot touch all 4 bands); larger distances collide with
+    * probability falling off geometrically — the standard
+    * recall/candidate-volume trade. */
+  def simhashBands(sigs: DataFrame, bandChars: Int = 4): DataFrame = {
+    require(16 % bandChars == 0, s"bandChars ($bandChars) must divide 16")
+    val bandStructs = (0 until 16 / bandChars).map { b =>
+      struct(lit(b.toLong).as("band"),
+        substring(col("simhash"), 1 + bandChars * b, bandChars).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** End-to-end simhash near-dup pairs at scale: signature → banded
+    * candidate bucket-join (quadratic only within a band bucket, the
+    * same shape as [[candidatePairs]]) → hamming-distance verification
+    * at ≤ `maxHamming`. Returns (a_id, b_id, hamming).
+    *
+    * The signature relation is referenced three times (banding + both
+    * verify sides); it is materialized once so the wide 64-column vote
+    * aggregation runs exactly once. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 5): DataFrame = {
+    val sigs = materialize(simhashSignature(docs))
+    val bd = simhashBands(sigs)
+    val cands = bd.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+      .join(bd.select(col("band"), col("bh"), col("doc_id").as("b_id")), Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("a_id"), col("simhash").as("sig_a")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("simhash").as("sig_b")), "b_id")
+      .select(col("a_id"), col("b_id"), hammingHex("sig_a", "sig_b").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Embedding-cosine near-dup pairs among ids < `idBound` (the bound
     * keeps the O(n²) oracle-checkable slice small; the unbounded scale

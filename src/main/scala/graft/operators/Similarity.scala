@@ -70,20 +70,49 @@ object Similarity {
   }
 
   /** Approximate top-k: bucket corpus and queries by sign-bit LSH and
-    * rank only within the query's bucket. `bits` trades recall for
-    * probe cost: expected bucket size |corpus| / 2^bits. */
+    * rank only within the query's probed bucket(s). `bits` trades recall
+    * for probe cost: expected bucket size |corpus| / 2^bits.
+    *
+    * Multi-probe (default on): each query also probes the `bits`
+    * one-bit-flip neighbor buckets — the standard fix for vectors near a
+    * hyperplane, whose true neighbors land across the boundary and are
+    * unreachable from a single probe. Probe buckets are pairwise
+    * distinct by construction (identity + distinct single-bit xors) and
+    * every corpus vector lives in exactly one bucket, so no (q, n) pair
+    * can match twice — the per-query ranking needs no dedup. Probe cost
+    * is ≤ bits+1 buckets ≈ (bits+1)/2^bits of the corpus.
+    *
+    * `dim` pins the hyperplane dimension (callers that mirror the planes
+    * elsewhere — e.g. the DuckDB oracle — must fix it); when 0 it is
+    * inferred as max(size(embedding)) over non-null corpus rows.
+    * Vectors whose length differs from `dim` are excluded from both
+    * sides rather than silently bucketed by a truncated dot product. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      bits: Int = 4, seed: Long = 42L): DataFrame = {
+      bits: Int = 4, seed: Long = 42L, multiProbe: Boolean = true,
+      dim: Int = 0): DataFrame = {
     graft.GraftSession.ensureConfs(queries.sparkSession)
-    val dims = corpus.select(size(col("embedding"))).limit(1).collect()
-    if (dims.isEmpty) return queries.sparkSession.emptyDataFrame
+    val d = if (dim > 0) dim else {
+      val r = corpus.filter(col("embedding").isNotNull)
+        .select(max(size(col("embedding")))).collect()
+      if (r.isEmpty || r.head.isNullAt(0)) 0 else r.head.getInt(0)
+    }
+    if (d <= 0) return queries.sparkSession.emptyDataFrame
       .select(lit(0L).as("q_id"), lit(0L).as("n_id"), lit(0.0).as("cos"), lit(0L).as("rank"))
       .limit(0)
-    val planes = hyperplanes(dims.head.getInt(0), bits, seed)
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_v"))
-      .withColumn("bucket", lshBucket(col("q_v"), planes))
+    val planes = hyperplanes(d, bits, seed)
+    val qBase = queries
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_v"))
+      .withColumn("bucket0", lshBucket(col("q_v"), planes))
       .withColumn("q_n", sqrt(dot(col("q_v"), col("q_v"))))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_v"))
+    val probeCols =
+      if (multiProbe) col("bucket0") +: (0 until bits).map(j => col("bucket0").bitwiseXOR(lit(1L << j)))
+      else Seq(col("bucket0"))
+    val q = qBase
+      .select(col("q_id"), col("q_v"), col("q_n"), explode(array(probeCols: _*)).as("bucket"))
+    val c = corpus
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_v"))
       .withColumn("bucket", lshBucket(col("n_v"), planes))
       .withColumn("n_n", sqrt(dot(col("n_v"), col("n_v"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)

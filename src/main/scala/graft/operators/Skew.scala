@@ -35,16 +35,21 @@ object Skew {
     SaltedCol(max(c).as(name), p => max(col(p)).as(name), name)
 
   /** Two-phase salted aggregation over `keys`, semantically identical to
-    * `df.groupBy(keys).agg(...)` for algebraic aggregates. */
+    * `df.groupBy(keys).agg(...)` for algebraic aggregates.
+    *
+    * `saltFrom` must be a DETERMINISTIC per-row expression that spreads
+    * the hot key's rows — typically a unique id column (`event_id`), or
+    * any high-cardinality column distinct from the grouping keys. A
+    * nondeterministic salt (row id, rand) would be recomputed differently
+    * when a task retries after a shuffle-fetch failure, letting reducers
+    * holding a mix of old and recomputed map outputs double-count or
+    * drop rows (the SPARK-23207 class of bug). Hashing `saltFrom` keeps
+    * the assignment uniform across duplicate hot-key rows AND stable
+    * under recomputation. */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
-      cols: SaltedCol*): DataFrame = {
-    // Salt from a per-row id, NOT row content: content hashing sends
-    // duplicate rows of a hot key to one bucket — exactly the straggler
-    // this operator exists to remove. Any salt assignment yields the
-    // same final result (phase-2 merges are algebraic), so the salt
-    // needs uniformity, not reproducibility.
+      saltFrom: Column, cols: SaltedCol*): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      pmod(xxhash64(saltFrom), lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(cols.head.partial, cols.tail.map(_.partial): _*)

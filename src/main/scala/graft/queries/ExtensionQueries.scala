@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Skew}
 import graft.multimodal.Multimodal
 
 /** The LLM-data-pipeline extension surface (SURVEY §2.3): dedup (exact,
@@ -187,16 +187,82 @@ object ExtensionQueries {
 
     QuerySpec(
       "q32_approx_distinct",
-      """Approximate distinct (HLL++ sketch) beside exact counts. No
-        |oracle: DuckDB's sketch differs; the exactness bound is asserted
-        |in the spec instead (rows-only driver check).""".stripMargin,
+      """Distinct-user counting per event type — the exact columns
+        |oracle-check in DuckDB; the HLL++ sketch sheet of this operator
+        |([[approxDistinctUsers]]) is error-bounded against these exact
+        |counts in ApproxDistinctSpec instead (DuckDB's HLL sketch
+        |differs by construction, so the sketch column itself is
+        |spec-bounded, not oracle-compared).""".stripMargin,
       (s, d) => Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n_events"))
         .orderBy("event_type"),
-      None)
+      Some("""SELECT event_type,
+             | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             | count(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QuerySpec(
+      "q46_ann_topk",
+      """Approximate similarity search: multi-probe sign-bit LSH top-5
+        |for 8 query vectors — the SCALE path for similarity (probe cost
+        |≤ (bits+1)/2^bits of the corpus instead of all of it). The
+        |seeded hyperplanes are injected as literals into the DuckDB
+        |oracle, and all vector math is left-fold double on both
+        |engines, so even this approximate operator compares EXACTLY.
+        |Recall vs q30 brute force is asserted ≥0.9 in
+        |SimilaritySpec.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.annTopK(e.filter(col("vec_id") < 8), e, 5, bits = 4,
+          seed = 42L, multiProbe = true, dim = 64)
+      },
+      Some(AnnOracle.sql(bits = 4, k = 5, qBound = 8, seed = 42L, dim = 64))),
+
+    QuerySpec(
+      "q47_simhash_neardup",
+      """Banded simhash near-dup pairing — the end-to-end SCALE path for
+        |simhash dedup: q45's signatures → 4×4-hex band keys →
+        |bucket-join candidates (quadratic only within a band bucket) →
+        |hamming ≤ 5 verification. Hamming ≤ 3 pairs are guaranteed
+        |candidates (pigeonhole over 4 bands); the driver documents'
+        |planted near-dups sit at ≤ 5 with the random-collision tail
+        |starting at 6.""".stripMargin,
+      (s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 5),
+      Some(SimhashOracle.pairsSql(maxHamming = 5))),
+
+    QuerySpec(
+      "q48_salted_agg",
+      """Skew-mitigated aggregation: two-phase salted groupBy over the
+        |events hot keys — phase 1 aggregates on (key, salt) spreading
+        |each key over 32 reducers, phase 2 merges the partials. The salt
+        |hashes the unique event_id (deterministic under task retry —
+        |SPARK-23207-safe). Oracle is the plain GROUP BY: the rewrite is
+        |value-identical for algebraic aggregates; all output columns are
+        |order-insensitive (counts, integer sums, min/max) so the
+        |equality is exact, not approximate.""".stripMargin,
+      (s, d) => Skew.saltedAgg(Tables.events(s, d), Seq("event_type"),
+        saltBuckets = 32, saltFrom = col("event_id"),
+        Skew.saltedCount("n_events"),
+        Skew.saltedSum(col("user_id"), "sum_uid"),
+        Skew.saltedMin(col("value"), "min_value"),
+        Skew.saltedMax(col("value"), "max_value")),
+      Some("""SELECT event_type, count(*) AS n_events,
+             | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+             | min(value) AS min_value, max(value) AS max_value
+             |FROM events GROUP BY event_type""".stripMargin))
   )
+
+  /** The HLL++ sketch sheet of q32: approximate beside exact distinct
+    * counts. Spec-bounded (ApproxDistinctSpec), not oracle-compared —
+    * sketches are engine-specific by construction. */
+  def approxDistinctUsers(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
 }

@@ -358,16 +358,21 @@ object RelationalQueries {
     QuerySpec(
       "q18_math_case",
       """Scalar math + CASE WHEN: per-row double arithmetic (deterministic —
-        |no cross-row accumulation), round, abs, sqrt, conditional
-        |buckets.""".stripMargin,
+        |no cross-row accumulation), abs, sqrt, conditional buckets.
+        |tax_amt stays a PLAIN double product: one IEEE op, bitwise
+        |identical in both engines — a decimal(18,6) cast here could
+        |actually round (the product's binary value is not a 6-decimal
+        |number) and Java rounds the shortest-string repr while DuckDB
+        |rounds the exact binary value, so a near-midpoint product could
+        |diverge by 1 ulp.""".stripMargin,
       (s, d) => Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
-        (col("l_extendedprice") * col("l_tax")).cast(MoneyAddend).cast("double").as("tax_amt"),
+        (col("l_extendedprice") * col("l_tax")).as("tax_amt"),
         abs(col("l_discount") - 0.05).as("disc_dev"),
         sqrt(col("l_quantity")).as("qty_sqrt"),
         when(col("l_discount") > 0.05, "HI").otherwise("LO").as("disc_bucket")),
       Some("""SELECT l_orderkey, l_linenumber,
-             | CAST(CAST(l_extendedprice * l_tax AS DECIMAL(18,6)) AS DOUBLE) AS tax_amt,
+             | l_extendedprice * l_tax AS tax_amt,
              | abs(l_discount - 0.05) AS disc_dev,
              | sqrt(l_quantity) AS qty_sqrt,
              | CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_bucket

@@ -31,4 +31,25 @@ object SimhashOracle {
        |  FROM digits GROUP BY doc_id)
        |SELECT doc_id, concat($digitExprs) AS simhash FROM votes""".stripMargin
   }
+
+  /** DuckDB mirror of [[graft.operators.Dedup.simhashNearDupPairs]]: the
+    * q45 signature CTE → 4×4-hex bands → candidate bucket-join →
+    * per-hex-digit xor/bit_count hamming verification — integer/string
+    * arithmetic end to end, so the banded pairing oracle-checks exactly
+    * like the signatures do. */
+  def pairsSql(maxHamming: Int = 5): String = {
+    val ham = (0 until 16).map { k =>
+      s"bit_count(xor(strpos('0123456789abcdef', substr(x.simhash, ${k + 1}, 1)) - 1, " +
+        s"strpos('0123456789abcdef', substr(y.simhash, ${k + 1}, 1)) - 1))"
+    }.mkString(" + ")
+    s"""WITH sig AS ($sql),
+       |bands AS (SELECT doc_id, b, substr(simhash, 1 + 4*b, 4) AS bh
+       |          FROM sig, range(0, 4) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+       |         FROM bands a JOIN bands b
+       |         ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST($ham AS BIGINT) AS hamming
+       |FROM cand JOIN sig x ON x.doc_id = a_id JOIN sig y ON y.doc_id = b_id
+       |WHERE CAST($ham AS BIGINT) <= $maxHamming""".stripMargin
+  }
 }

@@ -33,7 +33,7 @@ class ScaleSpec extends AnyFunSuite {
     val direct = df.groupBy("k")
       .agg(sum($"v").as("s"), count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx"))
       .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
-    val salted = Skew.saltedAgg(df, Seq("k"), saltBuckets = 16,
+    val salted = Skew.saltedAgg(df, Seq("k"), saltBuckets = 16, saltFrom = $"v",
       Skew.saltedSum($"v", "s"), Skew.saltedCount("n"),
       Skew.saltedMin($"v", "mn"), Skew.saltedMax($"v", "mx"))
       .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
