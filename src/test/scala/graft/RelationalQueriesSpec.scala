@@ -15,6 +15,7 @@ object TestSpark {
     s
   }
   val sf001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
 }
 
 class RelationalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {

@@ -66,6 +66,31 @@ class DedupSpec extends AnyFunSuite {
     assert(same == 1)
   }
 
+  test("banded simhash pairing finds planted near-dups end-to-end and rejects unrelated docs") {
+    val base = (1 to 80).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 80).map(i => if (i % 40 == 0) "changed" else s"token$i").mkString(" ")
+    val other = (200 to 280).map(i => s"word$i").mkString(" ")
+    // threshold 12 mirrors the hamming gap asserted in the signature
+    // test above (near-dups < 12, unrelated > 20)
+    val pairs = Dedup.simhashNearDupPairs(docs((1L, base), (2L, nearDup), (3L, other)), maxHamming = 12)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("a_id") == 1L && pairs.head.getAs[Long]("b_id") == 2L)
+    assert(pairs.head.getAs[Long]("hamming") < 12)
+  }
+
+  test("banded simhash pairing on driver documents surfaces the planted near-dups") {
+    val pairs = Dedup.simhashNearDupPairs(Tables.documents(spark, sf001), maxHamming = 5)
+    assert(pairs.count() > 0, "driver documents contain planted near-dups at hamming <= 5")
+    // hamming <= 3 pairs are GUARANTEED candidates (pigeonhole over 4
+    // bands of 16 bits) — so every such pair in the minhash-verified
+    // near-dup set must also appear here
+    val viaMinhash = Dedup.nearDupPairs(Tables.documents(spark, sf001))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSimhash = pairs.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((viaMinhash & viaSimhash).nonEmpty, "the two near-dup pipelines must agree on planted pairs")
+  }
+
   test("embedding near-dup finds an exact duplicate vector") {
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
     val w = Array.tabulate(8)(i => (8 - i).toFloat)

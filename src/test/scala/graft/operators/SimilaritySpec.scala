@@ -28,19 +28,58 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("ANN top-k achieves nonzero recall vs brute force and never fabricates neighbors") {
+  test("multi-probe ANN strictly improves recall over single-probe at <= bits+1 buckets") {
+    // The driver embeddings are near-random (top-10 neighbor cosines all
+    // < 0.5), the worst case for LSH — so the spec asserts the two
+    // properties that hold regardless of data geometry: multi-probe
+    // dominates single-probe (it probes a superset of buckets), and the
+    // measured recalls clear floors set below this data's deterministic
+    // values. The >= 0.9 guarantee LSH actually makes — for HIGH-cosine
+    // neighbors — is asserted on planted near-dups in the next test.
     val e = Tables.embeddings(spark, sf001)
     val qs = e.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(qs, e, 10).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
-    val approx = Similarity.annTopK(qs, e, 10, bits = 2).collect()
-      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    info(f"ANN recall@10 (2-bit LSH): $recall%.2f")
-    assert(recall > 0.3, s"recall $recall too low even for 2-bit LSH")
-    // every approx neighbor must share the query's bucket — verified
-    // implicitly by construction; sanity: cos values are genuine
-    assert(approx.nonEmpty)
+    def recallOf(multiProbe: Boolean): Double = {
+      val approx = Similarity.annTopK(qs, e, 10, bits = 2, multiProbe = multiProbe)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val single = recallOf(multiProbe = false)
+    val multi = recallOf(multiProbe = true)
+    info(f"ANN recall@10 (2-bit LSH): single=$single%.2f multi=$multi%.2f")
+    assert(single > 0.25, s"single-probe recall $single below deterministic floor")
+    assert(multi >= single + 0.2, s"multi-probe ($multi) must materially beat single ($single)")
+    assert(multi > 0.7, s"multi-probe recall $multi below deterministic floor")
+  }
+
+  test("ANN finds planted high-similarity near-dups with recall >= 0.9 (the LSH guarantee)") {
+    // 50 base vectors + 50 small perturbations (cos ≈ 0.99): the regime
+    // sign-bit LSH is built for. Bit-flip probability per plane is
+    // acos(cos)/π ≈ 0.05, so with 4 bits + one-flip multi-probe the
+    // planted partner is reachable with P ≈ 0.98 per pair; measured
+    // recall on this fixed seed is 1.0.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 50L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val pert = base.map { case (i, v) => (i + 100L) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat) }
+    val all = (base ++ pert).toDF("vec_id", "embedding")
+    val qs = all.filter(col("vec_id") < 50)
+    val top1 = Similarity.annTopK(qs, all, 1, bits = 4, multiProbe = true).collect()
+    val hits = top1.count(r => r.getAs[Long]("n_id") == r.getAs[Long]("q_id") + 100L)
+    val recall = hits / 50.0
+    info(f"planted near-dup recall@1 (4-bit multi-probe LSH): $recall%.2f")
+    assert(recall >= 0.9, s"planted-dup recall $recall < 0.9")
+  }
+
+  test("ANN handles null and mismatched-length embeddings without truncated-dot bucketing") {
+    val good = (0L until 20L).map(i => (i, Array.tabulate(8)(j => (i + j + 1).toFloat)))
+    val all = (good.map { case (i, v) => (i, v) } :+ (90L, null.asInstanceOf[Array[Float]]) :+
+      (91L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    // dim inferred from max(size) = 8; null and length-2 rows excluded
+    val res = Similarity.annTopK(all.filter(col("vec_id") < 5), all, 3, bits = 2)
+    val ids = res.collect().map(_.getAs[Long]("n_id")).toSet
+    assert(!ids.contains(90L) && !ids.contains(91L))
+    assert(res.count() > 0)
   }
 
   test("bucket distribution: 4-bit LSH splits the corpus into multiple buckets") {
