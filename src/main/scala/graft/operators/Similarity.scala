@@ -123,4 +123,70 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** IVF cell assignment: each corpus vector goes to its single
+    * highest-cosine centroid (ties broken by min centroid id — bitwise
+    * cosine ties between distinct real-valued centroids are not a
+    * practical concern, but the rule is stated so both engines agree).
+    *
+    * Scale shape: centroids are broadcast (nlist rows), the corpus ×
+    * centroid cosines never shuffle — the argmax is a map-side-combined
+    * `max(struct(cos, -c_id))` aggregation, so the one exchange carries
+    * ONE row per corpus vector, not nlist. Returns
+    * (n_id, n_v, n_n, c_id). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.GraftSession.ensureConfs(corpus.sparkSession)
+    val cent = centroids.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_v"))
+      .withColumn("c_n", sqrt(dot(col("c_v"), col("c_v"))))
+    corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_v"))
+      .withColumn("n_n", sqrt(dot(col("n_v"), col("n_v"))))
+      .crossJoin(broadcast(cent))
+      .select(col("n_id"), col("n_v"), col("n_n"), col("c_id"),
+        (dot(col("n_v"), col("c_v")) / (col("n_n") * col("c_n"))).as("cos_c"))
+      .groupBy(col("n_id"))
+      .agg(
+        max(struct(col("cos_c"), (-col("c_id")).as("neg_c"))).as("m"),
+        first(col("n_v")).as("n_v"), first(col("n_n")).as("n_n"))
+      .select(col("n_id"), col("n_v"), col("n_n"), (-col("m.neg_c")).as("c_id"))
+  }
+
+  /** IVF-flat approximate top-k — the second ANN family beside the
+    * sign-bit LSH of [[annTopK]]: corpus vectors are inverted into
+    * centroid cells once ([[ivfAssign]]), each query scans only its
+    * `nprobe` nearest cells. Probe cost ≈ nprobe/nlist of the corpus.
+    *
+    * `centroids` is any (vec_id, embedding) frame — k-means iterations
+    * refine recall but are NOT required for correctness; a deterministic
+    * sample (e.g. the first nlist corpus vectors) makes the whole
+    * operator exactly reproducible in the DuckDB oracle, which is how
+    * q49 checks it. Cosine values are left-fold double on both engines,
+    * so cell assignment, probe choice, and ranking all match bitwise. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    graft.GraftSession.ensureConfs(queries.sparkSession)
+    val cent = centroids.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_v"))
+      .withColumn("c_n", sqrt(dot(col("c_v"), col("c_v"))))
+    val assigned = ivfAssign(corpus, centroids)
+    // query → nprobe highest-cosine cells (|q| × nlist rows: tiny, a
+    // window is fine here — no scale concern on the query side)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("c_id").asc)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_v"))
+      .withColumn("q_n", sqrt(dot(col("q_v"), col("q_v"))))
+      .crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_v"), col("q_n"), col("c_id"),
+        (dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n"))).as("cos_c"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("q_n"), col("c_id"))
+    // each corpus vector lives in exactly one cell and probe cells are
+    // distinct per query → no (q, n) pair matches twice, no dedup
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    assigned.join(broadcast(probes), "c_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n"))).as("cos"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

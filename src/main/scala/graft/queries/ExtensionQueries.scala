@@ -222,6 +222,23 @@ object ExtensionQueries {
       Some(AnnOracle.sql(bits = 4, k = 5, qBound = 8, seed = 42L, dim = 64))),
 
     QuerySpec(
+      "q49_ivf_topk",
+      """IVF-flat approximate top-k — the second ANN family beside q46's
+        |sign-bit LSH: the corpus is inverted into 16 centroid cells
+        |(centroids = a deterministic corpus sample, vec_id < 16; k-means
+        |refinement improves recall but is not needed for correctness),
+        |each query scans its 4 highest-cosine cells. Probe cost
+        |nprobe/nlist of the corpus; assignment is a map-side-combined
+        |argmax so the one exchange carries one row per vector. Fully
+        |relational in the DuckDB oracle — no injected literals.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 8), e,
+          e.filter(col("vec_id") < 16), k = 5, nprobe = 4)
+      },
+      Some(IvfOracle.sql(nlist = 16, nprobe = 4, k = 5, qBound = 8))),
+
+    QuerySpec(
       "q47_simhash_neardup",
       """Banded simhash near-dup pairing — the end-to-end SCALE path for
         |simhash dedup: q45's signatures → 4×4-hex band keys →

@@ -71,6 +71,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"planted-dup recall $recall < 0.9")
   }
 
+  test("IVF top-k: recall grows with nprobe and clears deterministic floors") {
+    val e = Tables.embeddings(spark, sf001)
+    val qs = e.filter(col("vec_id") < 20)
+    val cent = e.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(qs, e, 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    def recallAt(np: Int): Double = {
+      val ivf = Similarity.ivfTopK(qs, e, cent, 10, nprobe = np).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+      (exact & ivf).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2); val r4 = recallAt(4); val r8 = recallAt(8)
+    info(f"IVF recall@10 (16 cells): nprobe2=$r2%.2f nprobe4=$r4%.2f nprobe8=$r8%.2f")
+    assert(r8 >= r2, "recall must be monotone in nprobe (probed cells are supersets)")
+    assert(r4 > 0.75, s"nprobe=4 recall $r4 below deterministic floor")
+    assert(r8 > 0.85, s"nprobe=8 recall $r8 below deterministic floor")
+  }
+
+  test("IVF finds planted high-similarity near-dups with recall >= 0.9") {
+    // near-identical vectors assign to the same centroid cell, and a
+    // query's probe set always contains its own best cell
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 50L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val pert = base.map { case (i, v) => (i + 100L) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat) }
+    val all = (base ++ pert).toDF("vec_id", "embedding")
+    val top1 = Similarity.ivfTopK(all.filter(col("vec_id") < 50), all,
+      all.filter(col("vec_id") < 16), 1, nprobe = 4).collect()
+    val recall = top1.count(r => r.getAs[Long]("n_id") == r.getAs[Long]("q_id") + 100L) / 50.0
+    info(f"IVF planted near-dup recall@1: $recall%.2f")
+    assert(recall >= 0.9)
+  }
+
   test("ANN handles null and mismatched-length embeddings without truncated-dot bucketing") {
     val good = (0L until 20L).map(i => (i, Array.tabulate(8)(j => (i + j + 1).toFloat)))
     val all = (good.map { case (i, v) => (i, v) } :+ (90L, null.asInstanceOf[Array[Float]]) :+

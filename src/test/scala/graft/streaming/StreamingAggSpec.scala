@@ -85,6 +85,31 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(rows == Set((ts(0), 1L, 2L), (ts(50), 1L, 1L), (ts(0), 2L, 1L)))
   }
 
+  test("streaming dedup within watermark suppresses dups and evicts state after the delay") {
+    val stream = MemoryStream[Ev](spark)
+    val deduped = StreamingDedup.dedupWithinWatermark(
+      stream.toDF(), "ts", "10 minutes", Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: a duplicate pair within the delay → one survivor
+    stream.addData(Ev(ts(0), 1, "click", 1.0), Ev(ts(2), 1, "click", 2.0), Ev(ts(1), 2, "view", 3.0))
+    q.processAllAvailable()
+    // batch 2: same key again, still within the watermark → suppressed
+    stream.addData(Ev(ts(4), 1, "click", 4.0))
+    q.processAllAvailable()
+    assert(spark.table("sdedup").filter(col("user_id") === 1).count() == 1)
+    // batch 3: advance the watermark far past the key's eviction point,
+    // then re-send the key → state was dropped, the key emits again
+    stream.addData(Ev(ts(120), 9, "warm", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(ts(125), 1, "click", 5.0))
+    q.processAllAvailable()
+    val user1 = spark.table("sdedup").filter(col("user_id") === 1).collect()
+    q.stop()
+    assert(user1.length == 2, "key must re-emit after state eviction (bounded state, not lifetime dedup)")
+  }
+
   test("mapGroupsWithState: custom running-max state per key across micro-batches") {
     val stream = MemoryStream[Ev](spark)
     val result = stream.toDS()
