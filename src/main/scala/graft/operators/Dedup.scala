@@ -225,9 +225,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-dup pairs over the FULL corpus via sign-bit
+    * LSH bucketing — the unbounded scale path ([[embeddingNearDupPairs]]
+    * is the exact O(n²) form, only usable id-bounded). One bucket
+    * shuffle; quadratic only within a bucket; with `probeAdjacent` the
+    * a-side also joins against the `bits` one-bit-flip buckets so pairs
+    * across a single hyperplane boundary are still found (pairs ≥2 bits
+    * apart are the documented recall trade — near-IDENTICAL vectors
+    * differ in ~0 sign bits, so dedup recall stays high; measured ≥0.9
+    * on planted dups in DedupSpec).
+    *
+    * No dedup pass is needed: `a_id < b_id` canonicalizes — a
+    * same-bucket pair matches only via the lower id's identity probe,
+    * and a one-bit-apart pair only via the lower id's flip probe. */
+  def embeddingNearDupPairsLsh(embs: DataFrame, threshold: Double,
+      bits: Int = 4, seed: Long = 42L, dim: Int = 0,
+      probeAdjacent: Boolean = true): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else {
+      val r = embs.filter(col("embedding").isNotNull)
+        .select(max(size(col("embedding")))).collect()
+      if (r.isEmpty || r.head.isNullAt(0)) 0 else r.head.getInt(0)
+    }
+    require(d > 0, "corpus has no non-null embeddings")
+    val planes = Similarity.hyperplanes(d, bits, seed)
+    val v = embs.filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+      .withColumn("n", sqrt(Similarity.dot(col("ve"), col("ve"))))
+      .withColumn("bucket0", Similarity.lshBucket(col("ve"), planes))
+    val probeCols =
+      if (probeAdjacent) col("bucket0") +: (0 until bits).map(j => col("bucket0").bitwiseXOR(lit(1L << j)))
+      else Seq(col("bucket0"))
+    val a = v.select(col("vec_id").as("a_id"), col("ve").as("a_v"), col("n").as("a_n"),
+      explode(array(probeCols: _*)).as("bucket"))
+    val b = v.select(col("vec_id").as("b_id"), col("ve").as("b_v"), col("n").as("b_n"),
+      col("bucket0").as("bucket"))
+    a.join(b, "bucket").filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (Similarity.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs among ids < `idBound` (the bound
     * keeps the O(n²) oracle-checkable slice small; the unbounded scale
-    * path goes through LSH bucketing in [[Similarity]]). */
+    * path is [[embeddingNearDupPairsLsh]]). */
   def embeddingNearDupPairs(embs: DataFrame, threshold: Double, idBound: Long): DataFrame = {
     graft.GraftSession.ensureConfs(embs.sparkSession)
     val e = embs.filter(col("vec_id") < idBound)

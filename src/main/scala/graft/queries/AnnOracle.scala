@@ -20,16 +20,26 @@ import graft.operators.Similarity
   * set the Spark side explodes. */
 object AnnOracle {
 
-  def sql(bits: Int = 4, k: Int = 5, qBound: Long = 8, seed: Long = 42L,
-      dim: Int = 64): String = {
+  /** Sign-bit bucket id of the `embedding` column, with the seeded
+    * planes rendered as DOUBLE[] literals. */
+  private def bucketExpr(bits: Int, seed: Long, dim: Int): String = {
     val planes = Similarity.hyperplanes(dim, bits, seed)
     def planeLit(p: Array[Double]): String =
       p.mkString("[", ", ", "]::DOUBLE[]")
-    val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
+    planes.zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeLit(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n    + ")
-    val probeList = ("bucket" +: (0 until bits).map(j => s"xor(bucket, ${1L << j})"))
+  }
+
+  /** `[bucket, bucket^1, bucket^2, ...]` — the multi-probe set. */
+  private def probeList(bits: Int): String =
+    ("bucket" +: (0 until bits).map(j => s"xor(bucket, ${1L << j})"))
       .mkString("[", ", ", "]")
+
+  def sql(bits: Int = 4, k: Int = 5, qBound: Long = 8, seed: Long = 42L,
+      dim: Int = 64): String = {
+    val bucketExpr = this.bucketExpr(bits, seed, dim)
+    val probeList = this.probeList(bits)
     s"""WITH q0 AS (
        |  SELECT vec_id q_id, embedding::DOUBLE[] v,
        |    $bucketExpr AS bucket
@@ -45,5 +55,24 @@ object AnnOracle {
        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.n_id ASC) AS BIGINT) AS rank
        |  FROM q JOIN c ON q.bucket = c.bucket WHERE q.q_id <> c.n_id) t
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.operators.Dedup.embeddingNearDupPairsLsh]]:
+    * bucket every vector with the same plane literals, a-side unnests its
+    * probe set, b-side keeps its primary bucket, `a_id < b_id`
+    * canonicalizes so each pair appears exactly once — no DISTINCT. */
+  def pairsSql(threshold: Double, bits: Int = 4, seed: Long = 42L,
+      dim: Int = 64): String = {
+    val bucketExpr = this.bucketExpr(bits, seed, dim)
+    val probeList = this.probeList(bits)
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] ve,
+       |    $bucketExpr AS bucket
+       |  FROM embeddings WHERE len(embedding) = $dim),
+       |a AS (SELECT vec_id a_id, ve a_v, unnest($probeList) AS bucket FROM v),
+       |b AS (SELECT vec_id b_id, ve b_v, bucket FROM v)
+       |SELECT a_id, b_id, list_cosine_similarity(a_v, b_v) AS cos
+       |FROM a JOIN b USING (bucket)
+       |WHERE a_id < b_id AND list_cosine_similarity(a_v, b_v) >= $threshold""".stripMargin
   }
 }

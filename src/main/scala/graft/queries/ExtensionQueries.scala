@@ -222,6 +222,18 @@ object ExtensionQueries {
       Some(AnnOracle.sql(bits = 4, k = 5, qBound = 8, seed = 42L, dim = 64))),
 
     QuerySpec(
+      "q50_embedding_neardup_lsh",
+      """Embedding near-dup pairs over the FULL corpus via sign-bit LSH
+        |bucketing — the unbounded scale path q29's id-bounded O(n²)
+        |slice stands in for: one bucket shuffle, quadratic only within a
+        |bucket, one-bit-flip probes catch hyperplane-boundary pairs.
+        |Same plane literals in the DuckDB oracle, so the bucketed
+        |approximation compares exactly.""".stripMargin,
+      (s, d) => Dedup.embeddingNearDupPairsLsh(Tables.embeddings(s, d),
+        threshold = 0.35, bits = 4, seed = 42L, dim = 64),
+      Some(AnnOracle.pairsSql(threshold = 0.35, bits = 4, seed = 42L, dim = 64))),
+
+    QuerySpec(
       "q49_ivf_topk",
       """IVF-flat approximate top-k — the second ANN family beside q46's
         |sign-bit LSH: the corpus is inverted into 16 centroid cells

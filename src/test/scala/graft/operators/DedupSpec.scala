@@ -91,6 +91,21 @@ class DedupSpec extends AnyFunSuite {
     assert((viaMinhash & viaSimhash).nonEmpty, "the two near-dup pipelines must agree on planted pairs")
   }
 
+  test("LSH-bucketed embedding near-dup finds planted dup pairs with recall >= 0.9") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 40L).map(i => i -> Array.fill(32)(rnd.nextGaussian().toFloat))
+    val pert = base.map { case (i, v) => (i + 100L) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat) }
+    val all = (base ++ pert).toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDupPairsLsh(all, threshold = 0.99, bits = 4, dim = 32)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val planted = (0L until 40L).map(i => (i, i + 100L)).toSet
+    val recall = (found & planted).size.toDouble / planted.size
+    info(f"LSH pair recall on planted dups: $recall%.2f")
+    assert(recall >= 0.9, s"recall $recall < 0.9")
+    // precision: at threshold 0.99 nothing besides the planted pairs qualifies
+    assert((found -- planted).isEmpty, s"false positives: ${found -- planted}")
+  }
+
   test("embedding near-dup finds an exact duplicate vector") {
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
     val w = Array.tabulate(8)(i => (8 - i).toFloat)
