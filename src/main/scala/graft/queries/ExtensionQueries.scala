@@ -108,28 +108,15 @@ object ExtensionQueries {
 
     QuerySpec(
       "q28_dedup_minhash_lsh",
-      """Near-dup text dedup: shingle → 16 MinHash sigs (i-prefixed md5)
-        |→ 4-row LSH bands → bucket-join candidates → exact 3-gram
-        |Jaccard ≥ 0.8 verification. Bucket-local quadratic only; every
-        |hash is a codegen'd md5 — reproducible in SQL, which is why this
-        |whole pipeline oracle-checks.""".stripMargin,
+      """Near-dup text dedup: shingle → 16 MinHash sigs (ONE md5 per
+        |shingle + the pairwise-independent affine family (a·x+b) mod p —
+        |16× fewer digests than per-i hashing) → 4-row LSH bands →
+        |bucket-join candidates → exact 3-gram Jaccard ≥ 0.8
+        |verification. Bucket-local quadratic only; the hash family is
+        |exact BIGINT arithmetic, reproducible in SQL, which is why this
+        |whole pipeline oracle-checks (MinhashOracle).""".stripMargin,
       (s, d) => Dedup.nearDupPairs(Tables.documents(s, d)),
-      Some("""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\s+') toks FROM documents),
-             |sh AS (SELECT doc_id, sh FROM (
-             |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
-             |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
-             |sigs AS (SELECT doc_id, i, min(md5(concat(i, '|', sh))) sig
-             |         FROM sh, range(0, 16) t(i) GROUP BY doc_id, i),
-             |bands AS (SELECT doc_id, i // 4 band, md5(string_agg(sig, ',' ORDER BY i)) bh
-             |          FROM sigs GROUP BY doc_id, i // 4),
-             |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
-             |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-             |          AND a.doc_id < b.doc_id),
-             |sets AS (SELECT doc_id, list(sh) s FROM sh GROUP BY doc_id)
-             |SELECT a_id, b_id,
-             |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) AS jacc
-             |FROM cand JOIN sets x ON x.doc_id = a_id JOIN sets y ON y.doc_id = b_id
-             |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) >= 0.8""".stripMargin)),
+      Some(MinhashOracle.sql(numHashes = 16, rowsPerBand = 4, threshold = 0.8))),
 
     QuerySpec(
       "q29_embedding_neardup",
