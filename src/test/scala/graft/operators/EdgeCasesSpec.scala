@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Degenerate-input behavior of the dedup/similarity operators — the
+  * shapes a 100 TB pipeline WILL hit somewhere in some partition: empty
+  * frames, single rows, documents too short to shingle, null vectors. */
+class EdgeCasesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup operators return empty results on empty input (no crash, no rows)") {
+    assert(Dedup.exactGroups(noDocs).count() == 0)
+    assert(Dedup.nearDupPairs(noDocs).count() == 0)
+    assert(Dedup.simhashNearDupPairs(noDocs).count() == 0)
+    assert(Dedup.embeddingNearDupPairsLsh(noVecs.withColumn("embedding",
+      col("embedding").cast("array<float>")), 0.9, dim = 8).count() == 0)
+  }
+
+  test("similarity operators handle empty corpus/queries") {
+    val someVecs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.annTopK(someVecs, noVecs, 3).count() == 0)
+    assert(Similarity.annTopK(noVecs, someVecs, 3).count() == 0)
+    assert(Similarity.bruteForceTopK(noVecs, someVecs, 3).count() == 0)
+    assert(Similarity.ivfTopK(noVecs, someVecs, someVecs, 3).count() == 0)
+  }
+
+  test("docs shorter than one 3-shingle produce no signature rows but survive the pipeline") {
+    val docs = Seq((1L, "only two"), (2L, "one"), (3L, "")).toDF("doc_id", "text")
+    assert(Dedup.shingleRows(docs).count() == 0)
+    assert(Dedup.minhashSignatures(docs).count() == 0)
+    assert(Dedup.nearDupPairs(docs).count() == 0)
+    // simhash tokenizes (no shingling) so short docs DO sign — and two
+    // one-token docs with the same token are hamming-0 near-dups
+    val sigs = Dedup.simhashSignature(Seq((1L, "one"), (2L, "one")).toDF("doc_id", "text"))
+    assert(sigs.count() == 2)
+    assert(sigs.select("simhash").distinct().count() == 1)
+  }
+
+  test("single-document corpus yields no pairs anywhere") {
+    val one = Seq((1L, (1 to 50).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.nearDupPairs(one).count() == 0)
+    assert(Dedup.simhashNearDupPairs(one).count() == 0)
+  }
+}
