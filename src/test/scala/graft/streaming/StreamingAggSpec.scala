@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode, TimeMode, Trigger}
 import graft.TestSpark
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
@@ -108,6 +108,34 @@ class StreamingAggSpec extends AnyFunSuite {
     val user1 = spark.table("sdedup").filter(col("user_id") === 1).collect()
     q.stop()
     assert(user1.length == 2, "key must re-emit after state eviction (bounded state, not lifetime dedup)")
+  }
+
+  test("transformWithState: typed ValueState running count per key (RocksDB store)") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, Double)](spark)
+      val counted = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new Processors.RunningCount(),
+          TimeMode.None(), OutputMode.Update())
+      val q = counted.toDF("user_id", "n").writeStream
+        .format("memory").queryName("twscount").outputMode(OutputMode.Update()).start()
+      stream.addData((1L, 1.0), (1L, 2.0), (2L, 3.0))
+      q.processAllAvailable()
+      stream.addData((1L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("twscount").collect().map(r => (r.getLong(0), r.getLong(1)))
+      q.stop()
+      // batch 1 emits (1,2),(2,1); batch 2 emits (1,3) — state carried
+      assert(rows.toSet == Set((1L, 2L), (2L, 1L), (1L, 3L)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("mapGroupsWithState: custom running-max state per key across micro-batches") {
