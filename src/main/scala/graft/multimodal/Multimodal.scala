@@ -72,6 +72,51 @@ object Multimodal {
           col("length").cast("long").as("n_bytes"),
           col("path").as("source")).as("meta"))
 
+  final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Resize: per-record payload transform with updated metadata. The
+    * byte transform is a STUB (deterministic resample of the payload to
+    * `targetBytes` — no image codec in this container); the plumbing is
+    * the real shape: mapPartitions over (payload, meta) pairs, output
+    * schema identical to the input media table so resize stages
+    * compose/chain. */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val out = Array.tabulate(targetBytes) { i =>
+          if (rec.payload.isEmpty) 0.toByte
+          // nearest-neighbor resample over the byte axis — the stub's
+          // analogue of spatial resampling
+          else rec.payload((i.toLong * rec.payload.length / targetBytes).toInt)
+        }
+        MediaRecord(rec.media_id, out, rec.meta.copy(n_bytes = targetBytes.toLong))
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling: split each payload into fixed-size `frameBytes`
+    * chunks and keep every `stride`-th — the iterator shape of a real
+    * video frame sampler (one input record fans out to many frames,
+    * lazily, without materializing all frames per record in memory).
+    * Frames are real byte slices; only their interpretation as
+    * image frames is stubbed. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && stride > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { rec =>
+        val nFrames = rec.payload.length / frameBytes
+        Iterator.range(0, nFrames, stride).map { f =>
+          MediaFrame(rec.media_id, f,
+            java.util.Arrays.copyOfRange(rec.payload, f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+    }
+  }
+
   /** Per-partition batched decode: the Spark-side plumbing is real;
     * only [[FakeCodec.decode]] is a stand-in. */
   def extractFeatures(media: DataFrame, decodeParallelism: Int = 0): Dataset[MediaFeatures] = {

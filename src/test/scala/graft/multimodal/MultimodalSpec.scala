@@ -53,6 +53,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => f.n_bytes > 0 && f.width >= 64))
   }
 
+  test("resize emits the target byte count, composes, and is deterministic") {
+    val m = Multimodal.toMediaTable(Tables.documents(spark, sf001)).limit(50)
+    val r = Multimodal.resize(m, 128)
+    val rows = r.collect()
+    assert(rows.length == 50)
+    rows.foreach { row =>
+      assert(row.getAs[Array[Byte]]("payload").length == 128)
+      assert(row.getStruct(row.fieldIndex("meta")).getAs[Long]("n_bytes") == 128L)
+    }
+    // resize stages chain (output schema == input schema)
+    val twice = Multimodal.resize(Multimodal.resize(m, 128), 32).collect()
+    assert(twice.forall(_.getAs[Array[Byte]]("payload").length == 32))
+    // deterministic across partitioning
+    val a = Multimodal.resize(m.repartition(4), 64).collect()
+      .map(r2 => (r2.getLong(0), r2.getAs[Array[Byte]]("payload").toSeq)).toMap
+    val b = Multimodal.resize(m.repartition(2), 64).collect()
+      .map(r2 => (r2.getLong(0), r2.getAs[Array[Byte]]("payload").toSeq)).toMap
+    assert(a == b)
+  }
+
+  test("frame sampling fans each payload into strided fixed-size frames") {
+    import spark.implicits._
+    val payload = Array.tabulate(100)(_.toByte)
+    val m = Seq((1L, payload, Multimodal.MediaMeta("video/test", 100L, "fixture")))
+      .toDF("media_id", "payload", "meta")
+    val frames = Multimodal.sampleFrames(m, frameBytes = 10, stride = 3).collect()
+    // 10 full frames, keep 0,3,6,9
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 3, 6, 9))
+    frames.foreach { f =>
+      assert(f.frame.length == 10)
+      assert(f.frame(0) == (f.frame_idx * 10).toByte) // correct slice offsets
+    }
+    // empty payload → no frames, no crash
+    val empty = Seq((2L, Array.empty[Byte], Multimodal.MediaMeta("video/test", 0L, "fixture")))
+      .toDF("media_id", "payload", "meta")
+    assert(Multimodal.sampleFrames(empty, 10, 3).count() == 0)
+  }
+
   test("payload bytes round-trip: n_bytes metadata equals payload length") {
     val m = Multimodal.toMediaTable(Tables.documents(spark, sf001))
     val bad = m.filter(length(col("payload")).cast("long") =!= col("meta.n_bytes")).count()
