@@ -81,6 +81,7 @@ object Multimodal {
     * schema identical to the input media table so resize stages
     * compose/chain. */
   def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>

@@ -29,7 +29,15 @@ object Dedup {
     * localCheckpoint stores blocks unreplicated on executors, so an
     * executor loss or dynamic-allocation decommission after the
     * checkpoint would fail the job. Local/test runs without a checkpoint
-    * dir keep the cheap localCheckpoint. */
+    * dir keep the cheap localCheckpoint.
+    *
+    * Cleanup contract: reliable checkpoint files outlive the query —
+    * long-lived sessions calling dedup repeatedly should start the
+    * context with `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (a startup conf, so it cannot be set here) or manage the
+    * checkpoint dir's lifecycle (e.g. a per-job subdir deleted on
+    * completion); otherwise each call leaves its checkpointed frames
+    * on disk. */
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
@@ -249,11 +257,9 @@ object Dedup {
     * aggregation runs exactly once. */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 5): DataFrame = {
     val sigs = materialize(simhashSignature(docs))
-    val bd = simhashBands(sigs)
-    val cands = bd.select(col("band"), col("bh"), col("doc_id").as("a_id"))
-      .join(bd.select(col("band"), col("bh"), col("doc_id").as("b_id")), Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    // simhashBands emits the exact (doc_id, band, bh) shape the minhash
+    // candidate join consumes — one candidate-pair semantics, one code path
+    val cands = candidatePairs(simhashBands(sigs))
     cands
       .join(sigs.select(col("doc_id").as("a_id"), col("simhash").as("sig_a")), "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("simhash").as("sig_b")), "b_id")
@@ -278,12 +284,12 @@ object Dedup {
       bits: Int = 4, seed: Long = 42L, dim: Int = 0,
       probeAdjacent: Boolean = true): DataFrame = {
     graft.GraftSession.ensureConfs(embs.sparkSession)
-    val d = if (dim > 0) dim else {
-      val r = embs.filter(col("embedding").isNotNull)
-        .select(max(size(col("embedding")))).collect()
-      if (r.isEmpty || r.head.isNullAt(0)) 0 else r.head.getInt(0)
-    }
-    require(d > 0, "corpus has no non-null embeddings")
+    val d = if (dim > 0) dim else Similarity.inferDim(embs)
+    // empty/all-null corpus → zero pairs, not a crash (same degenerate
+    // contract as annTopK)
+    if (d <= 0) return embs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("a_id"), lit(0L).as("b_id"), lit(0.0).as("cos"))
+      .limit(0)
     val planes = Similarity.hyperplanes(d, bits, seed)
     val v = embs.filter(col("embedding").isNotNull && size(col("embedding")) === d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))

@@ -53,6 +53,18 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Infer the embedding dimension of a corpus as the MODAL length of
+    * its non-null vectors (ties → smaller length). Deliberately not
+    * max(): a single over-length corrupt row would then poison the
+    * inferred dim and silently exclude every healthy vector from the
+    * length filter downstream. Returns 0 for an empty/all-null corpus. */
+  def inferDim(corpus: DataFrame): Int = {
+    val r = corpus.filter(col("embedding").isNotNull)
+      .groupBy(size(col("embedding")).as("d")).count()
+      .orderBy(col("count").desc, col("d").asc).limit(1).collect()
+    if (r.isEmpty) 0 else r.head.getInt(0)
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-bit LSH. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -84,18 +96,14 @@ object Similarity {
     *
     * `dim` pins the hyperplane dimension (callers that mirror the planes
     * elsewhere — e.g. the DuckDB oracle — must fix it); when 0 it is
-    * inferred as max(size(embedding)) over non-null corpus rows.
+    * inferred as the corpus's modal vector length ([[inferDim]]).
     * Vectors whose length differs from `dim` are excluded from both
     * sides rather than silently bucketed by a truncated dot product. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 4, seed: Long = 42L, multiProbe: Boolean = true,
       dim: Int = 0): DataFrame = {
     graft.GraftSession.ensureConfs(queries.sparkSession)
-    val d = if (dim > 0) dim else {
-      val r = corpus.filter(col("embedding").isNotNull)
-        .select(max(size(col("embedding")))).collect()
-      if (r.isEmpty || r.head.isNullAt(0)) 0 else r.head.getInt(0)
-    }
+    val d = if (dim > 0) dim else inferDim(corpus)
     if (d <= 0) return queries.sparkSession.emptyDataFrame
       .select(lit(0L).as("q_id"), lit(0L).as("n_id"), lit(0.0).as("cos"), lit(0L).as("rank"))
       .limit(0)

@@ -63,7 +63,8 @@ class ScaleSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
     try {
       val fact = spark.range(200000)
-        .select((when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id") % 50)).as("k"),
+        .select((when(col("id") % 100 =!= 0, lit(7L))
+          .otherwise(expr("(id div 100) % 50"))).as("k"),
           col("id").as("payload"))
       val dim = spark.range(50).select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
       val joined = fact.join(dim, "k").groupBy("name").agg(sum("payload").as("s"))
