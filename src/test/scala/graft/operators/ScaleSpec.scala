@@ -77,6 +77,60 @@ class ScaleSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // The 100 TB shape: fact partitioned by a key, dim filtered at query
+    // time — DPP turns the dim filter into a runtime partition filter on
+    // the fact scan so unneeded partitions are never read.
+    val wh = java.nio.file.Files.createTempDirectory("dpp").toString
+    Tables.orders(spark, sf001)
+      .withColumn("bucket_k", expr("o_orderkey % 10"))
+      .write.mode("overwrite").partitionBy("bucket_k").parquet(s"$wh/fact")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // keep the dim broadcastable: DPP reuses the broadcast as the filter
+    try {
+      val fact = spark.read.parquet(s"$wh/fact")
+      val dim = spark.range(10).select(col("id").as("bucket_k"), concat(lit("g"), col("id")).as("grp"))
+        .filter(col("bucket_k") < 3)
+      val joined = fact.join(dim, "bucket_k").groupBy("grp").agg(count(lit(1)).as("n"))
+      val qe = joined.queryExecution
+      assert(qe.toRdd.count() == 3)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+        s"expected a dynamic pruning filter on the fact scan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("runtime bloom-filter pruning injects a row-level filter on the large join side") {
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join → bloom applies
+    try {
+      // parquet-backed sides (the rule keys off scan-based plans)
+      // the injection rule keys off a SELECTIVE in-query filter on the
+      // creation side (beyond isnotnull) — filter at query time, not at
+      // write time
+      val joined = Tables.lineitem(spark, sf001)
+        .join(Tables.orders(spark, sf001).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy().agg(sum("l_quantity"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter") || plan.contains("might_contain"),
+        s"expected a runtime bloom filter in the optimized plan:\n$plan")
+      assert(joined.count() == 1)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // explicit per-table paths → external tables; no warehouse conf needed
     val wh = java.nio.file.Files.createTempDirectory("warehouse").toString
