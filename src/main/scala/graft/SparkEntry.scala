@@ -14,7 +14,7 @@ object SparkEntry {
   /** All registered query specs, in evaluation order. */
   def specs: Seq[QuerySpec] =
     RelationalQueries.specs ++ ExtensionQueries.specs ++ EventQueries.specs ++
-      ExtraQueries.specs
+      ExtraQueries.specs ++ ExtensionQueries.extraSpecs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

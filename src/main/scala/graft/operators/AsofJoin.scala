@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join — for each left row, the single right row with the
+  * greatest right-time ≤ the left row's time, per key (the kdb/pandas
+  * `merge_asof` / DuckDB `ASOF JOIN` operator; Spark has no native
+  * form).
+  *
+  * Implementation is the UNION + last-non-null-window composition, not
+  * a range join: tag both inputs, union them, and per key take the
+  * running `last(right value, ignoreNulls)` over (time, side) ordering
+  * with right rows sorted before left rows at equal times (so a
+  * same-instant right row matches, the `>=` convention). Left rows then
+  * carry their as-of match; unmatched left rows keep nulls (LEFT ASOF
+  * semantics).
+  *
+  * Scale shape: ONE shuffle on the key (the window sort), linear in
+  * |left|+|right| — a naive range join explodes to the per-key cross
+  * product before filtering, which dies on skewed keys at 100 TB.
+  *
+  * Determinism contract: callers must ensure at most one right row per
+  * (key, time) — duplicate right times make "the" most recent row
+  * ambiguous in ANY engine (dedup first, e.g. groupBy(key, time).max).
+  */
+object AsofJoin {
+
+  /** @param left       left (probe) side
+    * @param right      right (reference) side
+    * @param key        equi-join key column name, present in both
+    * @param leftTime   left event-time column name
+    * @param rightTime  right event-time column name
+    * @param rightCols  right columns to carry (must not clash with left) */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // one unified schema: left columns + right payload + tag
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col): _*)
+    // right (__side=0) sorts before left (__side=1) at equal __t → a
+    // same-instant right row is visible to the left row (>= convention)
+    val w = Window.partitionBy(col(key)).orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++ rightCols.map(col): _*)
+  }
+}

@@ -273,6 +273,54 @@ object ExtensionQueries {
              |FROM events GROUP BY event_type""".stripMargin))
   )
 
+  /** Additional text-corpus statistics specs appended after the core
+    * extension block (registration order is irrelevant to the driver). */
+  val extraSpecs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q51_term_stats",
+      """Corpus vocabulary statistics — the TF-IDF kernel with
+        |integer-only outputs so it oracle-checks exactly (the idf log is
+        |left to the consumer: transcendental functions round differently
+        |across libm implementations): per term, document frequency and
+        |total term frequency. Scale shape: explode → partial-agg on
+        |(term, doc) → term; the shuffle carries one row per distinct
+        |(term, doc), not per token occurrence.""".stripMargin,
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf_total")),
+      Some("""SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, count(*) AS tf_total
+             |FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) term
+             |      FROM documents) t
+             |GROUP BY term""".stripMargin)),
+
+    QuerySpec(
+      "q52_asof_join",
+      """As-of join (kdb/pandas merge_asof; Spark has no native form):
+        |each event picks up the user's most recent order at-or-before
+        |the event time. Implemented as the union + last-non-null-window
+        |composition ([[graft.operators.AsofJoin]]) — ONE shuffle on the
+        |key, linear in |left|+|right|, vs. a range join's per-key cross
+        |product that dies on skew at 100 TB. Right side is deduped to
+        |one row per (key, time) so "most recent" is unambiguous in both
+        |engines; oracle is DuckDB's NATIVE ASOF LEFT JOIN.""".stripMargin,
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        val ord = Tables.orders(s, d)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+        graft.operators.AsofJoin.asofJoin(ev, ord, "user_id", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_orderdate"))
+      },
+      Some("""WITH ord AS (SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+             |             FROM orders GROUP BY o_custkey, o_orderdate),
+             |ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events)
+             |SELECT ev.user_id, ev.event_id, ev.ts, ord.o_orderkey, ord.o_orderdate
+             |FROM ev ASOF LEFT JOIN ord
+             |ON ev.user_id = ord.user_id AND ev.ts >= ord.o_orderdate""".stripMargin))
+  )
+
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
     * counts. Spec-bounded (ApproxDistinctSpec), not oracle-compared —
     * sketches are engine-specific by construction. */
