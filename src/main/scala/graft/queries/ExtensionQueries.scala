@@ -318,7 +318,28 @@ object ExtensionQueries {
              |ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events)
              |SELECT ev.user_id, ev.event_id, ev.ts, ord.o_orderkey, ord.o_orderdate
              |FROM ev ASOF LEFT JOIN ord
-             |ON ev.user_id = ord.user_id AND ev.ts >= ord.o_orderdate""".stripMargin))
+             |ON ev.user_id = ord.user_id AND ev.ts >= ord.o_orderdate""".stripMargin)),
+
+    QuerySpec(
+      "q53_range_join",
+      """Banded range join: same-user event pairs within a 5-minute
+        |window ([[graft.operators.RangeJoin]]). A naive range join is
+        |the per-key cross product; the banded form buckets both sides
+        |by the gap width and probes only adjacent buckets, so join
+        |fan-out is bounded by bucket population — the shape that
+        |survives hot keys at 100 TB. Each pair is found exactly once
+        |(unique b-bucket × distinct probe buckets); the oracle is the
+        |plain quadratic range join, which must agree exactly.""".stripMargin,
+      (s, d) => graft.operators.RangeJoin.timeWindowPairs(
+        Tables.events(s, d), "user_id", "ts", "event_id", maxGapSeconds = 300L),
+      Some("""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events)
+             |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+             |  a.ts AS a_ts, b.ts AS b_ts,
+             |  date_diff('microseconds', a.ts, b.ts) AS gap_us
+             |FROM ev a JOIN ev b
+             |ON a.user_id = b.user_id
+             | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+             | AND (b.ts > a.ts OR b.event_id > a.event_id)""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
