@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — the reproducible train/eval
+  * split primitive for training-data pipelines. `df.sample()` is
+  * seed-stable only for a fixed partitioning; repartition the input and
+  * the sample changes. Hashing the ROW KEY instead makes membership a
+  * pure function of the data: stable across runs, partitionings,
+  * engines, and incremental loads (a row's split never flips when new
+  * data arrives — the property that keeps eval sets honest).
+  *
+  * The hash is the first 12 hex digits of md5(salt ∥ key) reduced mod
+  * 1000 — the same digit-extraction formulation as the MinHash base
+  * ([[Dedup.minhashSignatures]]), so membership is exactly reproducible
+  * in the DuckDB oracle (and any engine with md5). */
+object Sampling {
+
+  /** Keep rows whose key hashes into [0, permille) of 1000 buckets.
+    * Deterministic, partition-independent, incremental-load-stable.
+    * Different `salt`s draw independent samples (e.g. one salt for the
+    * eval split, another for a debugging subsample). */
+  def sampleByKey(df: DataFrame, keyCol: String, permille: Int,
+      salt: String = "graft"): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille must be in [0,1000], got $permille")
+    val base = (0 until 12).map { j =>
+      (expr(s"instr('0123456789abcdef', substring(__h, ${j + 1}, 1))") - lit(1)) *
+        lit(1L << (4 * (11 - j)))
+    }.reduce(_ + _)
+    df.withColumn("__h", md5(concat(lit(salt), col(keyCol).cast("string"))))
+      .withColumn("__bucket", base % 1000L)
+      .filter(col("__bucket") < permille)
+      .drop("__h", "__bucket")
+  }
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Row-level sessionization: assign each event a session id under the
+  * gap rule (a new session starts when the time since the previous
+  * event of the same key exceeds `gapSeconds`).
+  *
+  * This is the row-level complement of `session_window` aggregation
+  * (q35): window aggregation yields one row per session, this yields
+  * the session id ON each event row — what a training-data pipeline
+  * needs to group, sample, or featurize at event granularity.
+  *
+  * Classic two-window composition, ONE shuffle on the key: lag() marks
+  * session starts, a running sum numbers them. Session ids are
+  * (key-scoped) ordinals starting at 1 — deterministic given unique
+  * (key, time) ordering; ties at equal times order by `idCol`. */
+object Sessionize {
+
+  def assignSessions(df: DataFrame, key: String, timeCol: String, idCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val order = Seq(col(timeCol).asc, col(idCol).asc)
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    df.withColumn("__prev_us", lag(unix_micros(col(timeCol)), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_us").isNull ||
+          unix_micros(col(timeCol)) - col("__prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new_session")).over(
+        Window.partitionBy(col(key)).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_us", "__new_session")
+  }
+}

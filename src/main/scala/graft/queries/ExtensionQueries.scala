@@ -339,7 +339,46 @@ object ExtensionQueries {
              |FROM ev a JOIN ev b
              |ON a.user_id = b.user_id
              | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
-             | AND (b.ts > a.ts OR b.event_id > a.event_id)""".stripMargin))
+             | AND (b.ts > a.ts OR b.event_id > a.event_id)""".stripMargin)),
+
+    QuerySpec(
+      "q54_sessionize",
+      """Row-level sessionization: each event carries its session ordinal
+        |under the 30-minute gap rule — the row-granularity complement of
+        |q35's session_window aggregation (lag marks starts, running sum
+        |numbers them; ONE shuffle on the key). Oracle is the identical
+        |two-window formulation in DuckDB.""".stripMargin,
+      (s, d) => graft.operators.Sessionize.assignSessions(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", "event_id", gapSeconds = 1800L),
+      Some("""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events),
+             |m AS (SELECT event_id, user_id, ts,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |        OR date_diff('microseconds', lag(ts) OVER w, ts) > 1800000000
+             |       THEN 1 ELSE 0 END AS ns
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT event_id, user_id, ts,
+             |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |FROM m""".stripMargin)),
+
+    QuerySpec(
+      "q55_deterministic_sample",
+      """Deterministic hash-based 10% sample of documents — membership is
+        |a pure function of the row key (md5 bucket), so the sample is
+        |stable across runs, partitionings, and incremental loads, unlike
+        |df.sample(). The same md5-digit arithmetic runs in the DuckDB
+        |oracle, so the two engines select EXACTLY the same rows.""".stripMargin,
+      (s, d) => graft.operators.Sampling.sampleByKey(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", permille = 100),
+      Some {
+        val base = (0 until 12).map { j =>
+          s"(strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+        }.mkString("\n    + ")
+        s"""SELECT doc_id, lang, source FROM documents
+           |WHERE ($base) % 1000 < 100""".stripMargin
+      })
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
