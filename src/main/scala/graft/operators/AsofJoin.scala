@@ -32,31 +32,46 @@ object AsofJoin {
     * @param key        equi-join key column name, present in both
     * @param leftTime   left event-time column name
     * @param rightTime  right event-time column name
-    * @param rightCols  right columns to carry (must not clash with left) */
+    * @param rightCols  right columns to carry (must not clash with left)
+    *
+    * The carried right columns travel as ONE struct and the window fills
+    * the struct, not each column independently: a matched right row
+    * whose payload columns are genuinely NULL is still the match (its
+    * NULLs are carried, exactly like merge_asof/ASOF JOIN), and every
+    * output row's right columns come from the SAME right row —
+    * per-column last(ignoreNulls) would skip genuine NULLs back to an
+    * older row and could mix rows.
+    *
+    * NULL-key semantics mirror the equi-join: a NULL key never matches
+    * (NULL-key right rows are dropped; NULL-key left rows pass through
+    * unmatched). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // one unified schema: left columns + right payload + tag
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    // one unified schema: key, time, side tag, left payload, right struct
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col(key), col("__t"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val rTagged = right
+      .filter(col(key).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col("__t"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col): _*)
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
     // right (__side=0) sorts before left (__side=1) at equal __t → a
     // same-instant right row is visible to the left row (>= convention)
     val w = Window.partitionBy(col(key)).orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++ rightCols.map(col): _*)
+    lTagged.unionByName(rTagged)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
+        rightCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

@@ -81,6 +81,18 @@ object Dedup {
     * on both engines. */
   val MinhashP: Long = 2147483647L
 
+  /** 48-bit integer from the first 12 hex digits of the md5-hex column
+    * named `hexColName`, built digit-by-digit (instr over the hex
+    * alphabet) so the IDENTICAL expression shape runs under DuckDB with
+    * no engine-specific hex conversion. Shared by the minhash base and
+    * [[Sampling.sampleByKey]] — one definition, mirrored once per
+    * oracle. */
+  def md5Base48(hexColName: String): Column =
+    (0 until 12).map { j =>
+      (expr(s"instr('0123456789abcdef', substring($hexColName, ${j + 1}, 1))") - lit(1)) *
+        lit(1L << (4 * (11 - j)))
+    }.reduce(_ + _)
+
   /** Deterministic (a_i, b_i) coefficients of the pairwise-independent
     * affine family h_i(x) = (a_i·x + b_i) mod p — shared with the DuckDB
     * oracle generator. */
@@ -108,11 +120,7 @@ object Dedup {
     val coeffs = minhashCoeffs(numHashes)
     val withBase = shingleRows(docs)
       .withColumn("md5_h", md5(col("sh")))
-      .withColumn("hp",
-        (0 until 12).map { j =>
-          (expr(s"instr('0123456789abcdef', substring(md5_h, ${j + 1}, 1))") - lit(1)) *
-            lit(1L << (4 * (11 - j)))
-        }.reduce(_ + _) % MinhashP)
+      .withColumn("hp", md5Base48("md5_h") % MinhashP)
     val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min((col("hp") * lit(a) + lit(b)) % MinhashP).as(s"sig_$i")
     }

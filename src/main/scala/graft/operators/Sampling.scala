@@ -20,16 +20,18 @@ object Sampling {
   /** Keep rows whose key hashes into [0, permille) of 1000 buckets.
     * Deterministic, partition-independent, incremental-load-stable.
     * Different `salt`s draw independent samples (e.g. one salt for the
-    * eval split, another for a debugging subsample). */
+    * eval split, another for a debugging subsample).
+    *
+    * NULL keys are NEVER sampled (a null has no stable identity to
+    * hash; engines also disagree on concat-with-null, so excluding them
+    * is the only cross-engine-stable contract — oracles must mirror
+    * with `key IS NOT NULL`). */
   def sampleByKey(df: DataFrame, keyCol: String, permille: Int,
       salt: String = "graft"): DataFrame = {
     require(permille >= 0 && permille <= 1000, s"permille must be in [0,1000], got $permille")
-    val base = (0 until 12).map { j =>
-      (expr(s"instr('0123456789abcdef', substring(__h, ${j + 1}, 1))") - lit(1)) *
-        lit(1L << (4 * (11 - j)))
-    }.reduce(_ + _)
-    df.withColumn("__h", md5(concat(lit(salt), col(keyCol).cast("string"))))
-      .withColumn("__bucket", base % 1000L)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__h", md5(concat(lit(salt), col(keyCol).cast("string"))))
+      .withColumn("__bucket", Dedup.md5Base48("__h") % 1000L)
       .filter(col("__bucket") < permille)
       .drop("__h", "__bucket")
   }

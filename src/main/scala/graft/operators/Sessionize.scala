@@ -6,7 +6,12 @@ import org.apache.spark.sql.expressions.Window
 
 /** Row-level sessionization: assign each event a session id under the
   * gap rule (a new session starts when the time since the previous
-  * event of the same key exceeds `gapSeconds`).
+  * event of the same key is `>= gapSeconds` — the EXCLUSIVE-end
+  * convention of Spark's `session_window`, whose windows span
+  * [start, last_event + gap): an event exactly at the previous event's
+  * time + gap falls outside the window and opens a new session, so the
+  * two formulations partition events identically, which
+  * SessionizeSpec asserts).
   *
   * This is the row-level complement of `session_window` aggregation
   * (q35): window aggregation yields one row per session, this yields
@@ -27,7 +32,7 @@ object Sessionize {
     df.withColumn("__prev_us", lag(unix_micros(col(timeCol)), 1).over(w))
       .withColumn("__new_session",
         when(col("__prev_us").isNull ||
-          unix_micros(col(timeCol)) - col("__prev_us") > gapSeconds * 1000000L, 1L)
+          unix_micros(col(timeCol)) - col("__prev_us") >= gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("__new_session")).over(
         Window.partitionBy(col(key)).orderBy(order: _*)

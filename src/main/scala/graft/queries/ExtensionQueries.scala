@@ -354,7 +354,7 @@ object ExtensionQueries {
       Some("""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events),
              |m AS (SELECT event_id, user_id, ts,
              |  CASE WHEN lag(ts) OVER w IS NULL
-             |        OR date_diff('microseconds', lag(ts) OVER w, ts) > 1800000000
+             |        OR date_diff('microseconds', lag(ts) OVER w, ts) >= 1800000000
              |       THEN 1 ELSE 0 END AS ns
              |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
              |SELECT event_id, user_id, ts,
@@ -377,7 +377,7 @@ object ExtensionQueries {
           s"(strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
         }.mkString("\n    + ")
         s"""SELECT doc_id, lang, source FROM documents
-           |WHERE ($base) % 1000 < 100""".stripMargin
+           |WHERE doc_id IS NOT NULL AND ($base) % 1000 < 100""".stripMargin
       })
   )
 

@@ -32,6 +32,32 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out("e5") == (Some(200L), Some(ts(10))))
   }
 
+  test("a matched right row's genuine NULL is carried, not skipped back to an older row") {
+    val left = Seq((1L, ts(12), "e1")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts(2), Some(5L)),
+      (1L, ts(10), None))   // the as-of match — its NULL price must win
+      .toDF("k", "rt", "price")
+    val r = AsofJoin.asofJoin(left, right, "k", "t", "rt", Seq("price", "rt")).head()
+    assert(r.isNullAt(r.fieldIndex("price")), "price must be the matched row's NULL, not 5")
+    assert(r.getAs[Timestamp]("rt") == ts(10), "rt must come from the SAME matched row")
+  }
+
+  test("NULL keys never match (equi-join semantics)") {
+    val left = Seq(
+      (Option.empty[Long], ts(5), "lnull"),
+      (Some(1L), ts(5), "l1"))
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      (Option.empty[Long], ts(2), 70L),
+      (Some(1L), ts(2), 100L))
+      .toDF("k", "rt", "price")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "rt", Seq("price"))
+      .collect().map(r => r.getAs[String]("ev") -> Option(r.getAs[Any]("price"))).toMap
+    assert(out("lnull").isEmpty, "NULL-key left row must stay unmatched")
+    assert(out("l1").contains(100L))
+  }
+
   test("row count is exactly |left| (no fan-out, no drops)") {
     val left = (1 to 100).map(i => (i.toLong % 5, ts(i % 60), i.toLong)).toDF("k", "t", "id")
     val right = (1 to 20).map(i => (i.toLong % 5, ts(i % 60), i * 10L)).toDF("k", "rt", "v")

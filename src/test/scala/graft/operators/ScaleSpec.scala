@@ -85,7 +85,7 @@ class ScaleSpec extends AnyFunSuite {
     Tables.orders(spark, sf001)
       .withColumn("bucket_k", expr("o_orderkey % 10"))
       .write.mode("overwrite").partitionBy("bucket_k").parquet(s"$wh/fact")
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
     // keep the dim broadcastable: DPP reuses the broadcast as the filter
     try {
@@ -98,7 +98,7 @@ class ScaleSpec extends AnyFunSuite {
       val plan = qe.executedPlan.toString
       assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
         s"expected a dynamic pruning filter on the fact scan:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
   }
 
   test("runtime bloom-filter pruning injects a row-level filter on the large join side") {

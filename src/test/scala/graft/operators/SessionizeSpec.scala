@@ -14,14 +14,15 @@ class SessionizeSpec extends AnyFunSuite {
 
   test("gap rule: ordinals increment exactly when the gap is exceeded") {
     val df = Seq(
-      (1L, 1L, ts(0)), (1L, 2L, ts(10)),   // session 1 (gap 10m <= 30m)
+      (1L, 1L, ts(0)), (1L, 2L, ts(10)),   // session 1 (gap 10m < 30m)
       (1L, 3L, ts(50)),                     // session 2 (gap 40m)
       (1L, 4L, ts(55)),                     // still session 2
+      (1L, 5L, ts(85)),                     // gap EXACTLY 30m → new session
       (2L, 9L, ts(0)))                      // other key: own numbering
       .toDF("user_id", "event_id", "t")
     val out = Sessionize.assignSessions(df, "user_id", "t", "event_id", 1800L)
       .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_id")).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 9L -> 1L))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 9L -> 1L))
   }
 
   test("session count per user agrees with session_window aggregation on driver events") {
