@@ -29,7 +29,10 @@ object RangeJoin {
     val g = maxGapSeconds * 1000000L // bucket width in microseconds
     val base = df.select(col(key), col(idCol).as("id"), col(timeCol).as("t"))
       .withColumn("us", unix_micros(col("t")))
-      .withColumn("bucket0", floor(col("us") / g))
+      // integer div, not floor(us / g): long/long division in Spark is
+      // DOUBLE division, whose 1-ulp boundary rounding could misbucket a
+      // row once us·ε exceeds 1/g — `div` is exact at any magnitude
+      .withColumn("bucket0", expr(s"us div ${g}L"))
     val a = base.select(col(key), col("id").as("a_id"), col("t").as("a_ts"),
         col("us").as("a_us"),
         explode(array(col("bucket0"), col("bucket0") + 1)).as("bucket"))
