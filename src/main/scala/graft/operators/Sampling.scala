@@ -35,4 +35,25 @@ object Sampling {
       .filter(col("__bucket") < permille)
       .drop("__h", "__bucket")
   }
+
+  /** Stratified deterministic sampling: per-stratum keep rates (class
+    * balancing — e.g. downsample the dominant language, keep all of a
+    * rare one). Same md5-bucket membership as [[sampleByKey]], with the
+    * threshold chosen by the stratum column; strata not in `ratesPermille`
+    * fall back to `defaultPermille`. All sampleByKey stability
+    * properties carry over per stratum. */
+  def stratifiedSampleByKey(df: DataFrame, keyCol: String, strataCol: String,
+      ratesPermille: Map[String, Int], defaultPermille: Int = 0,
+      salt: String = "graft"): DataFrame = {
+    (ratesPermille.values ++ Seq(defaultPermille)).foreach(p =>
+      require(p >= 0 && p <= 1000, s"permille must be in [0,1000], got $p"))
+    val rate = ratesPermille.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__h", md5(concat(lit(salt), col(keyCol).cast("string"))))
+      .withColumn("__bucket", Dedup.md5Base48("__h") % 1000L)
+      .filter(col("__bucket") < rate)
+      .drop("__h", "__bucket")
+  }
 }

@@ -378,7 +378,53 @@ object ExtensionQueries {
         }.mkString("\n    + ")
         s"""SELECT doc_id, lang, source FROM documents
            |WHERE doc_id IS NOT NULL AND ($base) % 1000 < 100""".stripMargin
-      })
+      }),
+
+    QuerySpec(
+      "q56_stratified_sample",
+      """Stratified deterministic sampling — class balancing for a
+        |training corpus: keep 5% of English (dominant), 50% of German,
+        |100% of French, drop everything else. Membership stays a pure
+        |function of (key, stratum rate), so per-class fractions are
+        |exact-in-expectation and reproducible; the oracle applies the
+        |same md5-bucket arithmetic with a CASE'd threshold.""".stripMargin,
+      (s, d) => graft.operators.Sampling.stratifiedSampleByKey(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", "lang", Map("en" -> 50, "de" -> 500, "fr" -> 1000)),
+      Some {
+        val base = (0 until 12).map { j =>
+          s"(strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+        }.mkString("\n    + ")
+        s"""SELECT doc_id, lang, source FROM documents
+           |WHERE doc_id IS NOT NULL AND ($base) % 1000 <
+           |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 500
+           |       WHEN lang = 'fr' THEN 1000 ELSE 0 END""".stripMargin
+      }),
+
+    QuerySpec(
+      "q57_window_distribution",
+      """Distribution window functions over customers per market segment:
+        |ntile deciles, percent_rank, cume_dist — the remaining window
+        |family beside ranking (q08), running frames (q09), and offsets
+        |(q39). Total ordering via the unique custkey tiebreak;
+        |percent_rank/cume_dist are single exact-integer-ratio divisions,
+        |identical in both engines.""".stripMargin,
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(10).over(w).cast("long").as("decile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+             | CAST(ntile(10) OVER w AS BIGINT) AS decile,
+             | percent_rank() OVER w AS pct_rank,
+             | cume_dist() OVER w AS cume
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -27,6 +27,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(fromSubset == fromFull)
   }
 
+  test("stratified sampling applies per-stratum rates and nests with uniform samples") {
+    val docs = Tables.documents(spark, sf001)
+    val strat = Sampling.stratifiedSampleByKey(docs, "doc_id", "lang",
+      Map("en" -> 100, "de" -> 1000), defaultPermille = 0)
+    val byLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("de", 0L) == totals("de"), "permille 1000 keeps the whole stratum")
+    assert(byLang.keySet.subsetOf(Set("en", "de")), "unlisted strata default to dropped")
+    // same key+salt ⇒ a stratum's sample at rate r is a SUBSET of the
+    // uniform sample at the same rate (membership is bucket < r)
+    val enStrat = strat.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val uniform = Sampling.sampleByKey(docs, "doc_id", 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(enStrat.subsetOf(uniform))
+  }
+
   test("sampled fraction tracks permille and salts draw independent samples") {
     val docs = Tables.documents(spark, sf001)
     val n = docs.count().toDouble
