@@ -48,6 +48,13 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Fail fast on inputs the union-schema trick cannot represent,
+    // instead of ambiguous-column errors or silently wrong output.
+    val reserved = Set("__t", "__side", "__r")
+    require(!leftCols.exists(reserved), s"left columns clash with reserved names ${reserved.mkString(", ")}")
+    require(!right.columns.exists(reserved), s"right columns clash with reserved names ${reserved.mkString(", ")}")
+    val overlap = rightCols.toSet.intersect(leftCols.toSet - key)
+    require(overlap.isEmpty, s"rightCols overlap left columns: ${overlap.mkString(", ")}")
     val rStructType = org.apache.spark.sql.types.StructType(
       rightCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     // one unified schema: key, time, side tag, left payload, right struct

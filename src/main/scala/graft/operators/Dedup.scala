@@ -35,12 +35,37 @@ object Dedup {
     * long-lived sessions calling dedup repeatedly should start the
     * context with `spark.cleaner.referenceTracking.cleanCheckpoints=true`
     * (a startup conf, so it cannot be set here) or manage the
-    * checkpoint dir's lifecycle (e.g. a per-job subdir deleted on
-    * completion); otherwise each call leaves its checkpointed frames
-    * on disk. */
+    * checkpoint dir's lifecycle — [[withScopedCheckpoint]] makes that
+    * contract self-enforcing; otherwise each call leaves its
+    * checkpointed frames on disk. */
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** Scope reliable-checkpoint files to `body`: checkpoints land in a
+    * fresh subdirectory of the configured checkpoint dir, which is
+    * deleted when the scope closes — so long-lived sessions calling
+    * dedup repeatedly don't leak disk. `body` must fully CONSUME its
+    * results (run the terminal action — write/collect — inside the
+    * scope): after the scope closes the checkpoint files are gone and
+    * any still-lazy plan over them fails. Without a configured
+    * checkpoint dir this is a plain pass-through (localCheckpoint
+    * blocks are cleaned by the ContextCleaner already). */
+  def withScopedCheckpoint[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val sc = spark.sparkContext
+    sc.getCheckpointDir match {
+      case None => body
+      case Some(base) =>
+        val sub = s"$base/graft-ckpt-${java.util.UUID.randomUUID()}"
+        sc.setCheckpointDir(sub)
+        try body
+        finally {
+          sc.setCheckpointDir(base)
+          val p = new org.apache.hadoop.fs.Path(sub)
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+        }
+    }
+  }
 
   /** Exact dedup by content hash: one group per distinct (normalized)
     * text, keeping the minimum id as the canonical copy. */

@@ -141,12 +141,22 @@ object Similarity {
     * centroid cosines never shuffle — the argmax is a map-side-combined
     * `max(struct(cos, -c_id))` aggregation, so the one exchange carries
     * ONE row per corpus vector, not nlist. Returns
-    * (n_id, n_v, n_n, c_id). */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    * (n_id, n_v, n_n, c_id).
+    *
+    * Null or wrong-length vectors (vs `dim`, inferred as the corpus's
+    * modal length when 0) are excluded from both sides rather than
+    * flowing into a length-clamped dot product that would silently
+    * truncate the cosine — same guard as [[annTopK]]. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, dim: Int = 0): DataFrame = {
     graft.GraftSession.ensureConfs(corpus.sparkSession)
-    val cent = centroids.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_v"))
+    val d = if (dim > 0) dim else inferDim(corpus)
+    val cent = centroids
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_v"))
       .withColumn("c_n", sqrt(dot(col("c_v"), col("c_v"))))
-    corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_v"))
+    corpus
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_v"))
       .withColumn("n_n", sqrt(dot(col("n_v"), col("n_v"))))
       .crossJoin(broadcast(cent))
       .select(col("n_id"), col("n_v"), col("n_n"), col("c_id"),
@@ -170,15 +180,19 @@ object Similarity {
     * q49 checks it. Cosine values are left-fold double on both engines,
     * so cell assignment, probe choice, and ranking all match bitwise. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4, dim: Int = 0): DataFrame = {
     graft.GraftSession.ensureConfs(queries.sparkSession)
-    val cent = centroids.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_v"))
+    val d = if (dim > 0) dim else inferDim(corpus)
+    val cent = centroids
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_v"))
       .withColumn("c_n", sqrt(dot(col("c_v"), col("c_v"))))
-    val assigned = ivfAssign(corpus, centroids)
+    val assigned = ivfAssign(corpus, centroids, d)
     // query → nprobe highest-cosine cells (|q| × nlist rows: tiny, a
     // window is fine here — no scale concern on the query side)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("c_id").asc)
     val probes = queries
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
       .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_v"))
       .withColumn("q_n", sqrt(dot(col("q_v"), col("q_v"))))
       .crossJoin(broadcast(cent))

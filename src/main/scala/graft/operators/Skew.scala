@@ -45,7 +45,15 @@ object Skew {
     * holding a mix of old and recomputed map outputs double-count or
     * drop rows (the SPARK-23207 class of bug). Hashing `saltFrom` keeps
     * the assignment uniform across duplicate hot-key rows AND stable
-    * under recomputation. */
+    * under recomputation.
+    *
+    * `saltFrom` should also be NON-NULL on (at least) the hot key's
+    * rows: every NULL hashes to the same constant, so a hot key whose
+    * salt column is largely null re-concentrates into one bucket — the
+    * straggler this operator exists to remove. Results stay correct
+    * either way; only the skew mitigation degrades. If the natural salt
+    * column is nullable, coalesce it with a secondary deterministic
+    * expression, e.g. `coalesce(col("event_id"), col("ts"))`. */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       saltFrom: Column, cols: SaltedCol*): DataFrame = {
     val salted = df.withColumn("__salt",

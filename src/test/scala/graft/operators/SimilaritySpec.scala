@@ -107,7 +107,7 @@ class SimilaritySpec extends AnyFunSuite {
     val good = (0L until 20L).map(i => (i, Array.tabulate(8)(j => (i + j + 1).toFloat)))
     val all = (good.map { case (i, v) => (i, v) } :+ (90L, null.asInstanceOf[Array[Float]]) :+
       (91L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
-    // dim inferred from max(size) = 8; null and length-2 rows excluded
+    // dim inferred as the modal length (8); null and length-2 rows excluded
     val res = Similarity.annTopK(all.filter(col("vec_id") < 5), all, 3, bits = 2)
     val ids = res.collect().map(_.getAs[Long]("n_id")).toSet
     assert(!ids.contains(90L) && !ids.contains(91L))
