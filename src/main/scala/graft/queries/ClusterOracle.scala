@@ -1,0 +1,57 @@
+package graft.queries
+
+/** Generated DuckDB mirror of the near-dup CLUSTER layer
+  * ([[graft.operators.ConnectedComponents]]): transitive closure over
+  * the union of the two document-space near-dup pair sets (MinHash+LSH
+  * q28 ∪ banded SimHash q47), labeling every document with the minimum
+  * doc id of its component.
+  *
+  * The oracle computes the closure with a recursive CTE — feasible
+  * because LSH banding keeps the pair graph tiny at oracle scale —
+  * while the Spark side iterates large-star/small-star; both reduce to
+  * "min reachable node id", so results must agree EXACTLY regardless of
+  * algorithm. (q50's embedding pairs live in the `embeddings.vec_id`
+  * keyspace with no driver-provided mapping to doc ids, so unioning
+  * them in would conflate two id spaces; the components operator itself
+  * is keyspace-agnostic.) */
+object ClusterOracle {
+
+  /** Shared CTE chain: near-dup pairs → symmetric edges → per-node min
+    * reachable id (`cl(doc_id, cluster_id)`). Emitted WITHOUT a leading
+    * WITH so callers prepend `WITH RECURSIVE`. */
+  private def pairCtes: String = {
+    val mh = MinhashOracle.sql(numHashes = 16, rowsPerBand = 4, threshold = 0.8)
+    val smh = SimhashOracle.pairsSql(maxHamming = 5)
+    s"""mh AS (SELECT a_id, b_id FROM (
+$mh
+) t_mh),
+smh AS (SELECT a_id, b_id FROM (
+$smh
+) t_sh),
+pr AS (SELECT a_id, b_id FROM mh UNION SELECT a_id, b_id FROM smh),
+edges AS (SELECT a_id AS u, b_id AS v FROM pr UNION SELECT b_id, a_id FROM pr),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach(node, r) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT rc.node, e.v FROM reach rc JOIN edges e ON e.u = rc.r
+),
+cl AS (SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY node)"""
+  }
+
+  /** q58: every document labeled with its near-dup cluster id
+    * (singletons label themselves). */
+  def clustersSql: String =
+    s"""WITH RECURSIVE $pairCtes
+SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""
+
+  /** q59: the dedup keep-set — documents minus non-canonical cluster
+    * members. */
+  def keepSql: String =
+    s"""WITH RECURSIVE $pairCtes
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM cl
+                  WHERE cl.doc_id = d.doc_id AND cl.cluster_id <> d.doc_id)"""
+}

@@ -424,7 +424,43 @@ object ExtensionQueries {
              | percent_rank() OVER w AS pct_rank,
              | cume_dist() OVER w AS cume
              |FROM customer
-             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin))
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin)),
+
+    QuerySpec(
+      "q58_neardup_clusters",
+      """Near-dup cluster resolution — the step from pairwise dedup
+        |output to a runnable dedup: connected components over the UNION
+        |of the minhash (q28) and simhash (q47) pair graphs via the
+        |alternating large-star/small-star iteration (O(log² n) rounds,
+        |each two groupBy-mins + a join — no driver-side graph), then
+        |every document labeled with its component's min doc id
+        |(singletons label themselves). The DuckDB oracle computes the
+        |same closure with a recursive CTE; both reduce to "min reachable
+        |id", so they agree exactly regardless of algorithm.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
+          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+        graft.operators.ConnectedComponents.clusterLabels(docs, "doc_id", pairs)
+      },
+      Some(ClusterOracle.clustersSql)),
+
+    QuerySpec(
+      "q59_dedup_keepset",
+      """End-to-end dedup keep-set — the pipeline deliverable composed
+        |from q58's clusters: documents minus every non-canonical
+        |near-dup cluster member, via one anti-join on the drop-set
+        |(|drop-set| ≤ pair-graph nodes, a vanishing fraction of the
+        |corpus, so the anti-join broadcasts at any scale). Invariant
+        |spec-checked: |kept| = |docs| − Σ(|cluster|−1).""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
+          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+        graft.operators.ConnectedComponents.keepCanonical(
+          docs.select("doc_id", "lang", "source"), "doc_id", pairs)
+      },
+      Some(ClusterOracle.keepSql))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def pairsDF(edges: (Long, Long)*) = edges.toDF("a_id", "b_id")
+
+  /** Brute-force union-find reference. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def resultMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("cluster_id")).toMap
+
+  test("a planted dup-chain collapses to one cluster rooted at the min id") {
+    // worst case for naive propagation: a long chain, ids descending so
+    // the min is at the far end
+    val chain = (1L until 40L).map(i => (41L - i, 40L - i)) // (40,39),(39,38),...,(2,1)
+    val res = resultMap(ConnectedComponents.components(pairsDF(chain: _*)))
+    assert(res.keySet == (1L to 40L).toSet)
+    assert(res.values.toSet == Set(1L), "every chain member must label to the global min")
+  }
+
+  test("matches brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges)
+      val res = resultMap(ConnectedComponents.components(pairsDF(edges: _*)))
+      assert(res == expected, s"trial $trial: component labels diverge from union-find")
+    }
+  }
+
+  test("disjoint cliques, stars and isolated pairs keep separate labels") {
+    val clique = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val star = Seq((20L, 25L), (20L, 26L), (20L, 27L))
+    val pair = Seq((30L, 31L))
+    val res = resultMap(ConnectedComponents.components(pairsDF(clique ++ star ++ pair: _*)))
+    assert((10L to 13L).forall(res(_) == 10L))
+    assert(Seq(20L, 25L, 26L, 27L).forall(res(_) == 20L))
+    assert(res(30L) == 30L && res(31L) == 30L)
+  }
+
+  test("null endpoints, self-loops and duplicate edges are dropped; empty input yields empty output") {
+    val withJunk = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L), (3L, 3L), (null, 4L), (5L, null))
+      .toDF("a_id", "b_id")
+    val res = resultMap(ConnectedComponents.components(withJunk))
+    // 3 (self-loop only), 4 and 5 (null partner) never enter the graph
+    assert(res == Map(1L -> 1L, 2L -> 1L))
+    assert(ConnectedComponents.components(pairsDF()).count() == 0)
+  }
+
+  test("clusterLabels labels absent items as their own singleton cluster") {
+    val items = (1L to 6L).toDF("doc_id")
+    val labels = ConnectedComponents.clusterLabels(items, "doc_id", pairsDF((2L, 4L), (4L, 5L)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 2L, 6L -> 6L))
+  }
+
+  test("keepCanonical satisfies |kept| = |docs| - sum(|cluster| - 1)") {
+    val items = (1L to 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = pairsDF((1L, 2L), (2L, 3L), (7L, 9L), (15L, 16L), (16L, 17L), (17L, 18L))
+    val kept = ConnectedComponents.keepCanonical(items, "doc_id", pairs)
+    val comp = ConnectedComponents.components(pairs)
+    val dupCount = comp.filter(col("node_id") =!= col("cluster_id")).count()
+    assert(kept.count() == items.count() - dupCount)
+    // the kept members of each cluster are exactly the min ids
+    val keptIds = kept.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(Set(1L, 7L, 15L).subsetOf(keptIds))
+    assert(Set(2L, 3L, 9L, 16L, 17L, 18L).intersect(keptIds).isEmpty)
+  }
+}
