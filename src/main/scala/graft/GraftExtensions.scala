@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProductD
+import graft.functions.{DotProductD, UnicodeNormalize}
 
 /** Spark extensions entry point: registers the engine's native
   * expressions at session build time, so a cluster deployment gets them
@@ -27,6 +27,14 @@ object GraftExtensions {
       s"graft_dot expects exactly 2 arguments (array<double>, array<double>), got ${exprs.length}")
     DotProductD(exprs(0), exprs(1))
   }
+
+  /** Builder factory for the two unicode-normalization registrations. */
+  def buildNormalize(form: String)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): UnicodeNormalize = {
+    require(exprs.length == 1,
+      s"graft_${form.toLowerCase} expects exactly 1 string argument, got ${exprs.length}")
+    UnicodeNormalize(exprs.head, form)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -36,5 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.buildDot(exprs)))
+    Seq("NFC", "NFD").foreach { form =>
+      val name = s"graft_${form.toLowerCase}"
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[UnicodeNormalize].getName, name),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          GraftExtensions.buildNormalize(form)(exprs)))
+    }
   }
 }

@@ -52,5 +52,10 @@ object GraftSession {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
       reg.createOrReplaceTempFunction("graft_dot", GraftExtensions.buildDot, "built-in")
+    Seq("NFC", "NFD").foreach { form =>
+      val name = s"graft_${form.toLowerCase}"
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, GraftExtensions.buildNormalize(form), "built-in")
+    }
   }
 }

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Training-corpus text cleaning: unicode NFC canonicalization, accent
+  * stripping, control-character stripping, whitespace collapse — the
+  * standard normalization pass before tokenization/dedup, composed from
+  * codegen'd pieces (the [[UnicodeNormalize]] expression + built-in
+  * regexp_replace; zero UDFs, zero per-row allocation outside the
+  * regex engine).
+  *
+  * All steps are pure per-row expressions: no shuffle, no state —
+  * normalization of 100 TB is exactly one map-side pass fused into
+  * whatever scan feeds it.
+  *
+  * DuckDB parity (verified by q61): `stripAccents` = NFD + drop
+  * combining marks (`\p{M}`), which agrees with DuckDB's
+  * utf8proc-based `strip_accents` on canonical text; control stripping
+  * preserves tab/newline (whitespace-class controls) so the collapse
+  * step owns ALL whitespace decisions. */
+object TextNormalize {
+
+  /** Canonical composition (NFC) — call_function resolves the
+    * session-registered codegen expression. */
+  def nfc(c: Column): Column = call_function("graft_nfc", c)
+
+  /** Canonical decomposition (NFD). */
+  def nfd(c: Column): Column = call_function("graft_nfd", c)
+
+  /** Accent stripping: decompose, then drop every combining mark.
+    * (Deliberately NOT a translate() lookup table — NFD + `\p{M}`
+    * covers all of Latin/Greek/Cyrillic diacritics in one rule.) */
+  def stripAccents(c: Column): Column = regexp_replace(nfd(c), "\\p{M}+", "")
+
+  /** Drop non-whitespace C0/C1-range control characters (BEL, NUL,
+    * escape, …); tab/newline/CR survive for [[collapseWhitespace]]. */
+  def stripControls(c: Column): Column =
+    regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
+  /** Collapse whitespace runs to single spaces and trim the ends. */
+  def collapseWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** The full cleaning pass: NFC → accent strip → control strip →
+    * whitespace collapse. Output is canonical pure-mark-free text. */
+  def normalizeText(c: Column): Column =
+    collapseWhitespace(stripControls(stripAccents(nfc(c))))
+}

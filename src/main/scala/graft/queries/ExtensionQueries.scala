@@ -460,7 +460,62 @@ object ExtensionQueries {
         graft.operators.ConnectedComponents.keepCanonical(
           docs.select("doc_id", "lang", "source"), "doc_id", pairs)
       },
-      Some(ClusterOracle.keepSql))
+      Some(ClusterOracle.keepSql)),
+
+    QuerySpec(
+      "q60_multi_quantile",
+      """Per-group exact multi-quantile aggregation: percentile_disc at
+        |{0.25, 0.5, 0.75, 0.95} of lineitem extended price per return
+        |flag — the full quantile family beside q40's median. Discrete
+        |percentiles SELECT an existing input value (no interpolation
+        |arithmetic), so the double outputs compare bitwise across
+        |engines. The approx_percentile sketch sheet of this operator is
+        |error-bounded against these exact values in QuantileSpec
+        |(mirroring the q32/HLL pattern: sketches are engine-specific by
+        |construction, so the sketch column is spec-bounded, not
+        |oracle-compared).""".stripMargin,
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("p75"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"),
+        count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag,
+             | percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+             | percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+             | percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+             | percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95,
+             | count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    QuerySpec(
+      "q61_unicode_normalize",
+      """Unicode text normalization — training-corpus cleaning: NFC
+        |canonicalization (custom codegen'd Catalyst expression; Spark
+        |has no builtin), accent strip (NFD + drop combining marks),
+        |control-char strip, whitespace collapse. The driver corpus is
+        |pure ASCII, so the query first DECORATES it deterministically
+        |and identically in both engines (precomposed e-acute, a +
+        |decomposed combining grave, BEL + tab injections) and then
+        |normalizes — exercising real composition, mark-stripping and
+        |control handling rather than a no-op; the cleaning pass must
+        |exactly restore the collapsed original. Pure per-row map work:
+        |zero shuffles at any scale.""".stripMargin,
+      (s, d) => {
+        val dec = expr("replace(replace(replace(text, 'e', 'é'), 'a', 'à'), ' ', '	 ')")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(dec).cast("long").as("n_raw"),
+          graft.functions.TextNormalize.normalizeText(dec).as("norm_text"))
+      },
+      Some("""WITH dec AS (SELECT doc_id,
+             |  replace(replace(replace(text, 'e', chr(233)), 'a', 'a' || chr(768)),
+             |          ' ', chr(9) || chr(7) || ' ') AS d
+             |  FROM documents)
+             |SELECT doc_id, CAST(length(d) AS BIGINT) AS n_raw,
+             |  trim(regexp_replace(regexp_replace(strip_accents(nfc_normalize(d)),
+             |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+             |FROM dec""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
@@ -473,4 +528,17 @@ object ExtensionQueries {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+
+  /** The approx_percentile (GK-sketch) sheet of q60: approximate beside
+    * exact per-group quantiles. Spec-bounded (QuantileSpec) on RANK
+    * error — the sketch's actual guarantee — not oracle-compared:
+    * sketches are engine-specific by construction. */
+  def approxQuantiles(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+      expr("approx_percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.95), 10000)").as("approx_q"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("p75"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"),
+      count(lit(1)).as("n_rows"))
 }
