@@ -225,19 +225,24 @@ object ExtensionQueries {
     QuerySpec(
       "q49_ivf_topk",
       """IVF-flat approximate top-k — the second ANN family beside q46's
-        |sign-bit LSH: the corpus is inverted into 16 centroid cells
-        |(centroids = a deterministic corpus sample, vec_id < 16; k-means
-        |refinement improves recall but is not needed for correctness),
-        |each query scans its 4 highest-cosine cells. Probe cost
-        |nprobe/nlist of the corpus; assignment is a map-side-combined
-        |argmax so the one exchange carries one row per vector. Fully
-        |relational in the DuckDB oracle — no injected literals.""".stripMargin,
+        |sign-bit LSH: a deterministic corpus sample (vec_id < 16) seeds
+        |16 centroids, TWO Lloyd k-means rounds refine them
+        |(quantized-mean accumulation, so even the refinement is bitwise
+        |reproducible in the DuckDB oracle — every round unrolled as the
+        |same assign → mean CTE chain), then each query scans its 4
+        |highest-cosine cells. Probe cost nprobe/nlist of the corpus;
+        |assignment is a map-side-combined argmax so the one exchange
+        |carries one row per vector. Fully relational in the oracle — no
+        |injected literals. Recall lift from refinement is spec-bounded
+        |in SimilaritySpec (≥0.9 @ nprobe=4 on clustered data).""".stripMargin,
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        Similarity.ivfTopK(e.filter(col("vec_id") < 8), e,
-          e.filter(col("vec_id") < 16), k = 5, nprobe = 4)
+        val refined = Similarity.kmeansIterate(e, e.filter(col("vec_id") < 16),
+          iters = 2, dim = 64)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, refined, k = 5,
+          nprobe = 4, dim = 64)
       },
-      Some(IvfOracle.sql(nlist = 16, nprobe = 4, k = 5, qBound = 8))),
+      Some(IvfOracle.sql(nlist = 16, nprobe = 4, k = 5, qBound = 8, iters = 2, dim = 64))),
 
     QuerySpec(
       "q47_simhash_neardup",
