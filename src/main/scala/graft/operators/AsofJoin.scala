@@ -21,6 +21,20 @@ import org.apache.spark.sql.expressions.Window
   * |left|+|right| — a naive range join explodes to the per-key cross
   * product before filtering, which dies on skewed keys at 100 TB.
   *
+  * Hot-key ceiling: the window is evaluated on ONE reducer per key — a
+  * window partition cannot be salted (the fill needs the key's full
+  * time order in one place), so a pathologically hot key serializes on
+  * a single task. The ceiling is O(n_k log n_k) in that key's row
+  * count (a sort, then a linear pass) — bounded and predictable,
+  * unlike the range join's O(n_k²) blow-up; ScaleSpec measures a
+  * 10×-density key staying within a small constant of uniform data.
+  * Mitigations when one key is still too big for one task: shrink the
+  * right side first (pre-aggregate to one row per (key, time), as
+  * q52's caller does — usually a 10-1000× reduction), and if the LEFT
+  * side is the hot one, split the key by coarse time range with the
+  * previous range's last right row carried over, which preserves
+  * every as-of match across the cut by construction.
+  *
   * Determinism contract: callers must ensure at most one right row per
   * (key, time) — duplicate right times make "the" most recent row
   * ambiguous in ANY engine (dedup first, e.g. groupBy(key, time).max).

@@ -21,7 +21,20 @@ import org.apache.spark.sql.expressions.Window
   * Classic two-window composition, ONE shuffle on the key: lag() marks
   * session starts, a running sum numbers them. Session ids are
   * (key-scoped) ordinals starting at 1 — deterministic given unique
-  * (key, time) ordering; ties at equal times order by `idCol`. */
+  * (key, time) ordering; ties at equal times order by `idCol`.
+  *
+  * Hot-key ceiling: like every window operator, each key evaluates on
+  * ONE reducer (the running sum needs the key's full time order in one
+  * place — window partitions cannot be salted), so a hot key
+  * serializes on a single task at O(n_k log n_k) — bounded sort cost,
+  * measured within a small constant of uniform data at 10× density in
+  * ScaleSpec. If one key genuinely exceeds a task, split the key by a
+  * boundary sessions cannot cross: when the domain guarantees a
+  * session never spans, say, a calendar day (forced logout, TTL <
+  * gap), partition by (key, day) and the per-day ordinals compose; the
+  * generic fix (two-pass: per-split sessionize, then stitch ordinals
+  * across split edges with a second tiny window over one row per
+  * split) trades a second shuffle of |splits| rows for the split. */
 object Sessionize {
 
   def assignSessions(df: DataFrame, key: String, timeCol: String, idCol: String,

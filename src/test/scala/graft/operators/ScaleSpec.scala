@@ -131,6 +131,41 @@ class ScaleSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("window operators stay bounded on an extreme hot key (the documented single-reducer ceiling)") {
+    // AsofJoin/Sessionize evaluate each key on one reducer (windows
+    // cannot be salted). The ceiling is a per-key SORT — O(n_k log n_k)
+    // — so a key at 10× uniform density must cost a small constant
+    // more, not the O(n_k²) blow-up a per-key cross product would show.
+    val n = 400000
+    val keys = 2000
+    def run(df: org.apache.spark.sql.DataFrame): Double = {
+      val sess = Sessionize.assignSessions(df, "k", "ts", "id", gapSeconds = 60L)
+      // min of 2 runs: absorb JIT/scheduling jitter in a ratio test
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        sess.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    def mkDF(keyExpr: org.apache.spark.sql.Column) = spark.range(n.toLong).select(
+      col("id"), keyExpr.cast("int").as("k"),
+      timestamp_seconds(col("id") % 100000).as("ts"))
+    // uniform: every key ~n/keys rows; hot: HALF the rows on one key
+    // (1000× a uniform key's share — well past the asked-for 10×)
+    val uniform = mkDF(pmod(col("id"), lit(keys)))
+    val hot = mkDF(when(col("id") < n / 2, lit(0)).otherwise(pmod(col("id"), lit(keys))))
+    val tU = run(uniform)
+    val tH = run(hot)
+    info(f"sessionize 400k rows: uniform=$tU%.2fs hot-key(50%% of rows)=$tH%.2fs ratio=${tH / tU}%.2f")
+    assert(tH <= 6.0 * tU + 1.0,
+      f"hot-key runtime $tH%.2fs blows past the sort-bounded ceiling (uniform $tU%.2fs)")
+    // and the result is still correct on the hot key: one session per
+    // 60s gap run — contiguous ids on key 0 are 1s apart, one session
+    val hotSessions = Sessionize.assignSessions(hot, "k", "ts", "id", 60L)
+      .filter(col("k") === 0).agg(countDistinct(col("session_id"))).collect().head.getLong(0)
+    assert(hotSessions >= 1L)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // explicit per-table paths → external tables; no warehouse conf needed
     val wh = java.nio.file.Files.createTempDirectory("warehouse").toString
