@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+/** Streaming throughput sheet (README "Measured streaming throughput"):
+  * drives the two stateful streaming kernels at `args(0)` events
+  * (default 1M) through MemoryStream → noop sink and prints ONE JSON
+  * line with rows/s and state-store size, so the streaming surface has
+  * recorded numbers beside its correctness specs.
+  *
+  * Run: `SPARK_GRAFT_CPUS=16 tools/run_verify.sh _ _ graft.streaming.StreamBench`
+  *
+  * Measured this way the number is the micro-batch ENGINE's sustained
+  * throughput (source is in-memory, sink discards): real pipelines are
+  * bounded by source/sink I/O before they're bounded by this. */
+object StreamBench {
+
+  private case class Res(rowsPerSec: Double, stateRows: Long, stateBytes: Long, batches: Int)
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local("graft-streambench")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val n = args.headOption.map(_.toInt).getOrElse(1000000)
+    val chunk = 100000
+
+    // 1) bounded-state exact dedup: 2 events per key (50% duplicates),
+    // event times swept forward so the watermark advances and evicts
+    def runDedup(): Res = {
+      val stream = MemoryStream[(Long, Long)](spark)
+      val deduped = StreamingDedup.dedupWithinWatermark(
+        stream.toDF().select(col("_1").as("k"),
+          timestamp_seconds(col("_2")).as("ts")),
+        "ts", "10 minutes", Seq("k"))
+      val q = deduped.writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sbench-dedup").toString)
+        .outputMode(OutputMode.Append()).start()
+      val t0 = System.nanoTime()
+      (0 until n by chunk).foreach { off =>
+        stream.addData((off until math.min(off + chunk, n)).map(i =>
+          ((i % (n / 2)).toLong, (i / 100).toLong)))
+      }
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val sops = q.recentProgress.flatMap(_.stateOperators)
+      val res = Res(n / secs,
+        if (sops.isEmpty) 0L else sops.map(_.numRowsTotal).max,
+        if (sops.isEmpty) 0L else sops.map(_.memoryUsedBytes).max,
+        q.recentProgress.length)
+      q.stop()
+      res
+    }
+
+    // 2) transformWithState running count (typed ValueState, RocksDB)
+    def runTws(): Res = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = MemoryStream[(Long, Double)](spark)
+      val counted = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new Processors.RunningCount(),
+          TimeMode.None(), OutputMode.Update())
+      val q = counted.toDF("k", "cnt").writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sbench-tws").toString)
+        .outputMode(OutputMode.Update()).start()
+      val t0 = System.nanoTime()
+      (0 until n by chunk).foreach { off =>
+        stream.addData((off until math.min(off + chunk, n)).map(i =>
+          ((i % 100000).toLong, i.toDouble)))
+      }
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val sops = q.recentProgress.flatMap(_.stateOperators)
+      val res = Res(n / secs,
+        if (sops.isEmpty) 0L else sops.map(_.numRowsTotal).max,
+        if (sops.isEmpty) 0L else sops.map(_.memoryUsedBytes).max,
+        q.recentProgress.length)
+      q.stop()
+      res
+    }
+
+    val dedup = runDedup()
+    val tws = runTws()
+    println(
+      f"""{"metric":"stream_bench","events":$n,""" +
+        f""""dedup_rows_per_sec":${dedup.rowsPerSec}%.0f,"dedup_state_rows":${dedup.stateRows},""" +
+        f""""dedup_state_bytes":${dedup.stateBytes},"dedup_batches":${dedup.batches},""" +
+        f""""tws_rows_per_sec":${tws.rowsPerSec}%.0f,"tws_state_rows":${tws.stateRows},""" +
+        f""""tws_state_bytes":${tws.stateBytes},"tws_batches":${tws.batches}}""")
+    spark.stop()
+  }
+}
