@@ -42,8 +42,12 @@ object TextNormalize {
   def collapseWhitespace(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
-  /** The full cleaning pass: NFC → accent strip → control strip →
-    * whitespace collapse. Output is canonical pure-mark-free text. */
+  /** The full cleaning pass: accent strip (which decomposes) → control
+    * strip → whitespace collapse → final NFC recomposition. The closing
+    * NFC matters beyond Latin: stripAccents leaves NFD form, and
+    * scripts with non-mark canonical decompositions (e.g. Hangul
+    * syllables decompose to Jamo LETTERS, which mark-stripping rightly
+    * keeps) must come back out composed. Output is NFC, mark-free. */
   def normalizeText(c: Column): Column =
-    collapseWhitespace(stripControls(stripAccents(nfc(c))))
+    nfc(collapseWhitespace(stripControls(stripAccents(c))))
 }

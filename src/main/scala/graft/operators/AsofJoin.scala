@@ -69,6 +69,8 @@ object AsofJoin {
     require(!right.columns.exists(reserved), s"right columns clash with reserved names ${reserved.mkString(", ")}")
     val overlap = rightCols.toSet.intersect(leftCols.toSet - key)
     require(overlap.isEmpty, s"rightCols overlap left columns: ${overlap.mkString(", ")}")
+    require(!rightCols.contains(key),
+      s"rightCols must not repeat the join key '$key' (the output already carries it once)")
     val rStructType = org.apache.spark.sql.types.StructType(
       rightCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     // one unified schema: key, time, side tag, left payload, right struct

@@ -43,24 +43,35 @@ object Dedup {
     else df.localCheckpoint(true)
 
   /** Scope reliable-checkpoint files to `body`: checkpoints land in a
-    * fresh subdirectory of the configured checkpoint dir, which is
-    * deleted when the scope closes — so long-lived sessions calling
-    * dedup repeatedly don't leak disk. `body` must fully CONSUME its
-    * results (run the terminal action — write/collect — inside the
-    * scope): after the scope closes the checkpoint files are gone and
-    * any still-lazy plan over them fails. Without a configured
-    * checkpoint dir this is a plain pass-through (localCheckpoint
-    * blocks are cleaned by the ContextCleaner already). */
+    * fresh subdirectory of the session's current (resolved) checkpoint
+    * dir, which is deleted when the scope closes — so long-lived
+    * sessions calling dedup repeatedly don't leak disk. `body` must
+    * fully CONSUME its results (run the terminal action —
+    * write/collect — inside the scope): after the scope closes the
+    * checkpoint files are gone and any still-lazy plan over them
+    * fails. Without a configured checkpoint dir this is a plain
+    * pass-through (localCheckpoint blocks are cleaned by the
+    * ContextCleaner already).
+    *
+    * Restore semantics: `SparkContext.setCheckpointDir` resolves every
+    * call to a fresh UUID subdirectory, so the PRE-SCOPE resolved path
+    * cannot be reinstated verbatim; the scope instead re-points the
+    * context at the same USER base directory (the resolved dir's
+    * parent), which is semantically the original configuration — each
+    * scope costs one empty UUID directory under the base, not nested
+    * growth. Mutates context-global state: not safe for concurrent
+    * scopes on one SparkContext. */
   def withScopedCheckpoint[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val sc = spark.sparkContext
     sc.getCheckpointDir match {
       case None => body
-      case Some(base) =>
-        val sub = s"$base/graft-ckpt-${java.util.UUID.randomUUID()}"
+      case Some(resolved) =>
+        val userBase = new org.apache.hadoop.fs.Path(resolved).getParent.toString
+        val sub = s"$resolved/graft-ckpt-scope"
         sc.setCheckpointDir(sub)
         try body
         finally {
-          sc.setCheckpointDir(base)
+          sc.setCheckpointDir(userBase)
           val p = new org.apache.hadoop.fs.Path(sub)
           p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
         }

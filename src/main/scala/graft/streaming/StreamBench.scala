@@ -10,7 +10,8 @@ import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
   * line with rows/s and state-store size, so the streaming surface has
   * recorded numbers beside its correctness specs.
   *
-  * Run: `SPARK_GRAFT_CPUS=16 tools/run_verify.sh _ _ graft.streaming.StreamBench`
+  * Run: `SPARK_GRAFT_CPUS=16 tools/run_verify.sh 1000000 /tmp/ignored graft.streaming.StreamBench`
+  * (run_verify.sh passes its first argument through as the event count).
   *
   * Measured this way the number is the micro-batch ENGINE's sustained
   * throughput (source is in-memory, sink discards): real pipelines are
@@ -23,11 +24,15 @@ object StreamBench {
     val spark = graft.GraftSession.local("graft-streambench")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val n = args.headOption.map(_.toInt).getOrElse(1000000)
+    val n = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(1000000)
     val chunk = 100000
 
     // 1) bounded-state exact dedup: 2 events per key (50% duplicates),
-    // event times swept forward so the watermark advances and evicts
+    // with the duplicate ADJACENT to its original (key = i/2) so both
+    // occurrences land well inside the 10-minute delay and the second
+    // is actually suppressed — while event times sweep forward so the
+    // watermark advances and evicts old keys (the two halves of the
+    // operator's contract, both exercised)
     def runDedup(): Res = {
       val stream = MemoryStream[(Long, Long)](spark)
       val deduped = StreamingDedup.dedupWithinWatermark(
@@ -41,11 +46,13 @@ object StreamBench {
       val t0 = System.nanoTime()
       (0 until n by chunk).foreach { off =>
         stream.addData((off until math.min(off + chunk, n)).map(i =>
-          ((i % (n / 2)).toLong, (i / 100).toLong)))
+          ((i / 2).toLong, (i / 100).toLong)))
       }
       q.processAllAvailable()
       val secs = (System.nanoTime() - t0) / 1e9
       val sops = q.recentProgress.flatMap(_.stateOperators)
+      val emitted = q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+      println(s"""{"metric":"stream_bench_dedup_emitted","rows":$emitted,"input":$n}""")
       val res = Res(n / secs,
         if (sops.isEmpty) 0L else sops.map(_.numRowsTotal).max,
         if (sops.isEmpty) 0L else sops.map(_.memoryUsedBytes).max,

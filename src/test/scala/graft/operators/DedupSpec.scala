@@ -122,4 +122,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Long]("a_id") == 0L && pairs.head.getAs[Long]("b_id") == 1L)
     assert(math.abs(pairs.head.getAs[Double]("cos") - 1.0) < 1e-12)
   }
+
+  test("withScopedCheckpoint deletes scope files and keeps the session checkpoint-usable") {
+    import org.apache.hadoop.fs.Path
+    val sc = spark.sparkContext
+    val base = java.nio.file.Files.createTempDirectory("ckpt-scope").toString
+    sc.setCheckpointDir(base) // reliable-checkpoint mode for this test onward
+    val resolvedBefore = sc.getCheckpointDir.get
+    val fs = new Path(base).getFileSystem(sc.hadoopConfiguration)
+    val res = Dedup.withScopedCheckpoint(spark) {
+      // results fully consumed inside the scope, per the contract
+      val d = docs(
+        (1L, (1 to 60).map(i => s"token$i").mkString(" ")),
+        (2L, (1 to 60).map(i => if (i == 30) "changed" else s"token$i").mkString(" ")))
+      Dedup.nearDupPairs(d).collect()
+    }
+    assert(res.length == 1)
+    assert(!fs.exists(new Path(s"$resolvedBefore/graft-ckpt-scope")),
+      "scope checkpoint directory must be deleted when the scope closes")
+    // restored to the same user base: new resolved dir is a sibling UUID
+    val after = sc.getCheckpointDir.get
+    assert(new Path(after).getParent.toString == new Path(resolvedBefore).getParent.toString,
+      s"checkpoint dir must return to the user base, got $after")
+    // and reliable checkpointing still works post-scope
+    assert(Seq((9L, "t")).toDF("doc_id", "text").checkpoint(true).count() == 1)
+  }
 }

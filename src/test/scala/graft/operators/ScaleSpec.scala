@@ -157,7 +157,13 @@ class ScaleSpec extends AnyFunSuite {
     val tU = run(uniform)
     val tH = run(hot)
     info(f"sessionize 400k rows: uniform=$tU%.2fs hot-key(50%% of rows)=$tH%.2fs ratio=${tH / tU}%.2f")
-    assert(tH <= 6.0 * tU + 1.0,
+    // generous bound: the sort ceiling predicts a small-constant ratio
+    // (measured ~0.8–1.8 idle), but this machine's contention bursts
+    // inflate wall-clock up to ~13× (BENCH_ANCHOR.json caveat) and
+    // min-of-2 only partially absorbs a burst landing on one side —
+    // the assert exists to catch a QUADRATIC blow-up (ratio ≥ 100s on
+    // this shape), not to police small constants
+    assert(tH <= 12.0 * tU + 5.0,
       f"hot-key runtime $tH%.2fs blows past the sort-bounded ceiling (uniform $tU%.2fs)")
     // and the result is still correct on the hot key: one session per
     // 60s gap run — contiguous ids on key 0 are 1s apart, one session
