@@ -520,7 +520,35 @@ object ExtensionQueries {
              |SELECT doc_id, CAST(length(d) AS BIGINT) AS n_raw,
              |  trim(regexp_replace(regexp_replace(strip_accents(nfc_normalize(d)),
              |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
-             |FROM dec""".stripMargin))
+             |FROM dec""".stripMargin)),
+
+    QuerySpec(
+      "q62_event_sequences",
+      """Behavioral sequence construction — the training-data op that
+        |turns an event log into per-user ordered interaction sequences
+        |(the input shape for sequence models and session-based
+        |features): per user, the time-ordered event-type path capped at
+        |50 steps, plus the uncapped event count. One shuffle on the
+        |key; per-key memory is bounded by the cap after the sort-slice,
+        |and the hot-key ceiling is the documented window/collect story
+        |(Sessionize scaladoc). Ordering is total — (ts, event_id) with
+        |the unique id tiebreak — so the concatenated path is
+        |deterministic and oracle-comparable as an exact string.""".stripMargin,
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+            .as("seq0"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          expr("array_join(transform(slice(seq0, 1, 50), x -> x.event_type), '>')").as("path"),
+          col("n_events")),
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) ts
+             |            FROM events)
+             |SELECT user_id,
+             |  array_to_string((list(event_type ORDER BY ts, event_id))[1:50], '>') AS path,
+             |  count(*) AS n_events
+             |FROM ev GROUP BY user_id""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
