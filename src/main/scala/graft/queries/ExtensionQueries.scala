@@ -535,6 +535,12 @@ object ExtensionQueries {
         |the unique id tiebreak — so the concatenated path is
         |deterministic and oracle-comparable as an exact string.""".stripMargin,
       (s, d) => Tables.events(s, d)
+        // explicit null rule (q52/q55/q56 convention): a NULL ts has no
+        // defined position in a time-ordered path — drop the row on
+        // both sides rather than inherit engine-specific NULL ordering
+        // (Spark's struct array_sort treats a NULL field as a tie →
+        // arrival order; DuckDB ORDER BY defaults NULLS LAST)
+        .filter(col("ts").isNotNull)
         .groupBy(col("user_id"))
         .agg(
           array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
@@ -544,7 +550,7 @@ object ExtensionQueries {
           expr("array_join(transform(slice(seq0, 1, 50), x -> x.event_type), '>')").as("path"),
           col("n_events")),
       Some("""WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) ts
-             |            FROM events)
+             |            FROM events WHERE ts IS NOT NULL)
              |SELECT user_id,
              |  array_to_string((list(event_type ORDER BY ts, event_id))[1:50], '>') AS path,
              |  count(*) AS n_events

@@ -68,6 +68,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(ConnectedComponents.components(pairsDF()).count() == 0)
   }
 
+  test("extreme ids near Long.MaxValue cluster without overflow") {
+    val m = Long.MaxValue
+    val res = resultMap(ConnectedComponents.components(
+      pairsDF((m, m - 1), (m - 1, m - 2), (5L, m - 4))))
+    assert(res == Map(m -> (m - 2), (m - 1) -> (m - 2), (m - 2) -> (m - 2),
+      5L -> 5L, (m - 4) -> 5L))
+  }
+
   test("clusterLabels labels absent items as their own singleton cluster") {
     val items = (1L to 6L).toDF("doc_id")
     val labels = ConnectedComponents.clusterLabels(items, "doc_id", pairsDF((2L, 4L), (4L, 5L)))
