@@ -38,7 +38,7 @@ object Dedup {
     * checkpoint dir's lifecycle — [[withScopedCheckpoint]] makes that
     * contract self-enforcing; otherwise each call leaves its
     * checkpointed frames on disk. */
-  private[operators] def materialize(df: DataFrame): DataFrame =
+  def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 

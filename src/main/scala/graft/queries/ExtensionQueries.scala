@@ -554,7 +554,95 @@ object ExtensionQueries {
              |SELECT user_id,
              |  array_to_string((list(event_type ORDER BY ts, event_id))[1:50], '>') AS path,
              |  count(*) AS n_events
-             |FROM ev GROUP BY user_id""".stripMargin))
+             |FROM ev GROUP BY user_id""".stripMargin)),
+
+    QuerySpec(
+      "q63_session_cooccurrence",
+      """Item co-occurrence within sessions — the counting kernel behind
+        |co-occurrence embeddings and PMI features (the log is left to
+        |the consumer, q51's rule: transcendentals round differently
+        |across libm builds): unordered event-type pairs sharing a
+        |session, counted exactly. COMPOSES two shipped operators —
+        |sessionize assigns the windows, then a (key, session)
+        |self-join forms within-session pairs. The sessionized frame is
+        |materialized once (self-join aliasing defeats exchange reuse —
+        |the round-2 lesson); join fan-out is per-session quadratic,
+        |bounded by the gap rule exactly like the banded range join's
+        |bucket population. Integer counts; least/greatest
+        |canonicalization — exact in both engines.""".stripMargin,
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val sess = graft.operators.Dedup.materialize(
+          graft.operators.Sessionize.assignSessions(ev, "user_id", "ts", "event_id", 1800L)
+            .select(col("user_id"), col("session_id"), col("event_id"), col("event_type")))
+        val a = sess.select(col("user_id"), col("session_id"),
+          col("event_id").as("a_id"), col("event_type").as("a_type"))
+        val b = sess.select(col("user_id"), col("session_id"),
+          col("event_id").as("b_id"), col("event_type").as("b_type"))
+        a.join(b, Seq("user_id", "session_id"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(
+            least(col("a_type"), col("b_type")).as("type_a"),
+            greatest(col("a_type"), col("b_type")).as("type_b"))
+          .agg(count(lit(1)).as("n_cooc"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+             |m AS (SELECT event_id, user_id, ts, event_type,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |        OR date_diff('microseconds', lag(ts) OVER w, ts) >= 1800000000
+             |       THEN 1 ELSE 0 END AS ns
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (SELECT event_id, user_id, event_type,
+             |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |       ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM m)
+             |SELECT least(a.event_type, b.event_type) AS type_a,
+             |       greatest(a.event_type, b.event_type) AS type_b,
+             |       count(*) AS n_cooc
+             |FROM sess a JOIN sess b
+             |  ON a.user_id = b.user_id AND a.session_id = b.session_id
+             | AND a.event_id < b.event_id
+             |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
+      "q64_rolling_features",
+      """Rolling feature engineering over row frames: per user, the
+        |trailing-5-event moving average / min / max of value, window
+        |population, and the inter-event gap — the standard
+        |session-feature block. The moving average is oracle-exact the
+        |q01 way: DOUBLE values sum through exact DECIMAL(18,6) addends
+        |(order-independent — windowed double sums would diverge:
+        |DuckDB's segment tree associates differently than Spark's
+        |running frame), then ONE double division by the frame count.
+        |The gap is integer microseconds. One key shuffle; frames are
+        |O(1) per row.""".stripMargin,
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val order = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val w = order.rowsBetween(-4, Window.currentRow)
+        Tables.events(s, d).select(
+          col("user_id"), col("event_id"), col("ts"),
+          (sum(col("value").cast(MoneyAddend)).over(w).cast("double") /
+            count(lit(1)).over(w)).as("mavg_5"),
+          min(col("value")).over(w).as("mmin_5"),
+          max(col("value")).over(w).as("mmax_5"),
+          count(lit(1)).over(w).as("n_win"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(order)).as("gap_us"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, value FROM events)
+             |SELECT user_id, event_id, ts,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             |    / count(*) OVER w AS mavg_5,
+             |  min(value) OVER w AS mmin_5,
+             |  max(value) OVER w AS mmax_5,
+             |  CAST(count(*) OVER w AS BIGINT) AS n_win,
+             |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |FROM ev
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
