@@ -64,6 +64,26 @@ object Demo {
     assert(total == 20, s"expected 20 unique vehicles, got $total")
     assert(updated == 10, s"expected 10 updated vehicles, got $updated")
     println(s"[demo] OK: $total unique vehicles, $updated carrying the poll-2 update, late/dup events ignored")
+
+    // --- extension surface: the dedup pipeline END-TO-END --------------
+    // documents → near-dup pairs (minhash ∪ simhash) → transitive
+    // clusters → canonical keep-set: the full "dedup you can actually
+    // run" composition (q28/q47 → q58 → q59) on driver data.
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = operators.Dedup.nearDupPairs(docs).select("a_id", "b_id")
+      .union(operators.Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+    val labeled = operators.ConnectedComponents.clusterLabels(docs, "doc_id", pairs)
+    val kept = operators.ConnectedComponents.keepCanonical(docs, "doc_id", pairs)
+    val nDocs = docs.count()
+    val nKept = kept.count()
+    val nDropped = labeled.filter($"doc_id" =!= $"cluster_id").count()
+    assert(nKept == nDocs - nDropped,
+      s"keep-set invariant violated: $nKept != $nDocs - $nDropped")
+    assert(nDropped > 0, "driver documents contain planted near-dups; the pipeline must drop some")
+    val nClusters = labeled.filter($"doc_id" =!= $"cluster_id")
+      .select("cluster_id").distinct().count()
+    println(s"[demo] dedup: $nDocs docs -> $nKept kept; " +
+      s"$nDropped near-dup members dropped from $nClusters multi-doc clusters")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode canonical normalization (NFC/NFD) as a native codegen'd
@@ -26,12 +26,15 @@ case class UnicodeNormalize(child: Expression, form: String)
   require(form == "NFC" || form == "NFD", s"unsupported normalization form: $form")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case _: StringType | NullType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_${form.toLowerCase} expects a string argument, got ${t.simpleString}")
   }
 
-  override def dataType: DataType = child.dataType
+  override def dataType: DataType = child.dataType match {
+    case NullType => StringType
+    case t        => t
+  }
 
   override def nullSafeEval(s: Any): Any =
     UTF8String.fromString(java.text.Normalizer.normalize(

@@ -6,8 +6,16 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensionsSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("extensions object registers graft_dot without error") {
+  test("extensions object registers graft_dot and the normalize family without error") {
     new GraftExtensions().apply(new SparkSessionExtensions) // builder-path smoke
+  }
+
+  test("graft_nfc/graft_nfd resolve via the runtime registry with correct semantics") {
+    GraftSession.ensureConfs(spark)
+    val eDec = "é" // e + combining acute
+    val ePre = "é"  // precomposed
+    val r = spark.sql(s"SELECT graft_nfc('$eDec') c, graft_nfd('$ePre') d, graft_nfc(NULL) n").head
+    assert(r.getString(0) == ePre && r.getString(1) == eDec && r.isNullAt(2))
   }
 
   test("graft_dot resolves in SQL and matches the HOF formulation bitwise") {
