@@ -30,20 +30,28 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** (row count, bit_xor of per-edge xxhash64) — the O(1)-space
-    * convergence signature. XOR is order-independent and cannot
-    * overflow (a plain sum trips ANSI overflow on 64-bit hashes); edge
-    * sets are distinct-ed so no pair self-cancels. Two equal-count edge
-    * sets with equal signatures are treated as equal; a false positive
-    * needs a 64-bit collision at identical cardinality (~2⁻⁶⁴ per round
-    * — negligible, and the alternative exact `except` check would add
-    * two more shuffles per round). */
-  private def signature(edges: DataFrame): (Long, Long) = {
-    val r = edges.agg(
-      count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect().head
-    (r.getLong(0), r.getLong(1))
-  }
+  /** True iff the edge set is a disjoint star forest: every member (u)
+    * appears in exactly one edge, and no node is both a member and a
+    * root (u ∩ v = ∅). Because both star ops only ever emit
+    * (bigger → smaller) edges, a disjoint star forest has each root
+    * strictly below all its members — i.e. the root IS the component
+    * minimum — and is a fixed point of both star transforms, so this
+    * structural probe is a complete convergence test on its own (no
+    * separate edge-set-stability signature needed).
+    *
+    * Cost: ONE map-side-combinable groupBy over 2|E| role rows per
+    * round — strictly cheaper than the extra large∘small round
+    * (4+ shuffles and two materializations) that a "did the edge set
+    * stop changing?" check must run to notice the fixed point, and it
+    * also detects an input that is ALREADY a star forest (the common
+    * shape when most near-dup clusters are isolated pairs) before any
+    * star round runs. */
+  private def isStarForest(edges: DataFrame): Boolean =
+    edges.select(col("u").as("n"), lit(1L).as("uc"), lit(0L).as("vc"))
+      .union(edges.select(col("v").as("n"), lit(0L).as("uc"), lit(1L).as("vc")))
+      .groupBy(col("n")).agg(sum(col("uc")).as("uc"), sum(col("vc")).as("vc"))
+      .filter(col("uc") > 1L || (col("uc") > 0L && col("vc") > 0L))
+      .isEmpty
 
   /** Large-star round: for each node u, connect every STRICTLY LARGER
     * neighbor to the minimum of u's neighborhood (u included). */
@@ -56,7 +64,8 @@ object ConnectedComponents {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    // multiset output: the round-final distinct in smallStar dedups; a
+    // mid-round distinct would add a full |E| shuffle for nothing
   }
 
   /** Small-star round: direct each edge toward its smaller endpoint;
@@ -90,24 +99,11 @@ object ConnectedComponents {
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct())
-    var sig = signature(edges)
-    var converged = false
+    var converged = isStarForest(edges)
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = Dedup.materialize(smallStar(largeStar(edges)))
-      val nsig = signature(next)
-      // Signature match proves the (large ∘ small) composition hit a
-      // fixed point; the disjointness probe then confirms it is a real
-      // star forest (members never reappear as roots). Both star ops
-      // only emit (bigger, smaller) edges, so star forest + that
-      // invariant ⇒ every root is its component's minimum — the
-      // label-correctness argument, checked structurally rather than
-      // assumed. The probe runs only on signature match, on the
-      // already-materialized (tiny, one-edge-per-member) frame.
-      converged = nsig == sig &&
-        next.select(col("u")).intersect(next.select(col("v"))).isEmpty
-      edges = next
-      sig = nsig
+      edges = Dedup.materialize(smallStar(largeStar(edges)))
+      converged = isStarForest(edges)
       rounds += 1
     }
     if (!converged)
