@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GPT-style sequence packing: concatenate the corpus in a
+  * deterministic order (ascending doc id) and chop the token stream
+  * into fixed-`capacity` training sequences; each document maps to the
+  * pack where its first token lands, the pack where its last token
+  * lands, and how many packs it spans (boundary-crossing documents are
+  * the ones a loader must split or pad around).
+  *
+  * The kernel is an exclusive prefix sum of token counts in id order.
+  * A single global window (`ORDER BY doc_id` with no partition) would
+  * serialize the whole corpus through one task, so the prefix sum is
+  * two-level: (1) per-bucket subtotals (`doc_id div bucketWidth` — one
+  * map-side-combinable groupBy), (2) an exclusive running sum over the
+  * TINY bucket-subtotal frame (corpus/bucketWidth rows — the only
+  * single-partition window, millions of rows at 100 TB, not billions),
+  * broadcast-joined back, (3) an intra-bucket exclusive window sum.
+  * Integer arithmetic end-to-end, so the two-level decomposition is
+  * bitwise identical to the global scan an oracle runs.
+  */
+object SequencePack {
+
+  /** One row per document: (doc_id, n_tokens, pack_first, pack_last,
+    * packs_spanned). `nTokensCol` must be a non-negative BIGINT column
+    * of `docs`; zero-token documents occupy (zero-width) their start
+    * pack. Rows with NULL id are dropped — they have no position in
+    * the concatenation order. */
+  def packAssignments(
+      docs: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      capacity: Long,
+      bucketWidth: Long = 8192L): DataFrame = {
+    require(capacity > 0, s"pack capacity must be positive: $capacity")
+    require(bucketWidth > 0, s"bucket width must be positive: $bucketWidth")
+    val t = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(nTokensCol).cast("long").as("n_tokens"))
+      .filter(col("doc_id").isNotNull)
+      .withColumn("__b", expr("doc_id div " + bucketWidth))
+    val subtotals = t.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+    val exclusiveBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtotals
+      .withColumn("__off", coalesce(sum(col("__bt")).over(exclusiveBuckets), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val exclusiveInBucket = Window.partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offsets), "__b")
+      .withColumn("__cb",
+        col("__off") + coalesce(sum(col("n_tokens")).over(exclusiveInBucket), lit(0L)))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr(s"__cb div $capacity").as("pack_first"),
+        expr(s"(__cb + greatest(n_tokens, 1L) - 1L) div $capacity").as("pack_last"))
+      .withColumn("packs_spanned", col("pack_last") - col("pack_first") + lit(1L))
+  }
+}

@@ -471,7 +471,10 @@ object ExtensionQueries {
       "q60_multi_quantile",
       """Per-group exact multi-quantile aggregation: percentile_disc at
         |{0.25, 0.5, 0.75, 0.95} of lineitem extended price per return
-        |flag — the full quantile family beside q40's median. Discrete
+        |flag — the full quantile family beside q40's median. Executed
+        |as ONE window sort per group with all four ranks picked from
+        |that ordering ([[graft.operators.Quantiles]]) instead of four
+        |value-buffering percentile aggregates. Discrete
         |percentiles SELECT an existing input value (no interpolation
         |arithmetic), so the double outputs compare bitwise across
         |engines. The approx_percentile sketch sheet of this operator is
@@ -479,12 +482,9 @@ object ExtensionQueries {
         |(mirroring the q32/HLL pattern: sketches are engine-specific by
         |construction, so the sketch column is spec-bounded, not
         |oracle-compared).""".stripMargin,
-      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),
-        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("p75"),
-        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"),
-        count(lit(1)).as("n_rows")),
+      (s, d) => graft.operators.Quantiles.multiQuantileDisc(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75, "p95" -> 0.95)),
       Some("""SELECT l_returnflag,
              | percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
              | percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
@@ -642,7 +642,74 @@ object ExtensionQueries {
              |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
              |FROM ev
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin))
+             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    QuerySpec(
+      "q65_sequence_packing",
+      """GPT-style sequence packing: concatenate documents in id order
+        |and chop the token stream into 2048-token training sequences;
+        |each doc reports the pack holding its first and last token and
+        |how many packs it spans ([[graft.operators.SequencePack]]).
+        |The exclusive prefix sum runs TWO-LEVEL (per-bucket subtotals →
+        |running sum over the tiny subtotal frame → broadcast back →
+        |intra-bucket window) so no task ever sees the global ORDER BY —
+        |the only single-partition window is over corpus/8192 rows. The
+        |oracle is the equivalent single global window scan; integer
+        |arithmetic makes the decomposition bitwise identical.""".stripMargin,
+      (s, d) => graft.operators.SequencePack.packAssignments(
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 2048L),
+      Some("""WITH t AS (SELECT doc_id,
+             |  CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+             |  FROM t)
+             |SELECT doc_id, n_tokens,
+             |  cb // 2048 AS pack_first,
+             |  (cb + greatest(n_tokens, 1) - 1) // 2048 AS pack_last,
+             |  ((cb + greatest(n_tokens, 1) - 1) // 2048) - (cb // 2048) + 1 AS packs_spanned
+             |FROM c""".stripMargin)),
+
+    QuerySpec(
+      "q66_decontamination",
+      """Train/test decontamination — the n-gram overlap audit run
+        |before shipping an eval split: training documents sharing ≥3
+        |distinct 3-gram shingles with any test document
+        |([[graft.operators.Decontaminate]]). The test split is the
+        |SAME deterministic md5-bucket membership as q55 (one split
+        |definition across the pipeline). Stop-phrase shingles are
+        |dropped by a document-frequency cap (df ≤ 20) BEFORE the
+        |shingle join — the hot-key bound that keeps the join linear at
+        |100 TB (a shingle in thousands of docs is a quadratic key and
+        |carries no contamination signal). Same shingle definition as
+        |the q28 minhash oracle; all-integer counting.""".stripMargin,
+      (s, d) => graft.operators.Decontaminate.contaminationReport(
+        Tables.documents(s, d)),
+      Some {
+        val bucket = (0 until 12).map { j =>
+          s"(strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+        }.mkString("\n    + ")
+        s"""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks
+           |  FROM documents WHERE doc_id IS NOT NULL),
+           |sh AS (SELECT doc_id, sh FROM (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+           |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
+           |mem AS (SELECT doc_id, (($bucket) % 1000 < 100) AS is_test
+           |        FROM documents WHERE doc_id IS NOT NULL),
+           |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 20),
+           |capped AS (SELECT s.doc_id, s.sh, m.is_test
+           |           FROM sh s JOIN rare USING (sh) JOIN mem m ON m.doc_id = s.doc_id)
+           |SELECT a.doc_id AS train_id,
+           |  count(DISTINCT a.sh) AS n_shared_shingles,
+           |  count(DISTINCT b.doc_id) AS n_test_docs
+           |FROM capped a JOIN capped b ON a.sh = b.sh
+           |WHERE NOT a.is_test AND b.is_test
+           |GROUP BY 1
+           |HAVING count(DISTINCT a.sh) >= 3""".stripMargin
+      })
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

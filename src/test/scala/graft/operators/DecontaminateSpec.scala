@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DecontaminateSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** ids whose md5 bucket puts them in the 10% test split (salt
+    * "graft") — computed via the operator's own membership primitive so
+    * the test doesn't hardcode bucket arithmetic. */
+  private def testIds(ids: Seq[Long]): Set[Long] = {
+    val df = ids.toDF("doc_id")
+    Sampling.sampleByKey(df, "doc_id", permille = 100)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("a train doc copying a test doc is reported; disjoint docs are not") {
+    // find one test-split id and two train-split ids among small ids
+    val split = testIds(1L to 200L)
+    val testId = split.head
+    val Seq(dirty, clean) = (1L to 200L).filterNot(split).take(2)
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val docs = Seq(
+      (testId, shared),
+      (dirty, shared + " juliett kilo lima"), // contains every test shingle
+      (clean, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val rep = Decontaminate.contaminationReport(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep.contains(dirty), "copied train doc must be flagged")
+    assert(rep(dirty)._1 >= 3L && rep(dirty)._2 == 1L)
+    assert(!rep.contains(clean), "unrelated train doc must not be flagged")
+    assert(!rep.contains(testId), "test docs are never reported as contaminated train docs")
+  }
+
+  test("shingles above the document-frequency cap carry no contamination signal") {
+    val split = testIds(1L to 300L)
+    val testId = split.head
+    val trainIds = (1L to 300L).filterNot(split).take(30)
+    // every doc (test + 30 train) shares the same text: each shingle's
+    // df = 31 > cap of 20, so NOTHING may be reported despite verbatim copies
+    val text = "november oscar papa quebec romeo sierra tango uniform victor"
+    val docs = ((testId +: trainIds).map(id => (id, text))).toDF("doc_id", "text")
+    assert(Decontaminate.contaminationReport(docs).isEmpty)
+    // with the cap lifted the same corpus reports every train doc
+    val lifted = Decontaminate.contaminationReport(docs, maxShingleDf = 100L)
+    assert(lifted.count() == trainIds.size.toLong)
+  }
+
+  test("null doc ids are excluded from both splits") {
+    val docs = Seq[(java.lang.Long, String)](
+      (null, "whiskey xray yankee zulu one two"),
+      (7L, "whiskey xray yankee zulu one two"))
+      .toDF("doc_id", "text")
+    // the null-id doc must not act as a test or train doc
+    val rep = Decontaminate.contaminationReport(docs, testPermille = 1000)
+    assert(rep.isEmpty)
+  }
+}

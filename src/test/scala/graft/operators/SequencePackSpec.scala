@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SequencePackSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Driver-side reference: the literal global scan the operator's
+    * two-level prefix sum must reproduce bitwise. */
+  private def reference(rows: Seq[(Long, Long)], cap: Long): Map[Long, (Long, Long, Long)] = {
+    var cum = 0L
+    rows.sortBy(_._1).map { case (id, n) =>
+      val first = cum / cap
+      val last = (cum + math.max(n, 1L) - 1L) / cap
+      cum += n
+      id -> ((first, last, last - first + 1L))
+    }.toMap
+  }
+
+  private def run(rows: Seq[(Long, Long)], cap: Long, bucketWidth: Long) =
+    SequencePack.packAssignments(rows.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+        cap, bucketWidth)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+  test("two-level prefix sum matches the global scan on sparse ids, zero-token docs and boundary hits") {
+    val rnd = new scala.util.Random(11)
+    // sparse non-contiguous ids; token counts include 0 and exact
+    // capacity multiples so pack boundaries land on document edges
+    val ids = rnd.shuffle((1L to 5000L).toList).take(400).sorted
+    val rows = ids.map(id => id -> (rnd.nextInt(8) match {
+      case 0 => 0L            // empty doc
+      case 1 => 37L           // == capacity
+      case 2 => 74L           // spans exactly 2 packs from a boundary
+      case _ => rnd.nextInt(90).toLong
+    }))
+    val got = run(rows, cap = 37L, bucketWidth = 100L)
+    assert(got == reference(rows, 37L))
+  }
+
+  test("bucket width does not change the assignment") {
+    val rows = (1L to 200L).map(i => i -> (i % 13))
+    val a = run(rows, cap = 50L, bucketWidth = 7L)
+    val b = run(rows, cap = 50L, bucketWidth = 100000L) // one bucket: the global scan itself
+    assert(a == b)
+  }
+
+  test("null ids are dropped; packs_spanned is always >= 1 and pack_first is monotone in id order") {
+    val withNull = Seq[(java.lang.Long, java.lang.Long)]((1L, 5L), (null, 99L), (2L, 0L), (3L, 200L))
+      .toDF("doc_id", "n_tokens")
+    val rs = SequencePack.packAssignments(withNull, "doc_id", "n_tokens", 64L, 2L)
+      .orderBy("doc_id").collect()
+    assert(rs.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rs.forall(_.getLong(4) >= 1L))
+    assert(rs.map(_.getLong(2)).toSeq == rs.map(_.getLong(2)).toSeq.sorted)
+  }
+}

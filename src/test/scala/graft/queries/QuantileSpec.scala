@@ -15,6 +15,44 @@ import graft.sources.Tables
 class QuantileSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("multiQuantileDisc matches percentile_disc exactly across group sizes and duplicates") {
+    import spark.implicits._
+    // groups of every size 1..60, values deliberately duplicate-heavy
+    // (v = i*i % 17) so rank boundaries land on plateaus, plus negative
+    // and zero values; group sizes cover every ceil(q*n) boundary for
+    // the shipped percentile family
+    val df = (1 to 60).flatMap(g => (1 to g).map(i => (g, ((i * i) % 17 - 4).toDouble)))
+      .toDF("g", "v")
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75, "p95" -> 0.95, "p100" -> 1.0)
+    val got = graft.operators.Quantiles.multiQuantileDisc(df, "g", "v", qs)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val want = df.groupBy(col("g")).agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("p25"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY v)").as("p50"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").as("p75"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)").as("p95"),
+      expr("percentile_disc(1.00) WITHIN GROUP (ORDER BY v)").as("p100"),
+      count(lit(1)).as("n_rows")).collect().map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, gr) =>
+      val wr = want(g)
+      qs.map(_._1).foreach { c =>
+        assert(gr.getAs[Double](c) == wr.getAs[Double](c), s"group $g column $c")
+      }
+      assert(gr.getAs[Long]("n_rows") == wr.getAs[Long]("n_rows"), s"group $g n_rows")
+    }
+  }
+
+  test("multiQuantileDisc excludes NULL values from ranks and counts") {
+    import spark.implicits._
+    val df = Seq((1, Some(3.0)), (1, None), (1, Some(1.0)), (1, Some(2.0)), (2, None))
+      .toDF("g", "v")
+    val r = graft.operators.Quantiles.multiQuantileDisc(df, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r.keySet == Set(1)) // group 2 has no non-null values at all
+    assert(r(1).getAs[Double]("p50") == 2.0 && r(1).getAs[Long]("n_rows") == 3L)
+  }
+
   test("approx_percentile rank error stays within the accuracy bound of the exact quantiles") {
     val targets = Seq(0.25, 0.50, 0.75, 0.95)
     Seq(sf001, sf01).foreach { sf =>
