@@ -40,10 +40,8 @@ object Decontaminate {
       salt: String = "graft"): DataFrame = {
     require(testPermille >= 0 && testPermille <= 1000,
       s"testPermille must be in [0,1000], got $testPermille")
-    val membership = docs.filter(col("doc_id").isNotNull)
-      .withColumn("__h", md5(concat(lit(salt), col("doc_id").cast("string"))))
-      .select(col("doc_id"),
-        (Dedup.md5Base48("__h") % 1000L < testPermille).as("is_test"))
+    val membership = Sampling.withSplitBucket(docs.select(col("doc_id")), "doc_id", salt)
+      .select(col("doc_id"), (col("__bucket") < testPermille).as("is_test"))
     // distinct (doc, shingle) with the split tag; referenced by the df
     // cap AND the capped join below — materialized so the shingle
     // pipeline runs once

@@ -15,15 +15,26 @@ import org.apache.spark.sql.functions._
   * codegen'd window sort — one shuffle on the group key) and picks all
   * k ranks from that ordering with a plain conditional aggregation.
   *
-  * Scale shape (100 TB): one hash-partition + per-partition sort of
-  * (group, value) pairs, then a map-side-combinable agg of one row per
-  * group — strictly less memory than k value-buffering aggregates,
-  * and the sort spills where a buffered agg OOMs. Result is bitwise
-  * identical to percentile_disc (discrete selection, no interpolation
-  * arithmetic), so it oracle-compares exactly cross-engine.
+  * Scale shape: exact per-group quantiles inherently serialize each
+  * GROUP through one task (any implementation must see a group's full
+  * ordering); within that bound this form strictly dominates the
+  * buffered aggregates — the per-task sort is external (spills to
+  * disk) where the k buffers are in-memory only, and the rank is
+  * BIGINT (a running count, not IntegerType row_number) so groups
+  * beyond 2³¹ rows rank correctly instead of overflowing. For group
+  * counts in the thousands-and-up (the q60 shape: a handful of return
+  * flags is the DEGENERATE case) tasks parallelize across groups; a
+  * corpus whose single group exceeds one task's disk is what
+  * approx_percentile is for (the error-bounded sheet in QuantileSpec).
+  *
+  * Result is bitwise identical to percentile_disc (discrete
+  * selection, no interpolation arithmetic), so it oracle-compares
+  * exactly cross-engine.
   *
   * Rows with NULL `valCol` are excluded (percentile_disc semantics);
-  * `n_rows` therefore counts non-null values.
+  * `n_rows` therefore counts non-null values, and all-NULL groups are
+  * absent from the output — oracles must mirror with
+  * `WHERE val IS NOT NULL`.
   */
 object Quantiles {
 
@@ -37,10 +48,15 @@ object Quantiles {
     require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
       s"percentiles must be in (0, 1]: $qs")
     val byGroup = Window.partitionBy(groupCol)
+    val ordered = byGroup.orderBy(col(valCol))
     val ranked = df
       .select(col(groupCol), col(valCol))
       .filter(col(valCol).isNotNull)
-      .withColumn("__rn", row_number().over(byGroup.orderBy(col(valCol))))
+      // BIGINT 1-based rank: a running count over the ROWS frame — the
+      // same ordering row_number() would give, without its Int ceiling;
+      // tied values share ranks' VALUES so the pick stays deterministic
+      .withColumn("__rn", count(lit(1)).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__n", count(lit(1)).over(byGroup))
     val picks: Seq[Column] = qs.map { case (name, q) =>
       max(when(col("__rn") === ceil(lit(q) * col("__n")), col(valCol))).as(name)

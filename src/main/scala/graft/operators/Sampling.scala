@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   * in the DuckDB oracle (and any engine with md5). */
 object Sampling {
 
+  /** THE split-bucket definition: append a `__bucket` column in
+    * [0, 1000) — the first 12 hex digits of md5(salt ∥ key) mod 1000 —
+    * for rows with a non-null key (null-key rows are dropped: no
+    * stable identity to hash). Every consumer of the md5-bucket split
+    * ([[sampleByKey]], [[stratifiedSampleByKey]],
+    * [[Decontaminate.contaminationReport]]) derives membership from
+    * this one definition, so the "q66's test split IS the q55 sample"
+    * invariant cannot drift. */
+  def withSplitBucket(df: DataFrame, keyCol: String, salt: String = "graft"): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__h", md5(concat(lit(salt), col(keyCol).cast("string"))))
+      .withColumn("__bucket", Dedup.md5Base48("__h") % 1000L)
+      .drop("__h")
+
   /** Keep rows whose key hashes into [0, permille) of 1000 buckets.
     * Deterministic, partition-independent, incremental-load-stable.
     * Different `salt`s draw independent samples (e.g. one salt for the
@@ -29,11 +43,9 @@ object Sampling {
   def sampleByKey(df: DataFrame, keyCol: String, permille: Int,
       salt: String = "graft"): DataFrame = {
     require(permille >= 0 && permille <= 1000, s"permille must be in [0,1000], got $permille")
-    df.filter(col(keyCol).isNotNull)
-      .withColumn("__h", md5(concat(lit(salt), col(keyCol).cast("string"))))
-      .withColumn("__bucket", Dedup.md5Base48("__h") % 1000L)
+    withSplitBucket(df, keyCol, salt)
       .filter(col("__bucket") < permille)
-      .drop("__h", "__bucket")
+      .drop("__bucket")
   }
 
   /** Stratified deterministic sampling: per-stratum keep rates (class
@@ -50,10 +62,8 @@ object Sampling {
     val rate = ratesPermille.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    df.filter(col(keyCol).isNotNull)
-      .withColumn("__h", md5(concat(lit(salt), col(keyCol).cast("string"))))
-      .withColumn("__bucket", Dedup.md5Base48("__h") % 1000L)
+    withSplitBucket(df, keyCol, salt)
       .filter(col("__bucket") < rate)
-      .drop("__h", "__bucket")
+      .drop("__bucket")
   }
 }

@@ -40,6 +40,13 @@ object SequencePack {
     val t = docs
       .select(col(idCol).cast("long").as("doc_id"), col(nTokensCol).cast("long").as("n_tokens"))
       .filter(col("doc_id").isNotNull)
+      // enforce the non-negative contract at execution time without an
+      // extra validation pass: the error branch is dead code on valid
+      // data (a negative count would silently corrupt every LATER
+      // document's pack assignment through the prefix sums)
+      .withColumn("n_tokens",
+        when(col("n_tokens") >= 0L, col("n_tokens")).otherwise(raise_error(concat(
+          lit("negative n_tokens for doc_id="), col("doc_id").cast("string"))).cast("long")))
       .withColumn("__b", expr("doc_id div " + bucketWidth))
     val subtotals = t.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
     val exclusiveBuckets = Window.orderBy(col("__b"))

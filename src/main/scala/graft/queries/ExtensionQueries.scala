@@ -491,7 +491,9 @@ object ExtensionQueries {
              | percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
              | percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95,
              | count(*) AS n_rows
-             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+             |FROM lineitem
+             |WHERE l_extendedprice IS NOT NULL
+             |GROUP BY l_returnflag""".stripMargin)),
 
     QuerySpec(
       "q61_unicode_normalize",
@@ -662,7 +664,7 @@ object ExtensionQueries {
         "doc_id", "n_tokens", capacity = 2048L),
       Some("""WITH t AS (SELECT doc_id,
              |  CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
-             |  FROM documents),
+             |  FROM documents WHERE doc_id IS NOT NULL),
              |c AS (SELECT doc_id, n_tokens,
              |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb

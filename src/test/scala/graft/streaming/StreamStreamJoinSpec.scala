@@ -75,12 +75,21 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       assert(got == batch)
 
       // bounded state: after the watermark passed them, the early rows
-      // must have been evicted from the join state store
-      val progress = q.lastProgress
-      val stateRows = progress.stateOperators.map(_.numRowsTotal).sum
-      // only rows near the max event time (120m) can remain; the 9
-      // original rows from minutes 0-32 are all older than
-      // watermark(110m) - range(10m) and must be gone
+      // must be evicted from the join state store. The eviction runs in
+      // a no-data cleanup batch whose progress may land AFTER
+      // processAllAvailable returns, so poll briefly instead of reading
+      // lastProgress once (only rows near the 120m flush may remain;
+      // the 9 rows from minutes 0-32 are older than watermark - range)
+      val deadline = System.nanoTime + 20L * 1000 * 1000 * 1000
+      var stateRows = Long.MaxValue
+      while (stateRows > 4 && System.nanoTime < deadline) {
+        q.processAllAvailable()
+        val seen = q.recentProgress
+          .filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum)
+        if (seen.nonEmpty) stateRows = seen.min
+        if (stateRows > 4) Thread.sleep(250)
+      }
       assert(stateRows <= 4,
         s"join state must evict watermark-expired rows, still holds $stateRows")
     } finally q.stop()
