@@ -233,6 +233,48 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Incremental near-dup: pairs (new_id, corpus_id) where a NEW
+    * document is a near-dup of a STANDING corpus document — the shape
+    * a production pipeline runs on every append (dedup the incoming
+    * batch against what's already kept, not the full self-join;
+    * new×new dups are the batch's own [[nearDupPairs]] run).
+    *
+    * `isNewCol` is a boolean column of `docs` marking the incoming
+    * side. ONE signature/banding pipeline runs over both sides
+    * together (the corpus side's bands are exactly what an incremental
+    * system would have persisted from previous loads); the candidate
+    * join is new-bands × corpus-bands on (band, bucket) — fan-out
+    * bounded by bucket population times the SMALL new side, never
+    * corpus × corpus. Jaccard verification is the same
+    * candidate-bounded relational kernel as [[nearDupPairs]]. */
+  def crossNearDupPairs(docs: DataFrame, isNewCol: String, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val membership = docs.select(col("doc_id"), col(isNewCol).as("__is_new"))
+    val bands = materialize(
+      lshBands(minhashSignatures(docs, numHashes), rowsPerBand)
+        .join(membership, "doc_id"))
+    val cands = materialize(
+      bands.filter(col("__is_new")).select(col("band"), col("bh"), col("doc_id").as("new_id"))
+        .join(bands.filter(!col("__is_new"))
+          .select(col("band"), col("bh"), col("doc_id").as("corpus_id")), Seq("band", "bh"))
+        .select("new_id", "corpus_id").distinct())
+    val candIds = cands.select(col("new_id").as("doc_id"))
+      .union(cands.select(col("corpus_id").as("doc_id"))).distinct()
+    val sh = materialize(shingleRows(docs)
+      .join(candIds, Seq("doc_id"), "left_semi").distinct())
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("new_id"), col("sh")), "new_id")
+      .join(sh.select(col("doc_id").as("corpus_id"), col("sh")), Seq("corpus_id", "sh"))
+      .groupBy(col("new_id"), col("corpus_id")).agg(count(lit(1)).as("n_int"))
+    inter
+      .join(counts.select(col("doc_id").as("new_id"), col("n_sh").as("n_a")), "new_id")
+      .join(counts.select(col("doc_id").as("corpus_id"), col("n_sh").as("n_b")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
   /** SimHash-64 document signatures, fully deterministic and
     * oracle-reproducible: per token, the 16 md5 hex digits supply 64
     * bits; each bit votes ±1 across the doc's token multiset; the sign

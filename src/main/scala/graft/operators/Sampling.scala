@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling — the reproducible train/eval
@@ -65,5 +66,33 @@ object Sampling {
     withSplitBucket(df, keyCol, salt)
       .filter(col("__bucket") < rate)
       .drop("__bucket")
+  }
+
+  /** Deterministic per-group cap: keep at most `k` rows per group,
+    * chosen by md5-hash order of the row key (key as tiebreak — a
+    * total order, so the kept set is a pure function of the data, like
+    * [[sampleByKey]]). The domain-balancing primitive of corpus
+    * curation: "at most k documents per source/domain" without a
+    * random sample that changes across runs or partitionings. Unlike
+    * the bucket samplers this is NOT incremental-load-stable by
+    * construction — a capped group is a top-k, and a new row hashing
+    * below the current k-th necessarily displaces it; cap after splits
+    * are frozen, not before.
+    *
+    * One hash shuffle on the group key; the rank is a BIGINT running
+    * count (no Int row_number ceiling) and rows stop at k per group,
+    * so skew cost is bounded by the sort of the hot group, not by
+    * emitted rows. NULL keys are dropped ([[withSplitBucket]]'s
+    * contract); NULL groups form their own group as SQL windows do. */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 0, s"k must be non-negative, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__rk", count(lit(1)).over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
   }
 }

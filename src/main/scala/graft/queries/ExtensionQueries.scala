@@ -711,7 +711,48 @@ object ExtensionQueries {
            |WHERE NOT a.is_test AND b.is_test
            |GROUP BY 1
            |HAVING count(DISTINCT a.sh) >= 3""".stripMargin
-      })
+      }),
+
+    QuerySpec(
+      "q67_source_cap",
+      """Deterministic per-source document cap — domain balancing for a
+        |training corpus: at most 10 documents per source, chosen by
+        |md5-hash order of the doc id ([[graft.operators.Sampling]]
+        |capPerGroup) so the kept set is a pure function of the data
+        |(no run-to-run or partitioning drift, unlike a random
+        |limit-per-group). One hash shuffle on the group key; BIGINT
+        |running-count rank (no Int row_number ceiling).""".stripMargin,
+      (s, d) => graft.operators.Sampling.capPerGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang")),
+        "doc_id", "source", k = 10),
+      Some("""SELECT doc_id, source, lang FROM (
+             |  SELECT doc_id, source, lang,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(concat('graft', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+             |  FROM documents WHERE doc_id IS NOT NULL)
+             |WHERE rk <= 10""".stripMargin)),
+
+    QuerySpec(
+      "q68_incremental_dedup",
+      """Incremental near-dup — the production append shape: dedup the
+        |incoming batch (the q55 10% md5-bucket split standing in for
+        |"today's load") against the STANDING corpus, emitting
+        |(new_id, corpus_id, jacc) pairs
+        |([[graft.operators.Dedup.crossNearDupPairs]]). One
+        |signature/band pipeline over both sides (the corpus bands are
+        |exactly what an incremental system persists between loads);
+        |the candidate join is new-bands × corpus-bands, so fan-out is
+        |bounded by bucket population × the SMALL new side — never
+        |corpus × corpus. Same affine minhash family and relational
+        |Jaccard verify as q28; the oracle unrolls the identical
+        |pipeline with the split predicate.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val flagged = graft.operators.Sampling.withSplitBucket(docs, "doc_id")
+          .withColumn("is_new", col("__bucket") < 100).drop("__bucket")
+        graft.operators.Dedup.crossNearDupPairs(flagged, "is_new")
+      },
+      Some(MinhashOracle.crossSql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

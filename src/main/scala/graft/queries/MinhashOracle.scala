@@ -41,4 +41,43 @@ object MinhashOracle {
        |FROM cand JOIN sets x ON x.doc_id = a_id JOIN sets y ON y.doc_id = b_id
        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) >= $threshold""".stripMargin
   }
+
+  /** Mirror of [[graft.operators.Dedup.crossNearDupPairs]] with the
+    * md5-bucket split as membership (is_new ⇔ bucket < `newPermille`,
+    * the [[graft.operators.Sampling.withSplitBucket]] definition):
+    * same signature/band CTEs as [[sql]], candidate join restricted to
+    * new-side × corpus-side. */
+  def crossSql(numHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
+      newPermille: Int = 100, salt: String = "graft"): String = {
+    val values = Dedup.minhashCoeffs(numHashes).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val baseExpr = (0 until 12).map { j =>
+      s"(strpos('0123456789abcdef', substr(md5(sh), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+    }.mkString("\n    + ")
+    val bucketExpr = (0 until 12).map { j =>
+      s"(strpos('0123456789abcdef', substr(md5(concat('$salt', CAST(doc_id AS VARCHAR))), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+    }.mkString("\n    + ")
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks FROM documents),
+       |mem AS (SELECT doc_id, (($bucketExpr) % 1000 < $newPermille) is_new
+       |        FROM documents WHERE doc_id IS NOT NULL),
+       |sh AS (SELECT doc_id, sh FROM (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+       |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
+       |coeffs(i, a, b) AS (VALUES $values),
+       |sh2 AS (SELECT doc_id, sh,
+       |  ($baseExpr) % ${Dedup.MinhashP} AS hp FROM sh),
+       |sigs AS (SELECT doc_id, i, min((hp * a + b) % ${Dedup.MinhashP}) sig
+       |         FROM sh2, coeffs GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // $rowsPerBand band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) bh
+       |          FROM sigs GROUP BY doc_id, i // $rowsPerBand),
+       |cand AS (SELECT DISTINCT a.doc_id new_id, b.doc_id corpus_id
+       |         FROM bands a JOIN mem ma ON ma.doc_id = a.doc_id AND ma.is_new
+       |         JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |         JOIN mem mb ON mb.doc_id = b.doc_id AND NOT mb.is_new),
+       |sets AS (SELECT doc_id, list(sh) s FROM sh GROUP BY doc_id)
+       |SELECT new_id, corpus_id,
+       |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) AS jacc
+       |FROM cand JOIN sets x ON x.doc_id = new_id JOIN sets y ON y.doc_id = corpus_id
+       |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) >= $threshold""".stripMargin
+  }
 }

@@ -210,4 +210,47 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("sequence packing holds its invariants at 2M documents without a global window") {
+    // 2M docs ~ the per-executor share of a corpus; the operator's
+    // single-partition window sees only n/bucketWidth subtotal rows
+    val n = 2000000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      (pmod(col("id") * 2654435761L, lit(97L)) + 1L).as("n_tokens"))
+    val t0 = System.nanoTime()
+    val packed = SequencePack.packAssignments(docs, "doc_id", "n_tokens", capacity = 2048L)
+    val agg = packed.agg(
+      sum(col("n_tokens")).as("total"),
+      max(col("pack_last")).as("last_pack"),
+      min(col("pack_first")).as("first_pack"),
+      sum(col("packs_spanned") - lit(1L)).as("crossings"),
+      count(lit(1)).as("n")).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    val total = agg.getLong(0)
+    info(f"packed 2M docs (${total / 1e6}%.0fM tokens) in $secs%.1fs")
+    assert(agg.getLong(4) == n)
+    assert(agg.getLong(2) == 0L, "the first doc's tokens start in pack 0")
+    // every token-stream position maps to exactly one pack: the last
+    // pack is (total-1) div capacity (all docs here have >= 1 token)
+    assert(agg.getLong(1) == (total - 1L) / 2048L)
+    // a doc crosses a boundary at most ceil(tokens/capacity) times;
+    // with tokens <= 98 << 2048, crossings == number of boundaries
+    // interior to some doc — bounded by the number of boundaries
+    assert(agg.getLong(3) <= total / 2048L)
+  }
+
+  test("per-group cap is partition-invariant and emits exactly k rows per group under extreme skew") {
+    // half the corpus in one group — the hot-domain shape
+    val n = 1000000L
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") < n / 2, lit("hot")).otherwise(concat(lit("g"), pmod(col("id"), lit(997L)))).as("source"))
+    val a = Sampling.capPerGroup(base.repartition(4), "doc_id", "source", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Sampling.capPerGroup(base.repartition(32, col("doc_id")), "doc_id", "source", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b, "kept set must be a pure function of the data, not the partitioning")
+    val perGroup = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perGroup("hot") == 5)
+    assert(perGroup.values.forall(_ <= 5))
+  }
 }
