@@ -109,4 +109,24 @@ object TextFunctions {
   /** 64-bit fingerprint via the codegen'd xxhash64 — the cheap
     * non-oracle path for joins/bucketing at scale. */
   def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** PII redaction patterns — deliberately restricted to explicit
+    * character classes and bounded quantifiers, the regex subset on
+    * which Java regex (Spark) and RE2 (DuckDB, re2-based engines)
+    * match IDENTICALLY: no backreferences, no lookaround, no \b (RE2
+    * and Java disagree on word-boundary corner cases around
+    * punctuation). Longest-match greediness of these shapes is the
+    * same in both engines, so redacted output oracle-compares
+    * exactly. */
+  val EmailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern: String = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Replace email addresses with `<EMAIL>`. Pure per-row map work —
+    * zero shuffles at any scale, stays inside WholeStageCodegen. */
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, EmailPattern, "<EMAIL>")
+
+  /** Replace dotted-quad IPs with `<IP>`. */
+  def redactIps(text: Column): Column =
+    regexp_replace(text, Ipv4Pattern, "<IP>")
 }

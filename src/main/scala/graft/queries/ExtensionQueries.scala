@@ -752,7 +752,43 @@ object ExtensionQueries {
           .withColumn("is_new", col("__bucket") < 100).drop("__bucket")
         graft.operators.Dedup.crossNearDupPairs(flagged, "is_new")
       },
-      Some(MinhashOracle.crossSql()))
+      Some(MinhashOracle.crossSql())),
+
+    QuerySpec(
+      "q69_pii_redaction",
+      """PII redaction — training-corpus scrubbing: replace email
+        |addresses and dotted-quad IPs with typed placeholders. The
+        |driver corpus contains no PII, so the query first DECORATES
+        |each document deterministically and identically in both
+        |engines (a synthetic email and IP derived from doc_id — the
+        |q61 decorate-then-clean pattern) and then redacts; counts are
+        |taken pre-redaction so the match totals oracle-check too.
+        |Patterns are restricted to the regex subset where Java regex
+        |and RE2 match identically (explicit classes, bounded
+        |quantifiers, no lookaround/backrefs/\b). Pure per-row map
+        |work: zero shuffles at any scale.""".stripMargin,
+      (s, d) => {
+        val decorated = concat(lit("email user"), col("doc_id").cast("string"),
+          lit("@mail.example.org from 10."), (col("doc_id") % 200).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 250).cast("string"), lit(".1 "), col("text"))
+        Tables.documents(s, d).filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            TextFunctions.redactIps(TextFunctions.redactEmails(decorated)).as("redacted"),
+            regexp_count(decorated, lit(TextFunctions.EmailPattern)).cast("long").as("n_emails"),
+            regexp_count(decorated, lit(TextFunctions.Ipv4Pattern)).cast("long").as("n_ips"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text,
+             |  concat('email user', CAST(doc_id AS VARCHAR), '@mail.example.org from 10.',
+             |         CAST(doc_id % 200 AS VARCHAR), '.', CAST((doc_id * 7) % 250 AS VARCHAR),
+             |         '.1 ', text) AS decorated
+             |  FROM documents WHERE doc_id IS NOT NULL)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(decorated,
+             |    '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+             |    '${TextFunctions.Ipv4Pattern}', '<IP>', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(decorated, '${TextFunctions.EmailPattern}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(decorated, '${TextFunctions.Ipv4Pattern}')) AS BIGINT) AS n_ips
+             |FROM t""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

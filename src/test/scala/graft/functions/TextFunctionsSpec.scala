@@ -49,6 +49,29 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(f1 == f2 && f1.length == 32)
   }
 
+  test("PII redaction replaces emails and IPs, leaves clean text alone, and is idempotent") {
+    val rows = Seq(
+      "reach a.user+tag@sub.example.co.uk or 192.168.1.254 now",
+      "no pii here just words",
+      "double jane@x.io and joe@y.org plus 10.0.0.1 and 8.8.8.8",
+      "already <EMAIL> redacted").toDF("text")
+      .select(col("text"),
+        TextFunctions.redactIps(TextFunctions.redactEmails(col("text"))).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("reach a.user+tag@sub.example.co.uk or 192.168.1.254 now")
+      == "reach <EMAIL> or <IP> now")
+    assert(rows("no pii here just words") == "no pii here just words")
+    assert(rows("double jane@x.io and joe@y.org plus 10.0.0.1 and 8.8.8.8")
+      == "double <EMAIL> and <EMAIL> plus <IP> and <IP>")
+    assert(rows("already <EMAIL> redacted") == "already <EMAIL> redacted")
+    // idempotence: placeholders contain no matchable characters
+    val once = "reach <EMAIL> or <IP> now"
+    val twice = Seq(once).toDF("text")
+      .select(TextFunctions.redactIps(TextFunctions.redactEmails(col("text"))))
+      .collect().head.getString(0)
+    assert(twice == once)
+  }
+
   test("fingerprint64 equals xxhash64 semantics (joinable long)") {
     val r = one("abc").select(TextFunctions.fingerprint64($"text"),
       xxhash64($"text")).head
