@@ -118,7 +118,7 @@ object TextFunctions {
     * punctuation). Longest-match greediness of these shapes is the
     * same in both engines, so redacted output oracle-compares
     * exactly. */
-  val EmailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val Ipv4Pattern: String = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   /** Replace email addresses with `<EMAIL>`. Pure per-row map work —

@@ -213,22 +213,34 @@ object Dedup {
     //    count and both intersection sides.
     val bands = materialize(lshBands(minhashSignatures(docs, numHashes), rowsPerBand))
     val cands = materialize(candidatePairs(bands))
-    // Set semantics only from here on, and only for candidate docs: a
-    // semi-join bounds the distinct to bucket collisions (tiny at any
-    // scale), not the whole corpus.
-    val candIds = cands.select(col("a_id").as("doc_id"))
-      .union(cands.select(col("b_id").as("doc_id"))).distinct()
+    verifyJaccard(docs, cands, "a_id", "b_id", threshold)
+  }
+
+  /** Candidate-bounded exact Jaccard verification shared by
+    * [[nearDupPairs]] and [[crossNearDupPairs]]: for each candidate
+    * pair (`leftCol`, `rightCol`), |A∩B| by joining the two docs'
+    * shingle rows on shingle equality, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Set semantics only from here on, and only for candidate docs: a
+    * semi-join bounds the distinct to bucket collisions (tiny at any
+    * scale), not the whole corpus; the candidate shingle relation is
+    * materialized once because it feeds the count and BOTH
+    * intersection sides. */
+  private def verifyJaccard(docs: DataFrame, cands: DataFrame,
+      leftCol: String, rightCol: String, threshold: Double): DataFrame = {
+    val candIds = cands.select(col(leftCol).as("doc_id"))
+      .union(cands.select(col(rightCol).as("doc_id"))).distinct()
     val sh = materialize(shingleRows(docs)
       .join(candIds, Seq("doc_id"), "left_semi").distinct())
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh")), Seq("b_id", "sh"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_int"))
+      .join(sh.select(col("doc_id").as(leftCol), col("sh").as("sh")), leftCol)
+      .join(sh.select(col("doc_id").as(rightCol), col("sh").as("sh")), Seq(rightCol, "sh"))
+      .groupBy(col(leftCol), col(rightCol)).agg(count(lit(1)).as("n_int"))
     inter
-      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
-      .select(col("a_id"), col("b_id"),
+      .join(counts.select(col("doc_id").as(leftCol), col("n_sh").as("n_a")), leftCol)
+      .join(counts.select(col("doc_id").as(rightCol), col("n_sh").as("n_b")), rightCol)
+      .select(col(leftCol), col(rightCol),
         (col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int"))).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
@@ -258,21 +270,7 @@ object Dedup {
         .join(bands.filter(!col("__is_new"))
           .select(col("band"), col("bh"), col("doc_id").as("corpus_id")), Seq("band", "bh"))
         .select("new_id", "corpus_id").distinct())
-    val candIds = cands.select(col("new_id").as("doc_id"))
-      .union(cands.select(col("corpus_id").as("doc_id"))).distinct()
-    val sh = materialize(shingleRows(docs)
-      .join(candIds, Seq("doc_id"), "left_semi").distinct())
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("new_id"), col("sh")), "new_id")
-      .join(sh.select(col("doc_id").as("corpus_id"), col("sh")), Seq("corpus_id", "sh"))
-      .groupBy(col("new_id"), col("corpus_id")).agg(count(lit(1)).as("n_int"))
-    inter
-      .join(counts.select(col("doc_id").as("new_id"), col("n_sh").as("n_a")), "new_id")
-      .join(counts.select(col("doc_id").as("corpus_id"), col("n_sh").as("n_b")), "corpus_id")
-      .select(col("new_id"), col("corpus_id"),
-        (col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int"))).as("jacc"))
-      .filter(col("jacc") >= threshold)
+    verifyJaccard(docs, cands, "new_id", "corpus_id", threshold)
   }
 
   /** SimHash-64 document signatures, fully deterministic and

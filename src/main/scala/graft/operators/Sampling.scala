@@ -69,9 +69,13 @@ object Sampling {
   }
 
   /** Deterministic per-group cap: keep at most `k` rows per group,
-    * chosen by md5-hash order of the row key (key as tiebreak — a
-    * total order, so the kept set is a pure function of the data, like
-    * [[sampleByKey]]). The domain-balancing primitive of corpus
+    * chosen by md5-hash order of the row key (key as tiebreak).
+    * PRECONDITION: `keyCol` must be unique within each group — only
+    * then is the ordering total and the kept set a pure function of
+    * the data, like [[sampleByKey]]. With duplicate keys in a group
+    * (e.g. after a join fan-out) the tied rows rank in arbitrary
+    * physical order and the kept set can change with partitioning —
+    * dedup or re-key first. The domain-balancing primitive of corpus
     * curation: "at most k documents per source/domain" without a
     * random sample that changes across runs or partitionings. Unlike
     * the bucket samplers this is NOT incremental-load-stable by

@@ -768,9 +768,12 @@ object ExtensionQueries {
         |quantifiers, no lookaround/backrefs/\b). Pure per-row map
         |work: zero shuffles at any scale.""".stripMargin,
       (s, d) => {
+        // coalesce: Spark concat is null-in-null-out while DuckDB's
+        // skips NULLs — NULL text must decorate identically both sides
         val decorated = concat(lit("email user"), col("doc_id").cast("string"),
           lit("@mail.example.org from 10."), (col("doc_id") % 200).cast("string"),
-          lit("."), ((col("doc_id") * 7) % 250).cast("string"), lit(".1 "), col("text"))
+          lit("."), ((col("doc_id") * 7) % 250).cast("string"), lit(".1 "),
+          coalesce(col("text"), lit("")))
         Tables.documents(s, d).filter(col("doc_id").isNotNull)
           .select(col("doc_id"),
             TextFunctions.redactIps(TextFunctions.redactEmails(decorated)).as("redacted"),
@@ -780,7 +783,7 @@ object ExtensionQueries {
       Some(s"""WITH t AS (SELECT doc_id, text,
              |  concat('email user', CAST(doc_id AS VARCHAR), '@mail.example.org from 10.',
              |         CAST(doc_id % 200 AS VARCHAR), '.', CAST((doc_id * 7) % 250 AS VARCHAR),
-             |         '.1 ', text) AS decorated
+             |         '.1 ', coalesce(text, '')) AS decorated
              |  FROM documents WHERE doc_id IS NOT NULL)
              |SELECT doc_id,
              |  regexp_replace(regexp_replace(decorated,
