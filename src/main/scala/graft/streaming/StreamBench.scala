@@ -90,14 +90,58 @@ object StreamBench {
       res
     }
 
+    // 3) stream-stream inner join (the attribution shape of
+    // StreamStreamJoinSpec at volume): n impressions ⋈ n clicks on key
+    // + 10-minute event-time range, both watermarked so the join state
+    // is evicted as event time sweeps forward; every impression matches
+    // exactly one click 5s later, so emitted == n verifies the join did
+    // its work rather than dropping everything. Throughput is reported
+    // over the 2n INPUT events (both sides are state-store writes).
+    def runJoin(): Res = {
+      val imps = MemoryStream[(Long, Long)](spark)
+      val clicks = MemoryStream[(Long, Long)](spark)
+      val joined = imps.toDF()
+        .select(col("_1").as("k"), timestamp_seconds(col("_2")).as("imp_ts"))
+        .withWatermark("imp_ts", "10 minutes")
+        .join(
+          clicks.toDF()
+            .select(col("_1").as("ck"), timestamp_seconds(col("_2")).as("click_ts"))
+            .withWatermark("click_ts", "10 minutes"),
+          expr("k = ck AND click_ts >= imp_ts AND click_ts <= imp_ts + INTERVAL 10 MINUTES"))
+      val q = joined.writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sbench-join").toString)
+        .outputMode(OutputMode.Append()).start()
+      val t0 = System.nanoTime()
+      (0 until n by chunk).foreach { off =>
+        val ids = off until math.min(off + chunk, n)
+        imps.addData(ids.map(i => (i.toLong, (i / 100).toLong)))
+        clicks.addData(ids.map(i => (i.toLong, (i / 100).toLong + 5L)))
+      }
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val sops = q.recentProgress.flatMap(_.stateOperators)
+      val emitted = q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+      println(s"""{"metric":"stream_bench_join_emitted","rows":$emitted,"input":${2L * n}}""")
+      val res = Res(2L * n / secs,
+        if (sops.isEmpty) 0L else sops.map(_.numRowsTotal).max,
+        if (sops.isEmpty) 0L else sops.map(_.memoryUsedBytes).max,
+        q.recentProgress.length)
+      q.stop()
+      res
+    }
+
     val dedup = runDedup()
     val tws = runTws()
+    val join = runJoin()
     println(
       f"""{"metric":"stream_bench","events":$n,""" +
         f""""dedup_rows_per_sec":${dedup.rowsPerSec}%.0f,"dedup_state_rows":${dedup.stateRows},""" +
         f""""dedup_state_bytes":${dedup.stateBytes},"dedup_batches":${dedup.batches},""" +
         f""""tws_rows_per_sec":${tws.rowsPerSec}%.0f,"tws_state_rows":${tws.stateRows},""" +
-        f""""tws_state_bytes":${tws.stateBytes},"tws_batches":${tws.batches}}""")
+        f""""tws_state_bytes":${tws.stateBytes},"tws_batches":${tws.batches},""" +
+        f""""join_rows_per_sec":${join.rowsPerSec}%.0f,"join_state_rows":${join.stateRows},""" +
+        f""""join_state_bytes":${join.stateBytes},"join_batches":${join.batches}}""")
     spark.stop()
   }
 }
