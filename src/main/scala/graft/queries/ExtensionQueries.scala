@@ -791,7 +791,36 @@ object ExtensionQueries {
              |    '${TextFunctions.Ipv4Pattern}', '<IP>', 'g') AS redacted,
              |  CAST(len(regexp_extract_all(decorated, '${TextFunctions.EmailPattern}')) AS BIGINT) AS n_emails,
              |  CAST(len(regexp_extract_all(decorated, '${TextFunctions.Ipv4Pattern}')) AS BIGINT) AS n_ips
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    QuerySpec(
+      "q70_unpivot",
+      """Unpivot / melt — the wide→long reshape that turns per-row
+        |feature columns into (key, metric, value) training examples;
+        |the inverse of q37's pivot, closing the reshape family. Uses
+        |Spark's native unpivot (an Expand node: one pass, no join, no
+        |shuffle — output is input×4 rows produced map-side). The
+        |oracle is the transparent engine-portable form, a UNION ALL of
+        |one SELECT per metric.""".stripMargin,
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "value"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |       'l_quantity' AS metric, l_quantity AS value FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+             |       'l_extendedprice', l_extendedprice FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+             |       'l_discount', l_discount FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+             |       'l_tax', l_tax FROM lineitem""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
