@@ -70,14 +70,14 @@ object Demo {
     // clusters → canonical keep-set: the full "dedup you can actually
     // run" composition (q28/q47 → q58 → q59) on driver data.
     val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
-    // materialized: clusterLabels and keepCanonical each iterate over
-    // the pair graph — without this the minhash AND simhash pipelines
-    // would run once per consumer (the documented reuse rule)
-    val pairs = operators.Dedup.materialize(
-      operators.Dedup.nearDupPairs(docs).select("a_id", "b_id")
-        .union(operators.Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id")))
-    val labeled = operators.ConnectedComponents.clusterLabels(docs, "doc_id", pairs)
-    val kept = operators.ConnectedComponents.keepCanonical(docs, "doc_id", pairs)
+    val pairs = operators.Dedup.nearDupPairs(docs).select("a_id", "b_id")
+      .union(operators.Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+    // the star iteration (and, upstream of it, the minhash AND simhash
+    // pair pipelines) runs ONCE; both consumers read the resulting
+    // components frame, which is backed by materialized converged edges
+    val comp = operators.ConnectedComponents.components(pairs)
+    val labeled = operators.ConnectedComponents.clusterLabelsFromComponents(docs, "doc_id", comp)
+    val kept = operators.ConnectedComponents.keepCanonicalFromComponents(docs, "doc_id", comp)
     val nDocs = docs.count()
     val nKept = kept.count()
     val nDropped = labeled.filter($"doc_id" =!= $"cluster_id").count()

@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Test probe: how many times the star iteration has run in this JVM.
+    * Lets specs assert that a composed pipeline (labels + keep-set over
+    * one components frame) pays for the iteration exactly once. */
+  private[graft] val componentsRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** True iff the edge set is a disjoint star forest: every member (u)
     * appears in exactly one edge, and no node is both a member and a
     * root (u ∩ v = ∅). Because both star ops only ever emit
@@ -93,6 +98,7 @@ object ConnectedComponents {
     *         O(log² n); 50 covers any feasible input — non-convergence
     *         means corrupted edge data, not a tuning problem). */
   def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    componentsRuns.incrementAndGet()
     val Seq(ac, bc) = pairs.columns.take(2).toSeq
     var edges = Dedup.materialize(pairs
       .select(col(ac).cast("long").as("u"), col(bc).cast("long").as("v"))
@@ -114,29 +120,62 @@ object ConnectedComponents {
       .union(edges.select(col("v").as("node_id"), col("v").as("cluster_id")).distinct())
   }
 
-  /** Every row of `items` labeled with its near-dup cluster:
-    * rows absent from the pair graph are their own singleton cluster.
-    * Output: (idCol, cluster_id). */
-  def clusterLabels(items: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comp = components(pairs).withColumnRenamed("node_id", idCol)
+  /** Every row of `items` labeled with its near-dup cluster, from a
+    * PRECOMPUTED components frame (the `(node_id, cluster_id)` output
+    * of [[components]]): rows absent from the frame are their own
+    * singleton cluster. Output: (idCol, cluster_id).
+    *
+    * A composed dedup pipeline (a real run always needs labels AND the
+    * keep-set) should call [[components]] ONCE and feed the result to
+    * both this and [[keepCanonicalFromComponents]] — the pairs-based
+    * conveniences below each re-run the full star iteration plus the
+    * upstream pair pipeline per call, which at corpus scale doubles the
+    * most expensive stage of the whole job. The components frame is
+    * derived from the iteration's materialized converged edges, so
+    * consuming it from several places re-runs only a trivial
+    * select/union, never the iteration. */
+  def clusterLabelsFromComponents(items: DataFrame, idCol: String,
+      components: DataFrame): DataFrame = {
+    val comp = components.withColumnRenamed("node_id", idCol)
     items.select(col(idCol))
       .join(comp, Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol).cast("long")).as("cluster_id"))
   }
 
-  /** The drop-set: non-canonical members of every cluster (node ≠ its
-    * cluster's min id) — exactly the rows a dedup pass removes. */
-  def dropSet(pairs: DataFrame): DataFrame =
-    components(pairs).filter(col("node_id") =!= col("cluster_id"))
+  /** Every row of `items` labeled with its near-dup cluster:
+    * rows absent from the pair graph are their own singleton cluster.
+    * Output: (idCol, cluster_id). Convenience single-consumer form —
+    * runs [[components]] internally; see
+    * [[clusterLabelsFromComponents]] for the shared-computation rule. */
+  def clusterLabels(items: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    clusterLabelsFromComponents(items, idCol, components(pairs))
+
+  /** The drop-set from a precomputed components frame: non-canonical
+    * members of every cluster (node ≠ its cluster's min id) — exactly
+    * the rows a dedup pass removes. */
+  def dropSetFromComponents(components: DataFrame): DataFrame =
+    components.filter(col("node_id") =!= col("cluster_id"))
       .select(col("node_id"))
 
-  /** End-to-end dedup: `items` minus every non-canonical near-dup
-    * cluster member (one broadcast-able anti-join on the drop-set —
-    * the drop-set is at most the pair-graph node count, which LSH
-    * banding keeps a vanishing fraction of the corpus). */
-  def keepCanonical(items: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+  /** Drop-set convenience form — runs [[components]] internally. */
+  def dropSet(pairs: DataFrame): DataFrame =
+    dropSetFromComponents(components(pairs))
+
+  /** End-to-end dedup from a precomputed components frame: `items`
+    * minus every non-canonical near-dup cluster member (one
+    * broadcast-able anti-join on the drop-set — the drop-set is at most
+    * the pair-graph node count, which LSH banding keeps a vanishing
+    * fraction of the corpus). */
+  def keepCanonicalFromComponents(items: DataFrame, idCol: String,
+      components: DataFrame): DataFrame =
     items.join(
-      dropSet(pairs).withColumnRenamed("node_id", idCol),
+      dropSetFromComponents(components).withColumnRenamed("node_id", idCol),
       Seq(idCol), "left_anti")
+
+  /** Dedup convenience single-consumer form — runs [[components]]
+    * internally; see [[clusterLabelsFromComponents]] for the
+    * shared-computation rule. */
+  def keepCanonical(items: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    keepCanonicalFromComponents(items, idCol, components(pairs))
 }

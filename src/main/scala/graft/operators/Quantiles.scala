@@ -39,7 +39,10 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** One output row per group: `groupCol, <name_i>..., n_rows` where
-    * `qs` maps output column name → percentile in (0, 1]. */
+    * `qs` maps output column name → percentile in (0, 1]. Each q must
+    * be exactly representable in ≤ 10 decimal places (any practical
+    * quantile is; a computed q like 1/3.0 is rejected rather than
+    * silently reinterpreted). */
   def multiQuantileDisc(
       df: DataFrame,
       groupCol: String,
@@ -47,6 +50,9 @@ object Quantiles {
       qs: Seq[(String, Double)]): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
       s"percentiles must be in (0, 1]: $qs")
+    require(qs.forall { case (_, q) => BigDecimal(q).scale <= 10 },
+      s"percentiles must be exact in 10 decimal places (got $qs); " +
+        "rank selection is decimal-exact and will not guess a rounding")
     val byGroup = Window.partitionBy(groupCol)
     val ordered = byGroup.orderBy(col(valCol))
     val ranked = df
@@ -59,7 +65,13 @@ object Quantiles {
         ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__n", count(lit(1)).over(byGroup))
     val picks: Seq[Column] = qs.map { case (name, q) =>
-      max(when(col("__rn") === ceil(lit(q) * col("__n")), col(valCol))).as(name)
+      // the rank pick is DECIMAL-exact: in double arithmetic
+      // 0.07 * 100 = 7.000000000000001, whose ceil silently selects
+      // rank 8 where percentile_disc's exact rational ceil(q·n) = 7.
+      // decimal(11,10) × decimal(20,0) → decimal(32,10) is exact for
+      // any group size, so ceil lands on the true rank
+      val qExact = lit(BigDecimal(q).setScale(10).underlying())
+      max(when(col("__rn") === ceil(qExact * col("__n")), col(valCol))).as(name)
     }
     ranked.groupBy(col(groupCol))
       .agg(picks.head, picks.tail :+ max(col("__n")).as("n_rows"): _*)

@@ -83,6 +83,31 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 2L, 6L -> 6L))
   }
 
+  test("composed labels + keep-set over one components frame runs the star iteration exactly once") {
+    val items = (1L to 12L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = pairsDF((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L), (10L, 11L))
+    val before = ConnectedComponents.componentsRuns.get()
+    val comp = ConnectedComponents.components(pairs)
+    val labels = ConnectedComponents.clusterLabelsFromComponents(items, "doc_id", comp)
+    val kept = ConnectedComponents.keepCanonicalFromComponents(items, "doc_id", comp)
+    // consume BOTH outputs (twice, even) — still one iteration
+    val nDropped = labels.filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(kept.count() == items.count() - nDropped)
+    assert(labels.count() == 12 && kept.count() == 7)
+    assert(ConnectedComponents.componentsRuns.get() - before == 1,
+      "the composed pipeline must pay for the star iteration exactly once")
+
+    // the precomputed-frame variants agree with the pairs conveniences
+    val viaPairs = ConnectedComponents.clusterLabels(items, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val viaComp = labels
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(viaPairs == viaComp)
+    assert(ConnectedComponents.keepCanonical(items, "doc_id", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet ==
+      kept.collect().map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("keepCanonical satisfies |kept| = |docs| - sum(|cluster| - 1)") {
     val items = (1L to 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = pairsDF((1L, 2L), (2L, 3L), (7L, 9L), (15L, 16L), (16L, 17L), (17L, 18L))

@@ -43,6 +43,42 @@ class QuantileSpec extends AnyFunSuite {
     }
   }
 
+  test("rank selection is decimal-exact on adversarial (q, n) pairs") {
+    import spark.implicits._
+    // values are 1..n, so the value at 1-based rank k IS k — the exact
+    // percentile_disc answer is max(1, ceil(q·n)) computed rationally.
+    // Each pair below makes double arithmetic overshoot (q·n lands just
+    // ABOVE the integer: 0.07*100 = 7.000000000000001 → double-ceil
+    // picks rank 8) or exercises an exact-integer boundary
+    val adversarial = Seq(
+      0.07 -> 100, 0.07 -> 300, 0.21 -> 100, 0.655 -> 200, 0.001 -> 7000,
+      0.29 -> 100, 0.1 -> 10, 0.3 -> 10, 1.0 -> 37, 0.5 -> 1)
+    val rnd = new scala.util.Random(11)
+    val randomized = Seq.fill(40)(((rnd.nextInt(9999) + 1) / 10000.0, rnd.nextInt(400) + 1))
+    // one Spark job: case i becomes group i with values 1..n_i, and all
+    // 50 qs are picked in a single multiQuantileDisc call — we check
+    // column p_i only against its own group i
+    val cases = (adversarial ++ randomized).zipWithIndex
+    val df = cases.flatMap { case ((_, n), i) => (1 to n).map(v => (i, v.toDouble)) }
+      .toDF("g", "v")
+    val qs = cases.map { case ((q, _), i) => s"p$i" -> q }
+    val got = graft.operators.Quantiles.multiQuantileDisc(df, "g", "v", qs)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    cases.foreach { case ((q, n), i) =>
+      val exactRank = (BigDecimal(q) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toInt.max(1)
+      assert(got(i).getAs[Double](s"p$i") == exactRank.toDouble,
+        s"q=$q n=$n: expected rank $exactRank, got value ${got(i).getAs[Double](s"p$i")}")
+    }
+  }
+
+  test("non-representable percentiles are rejected, not silently rounded") {
+    import spark.implicits._
+    val df = Seq((1, 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.multiQuantileDisc(df, "g", "v", Seq("p" -> (1.0 / 3.0)))
+    }
+  }
+
   test("multiQuantileDisc excludes NULL values from ranks and counts") {
     import spark.implicits._
     val df = Seq((1, Some(3.0)), (1, None), (1, Some(1.0)), (1, Some(2.0)), (2, None))
