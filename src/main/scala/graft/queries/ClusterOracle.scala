@@ -18,8 +18,9 @@ object ClusterOracle {
 
   /** Shared CTE chain: near-dup pairs → symmetric edges → per-node min
     * reachable id (`cl(doc_id, cluster_id)`). Emitted WITHOUT a leading
-    * WITH so callers prepend `WITH RECURSIVE`. */
-  private def pairCtes: String = {
+    * WITH so callers prepend `WITH RECURSIVE` (q58/q59 here, the q71
+    * corpus capstone in [[CorpusOracle]]). */
+  private[queries] def pairCtes: String = {
     val mh = MinhashOracle.sql(numHashes = 16, rowsPerBand = 4, threshold = 0.8)
     val smh = SimhashOracle.pairsSql(maxHamming = 5)
     s"""mh AS (SELECT a_id, b_id FROM (

@@ -520,8 +520,8 @@ object ExtensionQueries {
              |          ' ', chr(9) || chr(7) || ' ') AS d
              |  FROM documents)
              |SELECT doc_id, CAST(length(d) AS BIGINT) AS n_raw,
-             |  trim(regexp_replace(regexp_replace(strip_accents(nfc_normalize(d)),
-             |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+             |  nfc_normalize(trim(regexp_replace(regexp_replace(strip_accents(nfc_normalize(d)),
+             |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g'))) AS norm_text
              |FROM dec""".stripMargin)),
 
     QuerySpec(
@@ -690,28 +690,7 @@ object ExtensionQueries {
         |the q28 minhash oracle; all-integer counting.""".stripMargin,
       (s, d) => graft.operators.Decontaminate.contaminationReport(
         Tables.documents(s, d)),
-      Some {
-        val bucket = (0 until 12).map { j =>
-          s"(strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
-        }.mkString("\n    + ")
-        s"""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks
-           |  FROM documents WHERE doc_id IS NOT NULL),
-           |sh AS (SELECT doc_id, sh FROM (
-           |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
-           |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
-           |mem AS (SELECT doc_id, (($bucket) % 1000 < 100) AS is_test
-           |        FROM documents WHERE doc_id IS NOT NULL),
-           |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 20),
-           |capped AS (SELECT s.doc_id, s.sh, m.is_test
-           |           FROM sh s JOIN rare USING (sh) JOIN mem m ON m.doc_id = s.doc_id)
-           |SELECT a.doc_id AS train_id,
-           |  count(DISTINCT a.sh) AS n_shared_shingles,
-           |  count(DISTINCT b.doc_id) AS n_test_docs
-           |FROM capped a JOIN capped b ON a.sh = b.sh
-           |WHERE NOT a.is_test AND b.is_test
-           |GROUP BY 1
-           |HAVING count(DISTINCT a.sh) >= 3""".stripMargin
-      }),
+      Some(DecontaminateOracle.sql())),
 
     QuerySpec(
       "q67_source_cap",
@@ -820,7 +799,53 @@ object ExtensionQueries {
              |       'l_discount', l_discount FROM lineitem
              |UNION ALL
              |SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
-             |       'l_tax', l_tax FROM lineitem""".stripMargin))
+             |       'l_tax', l_tax FROM lineitem""".stripMargin)),
+
+    QuerySpec(
+      "q71_corpus_build",
+      """Corpus-build capstone — the shipped curation operators composed
+        |end-to-end into one training-corpus deliverable, proving they
+        |chain without recompute: per-source cap at 10 (q67 domain
+        |balancing) → the train side of THE md5-bucket split (q55's
+        |complement, bucket ≥ 100) → near-dup dedup keep-set over the
+        |full-corpus minhash∪simhash pair graph (q58/q59; the
+        |components frame is computed ONCE and fed through
+        |keepCanonicalFromComponents) → drop train docs contaminated
+        |against the test split (q66) → PII redaction of the surviving
+        |text (q69's decorate-then-redact so the redaction observably
+        |fires). Dedup/decontamination run against the FULL corpus —
+        |conservative (a kept doc may be dropped as the near-dup of a
+        |capped-away one) and exactly what a production pipeline does:
+        |dedup once, then carve splits/caps from labeled output. Scale
+        |shape: the filters after the pair pipelines are two anti-joins
+        |on vanishing-fraction drop-sets (broadcastable at any scale);
+        |everything upstream is the already-audited banded/bucketed
+        |plan of the component queries, run once each — the capstone's
+        |cost is ≤ the sum of its parts by construction.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val capped = graft.operators.Sampling.capPerGroup(
+          docs.select(col("doc_id"), col("source"), col("lang"), col("text")),
+          "doc_id", "source", k = 10)
+        val train = graft.operators.Sampling.withSplitBucket(capped, "doc_id")
+          .filter(col("__bucket") >= 100).drop("__bucket")
+        val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
+          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+        val comps = graft.operators.ConnectedComponents.components(pairs)
+        val deduped = graft.operators.ConnectedComponents
+          .keepCanonicalFromComponents(train, "doc_id", comps)
+        val contaminated = graft.operators.Decontaminate.contaminationReport(docs)
+          .select(col("train_id").as("doc_id"))
+        val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        val decorated = concat(lit("email user"), col("doc_id").cast("string"),
+          lit("@mail.example.org from 10."), (col("doc_id") % 200).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 250).cast("string"), lit(".1 "),
+          coalesce(col("text"), lit("")))
+        clean.select(col("doc_id"), col("source"), col("lang"),
+          TextFunctions.redactIps(TextFunctions.redactEmails(decorated))
+            .as("text_redacted"))
+      },
+      Some(CorpusOracle.sql))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

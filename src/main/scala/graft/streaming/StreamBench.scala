@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
 /** Streaming throughput sheet (README "Measured streaming throughput"):
-  * drives the two stateful streaming kernels at `args(0)` events
+  * drives the stateful streaming kernels at `args(0)` events
   * (default 1M) through MemoryStream → noop sink and prints ONE JSON
   * line with rows/s and state-store size, so the streaming surface has
   * recorded numbers beside its correctness specs.
@@ -18,7 +18,10 @@ import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
   * bounded by source/sink I/O before they're bounded by this. */
 object StreamBench {
 
-  private case class Res(rowsPerSec: Double, stateRows: Long, stateBytes: Long, batches: Int)
+  private case class Res(rowsPerSec: Double, stateRows: Long, stateBytes: Long, batches: Int,
+      provider: String)
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local("graft-streambench")
@@ -27,13 +30,33 @@ object StreamBench {
     val n = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(1000000)
     val chunk = 100000
 
+    // Each kernel pins its state-store provider for its own run and
+    // restores the previous value afterward, so run order can't leak one
+    // kernel's provider into the next (the join must bench the default
+    // HDFS-backed store, not whatever runTws left behind); the provider
+    // actually in force is captured into the JSON row.
+    def withStateProvider[T](providerClass: Option[String])(f: => T): T = {
+      val prev = spark.conf.getOption(ProviderKey)
+      providerClass.foreach(spark.conf.set(ProviderKey, _))
+      try f
+      finally prev match {
+        case Some(p) => spark.conf.set(ProviderKey, p)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+    }
+
+    def currentProvider(): String =
+      spark.conf.getOption(ProviderKey)
+        .getOrElse("org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+        .split('.').last
+
     // 1) bounded-state exact dedup: 2 events per key (50% duplicates),
     // with the duplicate ADJACENT to its original (key = i/2) so both
     // occurrences land well inside the 10-minute delay and the second
     // is actually suppressed — while event times sweep forward so the
     // watermark advances and evicts old keys (the two halves of the
     // operator's contract, both exercised)
-    def runDedup(): Res = {
+    def runDedup(): Res = withStateProvider(None) {
       val stream = MemoryStream[(Long, Long)](spark)
       val deduped = StreamingDedup.dedupWithinWatermark(
         stream.toDF().select(col("_1").as("k"),
@@ -56,15 +79,15 @@ object StreamBench {
       val res = Res(n / secs,
         if (sops.isEmpty) 0L else sops.map(_.numRowsTotal).max,
         if (sops.isEmpty) 0L else sops.map(_.memoryUsedBytes).max,
-        q.recentProgress.length)
+        q.recentProgress.length, currentProvider())
       q.stop()
       res
     }
 
-    // 2) transformWithState running count (typed ValueState, RocksDB)
-    def runTws(): Res = {
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 2) transformWithState running count (typed ValueState; requires the
+    // RocksDB provider, pinned for this kernel only)
+    def runTws(): Res = withStateProvider(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
       val stream = MemoryStream[(Long, Double)](spark)
       val counted = stream.toDS()
         .groupByKey(_._1)
@@ -85,7 +108,7 @@ object StreamBench {
       val res = Res(n / secs,
         if (sops.isEmpty) 0L else sops.map(_.numRowsTotal).max,
         if (sops.isEmpty) 0L else sops.map(_.memoryUsedBytes).max,
-        q.recentProgress.length)
+        q.recentProgress.length, currentProvider())
       q.stop()
       res
     }
@@ -97,7 +120,7 @@ object StreamBench {
     // exactly one click 5s later, so emitted == n verifies the join did
     // its work rather than dropping everything. Throughput is reported
     // over the 2n INPUT events (both sides are state-store writes).
-    def runJoin(): Res = {
+    def runJoin(): Res = withStateProvider(None) {
       val imps = MemoryStream[(Long, Long)](spark)
       val clicks = MemoryStream[(Long, Long)](spark)
       val joined = imps.toDF()
@@ -126,7 +149,7 @@ object StreamBench {
       val res = Res(2L * n / secs,
         if (sops.isEmpty) 0L else sops.map(_.numRowsTotal).max,
         if (sops.isEmpty) 0L else sops.map(_.memoryUsedBytes).max,
-        q.recentProgress.length)
+        q.recentProgress.length, currentProvider())
       q.stop()
       res
     }
@@ -138,10 +161,13 @@ object StreamBench {
       f"""{"metric":"stream_bench","events":$n,""" +
         f""""dedup_rows_per_sec":${dedup.rowsPerSec}%.0f,"dedup_state_rows":${dedup.stateRows},""" +
         f""""dedup_state_bytes":${dedup.stateBytes},"dedup_batches":${dedup.batches},""" +
+        f""""dedup_state_provider":"${dedup.provider}",""" +
         f""""tws_rows_per_sec":${tws.rowsPerSec}%.0f,"tws_state_rows":${tws.stateRows},""" +
         f""""tws_state_bytes":${tws.stateBytes},"tws_batches":${tws.batches},""" +
+        f""""tws_state_provider":"${tws.provider}",""" +
         f""""join_rows_per_sec":${join.rowsPerSec}%.0f,"join_state_rows":${join.stateRows},""" +
-        f""""join_state_bytes":${join.stateBytes},"join_batches":${join.batches}}""")
+        f""""join_state_bytes":${join.stateBytes},"join_batches":${join.batches},""" +
+        f""""join_state_provider":"${join.provider}"}""")
     spark.stop()
   }
 }
