@@ -37,6 +37,22 @@ object Decontaminate {
       testPermille: Int = 100,
       maxShingleDf: Long = 20L,
       minOverlap: Long = 3L,
+      salt: String = "graft"): DataFrame =
+    contaminationReportFromShingles(docs, Dedup.shingleRows(docs),
+      testPermille, maxShingleDf, minOverlap, salt)
+
+  /** [[contaminationReport]] over a precomputed (doc_id, sh) shingle
+    * frame (the [[Dedup.shingleRows]] shape; positional rows fine — the
+    * distinct below owns set semantics). A pipeline that also runs
+    * shingle-based dedup (q71) should [[Dedup.materialize]] ONE shingle
+    * frame and feed both — the shingle pass is a full window shuffle of
+    * the token stream, the most expensive stage of either consumer. */
+  def contaminationReportFromShingles(
+      docs: DataFrame,
+      shingles: DataFrame,
+      testPermille: Int = 100,
+      maxShingleDf: Long = 20L,
+      minOverlap: Long = 3L,
       salt: String = "graft"): DataFrame = {
     require(testPermille >= 0 && testPermille <= 1000,
       s"testPermille must be in [0,1000], got $testPermille")
@@ -46,7 +62,7 @@ object Decontaminate {
     // cap AND the capped join below — materialized so the shingle
     // pipeline runs once
     val sh = Dedup.materialize(
-      Dedup.shingleRows(docs).distinct().join(membership, "doc_id"))
+      shingles.distinct().join(membership, "doc_id"))
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
       .select(col("sh"))

@@ -152,9 +152,21 @@ object Dedup {
     * aggregate expressions over ONE pass of the shingle rows, with
     * map-side partial aggregation, rather than multiplying the shuffle
     * input k-fold. */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame = {
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame =
+    minhashSignaturesFromShingles(shingleRows(docs), numHashes)
+
+  /** [[minhashSignatures]] over a PRECOMPUTED (doc_id, sh) shingle frame
+    * (the [[shingleRows]] shape; positional rows fine — min-aggregation
+    * is duplicate-insensitive). The shingle pass is the expensive stage
+    * of every shingle consumer (a full window shuffle of the token
+    * stream), so a pipeline composing several of them ([[nearDupPairs]]
+    * verification, [[Decontaminate.contaminationReport]]) should
+    * [[materialize]] ONE shingle frame and feed it everywhere — the
+    * same share-the-expensive-frame rule as
+    * [[ConnectedComponents.clusterLabelsFromComponents]]. */
+  def minhashSignaturesFromShingles(shingles: DataFrame, numHashes: Int = 16): DataFrame = {
     val coeffs = minhashCoeffs(numHashes)
-    val withBase = shingleRows(docs)
+    val withBase = shingles
       .withColumn("md5_h", md5(col("sh")))
       .withColumn("hp", md5Base48("md5_h") % MinhashP)
     val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -198,7 +210,20 @@ object Dedup {
     * the work is a semi-bounded shuffle join over only the candidate
     * docs' shingles, which is the shape that survives 100 TB. */
   def nearDupPairs(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    nearDupPairsFromShingles(shingleRows(docs), numHashes, rowsPerBand, threshold)
+
+  /** [[nearDupPairs]] over a precomputed shingle frame (see
+    * [[minhashSignaturesFromShingles]] for the sharing rule). With an
+    * UN-materialized frame this is exactly [[nearDupPairs]] — the
+    * signature and verification stages each re-run the shingle pass,
+    * today's single-call shape (deliberate: materializing the FULL
+    * positional shingle frame trades a ~3× corpus-size checkpoint write
+    * for the second pass, a loss for one-shot callers). A composing
+    * pipeline that needs shingles elsewhere anyway (q71) passes a
+    * [[materialize]]d frame and every consumer reads the cache. */
+  def nearDupPairsFromShingles(shingles: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
     // Every reused subtree below is materialized once — a DataFrame
     // referenced N times re-executes N times, and the self-join's
     // pre-exchange aliasing (a_id vs b_id) defeats Spark's exchange
@@ -211,9 +236,10 @@ object Dedup {
     //    (ids, a-side, b-side);
     //  - sh (candidate docs' shingles, candidate-bounded) feeds the
     //    count and both intersection sides.
-    val bands = materialize(lshBands(minhashSignatures(docs, numHashes), rowsPerBand))
+    val bands = materialize(
+      lshBands(minhashSignaturesFromShingles(shingles, numHashes), rowsPerBand))
     val cands = materialize(candidatePairs(bands))
-    verifyJaccard(docs, cands, "a_id", "b_id", threshold)
+    verifyJaccard(shingles, cands, "a_id", "b_id", threshold)
   }
 
   /** Candidate-bounded exact Jaccard verification shared by
@@ -226,11 +252,11 @@ object Dedup {
     * scale), not the whole corpus; the candidate shingle relation is
     * materialized once because it feeds the count and BOTH
     * intersection sides. */
-  private def verifyJaccard(docs: DataFrame, cands: DataFrame,
+  private def verifyJaccard(shingles: DataFrame, cands: DataFrame,
       leftCol: String, rightCol: String, threshold: Double): DataFrame = {
     val candIds = cands.select(col(leftCol).as("doc_id"))
       .union(cands.select(col(rightCol).as("doc_id"))).distinct()
-    val sh = materialize(shingleRows(docs)
+    val sh = materialize(shingles
       .join(candIds, Seq("doc_id"), "left_semi").distinct())
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
@@ -270,7 +296,7 @@ object Dedup {
         .join(bands.filter(!col("__is_new"))
           .select(col("band"), col("bh"), col("doc_id").as("corpus_id")), Seq("band", "bh"))
         .select("new_id", "corpus_id").distinct())
-    verifyJaccard(docs, cands, "new_id", "corpus_id", threshold)
+    verifyJaccard(shingleRows(docs), cands, "new_id", "corpus_id", threshold)
   }
 
   /** SimHash-64 document signatures, fully deterministic and

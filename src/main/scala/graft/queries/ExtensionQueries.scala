@@ -820,8 +820,12 @@ object ExtensionQueries {
         |shape: the filters after the pair pipelines are two anti-joins
         |on vanishing-fraction drop-sets (broadcastable at any scale);
         |everything upstream is the already-audited banded/bucketed
-        |plan of the component queries, run once each — the capstone's
-        |cost is ≤ the sum of its parts by construction.""".stripMargin,
+        |plan of the component queries, run once each; and the shingle
+        |pass — the token-stream window shuffle that dominates every
+        |shingle consumer — is materialized ONCE and shared by the
+        |minhash-signature, Jaccard-verify and decontamination stages
+        |(FromShingles overloads) — the capstone's cost is ≤ the sum
+        |of its parts by construction.""".stripMargin,
       (s, d) => {
         val docs = Tables.documents(s, d)
         val capped = graft.operators.Sampling.capPerGroup(
@@ -829,12 +833,17 @@ object ExtensionQueries {
           "doc_id", "source", k = 10)
         val train = graft.operators.Sampling.withSplitBucket(capped, "doc_id")
           .filter(col("__bucket") >= 100).drop("__bucket")
-        val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
+        // ONE shingle pass (the token-stream window shuffle) feeds the
+        // minhash signature, Jaccard-verify, AND decontamination stages
+        // — the FromShingles sharing rule
+        val shingles = Dedup.materialize(Dedup.shingleRows(docs))
+        val pairs = Dedup.nearDupPairsFromShingles(shingles).select("a_id", "b_id")
           .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
         val comps = graft.operators.ConnectedComponents.components(pairs)
         val deduped = graft.operators.ConnectedComponents
           .keepCanonicalFromComponents(train, "doc_id", comps)
-        val contaminated = graft.operators.Decontaminate.contaminationReport(docs)
+        val contaminated = graft.operators.Decontaminate
+          .contaminationReportFromShingles(docs, shingles)
           .select(col("train_id").as("doc_id"))
         val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
         val decorated = concat(lit("email user"), col("doc_id").cast("string"),

@@ -147,4 +147,22 @@ class DedupSpec extends AnyFunSuite {
     // and reliable checkpointing still works post-scope
     assert(Seq((9L, "t")).toDF("doc_id", "text").checkpoint(true).count() == 1)
   }
+
+  test("FromShingles overloads match the plain paths on a shared materialized frame") {
+    val d = Tables.documents(spark, sf001)
+    val shingles = Dedup.materialize(Dedup.shingleRows(d))
+
+    val plainPairs = Dedup.nearDupPairs(d).collect().toSet
+    val sharedPairs = Dedup.nearDupPairsFromShingles(shingles).collect().toSet
+    assert(plainPairs == sharedPairs,
+      "nearDupPairsFromShingles must be result-identical to nearDupPairs")
+    assert(plainPairs.nonEmpty)
+
+    val plainReport = Decontaminate.contaminationReport(d).collect().toSet
+    val sharedReport = Decontaminate.contaminationReportFromShingles(d, shingles)
+      .collect().toSet
+    assert(plainReport == sharedReport,
+      "contaminationReportFromShingles must be result-identical to contaminationReport")
+    assert(plainReport.nonEmpty)
+  }
 }
