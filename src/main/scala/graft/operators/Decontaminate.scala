@@ -46,7 +46,16 @@ object Decontaminate {
     * distinct below owns set semantics). A pipeline that also runs
     * shingle-based dedup (q71) should [[Dedup.materialize]] ONE shingle
     * frame and feed both — the shingle pass is a full window shuffle of
-    * the token stream, the most expensive stage of either consumer. */
+    * the token stream, the most expensive stage of either consumer.
+    *
+    * CONTRACT: `shingles` must be the shingle rows of this SAME `docs`
+    * frame (document membership decides the train/test split, shingles
+    * supply the overlap evidence — they must describe the same corpus).
+    * Passing a subset's shingles (e.g. train-only) cannot be detected
+    * here without an extra pass and silently UNDER-reports: test docs
+    * with no shingle rows contribute no overlap, and a contaminated
+    * train doc ships. When in doubt, use [[contaminationReport]], which
+    * derives both from one frame by construction. */
   def contaminationReportFromShingles(
       docs: DataFrame,
       shingles: DataFrame,

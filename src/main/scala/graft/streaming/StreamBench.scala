@@ -31,13 +31,15 @@ object StreamBench {
     val chunk = 100000
 
     // Each kernel pins its state-store provider for its own run and
-    // restores the previous value afterward, so run order can't leak one
-    // kernel's provider into the next (the join must bench the default
-    // HDFS-backed store, not whatever runTws left behind); the provider
-    // actually in force is captured into the JSON row.
-    def withStateProvider[T](providerClass: Option[String])(f: => T): T = {
+    // restores the previous value afterward, so neither run order nor a
+    // session-level providerClass override can leak into a kernel's
+    // measurement (the join/dedup rows are published as HDFS-backed
+    // numbers, so they pin that provider EXPLICITLY rather than trusting
+    // the session default); the provider actually in force is captured
+    // into the JSON row.
+    def withStateProvider[T](providerClass: String)(f: => T): T = {
       val prev = spark.conf.getOption(ProviderKey)
-      providerClass.foreach(spark.conf.set(ProviderKey, _))
+      spark.conf.set(ProviderKey, providerClass)
       try f
       finally prev match {
         case Some(p) => spark.conf.set(ProviderKey, p)
@@ -45,10 +47,13 @@ object StreamBench {
       }
     }
 
+    val HdfsProvider =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    val RocksDbProvider =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
     def currentProvider(): String =
-      spark.conf.getOption(ProviderKey)
-        .getOrElse("org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-        .split('.').last
+      spark.conf.getOption(ProviderKey).getOrElse(HdfsProvider).split('.').last
 
     // 1) bounded-state exact dedup: 2 events per key (50% duplicates),
     // with the duplicate ADJACENT to its original (key = i/2) so both
@@ -56,7 +61,7 @@ object StreamBench {
     // is actually suppressed — while event times sweep forward so the
     // watermark advances and evicts old keys (the two halves of the
     // operator's contract, both exercised)
-    def runDedup(): Res = withStateProvider(None) {
+    def runDedup(): Res = withStateProvider(HdfsProvider) {
       val stream = MemoryStream[(Long, Long)](spark)
       val deduped = StreamingDedup.dedupWithinWatermark(
         stream.toDF().select(col("_1").as("k"),
@@ -86,8 +91,7 @@ object StreamBench {
 
     // 2) transformWithState running count (typed ValueState; requires the
     // RocksDB provider, pinned for this kernel only)
-    def runTws(): Res = withStateProvider(Some(
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+    def runTws(): Res = withStateProvider(RocksDbProvider) {
       val stream = MemoryStream[(Long, Double)](spark)
       val counted = stream.toDS()
         .groupByKey(_._1)
@@ -120,7 +124,7 @@ object StreamBench {
     // exactly one click 5s later, so emitted == n verifies the join did
     // its work rather than dropping everything. Throughput is reported
     // over the 2n INPUT events (both sides are state-store writes).
-    def runJoin(): Res = withStateProvider(None) {
+    def runJoin(): Res = withStateProvider(HdfsProvider) {
       val imps = MemoryStream[(Long, Long)](spark)
       val clicks = MemoryStream[(Long, Long)](spark)
       val joined = imps.toDF()

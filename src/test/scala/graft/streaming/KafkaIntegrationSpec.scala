@@ -52,6 +52,9 @@ class KafkaIntegrationSpec extends AnyFunSuite {
       assert(domain.isStreaming)
       assert(domain.schema.fieldNames.contains("record_id"))
       assert(domain.schema.fieldNames.length == 12)
-    } finally Thread.currentThread().setContextClassLoader(prevCl)
+    } finally {
+      Thread.currentThread().setContextClassLoader(prevCl)
+      kafkaCl.close()
+    }
   }
 }
