@@ -854,7 +854,67 @@ object ExtensionQueries {
           TextFunctions.redactIps(TextFunctions.redactEmails(decorated))
             .as("text_redacted"))
       },
-      Some(CorpusOracle.sql))
+      Some(CorpusOracle.sql)),
+
+    QuerySpec(
+      "q72_repetition_stats",
+      """Gopher/C4-style within-document repetition filters: per doc, the
+        |token count, vocabulary size (type-token numerator), the mass of
+        |the most frequent token and of the most frequent bigram, plus a
+        |`repetitive` flag (top bigram > 18% of bigram mass OR top token
+        |> 20% of tokens) evaluated in integer cross-multiplication so
+        |the threshold oracle-checks bitwise — no doubles anywhere.
+        |Scale shape: two explode → two-level aggregations (partial
+        |map-side combine on (doc_id, term) absorbs the within-doc
+        |repetition before the exchange — a doc of one repeated word
+        |ships ONE row per partition, not one per occurrence), both
+        |final aggs and the join hash-partitioned on doc_id so Catalyst
+        |reuses one exchange; no per-doc data ever collects to a single
+        |task beyond its own distinct-term set.""".stripMargin,
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(
+          col("doc_id"), TextFunctions.rawTokens(col("text")).as("toks"))
+        val tokStats = toks
+          .select(col("doc_id"), explode(col("toks")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top_token_n"))
+        val gramStats = toks
+          .select(col("doc_id"), explode(expr(
+            "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+              "(x, i) -> concat(x, ' ', element_at(toks, i + 2)))")).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(
+            max(col("c")).as("top_bigram_n"),
+            sum(col("c")).as("n_bigrams"))
+        tokStats.join(gramStats, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_n"),
+            coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            when(lit(50) * coalesce(col("top_bigram_n"), lit(0L)) >
+                   lit(9) * coalesce(col("n_bigrams"), lit(0L)), 1L)
+              .when(lit(5) * col("top_token_n") > col("n_tokens"), 1L)
+              .otherwise(0L).as("repetitive"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+             |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+             |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+             |tok_stats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top_token_n FROM tc GROUP BY 1),
+             |grams AS (SELECT doc_id,
+             |  unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i + 1])) AS g
+             |  FROM toks),
+             |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+             |gram_stats AS (SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams FROM gc GROUP BY 1)
+             |SELECT ts.doc_id, ts.n_tokens, ts.n_distinct, ts.top_token_n,
+             |  coalesce(gs.top_bigram_n, 0) AS top_bigram_n,
+             |  coalesce(gs.n_bigrams, 0) AS n_bigrams,
+             |  CAST(CASE WHEN 50 * coalesce(gs.top_bigram_n, 0) > 9 * coalesce(gs.n_bigrams, 0)
+             |        OR 5 * ts.top_token_n > ts.n_tokens THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+             |FROM tok_stats ts LEFT JOIN gram_stats gs USING (doc_id)""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** q72's Gopher-style repetition stats, re-derived per document in plain
+  * Scala (independent of both Spark SQL and the DuckDB oracle) and
+  * compared field-by-field. `split("\\s+", -1)` mirrors Spark's
+  * limit=-1 semantics (trailing empty strings kept). */
+class RepetitionStatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def expectedStats(text: String): (Long, Long, Long, Long, Long) = {
+    val toks = text.split("\\s+", -1).toSeq
+    val tokCounts = toks.groupBy(identity).map(_._2.size.toLong)
+    val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    val gramCounts = grams.groupBy(identity).map(_._2.size.toLong)
+    (toks.size.toLong, tokCounts.size.toLong, tokCounts.max,
+      if (gramCounts.isEmpty) 0L else gramCounts.max, grams.size.toLong)
+  }
+
+  test("q72 matches a plain-Scala recomputation on sf0.001") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("q72_repetition_stats")(spark, sf001).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nTok, nDist, topTok, topGram, nGrams) = expectedStats(docs(id))
+      assert(r.getAs[Long]("n_tokens") == nTok, s"doc $id n_tokens")
+      assert(r.getAs[Long]("n_distinct") == nDist, s"doc $id n_distinct")
+      assert(r.getAs[Long]("top_token_n") == topTok, s"doc $id top_token_n")
+      assert(r.getAs[Long]("top_bigram_n") == topGram, s"doc $id top_bigram_n")
+      assert(r.getAs[Long]("n_bigrams") == nGrams, s"doc $id n_bigrams")
+      val expectFlag =
+        if (50 * topGram > 9 * nGrams || 5 * topTok > nTok) 1L else 0L
+      assert(r.getAs[Long]("repetitive") == expectFlag, s"doc $id repetitive")
+    }
+  }
+
+  test("q72 structural invariants hold on sf0.01") {
+    val rows = SparkEntry.queries("q72_repetition_stats")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("n_distinct") <= nTok)
+      assert(r.getAs[Long]("top_token_n") <= nTok)
+      val nGrams = r.getAs[Long]("n_bigrams")
+      assert(nGrams == math.max(nTok - 1, 0L))
+      assert(r.getAs[Long]("top_bigram_n") <= nGrams)
+    }
+  }
+}
