@@ -867,10 +867,11 @@ object ExtensionQueries {
         |Scale shape: two explode → two-level aggregations (partial
         |map-side combine on (doc_id, term) absorbs the within-doc
         |repetition before the exchange — a doc of one repeated word
-        |ships ONE row per partition, not one per occurrence), both
-        |final aggs and the join hash-partitioned on doc_id so Catalyst
-        |reuses one exchange; no per-doc data ever collects to a single
-        |task beyond its own distinct-term set.""".stripMargin,
+        |ships ONE row per partition, not one per occurrence); both
+        |final aggs leave their side hash-partitioned on doc_id, so the
+        |closing join adds no exchange at scale (AQE broadcasts the
+        |bigram side at small SF); no per-doc data ever collects to a
+        |single task beyond its own distinct-term set.""".stripMargin,
       (s, d) => {
         val toks = Tables.documents(s, d).select(
           col("doc_id"), TextFunctions.rawTokens(col("text")).as("toks"))
@@ -914,7 +915,60 @@ object ExtensionQueries {
              |  coalesce(gs.n_bigrams, 0) AS n_bigrams,
              |  CAST(CASE WHEN 50 * coalesce(gs.top_bigram_n, 0) > 9 * coalesce(gs.n_bigrams, 0)
              |        OR 5 * ts.top_token_n > ts.n_tokens THEN 1 ELSE 0 END AS BIGINT) AS repetitive
-             |FROM tok_stats ts LEFT JOIN gram_stats gs USING (doc_id)""".stripMargin))
+             |FROM tok_stats ts LEFT JOIN gram_stats gs USING (doc_id)""".stripMargin)),
+
+    QuerySpec(
+      "q73_intra_doc_repetition",
+      """Intra-document repetition (the remaining Gopher filters q72's
+        |corpus-level kernel can't see): the longest run of consecutive
+        |identical tokens, and duplicate 3-gram mass (total vs distinct
+        |3-grams), with an `intra_repetitive` flag (dup-3-gram mass >
+        |30% OR a token run ≥ 4) in integer cross-multiplication.
+        |Scale shape: ZERO shuffles — the run length is a higher-order
+        |`aggregate` fold over the token array and the 3-gram counts are
+        |array expressions, so the whole query is one codegen'd
+        |projection over the scan; the DuckDB oracle deliberately uses a
+        |different algorithm (positional unnest + gaps-and-islands
+        |window) so the two engines cross-validate the semantics rather
+        |than re-running one implementation.""".stripMargin,
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.rawTokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          expr("""aggregate(toks,
+                   named_struct('prev', '', 'run', 0L, 'best', 0L),
+                   (acc, x) -> named_struct(
+                     'prev', x,
+                     'run', IF(x = acc.prev, acc.run + 1L, 1L),
+                     'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+                   acc -> acc.best)""").as("max_token_run"),
+          expr("transform(slice(toks, 1, greatest(size(toks) - 2, 0)), " +
+            "(x, i) -> concat(x, ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3)))")
+            .as("g3"))
+        .select(
+          col("doc_id"), col("max_token_run"),
+          size(col("g3")).cast("long").as("n_3grams"),
+          size(array_distinct(col("g3"))).cast("long").as("n_distinct_3grams"))
+        .select(
+          col("doc_id"), col("max_token_run"), col("n_3grams"), col("n_distinct_3grams"),
+          when(lit(10) * (col("n_3grams") - col("n_distinct_3grams")) > lit(3) * col("n_3grams"), 1L)
+            .when(col("max_token_run") >= 4, 1L)
+            .otherwise(0L).as("intra_repetitive")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+             |pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
+             |w AS (SELECT doc_id, i, t[i] AS w FROM pos),
+             |runs AS (SELECT doc_id, w, i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp FROM w),
+             |rl AS (SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, w, grp),
+             |max_run AS (SELECT doc_id, max(run_len) AS max_token_run FROM rl GROUP BY doc_id),
+             |g3 AS (SELECT doc_id,
+             |  list_transform(range(1, greatest(len(t) - 1, 1)), i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g
+             |  FROM toks),
+             |g3s AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_3grams,
+             |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_3grams FROM g3)
+             |SELECT m.doc_id, m.max_token_run, s.n_3grams, s.n_distinct_3grams,
+             |  CAST(CASE WHEN 10 * (s.n_3grams - s.n_distinct_3grams) > 3 * s.n_3grams
+             |        OR m.max_token_run >= 4 THEN 1 ELSE 0 END AS BIGINT) AS intra_repetitive
+             |FROM max_run m JOIN g3s s USING (doc_id)""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -39,6 +39,44 @@ class RepetitionStatsSpec extends AnyFunSuite {
     }
   }
 
+  private def expectedIntraStats(text: String): (Long, Long, Long) = {
+    val toks = text.split("\\s+", -1).toSeq
+    var prev: Option[String] = None
+    var run = 0L
+    var best = 0L
+    toks.foreach { x =>
+      run = if (prev.contains(x)) run + 1 else 1
+      prev = Some(x)
+      best = math.max(best, run)
+    }
+    val g3 = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+    (best, g3.size.toLong, g3.distinct.size.toLong)
+  }
+
+  test("q73 matches a plain-Scala recomputation on sf0.001") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("q73_intra_doc_repetition")(spark, sf001).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (maxRun, n3, nd3) = expectedIntraStats(docs(id))
+      assert(r.getAs[Long]("max_token_run") == maxRun, s"doc $id max_token_run")
+      assert(r.getAs[Long]("n_3grams") == n3, s"doc $id n_3grams")
+      assert(r.getAs[Long]("n_distinct_3grams") == nd3, s"doc $id n_distinct_3grams")
+      val expectFlag = if (10 * (n3 - nd3) > 3 * n3 || maxRun >= 4) 1L else 0L
+      assert(r.getAs[Long]("intra_repetitive") == expectFlag, s"doc $id intra_repetitive")
+    }
+  }
+
+  test("q73 plans as a single zero-shuffle projection") {
+    val df = SparkEntry.queries("q73_intra_doc_repetition")(spark, sf001)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), "q73 must not shuffle")
+    assert(!physical.contains("Join"), "q73 must not join")
+  }
+
   test("q72 structural invariants hold on sf0.01") {
     val rows = SparkEntry.queries("q72_repetition_stats")(spark, sf01).collect()
     assert(rows.nonEmpty)

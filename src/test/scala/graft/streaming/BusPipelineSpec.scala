@@ -65,8 +65,9 @@ class BusPipelineSpec extends AnyFunSuite {
       val stream = MemoryStream[String](spark)
       stream.addData(Envelopes.insert, Envelopes.update)
       drain(stream, tmp("bus_table3"), tmp("bus_cp3"))
-      // listener events are async; poll briefly
-      val deadline = System.currentTimeMillis() + 10000
+      // listener events are async and can lag far behind the batch
+      // under box contention; the loop exits as soon as they land
+      val deadline = System.currentTimeMillis() + 60000
       while (rec.totalInputRows < 2 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       assert(rec.totalInputRows >= 2)

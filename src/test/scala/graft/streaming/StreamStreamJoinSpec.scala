@@ -80,7 +80,7 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       // processAllAvailable returns, so poll briefly instead of reading
       // lastProgress once (only rows near the 120m flush may remain;
       // the 9 rows from minutes 0-32 are older than watermark - range)
-      val deadline = System.nanoTime + 20L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
       var stateRows = Long.MaxValue
       while (stateRows > 4 && System.nanoTime < deadline) {
         q.processAllAvailable()

@@ -121,7 +121,10 @@ class StreamingOpsSpec extends AnyFunSuite {
         .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
       stream.addData(Ev(ts(0), 1, "a", 2.5), Ev(ts(1), 2, "b", 7.5))
       q.awaitTermination()
-      val deadline = System.currentTimeMillis() + 10000
+      // generous bound: listener-bus delivery can lag far behind
+      // processAllAvailable under box contention (observed >10s); the
+      // loop exits as soon as the event lands, so idle runs pay nothing
+      val deadline = System.currentTimeMillis() + 60000
       var metrics: Option[org.apache.spark.sql.Row] = None
       while (metrics.isEmpty && System.currentTimeMillis() < deadline) {
         metrics = rec.progress.toArray(Array.empty[org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent])
