@@ -33,6 +33,31 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et"),
     "es" -> Seq("el", "los", "las", "y"))
 
+  /** Word n-grams over a token-array column as `"w1 w2 … wn"` strings:
+    * a transform over the first `size - (n-1)` positions, each joining
+    * the following n-1 tokens — one codegen'd array expression, no
+    * explode/window. Empty array for docs with fewer than n tokens. */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    transform(slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      (x, i) => concat_ws(" ",
+        (x +: (1 until n).map(k => element_at(toks, i + k + 1))): _*))
+
+  /** Longest run of consecutive identical tokens, as a higher-order
+    * `aggregate` fold over the token array (state: previous token,
+    * current run, best run) — pure map-side work, zero shuffles. The
+    * intra-document repetition signal (Gopher): a run ≥ 4 marks
+    * degenerate "word word word …" text. */
+  def maxTokenRun(toks: Column): Column =
+    aggregate(toks,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Whitespace tokens of the raw text (no case folding). */
   def rawTokens(text: Column): Column = split(text, "\\s+")
 

@@ -883,9 +883,8 @@ object ExtensionQueries {
             count(lit(1)).as("n_distinct"),
             max(col("c")).as("top_token_n"))
         val gramStats = toks
-          .select(col("doc_id"), explode(expr(
-            "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
-              "(x, i) -> concat(x, ' ', element_at(toks, i + 2)))")).as("g"))
+          .select(col("doc_id"),
+            explode(TextFunctions.tokenNgrams(col("toks"), 2)).as("g"))
           .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id")).agg(
             max(col("c")).as("top_bigram_n"),
@@ -935,16 +934,8 @@ object ExtensionQueries {
         .select(col("doc_id"), TextFunctions.rawTokens(col("text")).as("toks"))
         .select(
           col("doc_id"),
-          expr("""aggregate(toks,
-                   named_struct('prev', '', 'run', 0L, 'best', 0L),
-                   (acc, x) -> named_struct(
-                     'prev', x,
-                     'run', IF(x = acc.prev, acc.run + 1L, 1L),
-                     'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
-                   acc -> acc.best)""").as("max_token_run"),
-          expr("transform(slice(toks, 1, greatest(size(toks) - 2, 0)), " +
-            "(x, i) -> concat(x, ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3)))")
-            .as("g3"))
+          TextFunctions.maxTokenRun(col("toks")).as("max_token_run"),
+          TextFunctions.tokenNgrams(col("toks"), 3).as("g3"))
         .select(
           col("doc_id"), col("max_token_run"),
           size(col("g3")).cast("long").as("n_3grams"),
@@ -968,7 +959,103 @@ object ExtensionQueries {
              |SELECT m.doc_id, m.max_token_run, s.n_3grams, s.n_distinct_3grams,
              |  CAST(CASE WHEN 10 * (s.n_3grams - s.n_distinct_3grams) > 3 * s.n_3grams
              |        OR m.max_token_run >= 4 THEN 1 ELSE 0 END AS BIGINT) AS intra_repetitive
-             |FROM max_run m JOIN g3s s USING (doc_id)""".stripMargin))
+             |FROM max_run m JOIN g3s s USING (doc_id)""".stripMargin)),
+
+    QuerySpec(
+      "q74_filter_audit",
+      """Quality-filter audit — the Dolma/C4-style keep/drop decision a
+        |corpus pipeline runs before training, with REASON CODES so
+        |curation is reviewable (what fraction died, and why) instead
+        |of a silent filter: first failing rule by precedence
+        |too_short (< 20 tokens) → non_english (declared lang) →
+        |repetitive (the q72 corpus-level ∪ q73 intra-doc rules) →
+        |low_stopword (stopword mass < 2%, the machine-generated-text
+        |smell) → kept. All thresholds integer-cross-multiplied; every
+        |reason fires on the driver corpus. Scale shape: the only
+        |shuffles are q72's two-level (doc_id, term) aggregations; the
+        |run/3-gram/stopword columns ride the same scan map-side, and
+        |the reason CASE is a final projection — auditing costs no more
+        |than the repetition stats it reuses.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"),
+            TextFunctions.stopwordCount(col("text")).as("stop_cnt"),
+            TextFunctions.maxTokenRun(TextFunctions.rawTokens(col("text")))
+              .as("max_token_run"),
+            TextFunctions.tokenNgrams(TextFunctions.rawTokens(col("text")), 3).as("g3"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_cnt"),
+            col("max_token_run"),
+            size(col("g3")).cast("long").as("n_3grams"),
+            size(array_distinct(col("g3"))).cast("long").as("n_distinct_3grams"))
+        val toks = docs.select(
+          col("doc_id"), TextFunctions.rawTokens(col("text")).as("toks"))
+        val topTok = toks
+          .select(col("doc_id"), explode(col("toks")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("top_token_n"))
+        val gramStats = toks
+          .select(col("doc_id"),
+            explode(TextFunctions.tokenNgrams(col("toks"), 2)).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(
+            max(col("c")).as("top_bigram_n"),
+            sum(col("c")).as("n_bigrams"))
+        val reason =
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("lang") =!= "en", "non_english")
+            .when(
+              lit(50) * coalesce(col("top_bigram_n"), lit(0L)) >
+                lit(9) * coalesce(col("n_bigrams"), lit(0L)) ||
+              lit(5) * col("top_token_n") > col("n_tokens") ||
+              col("max_token_run") >= 4 ||
+              lit(10) * (col("n_3grams") - col("n_distinct_3grams")) >
+                lit(3) * col("n_3grams"), "repetitive")
+            .when(lit(50) * col("stop_cnt") < col("n_tokens"), "low_stopword")
+            .otherwise("kept")
+        base.join(topTok, Seq("doc_id"))
+          .join(gramStats, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), reason.as("reason"))
+          .select(col("doc_id"), col("n_tokens"), col("reason"),
+            when(col("reason") === "kept", 1L).otherwise(0L).as("kept"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t,
+             |  string_split_regex(lower(text), '\\s+') AS tl FROM documents),
+             |base AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_filter(tl, x -> x IN ($StopList))) AS BIGINT) AS stop_cnt FROM toks),
+             |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+             |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+             |tok_stats AS (SELECT doc_id, max(c) AS top_token_n FROM tc GROUP BY 1),
+             |grams AS (SELECT doc_id,
+             |  unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i + 1])) AS g FROM toks),
+             |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+             |gram_stats AS (SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams FROM gc GROUP BY 1),
+             |pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
+             |wp AS (SELECT doc_id, i, t[i] AS w FROM pos),
+             |runs AS (SELECT doc_id, w, i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp FROM wp),
+             |rl AS (SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, w, grp),
+             |max_run AS (SELECT doc_id, max(run_len) AS max_token_run FROM rl GROUP BY 1),
+             |g3 AS (SELECT doc_id,
+             |  list_transform(range(1, greatest(len(t) - 1, 1)), i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g FROM toks),
+             |g3s AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_3grams,
+             |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_3grams FROM g3),
+             |j AS (SELECT b.doc_id, b.lang, b.n_tokens, b.stop_cnt, ts.top_token_n,
+             |  coalesce(gs.top_bigram_n, 0) AS top_bigram_n, coalesce(gs.n_bigrams, 0) AS n_bigrams,
+             |  m.max_token_run, s.n_3grams, s.n_distinct_3grams
+             | FROM base b JOIN tok_stats ts USING (doc_id) LEFT JOIN gram_stats gs USING (doc_id)
+             | JOIN max_run m USING (doc_id) JOIN g3s s USING (doc_id)),
+             |audit AS (SELECT doc_id, n_tokens,
+             |  CASE WHEN n_tokens < 20 THEN 'too_short'
+             |       WHEN lang <> 'en' THEN 'non_english'
+             |       WHEN 50 * top_bigram_n > 9 * n_bigrams OR 5 * top_token_n > n_tokens
+             |            OR max_token_run >= 4 OR 10 * (n_3grams - n_distinct_3grams) > 3 * n_3grams THEN 'repetitive'
+             |       WHEN 50 * stop_cnt < n_tokens THEN 'low_stopword'
+             |       ELSE 'kept' END AS reason
+             | FROM j)
+             |SELECT doc_id, n_tokens, reason,
+             |  CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS BIGINT) AS kept
+             |FROM audit""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -77,6 +77,39 @@ class RepetitionStatsSpec extends AnyFunSuite {
     assert(!physical.contains("Join"), "q73 must not join")
   }
 
+  test("q74 reason codes match a plain-Scala recomputation of the rule chain on sf0.001") {
+    val stopwords = graft.functions.TextFunctions.Stopwords.toSet
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val rows = SparkEntry.queries("q74_filter_audit")(spark, sf001).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (lang, text) = docs(id)
+      val (nTok, _, topTok, topGram, nGrams) = expectedStats(text)
+      val (maxRun, n3, nd3) = expectedIntraStats(text)
+      val stopCnt = text.split("\\s+", -1).count(t => stopwords(t.toLowerCase))
+      val expected =
+        if (nTok < 20) "too_short"
+        else if (lang != "en") "non_english"
+        else if (50 * topGram > 9 * nGrams || 5 * topTok > nTok ||
+                 maxRun >= 4 || 10 * (n3 - nd3) > 3 * n3) "repetitive"
+        else if (50 * stopCnt < nTok) "low_stopword"
+        else "kept"
+      assert(r.getAs[String]("reason") == expected, s"doc $id reason")
+      assert(r.getAs[Long]("kept") == (if (expected == "kept") 1L else 0L), s"doc $id kept")
+      assert(r.getAs[Long]("n_tokens") == nTok, s"doc $id n_tokens")
+    }
+  }
+
+  test("q74 exercises multiple reason codes on sf0.01") {
+    val reasons = SparkEntry.queries("q74_filter_audit")(spark, sf01)
+      .select("reason").distinct().collect().map(_.getString(0)).toSet
+    assert(reasons.contains("kept"))
+    assert(reasons.size >= 4, s"only $reasons fired")
+  }
+
   test("q72 structural invariants hold on sf0.01") {
     val rows = SparkEntry.queries("q72_repetition_stats")(spark, sf01).collect()
     assert(rows.nonEmpty)
