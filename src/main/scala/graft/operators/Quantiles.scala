@@ -47,16 +47,26 @@ object Quantiles {
       df: DataFrame,
       groupCol: String,
       valCol: String,
+      qs: Seq[(String, Double)]): DataFrame =
+    multiQuantileDisc(df, Seq(groupCol), valCol, qs)
+
+  /** Multi-column grouping variant: one output row per distinct
+    * `groupCols` tuple (one shuffle on the compound key). */
+  def multiQuantileDisc(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
       qs: Seq[(String, Double)]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
     require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
       s"percentiles must be in (0, 1]: $qs")
     require(qs.forall { case (_, q) => BigDecimal(q).scale <= 10 },
       s"percentiles must be exact in 10 decimal places (got $qs); " +
         "rank selection is decimal-exact and will not guess a rounding")
-    val byGroup = Window.partitionBy(groupCol)
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
     val ordered = byGroup.orderBy(col(valCol))
     val ranked = df
-      .select(col(groupCol), col(valCol))
+      .select(groupCols.map(col) :+ col(valCol): _*)
       .filter(col(valCol).isNotNull)
       // BIGINT 1-based rank: a running count over the ROWS frame — the
       // same ordering row_number() would give, without its Int ceiling;
@@ -73,7 +83,7 @@ object Quantiles {
       val qExact = lit(BigDecimal(q).setScale(10).underlying())
       max(when(col("__rn") === ceil(qExact * col("__n")), col(valCol))).as(name)
     }
-    ranked.groupBy(col(groupCol))
+    ranked.groupBy(groupCols.map(col): _*)
       .agg(picks.head, picks.tail :+ max(col("__n")).as("n_rows"): _*)
   }
 }

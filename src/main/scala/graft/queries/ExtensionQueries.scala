@@ -1055,7 +1055,89 @@ object ExtensionQueries {
              | FROM j)
              |SELECT doc_id, n_tokens, reason,
              |  CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS BIGINT) AS kept
-             |FROM audit""".stripMargin))
+             |FROM audit""".stripMargin)),
+
+    QuerySpec(
+      "q75_embedding_quantize",
+      """Int8 embedding quantization — the 4× memory cut that makes a
+        |billion-vector ANN index fit executor RAM: per vector, scale =
+        |max|x| (float widened to double FIRST, so both engines run the
+        |identical IEEE ops), q_i = trunc(127·x/scale) — truncation, not
+        |rounding, because Spark's double→long cast truncates while
+        |DuckDB's CAST rounds; `trunc` pins both to the same kernel.
+        |Emits integer summaries (l1 mass, sum, min/max, saturation
+        |count) rather than the int8 array so the oracle compares
+        |engine-portable scalars; the array itself is the same
+        |`transform` one projection earlier. Pure map-side work: zero
+        |shuffles at any scale, and the zero-vector guard
+        |(greatest(scale, 1e-30)) keeps the kernel total without a
+        |per-row branch.""".stripMargin,
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .select(col("vec_id"), col("label"), col("v"),
+            greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30))
+              .as("scale"))
+          .select(col("vec_id"), col("label"),
+            transform(col("v"), x => (lit(127.0) * x / col("scale")).cast("long"))
+              .as("qv"))
+          .select(
+            col("vec_id"), col("label"),
+            size(col("qv")).cast("long").as("n_dims"),
+            array_min(col("qv")).as("q_min"),
+            array_max(col("qv")).as("q_max"),
+            aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+            aggregate(col("qv"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
+            size(filter(col("qv"), x => abs(x) === 127L)).cast("long").as("n_sat")),
+      Some("""WITH e AS (SELECT vec_id, label,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |s AS (SELECT vec_id, label, v,
+             |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS scale FROM e),
+             |q AS (SELECT vec_id, label,
+             |  list_transform(v, x -> CAST(trunc(127.0 * x / scale) AS BIGINT)) AS qv FROM s)
+             |SELECT vec_id, label, CAST(len(qv) AS BIGINT) AS n_dims,
+             |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+             |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+             |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+             |FROM q""".stripMargin)),
+
+    QuerySpec(
+      "q76_corpus_summary",
+      """Per-(source, lang) corpus composition sheet — the first report
+        |a data curator pulls before training: document and token
+        |volumes plus exact length percentiles per slice, feeding the
+        |per-source caps (q67) and stratified splits (q56) with actual
+        |numbers. Exercises the multi-column-group variant of the
+        |one-sort multi-quantile kernel (q60's operator) on the
+        |documents domain; percentile_disc SELECTS existing BIGINT
+        |lengths, so everything compares bitwise. Scale shape: one
+        |shuffle on the compound (source, lang) key for the window
+        |sort, one for the sums — both partial-aggregated map-side;
+        |slices parallelize across tasks and the final join of the two
+        |sheets is on the same compound key, so no third exchange at
+        |scale.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("source"), col("lang"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        val sums = docs.groupBy(col("source"), col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        val quantiles = graft.operators.Quantiles.multiQuantileDisc(
+          docs, Seq("source", "lang"), "n_chars",
+          Seq("p50_chars" -> 0.50, "p95_chars" -> 0.95))
+          .drop("n_rows")
+        sums.join(quantiles, Seq("source", "lang"))
+      },
+      Some("""SELECT source, lang, count(*) AS n_docs,
+             |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS p50_chars,
+             |  percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95_chars
+             |FROM documents GROUP BY source, lang""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -15,6 +15,31 @@ import graft.sources.Tables
 class QuantileSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("multi-column-group multiQuantileDisc matches percentile_disc on the compound key") {
+    import spark.implicits._
+    val df = (for { a <- 1 to 5; b <- 1 to 4; i <- 1 to (a * b + 3) }
+      yield (s"s$a", s"l$b", ((i * 7) % 23 - 5).toLong)).toDF("src", "lng", "v")
+    val got = graft.operators.Quantiles
+      .multiQuantileDisc(df, Seq("src", "lng"), "v",
+        Seq("p50" -> 0.50, "p95" -> 0.95))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val want = df.groupBy(col("src"), col("lng")).agg(
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY v)").as("p50"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)").as("p95"),
+      count(lit(1)).as("n_rows")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (k, g) =>
+      val w = want(k)
+      // Spark's percentile_disc aggregate returns DOUBLE; the kernel
+      // SELECTS the original long values — compare on the double axis
+      Seq("p50", "p95").foreach { c =>
+        assert(g.getAs[Long](c).toDouble == w.getAs[Double](c), s"$k $c")
+      }
+      assert(g.getAs[Long]("n_rows") == w.getAs[Long]("n_rows"), s"$k n_rows")
+    }
+  }
+
   test("multiQuantileDisc matches percentile_disc exactly across group sizes and duplicates") {
     import spark.implicits._
     // groups of every size 1..60, values deliberately duplicate-heavy
