@@ -253,7 +253,20 @@ object Dedup {
     * materialized once because it feeds the count and BOTH
     * intersection sides. */
   private def verifyJaccard(shingles: DataFrame, cands: DataFrame,
-      leftCol: String, rightCol: String, threshold: Double): DataFrame = {
+      leftCol: String, rightCol: String, threshold: Double): DataFrame =
+    pairOverlapCounts(shingles, cands, leftCol, rightCol)
+      .select(col(leftCol), col(rightCol),
+        (col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+
+  /** Candidate-bounded shingle-set overlap counts — the shared kernel
+    * under both similarity verifications: per candidate pair,
+    * `(left, right, n_int, n_a, n_b)` with |A∩B| computed relationally
+    * by joining the two docs' DISTINCT shingle rows on shingle
+    * equality. The work is a semi-bounded shuffle join over only the
+    * candidate docs' shingles — the 100 TB shape. */
+  private def pairOverlapCounts(shingles: DataFrame, cands: DataFrame,
+      leftCol: String, rightCol: String): DataFrame = {
     val candIds = cands.select(col(leftCol).as("doc_id"))
       .union(cands.select(col(rightCol).as("doc_id"))).distinct()
     val sh = materialize(shingles
@@ -266,9 +279,31 @@ object Dedup {
     inter
       .join(counts.select(col("doc_id").as(leftCol), col("n_sh").as("n_a")), leftCol)
       .join(counts.select(col("doc_id").as(rightCol), col("n_sh").as("n_b")), rightCol)
-      .select(col(leftCol), col(rightCol),
-        (col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int"))).as("jacc"))
-      .filter(col("jacc") >= threshold)
+  }
+
+  /** Containment near-dup: among the SAME LSH candidate pairs as
+    * [[nearDupPairs]], report pairs whose shingle-set containment
+    * c = |A∩B| / min(|A|, |B|) reaches `threshold` — the
+    * short-doc-embedded-in-long-doc relation symmetric Jaccard
+    * dilutes (a 50-shingle doc fully inside a 500-shingle doc has
+    * c = 1.0 but Jaccard ≈ 0.1). Candidate generation still uses the
+    * Jaccard-tuned MinHash bands (a containment-tuned recall path
+    * would band one-sided signatures); verification is exact, the
+    * same candidate-bounded relational kernel as the Jaccard verify
+    * with a different closing formula (one integer min + one IEEE
+    * division — oracle-exact). Returns (a_id, b_id, n_int, n_a, n_b,
+    * cont) sorted nowhere: downstream feeds [[ConnectedComponents]]
+    * exactly like the Jaccard pairs. */
+  def containmentPairs(docs: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val shingles = shingleRows(docs)
+    val bands = materialize(
+      lshBands(minhashSignaturesFromShingles(shingles, numHashes), rowsPerBand))
+    val cands = materialize(candidatePairs(bands))
+    pairOverlapCounts(shingles, cands, "a_id", "b_id")
+      .select(col("a_id"), col("b_id"), col("n_int"), col("n_a"), col("n_b"),
+        (col("n_int").cast("double") / least(col("n_a"), col("n_b"))).as("cont"))
+      .filter(col("cont") >= threshold)
   }
 
   /** Incremental near-dup: pairs (new_id, corpus_id) where a NEW

@@ -1137,7 +1137,22 @@ object ExtensionQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS p50_chars,
              |  percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95_chars
-             |FROM documents GROUP BY source, lang""".stripMargin))
+             |FROM documents GROUP BY source, lang""".stripMargin)),
+
+    QuerySpec(
+      "q77_containment_dedup",
+      """Containment near-dup — the short-doc-embedded-in-long-doc
+        |relation symmetric Jaccard dilutes (a doc fully contained in
+        |one 10× longer has containment 1.0 but Jaccard ≈ 0.1, so q28
+        |never surfaces it): among the SAME MinHash/LSH candidate pairs
+        |as q28, exact shingle-set containment |A∩B|/min(|A|,|B|) ≥ 0.5
+        |with the integer overlap counts exposed. Shares the
+        |candidate-bounded relational overlap kernel with the Jaccard
+        |verify (one extra closing projection, zero new shuffles); at
+        |100 TB the plan is identical to q28's audited shape.""".stripMargin,
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d)),
+      Some(MinhashOracle.containmentSql(numHashes = 16, rowsPerBand = 4,
+        threshold = 0.5)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
