@@ -36,7 +36,13 @@ object TextFunctions {
   /** Word n-grams over a token-array column as `"w1 w2 … wn"` strings:
     * a transform over the first `size - (n-1)` positions, each joining
     * the following n-1 tokens — one codegen'd array expression, no
-    * explode/window. Empty array for docs with fewer than n tokens. */
+    * explode/window. Empty array for docs with fewer than n tokens.
+    *
+    * `toks` MUST be a bound column (a prior projection's output), not a
+    * composite expression like `rawTokens(col("text"))`: the lambda
+    * embeds `toks` in its `element_at` lookups, so a composite would
+    * re-evaluate per ELEMENT — O(tokens²) splits per document
+    * (measured ~8× on the q74 audit at sf0.1). */
   def tokenNgrams(toks: Column, n: Int): Column =
     transform(slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
       (x, i) => concat_ws(" ",
