@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductD, UnicodeNormalize}
+import graft.functions.{DotProductD, RollingHash, UnicodeNormalize}
 
 /** Spark extensions entry point: registers the engine's native
   * expressions at session build time, so a cluster deployment gets them
@@ -28,6 +28,13 @@ object GraftExtensions {
     DotProductD(exprs(0), exprs(1))
   }
 
+  /** Builder for the Karp-Rabin rolling-hash fingerprint. */
+  def buildKr(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): RollingHash = {
+    require(exprs.length == 1,
+      s"graft_kr expects exactly 1 string argument, got ${exprs.length}")
+    RollingHash(exprs.head)
+  }
+
   /** Builder factory for the two unicode-normalization registrations. */
   def buildNormalize(form: String)(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): UnicodeNormalize = {
@@ -44,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.buildDot(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_kr"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_kr"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.buildKr(exprs)))
     Seq("NFC", "NFD").foreach { form =>
       val name = s"graft_${form.toLowerCase}"
       e.injectFunction((

@@ -52,6 +52,8 @@ object GraftSession {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
       reg.createOrReplaceTempFunction("graft_dot", GraftExtensions.buildDot, "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kr")))
+      reg.createOrReplaceTempFunction("graft_kr", GraftExtensions.buildKr, "built-in")
     Seq("NFC", "NFD").foreach { form =>
       val name = s"graft_${form.toLowerCase}"
       if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))

@@ -141,6 +141,10 @@ object TextFunctions {
     * non-oracle path for joins/bucketing at scale. */
   def fingerprint64(text: Column): Column = xxhash64(text)
 
+  /** Karp-Rabin polynomial fingerprint over code points — the native
+    * codegen [[RollingHash]] expression (registered as `graft_kr`). */
+  def rollingFingerprint(text: Column): Column = call_function("graft_kr", text)
+
   /** PII redaction patterns — deliberately restricted to explicit
     * character classes and bounded quantifiers, the regex subset on
     * which Java regex (Spark) and RE2 (DuckDB, re2-based engines)

@@ -1156,7 +1156,39 @@ object ExtensionQueries {
         |100 TB the plan is identical to q28's audited shape.""".stripMargin,
       (s, d) => Dedup.containmentPairs(Tables.documents(s, d)),
       Some(MinhashOracle.containmentSql(numHashes = 16, rowsPerBand = 4,
-        threshold = 0.5)))
+        threshold = 0.5))),
+
+    QuerySpec(
+      "q78_rolling_fingerprint",
+      """Karp-Rabin rolling-hash document fingerprint — the
+        |incrementally-updatable polynomial form (h·131 + cp mod 2³¹−1
+        |over code points) that content-defined chunking and streaming
+        |fingerprinters use, completing the fingerprint family beside
+        |q27's min-shingle md5 and xxhash64. Runs as the native codegen
+        |`graft_kr` Expression ([[graft.functions.RollingHash]]): a
+        |primitive long loop inside WholeStageCodegen — a HOF fold over
+        |split-to-chars would allocate a per-row array of single-char
+        |strings and evaluate interpreted. P < 2³¹ keeps intermediates
+        |< 2³⁹, exact in BIGINT, so DuckDB replays the identical fold
+        |with list_reduce over unicode() code points. The n_same_hash
+        |window (one hash shuffle) is the dedup-ready grouping.""".stripMargin,
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("kr_hash"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextFunctions.rollingFingerprint(col("text")).as("kr_hash"))
+          .select(col("doc_id"), col("kr_hash"),
+            count(lit(1)).over(w).as("n_same_hash"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(text) + 1), i -> CAST(unicode(text[i]) AS BIGINT))),
+             |    (acc, c) -> (acc * 131 + c) % 2147483647) AS kr_hash
+             | FROM documents)
+             |SELECT doc_id, kr_hash,
+             |  CAST(count(*) OVER (PARTITION BY kr_hash) AS BIGINT) AS n_same_hash
+             |FROM h""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
