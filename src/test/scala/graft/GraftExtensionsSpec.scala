@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensionsSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("extensions object registers graft_dot and the normalize family without error") {
+  test("extensions object registers graft_dot, graft_kr and the normalize family without error") {
     new GraftExtensions().apply(new SparkSessionExtensions) // builder-path smoke
   }
 
