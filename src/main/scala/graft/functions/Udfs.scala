@@ -44,5 +44,6 @@ object Udfs {
   def register(spark: SparkSession): Unit = {
     spark.udf.register("geometric_mean", udaf(GeometricMean))
     spark.udf.register("slugify", slugify)
+    spark.udf.register("topk_terms", udaf(SpaceSaving.TopKAgg(64)))
   }
 }
