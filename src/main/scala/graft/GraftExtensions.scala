@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductD, RollingHash, UnicodeNormalize}
+import graft.functions.{DotProductD, RollingHash, UnicodeNormalize, WordNgrams}
 
 /** Spark extensions entry point: registers the engine's native
   * expressions at session build time, so a cluster deployment gets them
@@ -35,6 +35,21 @@ object GraftExtensions {
     RollingHash(exprs.head)
   }
 
+  /** Builder for the word-n-gram array kernel: the width must be a
+    * foldable integer literal (it is baked into the generated code). */
+  def buildNgrams(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): WordNgrams = {
+    require(exprs.length == 2,
+      s"graft_ngrams expects (array<string>, n literal), got ${exprs.length} arguments")
+    val n = exprs(1) match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal
+          if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+        lit.value.asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"graft_ngrams width must be an integer literal, got $other")
+    }
+    WordNgrams(exprs.head, n)
+  }
+
   /** Builder factory for the two unicode-normalization registrations. */
   def buildNormalize(form: String)(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): UnicodeNormalize = {
@@ -56,6 +71,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "graft_kr"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.buildKr(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.buildNgrams(exprs)))
     Seq("NFC", "NFD").foreach { form =>
       val name = s"graft_${form.toLowerCase}"
       e.injectFunction((

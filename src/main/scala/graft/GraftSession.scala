@@ -54,6 +54,8 @@ object GraftSession {
       reg.createOrReplaceTempFunction("graft_dot", GraftExtensions.buildDot, "built-in")
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kr")))
       reg.createOrReplaceTempFunction("graft_kr", GraftExtensions.buildKr, "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngrams")))
+      reg.createOrReplaceTempFunction("graft_ngrams", GraftExtensions.buildNgrams, "built-in")
     Seq("NFC", "NFD").foreach { form =>
       val name = s"graft_${form.toLowerCase}"
       if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))

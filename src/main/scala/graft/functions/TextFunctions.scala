@@ -33,20 +33,15 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et"),
     "es" -> Seq("el", "los", "las", "y"))
 
-  /** Word n-grams over a token-array column as `"w1 w2 … wn"` strings:
-    * a transform over the first `size - (n-1)` positions, each joining
-    * the following n-1 tokens — one codegen'd array expression, no
-    * explode/window. Empty array for docs with fewer than n tokens.
-    *
-    * `toks` MUST be a bound column (a prior projection's output), not a
-    * composite expression like `rawTokens(col("text"))`: the lambda
-    * embeds `toks` in its `element_at` lookups, so a composite would
-    * re-evaluate per ELEMENT — O(tokens²) splits per document
-    * (measured ~8× on the q74 audit at sf0.1). */
+  /** Word n-grams over a token-array column as `"w1 w2 … wn"` strings —
+    * the native codegen [[WordNgrams]] expression (`graft_ngrams`):
+    * one tight loop per row, child evaluated once (the prior HOF
+    * formulation re-evaluated a composite child per element — the
+    * measured ~8× q74 hazard — and the relational window formulation
+    * shuffled the whole token stream; see [[WordNgrams]]). Empty array
+    * for docs with fewer than n tokens. */
   def tokenNgrams(toks: Column, n: Int): Column =
-    transform(slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      (x, i) => concat_ws(" ",
-        (x +: (1 until n).map(k => element_at(toks, i + k + 1))): _*))
+    call_function("graft_ngrams", toks, lit(n))
 
   /** Longest run of consecutive identical tokens, as a higher-order
     * `aggregate` fold over the token array (state: previous token,

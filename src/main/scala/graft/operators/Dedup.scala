@@ -91,25 +91,30 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word-3-shingle rows (doc_id, sh), built relationally:
-    * posexplode the tokens, assemble shingles with two window `lead`s,
-    * dedup. Deliberately NOT `explode(shingles3(text))`: a generator
-    * re-evaluates its (interpreted, higher-order) child per output row,
-    * which benched 28s at sf0.1 vs ~1s for this shape. Same shingle set
-    * as [[TextFunctions.shingles3]] / the DuckDB oracle. */
+  /** Word-3-shingle rows (doc_id, sh): tokens → the codegen
+    * [[graft.functions.WordNgrams]] array kernel projected as a bound
+    * column → explode. ZERO shuffles — shingle assembly is pure map
+    * work. History of this shape: `explode(shingles3(text))` (HOF
+    * child under a generator) benched 28 s at sf0.1; the relational
+    * posexplode + two window `lead`s fixed that at ~1 s but SHUFFLED
+    * the whole token stream on doc_id — at 100 TB that exchange was
+    * the largest data movement in the dedup pipeline. The codegen
+    * expression removes both failure modes: evaluated once per row
+    * inside WholeStageCodegen, then the explode runs over a plain
+    * attribute. Same shingle multiset as both prior shapes / the
+    * DuckDB oracle.
+    *
+    * NOTE: rows are positional, NOT distinct — min-aggregation
+    * (minhash) is duplicate-insensitive, so the expensive global
+    * (doc_id, sh) dedup shuffle is deferred to the few places that
+    * need set semantics (Jaccard verification dedups candidate docs
+    * only). */
   def shingleRows(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    graft.GraftSession.ensureConfs(docs.sparkSession)
     docs.select(col("doc_id"),
-        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), lead("tok", 1).over(w), lead("tok", 2).over(w)).as("sh"),
-        lead("tok", 2).over(w).isNotNull.as("__full"))
-      .filter(col("__full")).select("doc_id", "sh")
-    // NOTE: rows are positional, NOT distinct — min-aggregation (minhash)
-    // is duplicate-insensitive, so the expensive global (doc_id, sh)
-    // dedup shuffle is deferred to the few places that need set
-    // semantics (Jaccard verification dedups candidate docs only).
+        graft.functions.TextFunctions.tokenNgrams(
+          split(lower(col("text")), "\\s+"), 3).as("__shs"))
+      .select(col("doc_id"), explode(col("__shs")).as("sh"))
   }
 
   /** Modulus for the minhash permutation family: 2^31−1 (Mersenne
