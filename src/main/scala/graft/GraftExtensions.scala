@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductD, RollingHash, UnicodeNormalize, WordNgrams}
+import graft.functions.{DotProductD, MaxTokenRun, RollingHash, UnicodeNormalize, WordNgrams}
 
 /** Spark extensions entry point: registers the engine's native
   * expressions at session build time, so a cluster deployment gets them
@@ -50,6 +50,13 @@ object GraftExtensions {
     WordNgrams(exprs.head, n)
   }
 
+  /** Builder for the longest-identical-token-run kernel. */
+  def buildMaxRun(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): MaxTokenRun = {
+    require(exprs.length == 1,
+      s"graft_maxrun expects exactly 1 array<string> argument, got ${exprs.length}")
+    MaxTokenRun(exprs.head)
+  }
+
   /** Builder factory for the two unicode-normalization registrations. */
   def buildNormalize(form: String)(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): UnicodeNormalize = {
@@ -76,6 +83,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_ngrams"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.buildNgrams(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_maxrun"),
+      new ExpressionInfo(classOf[MaxTokenRun].getName, "graft_maxrun"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.buildMaxRun(exprs)))
     Seq("NFC", "NFD").foreach { form =>
       val name = s"graft_${form.toLowerCase}"
       e.injectFunction((

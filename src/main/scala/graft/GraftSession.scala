@@ -56,6 +56,8 @@ object GraftSession {
       reg.createOrReplaceTempFunction("graft_kr", GraftExtensions.buildKr, "built-in")
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngrams")))
       reg.createOrReplaceTempFunction("graft_ngrams", GraftExtensions.buildNgrams, "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_maxrun")))
+      reg.createOrReplaceTempFunction("graft_maxrun", GraftExtensions.buildMaxRun, "built-in")
     Seq("NFC", "NFD").foreach { form =>
       val name = s"graft_${form.toLowerCase}"
       if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))

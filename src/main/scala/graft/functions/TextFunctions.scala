@@ -43,21 +43,14 @@ object TextFunctions {
   def tokenNgrams(toks: Column, n: Int): Column =
     call_function("graft_ngrams", toks, lit(n))
 
-  /** Longest run of consecutive identical tokens, as a higher-order
-    * `aggregate` fold over the token array (state: previous token,
-    * current run, best run) — pure map-side work, zero shuffles. The
-    * intra-document repetition signal (Gopher): a run ≥ 4 marks
+  /** Longest run of consecutive identical tokens — the native codegen
+    * [[MaxTokenRun]] expression (`graft_maxrun`): one comparison loop
+    * per row, pure map-side work, zero shuffles (the prior higher-order
+    * `aggregate` fold carried interpreted struct state per element).
+    * The intra-document repetition signal (Gopher): a run ≥ 4 marks
     * degenerate "word word word …" text. */
   def maxTokenRun(toks: Column): Column =
-    aggregate(toks,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    call_function("graft_maxrun", toks)
 
   /** Whitespace tokens of the raw text (no case folding). */
   def rawTokens(text: Column): Column = split(text, "\\s+")
