@@ -1188,7 +1188,36 @@ object ExtensionQueries {
              | FROM documents)
              |SELECT doc_id, kr_hash,
              |  CAST(count(*) OVER (PARTITION BY kr_hash) AS BIGINT) AS n_same_hash
-             |FROM h""".stripMargin))
+             |FROM h""".stripMargin)),
+
+    QuerySpec(
+      "q79_document_chunking",
+      """Within-document chunking — the RAG/context-window splitter
+        |(complementing q65's cross-document concat-and-chop packing):
+        |each document becomes overlapping 32-token chunks at stride 24
+        |(8-token overlap so no boundary context is lost), emitted as
+        |(doc_id, chunk_idx, chunk_text, n_chunk_tokens); the final
+        |chunk keeps its natural shorter length. Scale shape: pure
+        |map-side — explode over a per-doc start sequence (|tokens|/24
+        |elements) then slice + join from the bound token array; zero
+        |shuffles, no window, chunk_idx arithmetic is exact in both
+        |engines because starts are 1 + k·24 by construction.""".stripMargin,
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.rawTokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(24))).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / 24).cast("long").as("chunk_idx"),
+          array_join(slice(col("toks"), col("start"), lit(32)), " ").as("chunk_text"),
+          (least(col("start") + 31, size(col("toks"))) - col("start") + 1)
+            .cast("long").as("n_chunk_tokens")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+             |starts AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS start FROM toks)
+             |SELECT doc_id,
+             |  CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+             |  array_to_string(t[start : least(start + 31, len(t))], ' ') AS chunk_text,
+             |  CAST(least(start + 31, len(t)) - start + 1 AS BIGINT) AS n_chunk_tokens
+             |FROM starts""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** q79's within-document chunking, re-derived per document in plain
+  * Scala (stride-24 windows of 32 tokens, last chunk short) and
+  * compared row-by-row, plus the zero-shuffle plan assertion. */
+class ChunkingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q79 chunks match a plain-Scala recomputation on sf0.001") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("q79_document_chunking")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        ((r.getAs[String]("chunk_text"), r.getAs[Long]("n_chunk_tokens")))).toMap
+    val expected = docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+", -1).toSeq
+      Iterator.from(0).map(_ * 24).takeWhile(_ < t.size).zipWithIndex.map {
+        case (start, idx) =>
+          val chunk = t.slice(start, start + 32)
+          (id, idx.toLong) -> ((chunk.mkString(" "), chunk.size.toLong))
+      }
+    }
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(rows(k) == v, s"chunk $k") }
+    // overlap property: consecutive chunks share their 8-token seam
+    val multi = expected.keys.groupBy(_._1).filter(_._2.size > 1).keys.headOption
+    assert(multi.nonEmpty, "corpus should produce at least one multi-chunk doc")
+  }
+
+  test("q79 plans as a single zero-shuffle generate") {
+    val df = SparkEntry.queries("q79_document_chunking")(spark, sf001)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), "q79 must not shuffle")
+    assert(!physical.contains("Window"), "q79 must not window")
+  }
+}
