@@ -1217,7 +1217,51 @@ object ExtensionQueries {
              |  CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
              |  array_to_string(t[start : least(start + 31, len(t))], ' ') AS chunk_text,
              |  CAST(least(start + 31, len(t)) - start + 1 AS BIGINT) AS n_chunk_tokens
-             |FROM starts""".stripMargin))
+             |FROM starts""".stripMargin)),
+
+    QuerySpec(
+      "q80_rare_token_stats",
+      """Corpus-relative rarity audit — the out-of-vocabulary /
+        |rare-mass quality signal (Dolma-style): per doc, how many
+        |token occurrences belong to words whose CORPUS frequency is
+        |below the corpus mean (c·|vocab| < total, an integer-exact,
+        |parameter-free rarity line), with a `rare_heavy` flag at
+        |> 25% rare mass — the gibberish/ocr-noise smell that needs
+        |corpus context no per-doc rule can see. Scale shape: the q51
+        |kernel — occurrences are NEVER shuffled raw; the (doc, term,
+        |cnt) pre-aggregation map-side-combines before its exchange,
+        |corpus term frequencies aggregate from it, the single-row
+        |corpus stats broadcast, and the rare-set join is term-level
+        |(rows = doc × distinct-term, not occurrences).""".stripMargin,
+      (s, d) => {
+        val dt = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+        val tf = dt.groupBy(col("w")).agg(sum(col("cnt")).as("c"))
+        val stats = tf.agg(sum(col("c")).as("total"), count(lit(1)).as("vocab"))
+        val rare = tf.crossJoin(broadcast(stats))
+          .filter(col("c") * col("vocab") < col("total"))
+          .select(col("w"), lit(1L).as("__rare"))
+        dt.join(rare, Seq("w"), "left")
+          .groupBy(col("doc_id")).agg(
+            sum(col("cnt")).as("n_tokens"),
+            sum(when(col("__rare").isNotNull, col("cnt")).otherwise(0L)).as("n_rare"))
+          .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+            when(lit(4) * col("n_rare") > col("n_tokens"), 1L).otherwise(0L)
+              .as("rare_heavy"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+             |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+             |stats AS (SELECT CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS vocab FROM tf),
+             |rare AS (SELECT w FROM tf, stats WHERE c * vocab < total),
+             |per_doc AS (SELECT t.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) FILTER (r.w IS NOT NULL) AS BIGINT) AS n_rare
+             | FROM tok t LEFT JOIN rare r ON t.w = r.w GROUP BY t.doc_id)
+             |SELECT doc_id, n_tokens, n_rare,
+             |  CAST(CASE WHEN 4 * n_rare > n_tokens THEN 1 ELSE 0 END AS BIGINT) AS rare_heavy
+             |FROM per_doc""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -31,6 +31,32 @@ class ChunkingSpec extends AnyFunSuite {
     assert(multi.nonEmpty, "corpus should produce at least one multi-chunk doc")
   }
 
+  test("q80 rare-token stats match a plain-Scala recomputation on sf0.001") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+", -1).toSeq).toMap
+    val tf = docs.values.flatten.groupBy(identity).map { case (w, occ) => w -> occ.size.toLong }
+    val total = tf.values.sum
+    val vocab = tf.size.toLong
+    val rare = tf.filter { case (_, c) => c * vocab < total }.keySet
+    val rows = SparkEntry.queries("q80_rare_token_stats")(spark, sf001).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = docs(id)
+      val nRare = t.count(rare).toLong
+      assert(r.getAs[Long]("n_tokens") == t.size.toLong, s"doc $id n_tokens")
+      assert(r.getAs[Long]("n_rare") == nRare, s"doc $id n_rare")
+      assert(r.getAs[Long]("rare_heavy") == (if (4 * nRare > t.size) 1L else 0L), s"doc $id flag")
+    }
+  }
+
+  test("q80 rare_heavy flag fires on sf0.01") {
+    val flagged = SparkEntry.queries("q80_rare_token_stats")(spark, sf01)
+      .filter(org.apache.spark.sql.functions.col("rare_heavy") === 1L).count()
+    assert(flagged > 0)
+  }
+
   test("q79 plans as a single zero-shuffle generate") {
     val df = SparkEntry.queries("q79_document_chunking")(spark, sf001)
     val physical = df.queryExecution.executedPlan.toString
