@@ -36,16 +36,21 @@ object GraftExtensions {
   }
 
   /** Builder for the word-n-gram array kernel: the width must be a
-    * foldable integer literal (it is baked into the generated code). */
+    * foldable, non-null integer expression (it is baked into the
+    * generated code, so it is folded here at registration time). */
   def buildNgrams(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): WordNgrams = {
     require(exprs.length == 2,
       s"graft_ngrams expects (array<string>, n literal), got ${exprs.length} arguments")
-    val n = exprs(1) match {
-      case lit: org.apache.spark.sql.catalyst.expressions.Literal
-          if lit.dataType == org.apache.spark.sql.types.IntegerType =>
-        lit.value.asInstanceOf[Int]
+    val widthExpr = exprs(1)
+    val n = widthExpr match {
+      case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+        e.eval() match {
+          case null => throw new IllegalArgumentException(
+            "graft_ngrams width must not be NULL")
+          case v => v.asInstanceOf[Int]
+        }
       case other => throw new IllegalArgumentException(
-        s"graft_ngrams width must be an integer literal, got $other")
+        s"graft_ngrams width must be a foldable integer expression, got $other")
     }
     WordNgrams(exprs.head, n)
   }

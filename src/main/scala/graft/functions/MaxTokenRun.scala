@@ -14,10 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * WholeStageCodegen — the [[RollingHash]]/[[WordNgrams]] pattern.
   *
   * Semantics (identical to the HOF it replaces, property-tested in
-  * NgramKernelSpec): empty array → 0; a null element never extends or
-  * anchors a run (the HOF's `x === prev` evaluates to SQL NULL when
-  * either side is null, falling to the restart branch — mirrored
-  * exactly here). */
+  * NgramKernelSpec): empty array → 0; a null element never EXTENDS a
+  * run (the HOF's `x === prev` evaluates to SQL NULL when either side
+  * is null, falling to the restart branch — mirrored exactly here),
+  * but the restart branch counts the null itself as a fresh length-1
+  * run — so an all-null array returns 1, not 0. */
 case class MaxTokenRun(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions._
 import graft.TestSpark
 
@@ -9,12 +10,17 @@ import graft.TestSpark
   * token arrays (including empty strings, repeats, and single-token
   * docs) are pushed through the Spark expressions and compared with
   * straightforward Scala reference implementations (raw ScalaCheck
-  * generators; the scalatestplus bridge isn't in the offline cache). */
+  * generators; the scalatestplus bridge isn't in the offline cache).
+  * Generation is SEEDED (pureApply with a fixed Seed) so a failure is
+  * replayable and generation can never surface as a None.get. */
 class NgramKernelSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
   private val tokenGen = Gen.oneOf("a", "b", "ab", "", "zz")
+
+  private def sampled[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
 
   private def eval(tokens: Seq[Seq[String]], colFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
     tokens.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "toks")
@@ -22,7 +28,7 @@ class NgramKernelSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.get(1)).toMap
 
   test("tokenNgrams(n) equals sliding(n).mkString for n in 2..4 on random docs") {
-    val docs = Gen.listOfN(40, Gen.listOf(tokenGen)).sample.get
+    val docs = sampled(Gen.listOfN(40, Gen.listOf(tokenGen)), seed = 41L)
     (2 to 4).foreach { n =>
       val got = eval(docs, c => TextFunctions.tokenNgrams(c, n))
       docs.zipWithIndex.foreach { case (t, i) =>
@@ -33,7 +39,7 @@ class NgramKernelSpec extends AnyFunSuite {
   }
 
   test("maxTokenRun equals a reference fold on random repeat-heavy docs") {
-    val docs = Gen.listOfN(60, Gen.listOf(Gen.oneOf("a", "b", "a", ""))).sample.get
+    val docs = sampled(Gen.listOfN(60, Gen.listOf(Gen.oneOf("a", "b", "a", ""))), seed = 42L)
     val got = eval(docs, TextFunctions.maxTokenRun)
     docs.zipWithIndex.foreach { case (t, i) =>
       var prev: Option[String] = None; var run = 0L; var best = 0L
@@ -55,5 +61,16 @@ class NgramKernelSpec extends AnyFunSuite {
     assert(grams(0).asInstanceOf[scala.collection.Seq[String]].isEmpty)
     assert(grams(1).asInstanceOf[scala.collection.Seq[String]].isEmpty)
     assert(grams(2).asInstanceOf[scala.collection.Seq[String]].size == 62)
+  }
+
+  test("null elements restart runs at length 1 (HOF restart-branch semantics)") {
+    val docs: Seq[Seq[String]] = Seq(
+      Seq("a", "a", null, "a", "a", "a"), // null breaks the first run; best = 3
+      Seq(null, null, null),              // each null anchors a fresh length-1 run
+      Seq("a", null, "a"))                // a null never extends, even between equals
+    val runs = eval(docs, TextFunctions.maxTokenRun)
+    assert(runs(0).asInstanceOf[Long] == 3L)
+    assert(runs(1).asInstanceOf[Long] == 1L)
+    assert(runs(2).asInstanceOf[Long] == 1L)
   }
 }

@@ -26,9 +26,21 @@ class ChunkingSpec extends AnyFunSuite {
     }
     assert(rows.keySet == expected.keySet)
     expected.foreach { case (k, v) => assert(rows(k) == v, s"chunk $k") }
-    // overlap property: consecutive chunks share their 8-token seam
-    val multi = expected.keys.groupBy(_._1).filter(_._2.size > 1).keys.headOption
-    assert(multi.nonEmpty, "corpus should produce at least one multi-chunk doc")
+    // overlap property, asserted explicitly: consecutive chunks of the
+    // same doc share their seam — chunk k's tokens from index 24 equal
+    // chunk k+1's first tokens (8 when chunk k is full, fewer only when
+    // chunk k is itself the short tail)
+    val byDoc = rows.toSeq.groupBy(_._1._1)
+      .map { case (id, cs) => id -> cs.sortBy(_._1._2).map(_._2._1.split(" ", -1).toSeq) }
+    val multiDocs = byDoc.filter(_._2.size > 1)
+    assert(multiDocs.nonEmpty, "corpus should produce at least one multi-chunk doc")
+    multiDocs.foreach { case (id, chunks) =>
+      chunks.sliding(2).zipWithIndex.foreach { case (Seq(a, b), k) =>
+        val seam = a.drop(24)
+        assert(seam.nonEmpty && seam == b.take(seam.size),
+          s"doc $id chunks $k/${k + 1} must share the ${seam.size}-token seam")
+      }
+    }
   }
 
   test("q80 rare-token stats match a plain-Scala recomputation on sf0.001") {
