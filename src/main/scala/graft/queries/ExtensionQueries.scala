@@ -1197,20 +1197,16 @@ object ExtensionQueries {
         |each document becomes overlapping 32-token chunks at stride 24
         |(8-token overlap so no boundary context is lost), emitted as
         |(doc_id, chunk_idx, chunk_text, n_chunk_tokens); the final
-        |chunk keeps its natural shorter length. Scale shape: pure
-        |map-side — explode over a per-doc start sequence (|tokens|/24
-        |elements) then slice + join from the bound token array; zero
-        |shuffles, no window, chunk_idx arithmetic is exact in both
-        |engines because starts are 1 + k·24 by construction.""".stripMargin,
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.rawTokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(1), size(col("toks")), lit(24))).as("start"))
-        .select(col("doc_id"),
-          ((col("start") - 1) / 24).cast("long").as("chunk_idx"),
-          array_join(slice(col("toks"), col("start"), lit(32)), " ").as("chunk_text"),
-          (least(col("start") + 31, size(col("toks"))) - col("start") + 1)
-            .cast("long").as("n_chunk_tokens")),
+        |chunk keeps its natural shorter length. The parameterized
+        |operator is [[graft.operators.Chunking.chunkDocuments]]; this
+        |catalog entry pins it at width=32, stride=24. Scale shape:
+        |pure map-side — explode over a per-doc start sequence
+        |(|tokens|/24 elements) then slice + join from the bound token
+        |array; zero shuffles, no window, chunk_idx arithmetic is exact
+        |in both engines because starts are 1 + k·24 by
+        |construction.""".stripMargin,
+      (s, d) => graft.operators.Chunking.chunkDocuments(
+        Tables.documents(s, d), width = 32, stride = 24),
       Some("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
              |starts AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS start FROM toks)
              |SELECT doc_id,

@@ -69,6 +69,50 @@ class ChunkingSpec extends AnyFunSuite {
     assert(flagged > 0)
   }
 
+  test("chunkDocuments edge cases: stride>len, empty doc, width==stride, width<stride") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),              // 3 tokens, shorter than any stride below
+      (2L, ""),                   // empty text → ONE empty chunk (split yields [""])
+      (3L, "t1 t2 t3 t4 t5 t6")). // 6 tokens
+      toDF("doc_id", "text")
+    def rows(width: Int, stride: Int) =
+      graft.operators.Chunking.chunkDocuments(docs, width, stride)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+          ((r.getAs[String]("chunk_text"), r.getAs[Long]("n_chunk_tokens"))))
+        .toMap
+
+    // stride (8) > len: every doc is a single chunk of its full text
+    val single = rows(width = 8, stride = 8)
+    assert(single == Map(
+      (1L, 0L) -> (("a b c", 3L)),
+      (2L, 0L) -> (("", 1L)),
+      (3L, 0L) -> (("t1 t2 t3 t4 t5 t6", 6L))))
+
+    // width == stride: exact partition of the token stream, no overlap
+    val part = rows(width = 2, stride = 2)
+    assert(part((3L, 0L)) == (("t1 t2", 2L)))
+    assert(part((3L, 1L)) == (("t3 t4", 2L)))
+    assert(part((3L, 2L)) == (("t5 t6", 2L)))
+    assert(part((1L, 0L)) == (("a b", 2L)) && part((1L, 1L)) == (("c", 1L)))
+
+    // width < stride: documented token-skipping semantics (gap of 1)
+    val gap = rows(width = 2, stride = 3)
+    assert(gap((3L, 0L)) == (("t1 t2", 2L)))
+    assert(gap((3L, 1L)) == (("t4 t5", 2L))) // t3 skipped by construction
+
+    // overlap (stride < width): last chunk short, seam preserved
+    val overlap = rows(width = 4, stride = 2)
+    assert(overlap((3L, 0L)) == (("t1 t2 t3 t4", 4L)))
+    assert(overlap((3L, 1L)) == (("t3 t4 t5 t6", 4L)))
+    assert(overlap((3L, 2L)) == (("t5 t6", 2L)))
+
+    // invalid parameters are rejected eagerly
+    intercept[IllegalArgumentException](rows(width = 0, stride = 2))
+    intercept[IllegalArgumentException](rows(width = 2, stride = 0))
+  }
+
   test("q79 plans as a single zero-shuffle generate") {
     val df = SparkEntry.queries("q79_document_chunking")(spark, sf001)
     val physical = df.queryExecution.executedPlan.toString
