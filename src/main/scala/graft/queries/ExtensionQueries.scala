@@ -1257,7 +1257,50 @@ object ExtensionQueries {
              | FROM tok t LEFT JOIN rare r ON t.w = r.w GROUP BY t.doc_id)
              |SELECT doc_id, n_tokens, n_rare,
              |  CAST(CASE WHEN 4 * n_rare > n_tokens THEN 1 ELSE 0 END AS BIGINT) AS rare_heavy
-             |FROM per_doc""".stripMargin))
+             |FROM per_doc""".stripMargin)),
+
+    QuerySpec(
+      "q81_curation_gate",
+      """Curation-at-ingest gate, batch twin with reason codes — the
+        |library operator ([[graft.streaming.Curation]]) whose streaming
+        |face filters + dedups data AS IT ARRIVES (the reference's whole
+        |shape: transform inside the micro-batch): map-side quality
+        |rules (too_short < 20 tokens → non_english → low_stopword
+        |< 2%) then exact content dedup, the stream's arrival-order
+        |keeper pinned to min-id so the decision is deterministic and
+        |oracles bitwise. The corpus has no exact duplicates, so the
+        |query first UNIONS in deterministic copies of every 50th doc
+        |(the q69 decorate-then-process pattern) — every reason code
+        |including 'duplicate' observably fires. Scale shape: rules ride
+        |the scan map-side; dedup is one hash shuffle on the content
+        |md5 plus one co-partitioned join back — no window, no sort;
+        |streaming parity is spec-asserted (StreamingCurationSpec).""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        val echoes = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))
+        graft.streaming.Curation.batchAudit(docs.union(echoes))
+      },
+      Some(s"""WITH u AS (
+             |  SELECT doc_id, lang, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 50 = 0),
+             |t AS (SELECT doc_id, md5(lower(text)) AS h,
+             |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+             |  CASE WHEN CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) < 20 THEN 'too_short'
+             |       WHEN lang <> 'en' THEN 'non_english'
+             |       WHEN 100 * CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+             |              x -> x IN ($StopList))) AS BIGINT)
+             |            < 2 * CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) THEN 'low_stopword'
+             |       ELSE 'kept' END AS qr
+             |  FROM u),
+             |k AS (SELECT h, min(doc_id) AS keeper_id FROM t WHERE qr = 'kept' GROUP BY h)
+             |SELECT doc_id, n_tokens,
+             |  CASE WHEN qr <> 'kept' THEN qr
+             |       WHEN doc_id <> keeper_id THEN 'duplicate'
+             |       ELSE 'kept' END AS reason,
+             |  CAST(CASE WHEN qr = 'kept' AND doc_id = keeper_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+             |FROM t LEFT JOIN k USING (h)""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Curation at INGEST — the library composition of the map-side quality
+  * rules (the subset of q74's audit that needs no corpus-level
+  * aggregation: too_short / non_english / low_stopword) with
+  * bounded-state exact dedup ([[StreamingDedup.dedupWithinWatermark]]).
+  * This is the reference's whole point — processing applied while data
+  * streams in (`/root/reference/01-setup-ec-vm.md:340-398` runs its
+  * transform inside the micro-batch) — generalized to the
+  * training-data-pipeline gate a 100 TB/day ingest needs.
+  *
+  * The corpus-level repetition rules (q72's top token/bigram mass) are
+  * deliberately absent from the gate: they are per-doc aggregations a
+  * map task CAN compute, but their thresholds are corpus-audit
+  * decisions, not ingest decisions — run q74 over the landed table for
+  * those.
+  *
+  * Rule order: quality FIRST, dedup second — the filter shrinks the
+  * stream before the stateful operator, so dedup state is proportional
+  * to the kept fraction of the delay window, not the raw feed. The two
+  * orders are semantically interchangeable (the rules are per-row
+  * deterministic functions, so a duplicate passes the gate iff its
+  * original does), making the cheaper order free.
+  *
+  * All thresholds are integer cross-multiplications (stopwordPct is a
+  * percent), so the batch twin ([[batchAudit]], catalog entry q81)
+  * oracle-checks bitwise in DuckDB.
+  */
+object Curation {
+
+  /** The two map-side stat columns the gate reads. Internal names are
+    * __-prefixed so they can never collide with user payload columns. */
+  private def withStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__n_tokens",
+        size(TextFunctions.rawTokens(col(textCol))).cast("long"))
+      .withColumn("__stop_cnt", TextFunctions.stopwordCount(col(textCol)))
+
+  /** First-failing-rule reason over the stat columns, by precedence:
+    * too_short → non_english → low_stopword → kept. */
+  private def qualityReason(langCol: String, minTokens: Int, lang: String,
+      stopwordPct: Int): Column =
+    when(col("__n_tokens") < minTokens, "too_short")
+      .when(col(langCol) =!= lang, "non_english")
+      .when(lit(100L) * col("__stop_cnt") <
+        lit(stopwordPct.toLong) * col("__n_tokens"), "low_stopword")
+      .otherwise("kept")
+
+  /** Map-side quality gate: keep only rows passing every rule; schema
+    * is preserved (the stat columns never escape). Works identically on
+    * batch and streaming frames — pure narrow projection + filter. */
+  def keepByQuality(df: DataFrame, textCol: String = "text",
+      langCol: String = "lang", minTokens: Int = 20, lang: String = "en",
+      stopwordPct: Int = 2): DataFrame = {
+    val original = df.columns.toSeq
+    withStats(df, textCol)
+      .filter(qualityReason(langCol, minTokens, lang, stopwordPct) === "kept")
+      .select(original.map(col): _*)
+  }
+
+  /** The streaming ingest gate: quality rules then watermark-bounded
+    * exact dedup on `keys`. State is bounded by the delay window over
+    * the KEPT stream; a duplicate arriving later than `delay` re-emits
+    * (downstream idempotent upsert — [[graft.sinks.UpsertWriter]] —
+    * absorbs it). Append-mode friendly: no aggregation, no sort. */
+  def ingestGate(stream: DataFrame, eventTimeCol: String, delay: String,
+      keys: Seq[String], textCol: String = "text", langCol: String = "lang",
+      minTokens: Int = 20, lang: String = "en", stopwordPct: Int = 2): DataFrame =
+    StreamingDedup.dedupWithinWatermark(
+      keepByQuality(stream, textCol, langCol, minTokens, lang, stopwordPct),
+      eventTimeCol, delay, keys)
+
+  /** Batch twin of the gate with REASON CODES (q81): same quality rules,
+    * with the stream's arrival-order dedup pinned to a deterministic
+    * rule — among quality-surviving rows of identical normalized
+    * content, min id is the keeper, the rest are 'duplicate'. Returns
+    * (id, n_tokens, reason, kept); reason precedence too_short →
+    * non_english → low_stopword → duplicate → kept mirrors the gate's
+    * rules-then-dedup order.
+    *
+    * Scale shape: the rules ride the scan map-side; dedup is one hash
+    * shuffle on md5 of the content (the q23 kernel) plus one
+    * co-partitioned join back on the same key — no window, no sort. */
+  def batchAudit(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang", minTokens: Int = 20,
+      lang: String = "en", stopwordPct: Int = 2): DataFrame = {
+    val stats = withStats(docs, textCol)
+      .withColumn("__h", md5(lower(col(textCol))))
+      .withColumn("__q", qualityReason(langCol, minTokens, lang, stopwordPct))
+    val keepers = stats.filter(col("__q") === "kept")
+      .groupBy(col("__h")).agg(min(col(idCol)).as("__keeper_id"))
+    stats.join(keepers, Seq("__h"), "left")
+      .select(col(idCol), col("__n_tokens").as("n_tokens"),
+        when(col("__q") =!= "kept", col("__q"))
+          .when(col(idCol) =!= col("__keeper_id"), "duplicate")
+          .otherwise("kept").as("reason"))
+      .withColumn("kept", when(col("reason") === "kept", 1L).otherwise(0L))
+  }
+}
