@@ -43,4 +43,43 @@ class SpaceSavingSpec extends AnyFunSuite {
       .select(SpaceSaving.TopKAgg(1).toColumn).head()
     assert(approx.size == 1) // Boyer-Moore-like: one surviving candidate
   }
+
+  test("summary survives a kryo round-trip mid-stream (lazy bucket rebuild)") {
+    val agg = SpaceSaving.TopKAgg(4)
+    var s = agg.zero
+    Seq("a", "a", "b", "c", "d", "e").foreach { x => s = agg.reduce(s, x) } // e evicted into the summary
+    val ser = new org.apache.spark.serializer.KryoSerializer(spark.sparkContext.getConf).newInstance()
+    val back = ser.deserialize[SpaceSaving.Summary](ser.serialize(s))
+    Seq("f", "g", "a").foreach(back.add) // evictions after deserialize rebuild buckets
+    assert(back.entries.size == 4)
+    assert(back.toCounts.contains("a")) // the heavy key survives
+  }
+
+  test("reduce throughput micro-bench at m=64 and m=1024 (adversarial distinct tail)") {
+    // worst-case for eviction: 3/4 of the stream is never-seen keys, so
+    // once the summary fills, most rows evict. Driver-side loop — this
+    // measures the buffer itself, not Spark plumbing.
+    val n = 1000000
+    def run(m: Int): Double = {
+      val agg = SpaceSaving.TopKAgg(m)
+      var s = agg.zero
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < n) {
+        val key = if (i % 4 == 0) "hot" + (i % 64) else "tail" + i
+        s = agg.reduce(s, key)
+        i += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(s.entries.size == m)
+      n / sec
+    }
+    run(64) // JIT warmup
+    val r64 = run(64); val r1024 = run(1024)
+    info(f"reduce throughput: m=64 → ${r64 / 1e6}%.1f M rows/s, m=1024 → ${r1024 / 1e6}%.1f M rows/s")
+    // floor far below expectations — guards regressions to per-row O(m)
+    // scans or per-row allocation storms without being machine-flaky
+    assert(r64 > 500000, f"m=64 throughput $r64%.0f rows/s")
+    assert(r1024 > 500000, f"m=1024 throughput $r1024%.0f rows/s")
+  }
 }
