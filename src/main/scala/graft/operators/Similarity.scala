@@ -141,7 +141,9 @@ object Similarity {
     * centroid cosines never shuffle — the argmax is a map-side-combined
     * `max(struct(cos, -c_id))` aggregation, so the one exchange carries
     * ONE row per corpus vector, not nlist. Returns
-    * (n_id, n_v, n_n, c_id).
+    * (n_id, n_v, n_n, c_id, cos_c) — cos_c is the cosine to the winning
+    * centroid (it rides the argmax struct for free; [[ivfDrift]] reads
+    * it, the other consumers project it away).
     *
     * Null or wrong-length vectors (vs `dim`, inferred as the corpus's
     * modal length when 0) are excluded from both sides rather than
@@ -165,7 +167,8 @@ object Similarity {
       .agg(
         max(struct(col("cos_c"), (-col("c_id")).as("neg_c"))).as("m"),
         first(col("n_v")).as("n_v"), first(col("n_n")).as("n_n"))
-      .select(col("n_id"), col("n_v"), col("n_n"), (-col("m.neg_c")).as("c_id"))
+      .select(col("n_id"), col("n_v"), col("n_n"), (-col("m.neg_c")).as("c_id"),
+        col("m.cos_c").as("cos_c"))
   }
 
   /** Deterministic Lloyd (k-means) refinement of IVF centroids:
@@ -265,5 +268,67 @@ object Similarity {
         (dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n"))).as("cos"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Incremental ANN maintenance — the similarity-search twin of the
+    * incremental dedup (q68): a production corpus GROWS, and rebuilding
+    * the IVF index per append is a full k-means over the whole corpus.
+    * Instead, assign only the NEW batch to the STANDING centroids and
+    * report per-cell drift, deciding where re-refinement is worth it:
+    *
+    *  - `n_old` / `n_new`: standing vs incoming population per cell;
+    *  - `mean_old_q` / `mean_new_q`: mean cosine DISPLACEMENT
+    *    (1 − cos to the owning centroid), quantized as
+    *    floor((1−cos)·2²⁰) and mean'd by floor division — every value
+    *    integer-exact, so the whole report (built from the same
+    *    left-fold-double cosines both engines share) oracles bitwise;
+    *  - `refresh`: 1 when the cell's index quality is degrading — new
+    *    mass > 25 % of standing mass (4·n_new > n_old, covering
+    *    brand-new mass in an empty cell), OR the incoming points sit
+    *    > 20 % farther from the centroid than the standing population
+    *    (10·mean_new_q > 12·mean_old_q, the corpus-RELATIVE drift line
+    *    that stays meaningful whatever the embedding geometry).
+    *
+    * Scale shape: two [[ivfAssign]] argmax passes (each one exchange
+    * carrying ONE row per vector — and the old-side pass is exactly the
+    * assignment an IVF index already persists, so a real system pays
+    * only the new-batch pass) + per-cell aggregation on nlist keys; the
+    * final three-way join is nlist rows. Means are divided BEFORE the
+    * cross-multiplied comparison so nothing overflows BIGINT at any
+    * corpus size. */
+  def ivfDrift(oldCorpus: DataFrame, newBatch: DataFrame, centroids: DataFrame,
+      dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(oldCorpus.sparkSession)
+    val d = if (dim > 0) dim else inferDim(oldCorpus)
+    val Q = 1048576.0 // 2^20, the kmeansIterate quantum
+    def cellStats(batch: DataFrame, nCol: String, sumCol: String) =
+      ivfAssign(batch, centroids, d)
+        .select(col("c_id"),
+          floor(greatest(lit(1.0) - col("cos_c"), lit(0.0)) * lit(Q))
+            .cast("long").as("disp_q"))
+        .groupBy(col("c_id"))
+        .agg(count(lit(1)).as(nCol), sum(col("disp_q")).as(sumCol))
+    val oldStats = cellStats(oldCorpus, "n_old", "sum_old_q")
+    val newStats = cellStats(newBatch, "n_new", "sum_new_q")
+    val cells = centroids
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("c_id"))
+    def meanQ(sumCol: String, nCol: String) =
+      when(col(nCol) > 0,
+        floor(col(sumCol).cast("double") / col(nCol).cast("double")).cast("long"))
+        .otherwise(0L)
+    cells.join(oldStats, Seq("c_id"), "left").join(newStats, Seq("c_id"), "left")
+      .select(col("c_id"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("sum_old_q"), lit(0L)).as("sum_old_q"),
+        coalesce(col("sum_new_q"), lit(0L)).as("sum_new_q"))
+      .select(col("c_id"), col("n_old"), col("n_new"),
+        meanQ("sum_old_q", "n_old").as("mean_old_q"),
+        meanQ("sum_new_q", "n_new").as("mean_new_q"))
+      .withColumn("refresh",
+        when(lit(4) * col("n_new") > col("n_old") ||
+          lit(10) * col("mean_new_q") > lit(12) * col("mean_old_q"), 1L)
+          .otherwise(0L))
   }
 }

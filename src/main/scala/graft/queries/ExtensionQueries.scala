@@ -1300,7 +1300,37 @@ object ExtensionQueries {
              |       WHEN doc_id <> keeper_id THEN 'duplicate'
              |       ELSE 'kept' END AS reason,
              |  CAST(CASE WHEN qr = 'kept' AND doc_id = keeper_id THEN 1 ELSE 0 END AS BIGINT) AS kept
-             |FROM t LEFT JOIN k USING (h)""".stripMargin))
+             |FROM t LEFT JOIN k USING (h)""".stripMargin)),
+
+    QuerySpec(
+      "q82_ivf_drift",
+      """Incremental ANN maintenance — the similarity-search twin of
+        |q68's incremental dedup: a growing corpus must not re-run
+        |k-means per append, so the NEW batch (vec_id % 8 = 0, the
+        |deterministic eighth standing in for "today's load") is
+        |assigned to the STANDING IVF centroids (seeded from the old
+        |corpus, one Lloyd round — the q49 kernel) and each cell
+        |reports n_old/n_new plus mean quantized cosine displacement
+        |(floor((1−cos)·2²⁰), floor-divided mean) with a `refresh`
+        |decision: new mass > 25% of standing, OR incoming points
+        |sitting > 20% farther from the centroid than the standing
+        |population (the corpus-relative drift line). All integer-exact
+        |from the shared left-fold-double cosines, so even the refresh
+        |decision oracles bitwise. Scale shape: two argmax assignment
+        |passes (one exchange row per vector each — and a real index
+        |already persists the old side's), per-cell aggregation on
+        |nlist keys, nlist-row joins; means divide before the
+        |cross-multiplied comparison so nothing overflows at any corpus
+        |size.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val old = e.filter(col("vec_id") % 8 =!= 0)
+        val fresh = e.filter(col("vec_id") % 8 === 0)
+        val cent = Similarity.kmeansIterate(old, old.filter(col("vec_id") < 16),
+          iters = 1, dim = 64)
+        Similarity.ivfDrift(old, fresh, cent, dim = 64)
+      },
+      Some(IvfOracle.driftSql(nlist = 16, iters = 1, dim = 64)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -17,9 +17,11 @@ package graft.queries
   * cosine ties between distinct centroids do not occur in practice). */
 object IvfOracle {
 
-  def sql(nlist: Int = 16, nprobe: Int = 4, k: Int = 5, qBound: Long = 8,
-      iters: Int = 0, dim: Int = 64): String = {
-    val refine = (1 to iters).map { i =>
+  /** The unrolled Lloyd-refinement CTE chain (assign → quantized mean),
+    * shared by [[sql]] and [[driftSql]]; references a `corp` CTE the
+    * caller defines. */
+  private def refineChain(iters: Int, dim: Int): String =
+    (1 to iters).map { i =>
       val prev = s"cent${i - 1}"
       s"""asg$i AS (
          |  SELECT n_id, c_id FROM (
@@ -38,6 +40,10 @@ object IvfOracle {
          |                    ORDER BY pos) cv
          |  FROM sum$i GROUP BY c_id),""".stripMargin
     }.mkString("\n")
+
+  def sql(nlist: Int = 16, nprobe: Int = 4, k: Int = 5, qBound: Long = 8,
+      iters: Int = 0, dim: Int = 64): String = {
+    val refine = refineChain(iters, dim)
     val cent = s"cent$iters"
     s"""WITH corp AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings),
        |cent0 AS (
@@ -64,5 +70,51 @@ object IvfOracle {
        |  JOIN corp ON corp.n_id = assign.n_id
        |  WHERE q.q_id <> corp.n_id) t
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Mirror of [[graft.operators.Similarity.ivfDrift]] over the q82
+    * fixture: standing corpus = `vec_id % 8 <> 0`, incoming batch =
+    * `vec_id % 8 = 0`, seeds = the standing corpus's `vec_id < nlist`
+    * rows, `iters` Lloyd rounds. Displacement is floor((1−cos)·2²⁰) in
+    * BIGINT, means are floor divisions — integer-exact end to end, so
+    * the drift report (counts, quantized means, refresh decision)
+    * compares bitwise. */
+  def driftSql(nlist: Int = 16, iters: Int = 1, dim: Int = 64): String = {
+    val refine = refineChain(iters, dim)
+    val cent = s"cent$iters"
+    def assignAgg(src: String, nCol: String, sumCol: String) =
+      s"""(SELECT c_id, count(*) AS $nCol,
+         |   sum(CAST(floor(greatest(1.0 - cos, 0.0) * 1048576.0) AS BIGINT)) AS $sumCol
+         | FROM (SELECT n_id, c_id, cos FROM (
+         |    SELECT s.n_id, c.c_id, list_cosine_similarity(s.v, c.cv) AS cos,
+         |      row_number() OVER (PARTITION BY s.n_id
+         |        ORDER BY list_cosine_similarity(s.v, c.cv) DESC, c.c_id ASC) rk
+         |    FROM $src s, $cent c) t WHERE rk = 1) a
+         | GROUP BY c_id)""".stripMargin
+    s"""WITH corp AS (
+       |  SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id % 8 <> 0),
+       |cent0 AS (
+       |  SELECT vec_id c_id, embedding::DOUBLE[] cv FROM embeddings
+       |  WHERE vec_id < $nlist AND vec_id % 8 <> 0),
+       |$refine
+       |newb AS (
+       |  SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id % 8 = 0),
+       |so AS ${assignAgg("corp", "n_old", "sum_old_q")},
+       |sn AS ${assignAgg("newb", "n_new", "sum_new_q")},
+       |cells AS (SELECT DISTINCT c_id FROM $cent),
+       |j AS (SELECT c.c_id,
+       |    coalesce(o.n_old, 0) AS n_old, coalesce(n.n_new, 0) AS n_new,
+       |    coalesce(o.sum_old_q, 0) AS sum_old_q, coalesce(n.sum_new_q, 0) AS sum_new_q
+       |  FROM cells c LEFT JOIN so o USING (c_id) LEFT JOIN sn n USING (c_id)),
+       |means AS (SELECT c_id, n_old, n_new,
+       |    CAST(CASE WHEN n_old > 0
+       |      THEN floor(CAST(sum_old_q AS DOUBLE) / CAST(n_old AS DOUBLE)) ELSE 0 END AS BIGINT) AS mean_old_q,
+       |    CAST(CASE WHEN n_new > 0
+       |      THEN floor(CAST(sum_new_q AS DOUBLE) / CAST(n_new AS DOUBLE)) ELSE 0 END AS BIGINT) AS mean_new_q
+       |  FROM j)
+       |SELECT c_id, n_old, n_new, mean_old_q, mean_new_q,
+       |  CAST(CASE WHEN 4 * n_new > n_old OR 10 * mean_new_q > 12 * mean_old_q
+       |       THEN 1 ELSE 0 END AS BIGINT) AS refresh
+       |FROM means""".stripMargin
   }
 }
