@@ -339,6 +339,54 @@ object Dedup {
     verifyJaccard(shingleRows(docs), cands, "new_id", "corpus_id", threshold)
   }
 
+  /** Cross-document repeated exact-substring spans — the
+    * suffix-array-free form of Lee et al.'s exact substring dedup
+    * criterion ("Deduplicating Training Data Makes Language Models
+    * Better", ACL'22; see PAPERS.md): every `width`-token window at
+    * the given `stride` is keyed by the 48-bit md5-derived span key
+    * ([[md5Base48]], the minhash idiom); a key occurring in ≥ 2
+    * DISTINCT documents marks a verbatim cross-document span —
+    * boilerplate, license headers, templated text — that symmetric
+    * whole-doc Jaccard ([[nearDupPairs]]) dilutes away. Per doc, the
+    * repeated-window fraction is the memorization-risk signal, with a
+    * `span_dup_heavy` flag at > 25 % repeated mass (integer
+    * cross-multiplied). Docs shorter than `width` report 0 windows.
+    *
+    * Scale shape: windows explode map-side (≈ |tokens|/stride rows per
+    * doc, each an 8-byte key — never the span text); the (doc, key)
+    * pre-aggregation map-side-combines before its ONE hash exchange;
+    * the repeated-key set derives from it without touching raw
+    * windows, and the closing join is (doc, key)-level. The exchange
+    * carries ~|corpus tokens|/stride keyed rows — the same order of
+    * data movement as the shingle pass the near-dup family already
+    * pays, and the honest lower bound for exact-substring detection
+    * without a distributed suffix array. */
+  def repeatedSpanStats(docs: DataFrame, width: Int = 16, stride: Int = 4): DataFrame = {
+    require(width > 0 && stride > 0, s"width/stride must be positive, got $width/$stride")
+    val win = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), greatest(size(col("toks")) - (width - 1), lit(1)),
+          lit(stride))).as("start"))
+      .filter(col("start") + (width - 1) <= size(col("toks")))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("start"), lit(width)), " ")).as("h"))
+      .select(col("doc_id"), md5Base48("h").as("k"))
+    val perDocKey = win.groupBy(col("doc_id"), col("k")).agg(count(lit(1)).as("cnt"))
+    val repeated = perDocKey.groupBy(col("k")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("k"), lit(1L).as("__rep"))
+    val stats = perDocKey.join(repeated, Seq("k"), "left")
+      .groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_windows"),
+        sum(when(col("__rep").isNotNull, col("cnt")).otherwise(0L)).as("n_rep_windows"))
+    docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_rep_windows"), lit(0L)).as("n_rep_windows"),
+        when(lit(4) * coalesce(col("n_rep_windows"), lit(0L)) >
+          coalesce(col("n_windows"), lit(0L)), 1L).otherwise(0L).as("span_dup_heavy"))
+  }
+
   /** SimHash-64 document signatures, fully deterministic and
     * oracle-reproducible: per token, the 16 md5 hex digits supply 64
     * bits; each bit votes ±1 across the doc's token multiset; the sign

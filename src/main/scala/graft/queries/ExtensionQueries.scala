@@ -1330,7 +1330,45 @@ object ExtensionQueries {
           iters = 1, dim = 64)
         Similarity.ivfDrift(old, fresh, cent, dim = 64)
       },
-      Some(IvfOracle.driftSql(nlist = 16, iters = 1, dim = 64)))
+      Some(IvfOracle.driftSql(nlist = 16, iters = 1, dim = 64))),
+
+    {
+      val digits = (0 until 12).map { j =>
+        s"(strpos('0123456789abcdef', substr(hh, ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+      }.mkString("\n             |    + ")
+      QuerySpec(
+        "q83_repeated_spans",
+        """Cross-document repeated exact-substring spans — Lee et al.'s
+          |exact substring dedup criterion in suffix-array-free form
+          |([[graft.operators.Dedup.repeatedSpanStats]], width 16 /
+          |stride 4): every 16-token window keyed by the 48-bit
+          |md5-derived span key (the minhash idiom); keys in ≥ 2
+          |distinct docs mark verbatim cross-document spans (license
+          |headers, boilerplate, templated text) that whole-doc Jaccard
+          |dilutes; per doc, repeated-window mass with a
+          |`span_dup_heavy` flag > 25% (integer cross-multiplied).
+          |Scale shape: map-side window explode to 8-byte keys (never
+          |span text on the wire), (doc, key) pre-aggregation map-side
+          |combines before the ONE hash exchange, repeated-key set and
+          |closing join both key-level — the q80 kernel over span keys,
+          |same data movement order as the shingle pass.""".stripMargin,
+        (s, d) => Dedup.repeatedSpanStats(Tables.documents(s, d), width = 16, stride = 4),
+        Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+             |w AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 15, 1) + 1, 4)) AS start, t FROM toks),
+             |f AS (SELECT doc_id, start, t FROM w WHERE start + 15 <= len(t)),
+             |h AS (SELECT doc_id, md5(array_to_string(t[start : start + 15], ' ')) AS hh FROM f),
+             |k AS (SELECT doc_id, $digits AS k FROM h),
+             |dk AS (SELECT doc_id, k, count(*) AS cnt FROM k GROUP BY 1, 2),
+             |rep AS (SELECT k FROM dk GROUP BY k HAVING count(*) >= 2),
+             |stats AS (SELECT dk.doc_id, CAST(sum(cnt) AS BIGINT) AS n_windows,
+             |  CAST(sum(CASE WHEN r.k IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_rep_windows
+             | FROM dk LEFT JOIN rep r USING (k) GROUP BY 1)
+             |SELECT d.doc_id, coalesce(s.n_windows, 0) AS n_windows,
+             |  coalesce(s.n_rep_windows, 0) AS n_rep_windows,
+             |  CAST(CASE WHEN 4 * coalesce(s.n_rep_windows, 0) > coalesce(s.n_windows, 0)
+             |       THEN 1 ELSE 0 END AS BIGINT) AS span_dup_heavy
+             |FROM documents d LEFT JOIN stats s USING (doc_id)""".stripMargin))
+    }
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
