@@ -1368,7 +1368,47 @@ object ExtensionQueries {
              |  CAST(CASE WHEN 4 * coalesce(s.n_rep_windows, 0) > coalesce(s.n_windows, 0)
              |       THEN 1 ELSE 0 END AS BIGINT) AS span_dup_heavy
              |FROM documents d LEFT JOIN stats s USING (doc_id)""".stripMargin))
-    }
+    },
+
+    QuerySpec(
+      "q84_salient_terms",
+      """Per-document salient terms — the per-doc consumer of q51's
+        |TF-IDF kernel: top-5 terms per doc ranked by
+        |document-frequency-normalized term frequency (weight = tf/df,
+        |one IEEE division of exact integers — bitwise identical in
+        |both engines, where an ln-idf would diverge across libm
+        |implementations, the precise reason q51 left the log to the
+        |consumer; tf/df orders identically to tf·(N/df) since N is a
+        |positive constant). Ties break on the term string, so the
+        |ranking is total. Scale shape: the q51 kernel — occurrences
+        |pre-aggregate to (doc, term, tf) map-side before the one
+        |exchange; df derives from that frame (term-level rows); the
+        |closing join is term-level and the per-doc top-5 window
+        |shuffles doc-grouped term rows, never raw occurrences.""".stripMargin,
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("weight").desc, col("term").asc)
+        val dt = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        dt.join(dfreq, Seq("term"))
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            (col("tf").cast("double") / col("df").cast("double")).as("weight"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some("""WITH dt AS (SELECT doc_id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+             |    FROM documents) t
+             |  GROUP BY 1, 2),
+             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+             |ranked AS (SELECT doc_id, term, tf, df,
+             |    CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS weight,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) AS BIGINT) AS rank
+             |  FROM dt JOIN dfreq USING (term))
+             |SELECT doc_id, term, tf, df, weight, rank FROM ranked WHERE rank <= 5""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
