@@ -211,6 +211,35 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 operators hold their documented plan shapes") {
+    val docs = Tables.documents(spark, sf001)
+
+    // Curation.keepByQuality is the map-side ingest gate: ZERO exchanges
+    val gate = graft.streaming.Curation.keepByQuality(docs.select("doc_id", "lang", "text"))
+    assert(gate.count() > 0)
+    assert(collectShuffles(gate.queryExecution.executedPlan) == 0,
+      "the quality gate must be a pure narrow filter/projection")
+
+    // Curation.batchAudit: one keeper-set hash exchange + (at scale) the
+    // co-partitioned join back — never a window or sort
+    val audit = graft.streaming.Curation.batchAudit(docs.select("doc_id", "lang", "text"))
+    assert(audit.count() > 0)
+    val auditPlan = audit.queryExecution.executedPlan.toString
+    assert(!auditPlan.contains("Window") && !auditPlan.contains("Sort "),
+      "batchAudit must not window or sort")
+    assert(collectShuffles(audit.queryExecution.executedPlan) <= 2,
+      "batchAudit is one keeper aggregation exchange plus at most the join")
+
+    // repeatedSpanStats: raw windows must pre-aggregate (partial_count
+    // on (doc, key)) before any exchange, and no window/sort anywhere
+    val spans = Dedup.repeatedSpanStats(docs, width = 16, stride = 4)
+    assert(spans.count() > 0)
+    val spanPlan = spans.queryExecution.executedPlan.toString
+    assert(spanPlan.contains("partial_count"),
+      "span keys must map-side combine before shuffling")
+    assert(!spanPlan.contains("Window"), "repeatedSpanStats must not window")
+  }
+
   test("sequence packing holds its invariants at 2M documents without a global window") {
     // 2M docs ~ the per-executor share of a corpus; the operator's
     // single-partition window sees only n/bucketWidth subtotal rows
