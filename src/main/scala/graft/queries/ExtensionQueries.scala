@@ -1408,7 +1408,61 @@ object ExtensionQueries {
              |    CAST(row_number() OVER (PARTITION BY doc_id
              |      ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) AS BIGINT) AS rank
              |  FROM dt JOIN dfreq USING (term))
-             |SELECT doc_id, term, tf, df, weight, rank FROM ranked WHERE rank <= 5""".stripMargin))
+             |SELECT doc_id, term, tf, df, weight, rank FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    QuerySpec(
+      "q85_funnel_analysis",
+      """First-touch funnel over the event log — the product-analytics
+        |staple (view → click → purchase, each step inside a 24-hour
+        |conversion window): per user entering at 'view', the earliest
+        |view, the earliest click strictly after it within 24 h, the
+        |earliest purchase strictly after that within 24 h, the step
+        |count reached, and the exact view→purchase latency in epoch
+        |microseconds (BIGINT; −1 for non-converters). The window makes
+        |the funnel discriminate (unwindowed, every driver user
+        |eventually completes); timestamp + interval arithmetic is exact
+        |micros in both engines, so everything compares bitwise. Scale
+        |shape: the classic three-pass relational funnel — each step is
+        |a min-aggregation and join keyed on user_id, so every exchange
+        |hash-partitions on the same key and AQE broadcasts the
+        |shrinking funnel frontier into the next event scan; the
+        |sequential dependency between steps is inherent to strictly-
+        |ordered funnel semantics, not an implementation artifact.""".stripMargin,
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t_view") &&
+            col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t_click") &&
+            col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+            (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+              + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("steps"),
+            coalesce(unix_micros(col("t_purchase")) - unix_micros(col("t_view")),
+              lit(-1L)).as("view_to_purchase_us"))
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type
+             |            FROM events WHERE ts IS NOT NULL),
+             |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM ev e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+             |        AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM ev e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             |        AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY 1)
+             |SELECT user_id, v.t_view, c.t_click, p.t_purchase,
+             |  CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+             |         + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps,
+             |  coalesce(date_diff('microseconds', v.t_view, p.t_purchase), -1) AS view_to_purchase_us
+             |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
