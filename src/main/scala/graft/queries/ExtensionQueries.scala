@@ -1421,33 +1421,20 @@ object ExtensionQueries {
         |microseconds (BIGINT; −1 for non-converters). The window makes
         |the funnel discriminate (unwindowed, every driver user
         |eventually completes); timestamp + interval arithmetic is exact
-        |micros in both engines, so everything compares bitwise. Scale
-        |shape: the classic three-pass relational funnel — each step is
-        |a min-aggregation and join keyed on user_id, so every exchange
-        |hash-partitions on the same key and AQE broadcasts the
-        |shrinking funnel frontier into the next event scan; the
-        |sequential dependency between steps is inherent to strictly-
-        |ordered funnel semantics, not an implementation artifact.""".stripMargin,
-      (s, d) => {
-        val ev = Tables.events(s, d).filter(col("ts").isNotNull)
-          .select(col("user_id"), col("ts"), col("event_type"))
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-          .filter(col("ts") > col("t_view") &&
-            col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"))
-          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-          .filter(col("ts") > col("t_click") &&
-            col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"))
-          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
-            (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
-              + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("steps"),
-            coalesce(unix_micros(col("t_purchase")) - unix_micros(col("t_view")),
-              lit(-1L)).as("view_to_purchase_us"))
-      },
+        |micros in both engines, so everything compares bitwise. The
+        |parameterized operator is [[graft.operators.Funnel.firstTouch]]
+        |(any step sequence, any window); this entry pins it at
+        |(view, click, purchase) × 24 h. Scale shape: one
+        |min-aggregation + join per step, all keyed on user_id, so
+        |every exchange hash-partitions on the same key and AQE
+        |broadcasts the shrinking funnel frontier into the next event
+        |scan; the sequential dependency between steps is inherent to
+        |strictly-ordered funnel semantics, not an implementation
+        |artifact.""".stripMargin,
+      (s, d) => graft.operators.Funnel.firstTouch(
+          Tables.events(s, d), "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), windowSeconds = 86400L)
+        .withColumnRenamed("conversion_us", "view_to_purchase_us"),
       Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type
              |            FROM events WHERE ts IS NOT NULL),
              |v AS (SELECT user_id, min(ts) AS t_view FROM ev
@@ -1462,7 +1449,58 @@ object ExtensionQueries {
              |  CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
              |         + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps,
              |  coalesce(date_diff('microseconds', v.t_view, p.t_purchase), -1) AS view_to_purchase_us
-             |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin))
+             |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin)),
+
+    QuerySpec(
+      "q86_cohort_retention",
+      """Weekly cohort retention — the companion sheet to q85's funnel:
+        |users are cohorted by the ISO week of their first 'signup'
+        |event (date_trunc week → Monday in both engines), and each
+        |(cohort_week, week_offset) cell counts the distinct cohort
+        |members active (any event) that week, beside the cohort size.
+        |week_offset is an exact integer: both week starts are Mondays,
+        |so the day difference is always a multiple of 7 and the
+        |integer division is exact — no truncation-direction ambiguity.
+        |Pre-signup activity (negative offset) is excluded by rule.
+        |Scale shape: the signup frame is one min-aggregation on
+        |user_id; the activity join is keyed on user_id (broadcastable
+        |frontier, like q85); the retention cells aggregate on the
+        |small (cohort, offset) key with map-side distinct pre-
+        |aggregation — no window, no sort, nothing per-user ever
+        |collects.""".stripMargin,
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+          .select(col("user_id"), to_date(date_trunc("week", col("t0"))).as("cohort_week"))
+        val cohortSize = signup.groupBy(col("cohort_week"))
+          .agg(countDistinct(col("user_id")).as("n_cohort"))
+        val cells = ev
+          .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("act_week"))
+          .join(signup, "user_id")
+          .select(col("cohort_week"), col("user_id"),
+            expr("datediff(act_week, cohort_week) div 7").cast("long").as("week_offset"))
+          .filter(col("week_offset") >= 0)
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+        cells.join(cohortSize, "cohort_week")
+          .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"))
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type
+             |            FROM events WHERE ts IS NOT NULL),
+             |signup AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+             |           FROM ev WHERE event_type = 'signup' GROUP BY 1),
+             |siz AS (SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+             |        FROM signup GROUP BY 1),
+             |cells AS (SELECT s.cohort_week,
+             |    CAST(date_diff('day', s.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+             |    e.user_id
+             |  FROM ev e JOIN signup s USING (user_id)),
+             |r AS (SELECT cohort_week, week_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+             |      FROM cells WHERE week_offset >= 0 GROUP BY 1, 2)
+             |SELECT cohort_week, week_offset, n_active, n_cohort
+             |FROM r JOIN siz USING (cohort_week)""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
