@@ -1500,7 +1500,80 @@ object ExtensionQueries {
              |r AS (SELECT cohort_week, week_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
              |      FROM cells WHERE week_offset >= 0 GROUP BY 1, 2)
              |SELECT cohort_week, week_offset, n_active, n_cohort
-             |FROM r JOIN siz USING (cohort_week)""".stripMargin))
+             |FROM r JOIN siz USING (cohort_week)""".stripMargin)),
+
+    {
+      val metrics = Seq(
+        "quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+        "discount" -> "l_discount", "tax" -> "l_tax")
+      val pairs = for {
+        ((na, _), i) <- metrics.zipWithIndex
+        (nb, _) <- metrics.drop(i + 1)
+      } yield (na, nb)
+      def duckCorr(a: String, b: String) =
+        s"""(CAST(n AS DOUBLE) * CAST(s_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+           |    / (sqrt(CAST(n AS DOUBLE) * CAST(s_${a}_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+           |       * sqrt(CAST(n AS DOUBLE) * CAST(s_${b}_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))""".stripMargin
+      val duckSums = metrics.map { case (n, _) => s"sum(q_$n) AS s_$n" } ++
+        (for { ((a, _), i) <- metrics.zipWithIndex; (b, _) <- metrics.drop(i) }
+          yield s"sum(q_$a * q_$b) AS s_${a}_$b")
+      QuerySpec(
+        "q87_feature_correlation",
+        """Pairwise feature-correlation sheet from EXACT integer moments
+          |— the reproducibility pattern for second-order statistics at
+          |scale: a streaming/partition-ordered Pearson (Welford or
+          |plain double sums) is order-dependent, so instead each
+          |2-decimal money column is quantized ×100 to an exact integer
+          |(round, then a cast both engines agree on because the value
+          |is already integral), the five moments (n, Σx, Σy, Σxy, Σx²,
+          |Σy²) accumulate in DECIMAL(38,0)/HUGEINT — exact in ANY
+          |order — and one closing double expression (products, sqrt,
+          |divide: all deterministic IEEE ops on identical inputs)
+          |produces the correlation. Per l_returnflag group × 6 metric
+          |pairs. Scale shape: ONE map-side-combined aggregation over
+          |the scan computes all 14 moments; the 6 output rows per
+          |group are a projection union over the tiny moment frame —
+          |no second pass over data, no window, nothing
+          |order-sensitive.""".stripMargin,
+        (s, d) => {
+          val q = Tables.lineitem(s, d).select(
+            col("l_returnflag") +:
+              metrics.map { case (n, c) => round(col(c) * 100).cast("long").as(s"q_$n") }: _*)
+          val sums =
+            metrics.map { case (n, _) =>
+              sum(col(s"q_$n").cast("decimal(38,0)")).as(s"s_$n") } ++
+            (for { ((a, _), i) <- metrics.zipWithIndex; (b, _) <- metrics.drop(i) }
+              yield sum(col(s"q_$a").cast("decimal(19,0)") * col(s"q_$b").cast("decimal(19,0)"))
+                .as(s"s_${a}_$b"))
+          val allAggs = count(lit(1)).as("n") +: sums
+          val m = q.groupBy(col("l_returnflag"))
+            .agg(allAggs.head, allAggs.tail: _*)
+          def corr(a: String, b: String): org.apache.spark.sql.Column = {
+            val nd = col("n").cast("double")
+            (nd * col(s"s_${a}_$b").cast("double") -
+              col(s"s_$a").cast("double") * col(s"s_$b").cast("double")) /
+              (sqrt(nd * col(s"s_${a}_$a").cast("double") -
+                col(s"s_$a").cast("double") * col(s"s_$a").cast("double")) *
+               sqrt(nd * col(s"s_${b}_$b").cast("double") -
+                col(s"s_$b").cast("double") * col(s"s_$b").cast("double")))
+          }
+          pairs.map { case (a, b) =>
+            m.select(col("l_returnflag"), lit(a).as("metric_a"), lit(b).as("metric_b"),
+              col("n"), corr(a, b).as("corr"))
+          }.reduce(_.unionAll(_))
+        },
+        Some(s"""WITH q AS (SELECT l_returnflag,
+             |${metrics.map { case (n, c) => s"  CAST(round($c * 100) AS HUGEINT) AS q_$n" }.mkString(",\n")}
+             |  FROM lineitem),
+             |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  ${duckSums.mkString(",\n  ")}
+             |  FROM q GROUP BY 1)
+             |${pairs.map { case (a, b) =>
+                  s"""SELECT l_returnflag, '$a' AS metric_a, '$b' AS metric_b, n,
+                     |  ${duckCorr(a, b)} AS corr
+                     |FROM m""".stripMargin
+                }.mkString("\nUNION ALL\n")}""".stripMargin))
+    }
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -33,11 +33,16 @@ import graft.functions.TextFunctions
 object Curation {
 
   /** The two map-side stat columns the gate reads. Internal names are
-    * __-prefixed so they can never collide with user payload columns. */
+    * __-prefixed so they can never collide with user payload columns.
+    * A NULL text coalesces to n_tokens = −1 EXPLICITLY (session
+    * `size(NULL)` conventions vary), so the gate is TOTAL on null
+    * payloads: they drop as too_short rather than throwing or
+    * silently passing every rule on NULL comparisons. */
   private def withStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__n_tokens",
-        size(TextFunctions.rawTokens(col(textCol))).cast("long"))
-      .withColumn("__stop_cnt", TextFunctions.stopwordCount(col(textCol)))
+        coalesce(size(TextFunctions.rawTokens(col(textCol))).cast("long"), lit(-1L)))
+      .withColumn("__stop_cnt",
+        coalesce(TextFunctions.stopwordCount(col(textCol)), lit(0L)))
 
   /** First-failing-rule reason over the stat columns, by precedence:
     * too_short → non_english → low_stopword → kept. */

@@ -68,4 +68,14 @@ class StreamingCurationSpec extends AnyFunSuite {
     val kept = audit.collect { case (id, "kept") => id }.toSeq.sorted
     assert(kept == Seq(1L, 5L))
   }
+
+  test("null text drops as too_short — the gate is total on null payloads") {
+    val df = Seq((7L, "en", Option.empty[String]), (8L, "en", Option("a walk in the park is good for the soul")))
+      .toDF("doc_id", "lang", "text")
+    val audit = Curation.batchAudit(df, minTokens = 5, stopwordPct = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(audit == Map(7L -> "too_short", 8L -> "kept"))
+    assert(Curation.keepByQuality(df, minTokens = 5, stopwordPct = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(8L))
+  }
 }
