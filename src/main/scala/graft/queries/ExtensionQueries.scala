@@ -1573,7 +1573,73 @@ object ExtensionQueries {
                      |  ${duckCorr(a, b)} AS corr
                      |FROM m""".stripMargin
                 }.mkString("\nUNION ALL\n")}""".stripMargin))
-    }
+    },
+
+    QuerySpec(
+      "q88_conversion_by_cohort",
+      """Conversion quality by signup cohort — THREE shipped operators
+        |composed into one growth sheet: the first-touch funnel
+        |([[graft.operators.Funnel.firstTouch]], q85's
+        |view→click→purchase × 24 h) joined to q86's ISO-week signup
+        |cohorts, then the exact multi-quantile kernel
+        |([[graft.operators.Quantiles.multiQuantileDisc]], q60/q76's
+        |operator) picks the median conversion latency among each
+        |cohort's converters. Per cohort_week: entrants, converters,
+        |and p50 view→purchase micros (−1 for cohorts with no
+        |converters). Everything integer/timestamp-exact — funnel
+        |times, week arithmetic, percentile_disc rank picks — so the
+        |composed sheet oracles bitwise. Scale shape: the funnel's
+        |user-keyed passes, one broadcastable cohort join, a
+        |(cohort)-keyed count aggregation, and ONE window sort per
+        |cohort over converters only — each stage the already-audited
+        |plan of its component operator.""".stripMargin,
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+        val funnel = graft.operators.Funnel.firstTouch(
+          ev, "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), windowSeconds = 86400L)
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+          .select(col("user_id"), to_date(date_trunc("week", col("t0"))).as("cohort_week"))
+        val joined = funnel.join(cohort, "user_id")
+        val counts = joined.groupBy(col("cohort_week")).agg(
+          count(lit(1)).as("n_entered"),
+          sum(when(col("steps") === 3, 1L).otherwise(0L)).as("n_converted"))
+        val p50 = graft.operators.Quantiles.multiQuantileDisc(
+          joined.filter(col("steps") === 3),
+          Seq("cohort_week"), "conversion_us", Seq("p50_us" -> 0.50))
+          .drop("n_rows")
+        counts.join(p50, Seq("cohort_week"), "left")
+          .select(col("cohort_week"), col("n_entered"), col("n_converted"),
+            coalesce(col("p50_us"), lit(-1L)).as("p50_us"))
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type
+             |            FROM events WHERE ts IS NOT NULL),
+             |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM ev e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+             |        AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM ev e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             |        AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY 1),
+             |funnel AS (SELECT user_id,
+             |    CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+             |           + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps,
+             |    coalesce(date_diff('microseconds', v.t_view, p.t_purchase), -1) AS conversion_us
+             |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)),
+             |cohort AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+             |           FROM ev WHERE event_type = 'signup' GROUP BY 1),
+             |j AS (SELECT f.user_id, f.steps, f.conversion_us, co.cohort_week
+             |      FROM funnel f JOIN cohort co USING (user_id)),
+             |counts AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_entered,
+             |    CAST(count(*) FILTER (steps = 3) AS BIGINT) AS n_converted
+             |  FROM j GROUP BY 1),
+             |p50 AS (SELECT cohort_week,
+             |    percentile_disc(0.50) WITHIN GROUP (ORDER BY conversion_us) AS p50_us
+             |  FROM j WHERE steps = 3 GROUP BY 1)
+             |SELECT cohort_week, n_entered, n_converted, coalesce(p50_us, -1) AS p50_us
+             |FROM counts LEFT JOIN p50 USING (cohort_week)""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
