@@ -372,7 +372,11 @@ object Dedup {
       .select(col("doc_id"),
         md5(array_join(slice(col("toks"), col("start"), lit(width)), " ")).as("h"))
       .select(col("doc_id"), md5Base48("h").as("k"))
-    val perDocKey = win.groupBy(col("doc_id"), col("k")).agg(count(lit(1)).as("cnt"))
+    // materialized once: it feeds BOTH the repeated-key derivation and
+    // the per-doc stats join — without this the whole window/md5
+    // pipeline executes twice (the round-2 reuse lesson)
+    val perDocKey = materialize(
+      win.groupBy(col("doc_id"), col("k")).agg(count(lit(1)).as("cnt")))
     val repeated = perDocKey.groupBy(col("k")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2).select(col("k"), lit(1L).as("__rep"))
     val stats = perDocKey.join(repeated, Seq("k"), "left")
