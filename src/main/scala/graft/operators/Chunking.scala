@@ -27,14 +27,16 @@ object Chunking {
 
   /** Split `textCol` of each row into whitespace tokens and emit one
     * row per chunk. A whitespace-only/empty text still yields one
-    * (empty) chunk — `split` never returns a zero-length array — so
-    * every input doc is represented downstream. */
+    * (empty) chunk — `split` never returns a zero-length array — and
+    * NULL text coalesces to empty FIRST (explode would otherwise drop
+    * the row), so every input doc is represented downstream. */
   def chunkDocuments(docs: DataFrame, width: Int, stride: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(width > 0, s"chunk width must be positive, got $width")
     require(stride > 0, s"chunk stride must be positive, got $stride")
     docs
-      .select(col(idCol), TextFunctions.rawTokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        TextFunctions.rawTokens(coalesce(col(textCol), lit(""))).as("toks"))
       .select(col(idCol), col("toks"),
         explode(sequence(lit(1), size(col("toks")), lit(stride))).as("start"))
       .select(col(idCol),

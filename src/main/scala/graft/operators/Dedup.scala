@@ -361,9 +361,14 @@ object Dedup {
     * data movement as the shingle pass the near-dup family already
     * pays, and the honest lower bound for exact-substring detection
     * without a distributed suffix array. */
-  def repeatedSpanStats(docs: DataFrame, width: Int = 16, stride: Int = 4): DataFrame = {
+  /** The (doc_id, k, cnt) span-key frame behind [[repeatedSpanStats]],
+    * exposed un-materialized (the FromShingles sharing idiom): the
+    * window explode and per-(doc, key) map-side combine live here, so
+    * composing pipelines can share one pass and plan audits (ScaleSpec)
+    * can assert the pre-checkpoint aggregation shape directly. */
+  def repeatedSpanKeys(docs: DataFrame, width: Int = 16, stride: Int = 4): DataFrame = {
     require(width > 0 && stride > 0, s"width/stride must be positive, got $width/$stride")
-    val win = docs
+    docs
       .select(col("doc_id"), graft.functions.TextFunctions.rawTokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), greatest(size(col("toks")) - (width - 1), lit(1)),
@@ -372,11 +377,14 @@ object Dedup {
       .select(col("doc_id"),
         md5(array_join(slice(col("toks"), col("start"), lit(width)), " ")).as("h"))
       .select(col("doc_id"), md5Base48("h").as("k"))
+      .groupBy(col("doc_id"), col("k")).agg(count(lit(1)).as("cnt"))
+  }
+
+  def repeatedSpanStats(docs: DataFrame, width: Int = 16, stride: Int = 4): DataFrame = {
     // materialized once: it feeds BOTH the repeated-key derivation and
     // the per-doc stats join — without this the whole window/md5
     // pipeline executes twice (the round-2 reuse lesson)
-    val perDocKey = materialize(
-      win.groupBy(col("doc_id"), col("k")).agg(count(lit(1)).as("cnt")))
+    val perDocKey = materialize(repeatedSpanKeys(docs, width, stride))
     val repeated = perDocKey.groupBy(col("k")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2).select(col("k"), lit(1L).as("__rep"))
     val stats = perDocKey.join(repeated, Seq("k"), "left")

@@ -1207,7 +1207,8 @@ object ExtensionQueries {
         |construction.""".stripMargin,
       (s, d) => graft.operators.Chunking.chunkDocuments(
         Tables.documents(s, d), width = 32, stride = 24),
-      Some("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(coalesce(text, ''), '\s+') AS t
+             |              FROM documents),
              |starts AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS start FROM toks)
              |SELECT doc_id,
              |  CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
@@ -1286,11 +1287,11 @@ object ExtensionQueries {
              |  UNION ALL
              |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 50 = 0),
              |t AS (SELECT doc_id, md5(lower(text)) AS h,
-             |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
-             |  CASE WHEN CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) < 20 THEN 'too_short'
+             |  coalesce(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), -1) AS n_tokens,
+             |  CASE WHEN coalesce(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), -1) < 20 THEN 'too_short'
              |       WHEN lang <> 'en' THEN 'non_english'
-             |       WHEN 100 * CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-             |              x -> x IN ($StopList))) AS BIGINT)
+             |       WHEN 100 * coalesce(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+             |              x -> x IN ($StopList))) AS BIGINT), 0)
              |            < 2 * CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) THEN 'low_stopword'
              |       ELSE 'kept' END AS qr
              |  FROM u),

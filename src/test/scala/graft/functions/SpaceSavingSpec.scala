@@ -77,6 +77,14 @@ class SpaceSavingSpec extends AnyFunSuite {
     run(64) // JIT warmup
     val r64 = run(64); val r1024 = run(1024)
     info(f"reduce throughput: m=64 → ${r64 / 1e6}%.1f M rows/s, m=1024 → ${r1024 / 1e6}%.1f M rows/s")
+    // Wall-clock floors only bind on a quiet machine: this repo's own
+    // bench history shows ~13x inflation under load, which would turn
+    // a floor into a flake. Same contention line as Bench.main.
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val load = try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble catch { case _: Throwable => 0.0 }
+    assume(load <= cpus * 0.15,
+      f"loadavg $load%.2f exceeds ${cpus * 0.15}%.1f — throughput floors skipped on a contended machine")
     // floor far below expectations — guards regressions to per-row O(m)
     // scans or per-row allocation storms without being machine-flaky
     assert(r64 > 500000, f"m=64 throughput $r64%.0f rows/s")

@@ -231,13 +231,20 @@ class ScaleSpec extends AnyFunSuite {
       "batchAudit is one keeper aggregation exchange plus at most the join")
 
     // repeatedSpanStats: raw windows must pre-aggregate (partial_count
-    // on (doc, key)) before any exchange, and no window/sort anywhere
+    // on (doc, key)) before any exchange. The stats frame checkpoints
+    // that aggregation away, so the assertion runs on the exposed
+    // pre-materialization frame (repeatedSpanKeys) where the expensive
+    // path is actually visible — then no-window on the full stats plan.
+    val keys = Dedup.repeatedSpanKeys(docs, width = 16, stride = 4)
+    assert(keys.count() > 0)
+    val keyPlan = keys.queryExecution.executedPlan.toString
+    assert(keyPlan.contains("partial_count"),
+      "span keys must map-side combine before shuffling")
+    assert(!keyPlan.contains("Window"), "span-key assembly must not window")
     val spans = Dedup.repeatedSpanStats(docs, width = 16, stride = 4)
     assert(spans.count() > 0)
-    val spanPlan = spans.queryExecution.executedPlan.toString
-    assert(spanPlan.contains("partial_count"),
-      "span keys must map-side combine before shuffling")
-    assert(!spanPlan.contains("Window"), "repeatedSpanStats must not window")
+    assert(!spans.queryExecution.executedPlan.toString.contains("Window"),
+      "repeatedSpanStats must not window")
   }
 
   test("sequence packing holds its invariants at 2M documents without a global window") {

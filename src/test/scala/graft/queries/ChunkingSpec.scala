@@ -90,6 +90,12 @@ class ChunkingSpec extends AnyFunSuite {
       (2L, 0L) -> (("", 1L)),
       (3L, 0L) -> (("t1 t2 t3 t4 t5 t6", 6L))))
 
+    // NULL text behaves like empty text: the doc stays represented
+    val withNull = graft.operators.Chunking.chunkDocuments(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"), width = 8, stride = 8)
+      .collect()
+    assert(withNull.length == 1 && withNull.head.getAs[String]("chunk_text") == "")
+
     // width == stride: exact partition of the token stream, no overlap
     val part = rows(width = 2, stride = 2)
     assert(part((3L, 0L)) == (("t1 t2", 2L)))
