@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Temperature-scaled corpus mixing weights — the data-mixing step of
+  * multi-source training-corpus assembly: given per-item sizes grouped
+  * by source (or language), compute the per-group sampling weight
+  * `w_i ∝ n_i^α` with `0 < α < 1`, which upsamples small sources and
+  * damps dominant ones relative to natural proportion (α=1). The
+  * α=1/2 square-root case is the common published choice for
+  * multilingual rebalancing and gets the exactly-reproducible path.
+  *
+  * Determinism design (the QuerySpec contract): IEEE-754 `sqrt` is a
+  * correctly-rounded required op, identical in the JVM and libm, and
+  * multiplying by 2^20 only shifts the exponent — so
+  * `floor(sqrt(n) * 2^20)` is a bitwise-deterministic BIGINT both
+  * engines agree on. Summing THOSE integers is order-independent
+  * (double sums across engine-chosen orders are not), and each output
+  * weight is then a single IEEE division of exact integers. `pow`
+  * (needed for general α) is NOT correctly rounded and diverges
+  * across libm builds — that variant is engine-use only, never
+  * oracled (the q51/q84 `ln` precedent).
+  *
+  * Scale shape: one map-side-combined aggregation keyed on the group
+  * column, then an unpartitioned window over the per-group frame to
+  * attach the totals. The window's single-partition sort touches at
+  * most one row per group (thousands, not corpus rows) — the
+  * alternative, re-aggregating totals on a second branch and
+  * cross-joining them back, plans a SECOND full corpus scan (Spark
+  * does not share the un-cached common subtree), which is the wrong
+  * shape at 100 TB. Integer window sums are order-independent, so the
+  * totals are still exact.
+  */
+object Mixing {
+
+  private val Q = 1048576L // 2^20 — exponent-shift-only quantizer
+
+  private val whole = org.apache.spark.sql.expressions.Window
+    .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+
+  /** α = 1/2 (square-root) temperature weights, exactly reproducible.
+    *
+    * Input: one row per ITEM with its group and integer size (e.g.
+    * documents with per-doc token counts). Output: one row per group —
+    * `(group, n_items, n_size, w_prop, w_temp, boost)` where `w_prop`
+    * is the natural share `n_i/N`, `w_temp` the α=1/2 share, and
+    * `boost = w_temp/w_prop` the up/down-sampling factor a weighted
+    * sampler applies to that group.
+    */
+  def sqrtTemperatureWeights(items: DataFrame, groupCol: String,
+      sizeCol: String): DataFrame = {
+    val per = items
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"), sum(col(sizeCol)).cast("long").as("n_size"))
+      .withColumn("s_q", floor(sqrt(col("n_size")) * lit(Q)).cast("long"))
+    val wProp = col("n_size").cast("double") / sum(col("n_size")).over(whole)
+    val wTemp = col("s_q").cast("double") / sum(col("s_q")).over(whole)
+    per.select(col(groupCol), col("n_items"), col("n_size"),
+      wProp.as("w_prop"), wTemp.as("w_temp"), (wTemp / wProp).as("boost"))
+  }
+
+  /** General-α temperature weights via `pow`. Same output shape minus
+    * the quantized path: `(group, n_items, n_size, w_prop, w_temp,
+    * boost)`. For library use — `pow` is not correctly rounded, so
+    * this variant is spec-bounded (MixingSpec tolerance vs the exact
+    * α=1/2 path), never DuckDB-oracled. */
+  def temperatureWeights(items: DataFrame, groupCol: String, sizeCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val per = items
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"), sum(col(sizeCol)).cast("long").as("n_size"))
+      .withColumn("s_a", pow(col("n_size").cast("double"), lit(alpha)))
+    val wProp = col("n_size").cast("double") / sum(col("n_size")).over(whole)
+    val wTemp = col("s_a") / sum(col("s_a")).over(whole)
+    per.select(col(groupCol), col("n_items"), col("n_size"),
+      wProp.as("w_prop"), wTemp.as("w_temp"), (wTemp / wProp).as("boost"))
+  }
+}

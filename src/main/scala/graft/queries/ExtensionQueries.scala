@@ -1640,7 +1640,69 @@ object ExtensionQueries {
              |    percentile_disc(0.50) WITHIN GROUP (ORDER BY conversion_us) AS p50_us
              |  FROM j WHERE steps = 3 GROUP BY 1)
              |SELECT cohort_week, n_entered, n_converted, coalesce(p50_us, -1) AS p50_us
-             |FROM counts LEFT JOIN p50 USING (cohort_week)""".stripMargin))
+             |FROM counts LEFT JOIN p50 USING (cohort_week)""".stripMargin)),
+
+    QuerySpec(
+      "q89_mixing_weights",
+      """Temperature-scaled corpus mixing weights
+        |([[graft.operators.Mixing.sqrtTemperatureWeights]]): per-source
+        |token volumes → α=1/2 sampling weights, the data-mixing step
+        |that rebalances a multi-source corpus (upsample small sources,
+        |damp dominant ones). Exact cross-engine: sqrt is a correctly
+        |rounded IEEE op, ×2^20 only shifts the exponent, so the
+        |quantized sqrt is a deterministic BIGINT whose sum is
+        |order-independent; each weight is then one IEEE division of
+        |exact integers (w_temp/w_prop divides those two identical
+        |doubles). Scale shape: ONE corpus scan into a map-side-combined
+        |agg keyed on source, then an unpartitioned window over the
+        |tiny per-source frame for totals (a re-aggregated broadcast
+        |branch would plan a second full corpus scan).""".stripMargin,
+      (s, d) => graft.operators.Mixing.sqrtTemperatureWeights(
+        Tables.documents(s, d).select(col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")),
+        "source", "n_tokens"),
+      Some("""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(len(string_split_regex(coalesce(text, ''), '\s+'))) AS BIGINT) AS n_size
+             |  FROM documents GROUP BY 1),
+             |q AS (SELECT *, CAST(floor(sqrt(n_size) * 1048576) AS BIGINT) AS s_q FROM per),
+             |tot AS (SELECT CAST(sum(n_size) AS BIGINT) AS tot_size,
+             |               CAST(sum(s_q) AS BIGINT) AS tot_sq FROM q)
+             |SELECT source, n_items, n_size,
+             |  CAST(n_size AS DOUBLE) / tot_size AS w_prop,
+             |  CAST(s_q AS DOUBLE) / tot_sq AS w_temp,
+             |  (CAST(s_q AS DOUBLE) / tot_sq) / (CAST(n_size AS DOUBLE) / tot_size) AS boost
+             |FROM q, tot""".stripMargin)),
+
+    QuerySpec(
+      "q90_event_anomaly",
+      """Daily event-rate anomaly sheet
+        |([[graft.operators.Anomaly.dailySpikes]]): per-type daily
+        |volumes vs the trailing 7 observed days, with a ×2^20
+        |integer-quantized deviation ratio (one BIGINT floor division)
+        |and a cross-multiplied 1.5×-baseline spike flag — all integer
+        |arithmetic, bitwise-oracled. Incomplete baselines report −1
+        |and never flag. Scale shape: one map-side-combined
+        |(type, day) count over the raw log, then one window over the
+        |post-aggregation frame (≤ days×types rows) — the window sort
+        |never sees the log itself.""".stripMargin,
+      (s, d) => graft.operators.Anomaly.dailySpikes(
+        Tables.events(s, d), "event_type", "ts",
+        baselineDays = 7, num = 3L, den = 2L),
+      Some("""WITH daily AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n_events
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             |w AS (SELECT event_type, day, n_events,
+             |    CAST(count(*) OVER tr AS BIGINT) AS trail_days,
+             |    CAST(coalesce(sum(n_events) OVER tr, 0) AS BIGINT) AS trail_sum
+             |  FROM daily WINDOW tr AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, day, n_events, trail_days, trail_sum,
+             |  CASE WHEN trail_days = 7
+             |       THEN CAST((n_events * 7 * 1048576) // trail_sum AS BIGINT)
+             |       ELSE CAST(-1 AS BIGINT) END AS ratio_q,
+             |  CASE WHEN trail_days = 7 AND n_events * 14 > trail_sum * 3
+             |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_spike
+             |FROM w""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** [[Mixing]] semantics on hand fixtures: weights are a distribution,
+  * α=1/2 flattens toward uniform (small sources boosted, large ones
+  * damped, order preserved), the pow path agrees with the exact
+  * quantized path at α=1/2, and α=1 recovers natural proportion.
+  * q89 oracles the quantized arithmetic bitwise on driver data; this
+  * spec proves the distributional properties. */
+class MixingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // items: source a = 9 docs × 100 tokens, b = 4 × 100, c = 1 × 100
+  private def fixture = (
+    Seq.fill(9)(("a", 100L)) ++ Seq.fill(4)(("b", 100L)) ++ Seq(("c", 100L))
+  ).toDF("source", "n_tokens")
+
+  test("sqrt weights form a distribution and flatten toward uniform") {
+    val rows = Mixing.sqrtTemperatureWeights(fixture, "source", "n_tokens")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("n_size"),
+          r.getAs[Double]("w_prop"), r.getAs[Double]("w_temp"),
+          r.getAs[Double]("boost")))).toMap
+
+    assert(rows.keySet == Set("a", "b", "c"))
+    val (_, _, pa, ta, ba) = rows("a"); val (_, _, pb, tb, bb) = rows("b")
+    val (_, _, pc, tc, bc) = rows("c")
+    // both weight columns are distributions
+    assert(math.abs((pa + pb + pc) - 1.0) < 1e-12)
+    assert(math.abs((ta + tb + tc) - 1.0) < 1e-9) // quantization: ≤ 3/2^20 off
+    // sizes 900/400/100 → sqrt ratio 3:2:1 (exactly representable)
+    assert(math.abs(ta / tc - 3.0) < 1e-4 && math.abs(tb / tc - 2.0) < 1e-4)
+    // flattening: the dominant source is damped, the rare one boosted,
+    // and temperature preserves the size ordering
+    assert(ba < 1.0 && bc > 1.0)
+    assert(ta > tb && tb > tc)
+    // natural shares are exact: 900/1400, 400/1400, 100/1400
+    assert(pa == 900.0 / 1400 && pb == 400.0 / 1400 && pc == 100.0 / 1400)
+  }
+
+  test("pow path matches the exact path at alpha=1/2 and proportion at alpha=1") {
+    val exact = Mixing.sqrtTemperatureWeights(fixture, "source", "n_tokens")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("w_temp")).toMap
+    val powHalf = Mixing.temperatureWeights(fixture, "source", "n_tokens", 0.5)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("w_temp")).toMap
+    exact.foreach { case (k, w) =>
+      assert(math.abs(powHalf(k) - w) < 1e-6, s"alpha=1/2 pow vs quantized at $k")
+    }
+    val powOne = Mixing.temperatureWeights(fixture, "source", "n_tokens", 1.0)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Double]("w_prop"), r.getAs[Double]("w_temp"), r.getAs[Double]("boost")))
+    powOne.foreach { case (k, p, t, b) =>
+      assert(math.abs(t - p) < 1e-12 && math.abs(b - 1.0) < 1e-12, s"alpha=1 at $k")
+    }
+    assertThrows[IllegalArgumentException] {
+      Mixing.temperatureWeights(fixture, "source", "n_tokens", 0.0)
+    }
+  }
+}
