@@ -247,6 +247,41 @@ class ScaleSpec extends AnyFunSuite {
       "repeatedSpanStats must not window")
   }
 
+  test("mixing and anomaly sheets hold their documented plan shapes") {
+    val docs = Tables.documents(spark, sf001)
+
+    // sqrtTemperatureWeights: exactly ONE corpus scan (the naive
+    // totals-branch shape re-reads the parquet), map-side combine on
+    // the per-source agg, and the totals window only ever sees the
+    // tiny post-aggregation frame.
+    val mix = graft.operators.Mixing.sqrtTemperatureWeights(
+      docs.select(col("source"),
+        coalesce(length(col("text")), lit(0)).cast("long").as("sz")),
+      "source", "sz")
+    assert(mix.count() > 0)
+    val mixPlan = mix.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(mixPlan).size == 1,
+      "mixing weights must read the corpus exactly once")
+    assert(mixPlan.contains("partial_count"),
+      "per-source sizes must map-side combine before shuffling")
+
+    // dailySpikes: the raw event log is reduced by a map-side-combined
+    // (series, day) count BEFORE the one trailing window — the window
+    // sort must sit above the aggregation, never on log rows.
+    val spikes = graft.operators.Anomaly.dailySpikes(
+      Tables.events(spark, sf001), "event_type", "ts")
+    assert(spikes.count() > 0)
+    val spikePlan = spikes.queryExecution.executedPlan.toString
+    assert(spikePlan.contains("partial_count"),
+      "daily counts must map-side combine before shuffling")
+    val wIdx = spikePlan.indexOf("Window")
+    val aIdx = spikePlan.indexOf("HashAggregate")
+    val sIdx = spikePlan.indexOf("Scan parquet")
+    assert(wIdx >= 0 && aIdx >= 0 && sIdx >= 0 && wIdx < aIdx && aIdx < sIdx,
+      "the trailing window must sit ABOVE the (series, day) aggregation, " +
+        "which sits above the scan — the window sort never sees log rows")
+  }
+
   test("sequence packing holds its invariants at 2M documents without a global window") {
     // 2M docs ~ the per-executor share of a corpus; the operator's
     // single-partition window sees only n/bucketWidth subtotal rows
