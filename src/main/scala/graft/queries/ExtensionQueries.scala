@@ -1702,7 +1702,79 @@ object ExtensionQueries {
              |       ELSE CAST(-1 AS BIGINT) END AS ratio_q,
              |  CASE WHEN trail_days = 7 AND n_events * 14 > trail_sum * 3
              |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_spike
-             |FROM w""".stripMargin))
+             |FROM w""".stripMargin)),
+
+    QuerySpec(
+      "q91_bigram_phrases",
+      """Bigram collocation detection
+        |([[graft.operators.Phrases.bigramLift]]) — the word2phrase
+        |step: every adjacent token pair scored by lift over its
+        |unigram independence rate, pairs clearing 2× flagged as
+        |phrases to fuse before BPE training. All-BIGINT arithmetic:
+        |`lift_q = ((pair_cnt−1)·2^20·N) div (cnt1·cnt2)` is one
+        |integer floor division and the flag cross-multiplies — a
+        |float PMI would need ln, which diverges across libm (the
+        |q51/q84 precedent). Scale shape: pairs assemble MAP-SIDE
+        |(slice+arrays_zip on the token array, no window over the
+        |token stream — the q28 shingle lesson) and collapse in a
+        |map-side-combined (w1, w2) count; unigram counts likewise
+        |keyed on term with corpus total N via an unpartitioned
+        |window over the vocab-sized frame (the q89 idiom); closing
+        |joins are vocab-level, never corpus rows.""".stripMargin,
+      (s, d) => graft.operators.Phrases.bigramLift(
+        Tables.documents(s, d), "text", minCount = 3, discount = 1,
+        num = 2L, den = 1L),
+      Some("""WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t
+             |              FROM documents WHERE text IS NOT NULL),
+             |pairs AS (SELECT t[i] AS w1, t[i+1] AS w2
+             |          FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)),
+             |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt
+             |       FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3),
+             |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |          SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni)
+             |SELECT pc.w1, pc.w2, pair_cnt, u1.cnt AS cnt1, u2.cnt AS cnt2,
+             |  ((pair_cnt - 1) * 1048576 * tot.n) // (u1.cnt * u2.cnt) AS lift_q,
+             |  CAST(CASE WHEN (pair_cnt - 1) * tot.n > 2 * u1.cnt * u2.cnt
+             |       THEN 1 ELSE 0 END AS BIGINT) AS is_phrase
+             |FROM pc JOIN uni u1 ON pc.w1 = u1.term
+             |        JOIN uni u2 ON pc.w2 = u2.term, tot""".stripMargin)),
+
+    QuerySpec(
+      "q92_vocab_drift",
+      """Vocabulary drift between corpus slices
+        |([[graft.operators.Drift.termDrift]]) — the crawl-monitoring
+        |guard: per-term occurrence RATES compared between slice A
+        |(even doc_id, standing corpus) and slice B (odd doc_id,
+        |candidate snapshot), terms whose rate moved > 1.5× in either
+        |direction flagged with a signed drift_dir. The rate ratio
+        |quantizes as one BIGINT floor division
+        |`(cnt_b·N_a·2^20) div (cnt_a·N_b)` and the tests
+        |cross-multiply — all integer, bitwise-oracled (the q90
+        |idiom). New terms (absent from A) report ratio −1 and flag
+        |upward. Scale shape: ONE corpus scan — map-side token
+        |explode into a single map-side-combined agg keyed on term
+        |(conditional sums, not per-slice re-scans), slice totals via
+        |an unpartitioned window over the vocab-sized frame; nothing
+        |after the one exchange exceeds vocab rows.""".stripMargin,
+      (s, d) => graft.operators.Drift.termDrift(
+        Tables.documents(s, d), "text", col("doc_id") % 2 === 0,
+        minTotal = 10L, num = 3L, den = 2L),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+             |              FROM documents WHERE text IS NOT NULL),
+             |per AS (SELECT term,
+             |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+             |  FROM toks GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+             |               CAST(sum(cnt_b) AS BIGINT) AS nb FROM per)
+             |SELECT term, cnt_a, cnt_b,
+             |  CASE WHEN cnt_a > 0 THEN (cnt_b * na * 1048576) // (cnt_a * nb)
+             |       ELSE CAST(-1 AS BIGINT) END AS ratio_q,
+             |  CAST(CASE WHEN cnt_b * na * 2 > cnt_a * nb * 3 THEN 1
+             |            WHEN cnt_a * nb * 2 > cnt_b * na * 3 THEN -1
+             |            ELSE 0 END AS BIGINT) AS drift_dir
+             |FROM per, tot WHERE cnt_a + cnt_b >= 10""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

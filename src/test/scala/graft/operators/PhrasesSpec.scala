@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** [[Phrases.bigramLift]] decisions pinned on a hand fixture: the
+  * planted collocation fires, an equally-frequent-but-independent pair
+  * stays quiet, the exact quantized lift, the minCount gate, the
+  * discount's effect, map-side pair assembly on short/empty/null docs,
+  * and the guard rails. q91 oracles the arithmetic on driver data —
+  * where uniform synthetic soup rarely clears 2×, so the flag's fire
+  * path lives here. */
+class PhrasesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val Q = 1048576L
+
+  test("planted collocation fires, independent pair does not, exact lift") {
+    // 8 docs each containing "new york" (always adjacent), padded with
+    // filler so N is known; "red" and "car" each appear 8 times but
+    // adjacent only twice — frequent words, weak association.
+    val docs =
+      (0 until 8).map(i => s"new york f$i a b") ++
+      (0 until 2).map(i => s"red car g$i a b") ++
+      (0 until 6).map(i => s"red h$i car x$i y")
+    val out = Phrases.bigramLift(docs.toDF("text"), "text",
+        minCount = 2, discount = 1, num = 2L, den = 1L)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        ((r.getAs[Long]("pair_cnt"), r.getAs[Long]("cnt1"), r.getAs[Long]("cnt2"),
+          r.getAs[Long]("lift_q"), r.getAs[Long]("is_phrase")))).toMap
+
+    val n = docs.map(_.split("\\s+").length).sum.toLong
+    // "new york": 8 adjacent of 8/8 occurrences -> lift (8-1)*N/64, fires
+    assert(out(("new", "york")) == ((8L, 8L, 8L, (8L - 1L) * Q * n / 64L, 1L)))
+    assert(out(("new", "york"))._4 > 2L * Q)
+    // "red car": 2 adjacent of 8x8 -> lift (2-1)*N/64 ~ N/64 < 2x, quiet
+    assert(out(("red", "car")) == ((2L, 8L, 8L, (2L - 1L) * Q * n / 64L, 0L)))
+    assert(out(("red", "car"))._4 < 2L * Q)
+    // singleton pairs gated by minCount=2
+    assert(!out.contains(("a", "b")) || out(("a", "b"))._1 >= 2L)
+    assert(!out.keys.exists(_._1.startsWith("f")), "filler bigrams below minCount")
+  }
+
+  test("short, empty, and null docs contribute nothing; guards hold") {
+    val docs = Seq(Some("solo"), Some(""), None, Some("pair here"), Some("pair here"))
+    val out = Phrases.bigramLift(docs.toDF("text"), "text",
+      minCount = 2, discount = 1).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == Set(("pair", "here")))
+    intercept[IllegalArgumentException] {
+      Phrases.bigramLift(docs.toDF("text"), "text", minCount = 1, discount = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Phrases.bigramLift(docs.toDF("text"), "text", num = 0L)
+    }
+  }
+}

@@ -282,6 +282,47 @@ class ScaleSpec extends AnyFunSuite {
         "which sits above the scan — the window sort never sees log rows")
   }
 
+  test("phrase and drift sheets hold their documented plan shapes") {
+    val docs = Tables.documents(spark, sf001)
+
+    // bigramLift: pairs assemble map-side (no window over the token
+    // stream) and collapse in a map-side-combined (w1, w2) count. The
+    // unigram frame is materialized (it joins twice; un-materialized,
+    // Spark re-plans its subtree per consumer and the corpus is read
+    // three times), so the closing plan scans parquet exactly ONCE
+    // (the pair branch) and reads the checkpointed vocab frame for
+    // both join sides.
+    val phr = graft.operators.Phrases.bigramLift(docs, "text")
+    assert(phr.count() > 0)
+    val phrPlan = phr.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(phrPlan).size == 1,
+      "the closing plan scans the corpus once — the vocab frame is materialized")
+    assert("Scan ExistingRDD".r.findAllIn(phrPlan).size == 2,
+      "both unigram join sides read the one materialized vocab frame")
+    assert(phrPlan.contains("partial_count"),
+      "pair counts must map-side combine before shuffling")
+    assert(!phrPlan.contains("Window"),
+      "no window anywhere near the token stream in the closing plan")
+
+    // termDrift: exactly ONE corpus scan (conditional sums, not
+    // per-slice re-scans), map-side combine on the term agg, and the
+    // slice-totals window strictly above the aggregation.
+    val drift = graft.operators.Drift.termDrift(
+      docs, "text", col("doc_id") % 2 === 0)
+    assert(drift.count() > 0)
+    val driftPlan = drift.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(driftPlan).size == 1,
+      "termDrift must read the corpus exactly once")
+    assert(driftPlan.contains("partial_sum"),
+      "slice counts must map-side combine before shuffling")
+    val wIdx = driftPlan.indexOf("Window")
+    val aIdx = driftPlan.indexOf("HashAggregate")
+    val sIdx = driftPlan.indexOf("Scan parquet")
+    assert(wIdx >= 0 && aIdx >= 0 && wIdx < aIdx && aIdx < sIdx,
+      "the totals window must sit ABOVE the term aggregation, " +
+        "which sits above the scan — the window never sees token rows")
+  }
+
   test("sequence packing holds its invariants at 2M documents without a global window") {
     // 2M docs ~ the per-executor share of a corpus; the operator's
     // single-partition window sees only n/bucketWidth subtotal rows
