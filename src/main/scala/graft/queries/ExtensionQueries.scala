@@ -1774,7 +1774,94 @@ object ExtensionQueries {
              |  CAST(CASE WHEN cnt_b * na * 2 > cnt_a * nb * 3 THEN 1
              |            WHEN cnt_a * nb * 2 > cnt_b * na * 3 THEN -1
              |            ELSE 0 END AS BIGINT) AS drift_dir
-             |FROM per, tot WHERE cnt_a + cnt_b >= 10""".stripMargin))
+             |FROM per, tot WHERE cnt_a + cnt_b >= 10""".stripMargin)),
+
+    QuerySpec(
+      "q93_vocab_growth",
+      """Vocabulary growth curve (Heaps'-law sheet,
+        |[[graft.operators.VocabGrowth.growthCurve]]) — the
+        |tokenizer-sizing step: the corpus in doc-id order, cut into
+        |10 equal-width id buckets, with per-bucket and cumulative
+        |docs / tokens / distinct-vocabulary counts. First occurrence
+        |is min(doc_id) per term — order-independent, unlike a
+        |scan-order "first seen" — and every column is a BIGINT count
+        |or the exact integer bucket `(id·10) div (max_id+1)`, so the
+        |sheet oracles bitwise with no quantization at all. Scale
+        |shape: three scans, each collapsing map-side before its one
+        |exchange — a doc_id-only scan for the broadcast 1-row corpus
+        |bound (the q80 idiom), a per-bucket volume scan, and the
+        |first-occurrence scan (explode → min(doc_id) keyed on term);
+        |the closing join and cumulative window run over the ≤10-row
+        |bucket frame.""".stripMargin,
+      (s, d) => graft.operators.VocabGrowth.growthCurve(
+        Tables.documents(s, d), "text", buckets = 10),
+      Some("""WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS max_id FROM documents),
+             |d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |             string_split_regex(lower(text), '\s+') AS t
+             |      FROM documents WHERE text IS NOT NULL),
+             |vol AS (SELECT (doc_id * 10) // (max_id + 1) AS bucket,
+             |               CAST(count(*) AS BIGINT) AS n_docs,
+             |               CAST(sum(len(t)) AS BIGINT) AS n_tokens
+             |        FROM d, mx GROUP BY 1),
+             |fo AS (SELECT term, min(doc_id) AS first_id FROM (
+             |         SELECT doc_id, unnest(t) AS term FROM d) GROUP BY 1),
+             |nt AS (SELECT (first_id * 10) // (max_id + 1) AS bucket,
+             |              CAST(count(*) AS BIGINT) AS new_terms
+             |       FROM fo, mx GROUP BY 1)
+             |SELECT bucket, n_docs, n_tokens, new_terms,
+             |  CAST(sum(n_docs) OVER w AS BIGINT) AS docs_cum,
+             |  CAST(sum(n_tokens) OVER w AS BIGINT) AS tokens_cum,
+             |  CAST(sum(new_terms) OVER w AS BIGINT) AS vocab_cum
+             |FROM (SELECT COALESCE(vol.bucket, nt.bucket) AS bucket,
+             |        COALESCE(n_docs, 0) AS n_docs,
+             |        COALESCE(n_tokens, 0) AS n_tokens,
+             |        COALESCE(new_terms, 0) AS new_terms
+             |      FROM vol FULL OUTER JOIN nt ON vol.bucket = nt.bucket)
+             |WINDOW w AS (ORDER BY bucket
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    QuerySpec(
+      "q94_embedding_audit",
+      """Embedding-column health audit
+        |([[graft.operators.EmbeddingAudit.healthSheet]]) — the
+        |pre-index gate: per label, null vectors, ragged dimensions
+        |(dim_min ≠ dim_max = model-version mix-up), all-zero vectors,
+        |non-finite norms, and the squared-norm distribution
+        |(min/max/mean) that drifts when a batch comes from a
+        |different checkpoint. Norm² is `graft_dot(v,v)` — bitwise
+        |equal to DuckDB's list_dot_product on DOUBLE[] (the q30
+        |contract) — floor-quantized ×2^20 to BIGINT per ROW, so the
+        |per-group sums and the one-floor-division mean are
+        |order-independent and bitwise-oracled; non-finite norms are
+        |excluded from the quantized stats and labels with no finite
+        |vector report −1 (the q90 idiom). Scale shape: ONE scan, one
+        |map-side-combined agg keyed on label; the dot product and
+        |every predicate are codegen map work (no higher-order
+        |functions); nothing after the single exchange exceeds group
+        |rows.""".stripMargin,
+      (s, d) => graft.operators.EmbeddingAudit.healthSheet(
+        Tables.embeddings(s, d)),
+      Some("""WITH v AS (SELECT CAST(label AS BIGINT) AS label,
+             |    embedding IS NULL AS is_null,
+             |    CAST(len(embedding) AS BIGINT) AS dim,
+             |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+             |  FROM embeddings),
+             |w AS (SELECT label, is_null, dim, n2,
+             |    (isnan(n2) OR isinf(n2)) AS bad,
+             |    CASE WHEN NOT (isnan(n2) OR isinf(n2))
+             |         THEN CAST(floor(n2 * 1048576) AS BIGINT) END AS n2_q
+             |  FROM v)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  min(dim) AS dim_min, max(dim) AS dim_max,
+             |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+             |  COALESCE(min(n2_q), -1) AS norm_min_q,
+             |  COALESCE(max(n2_q), -1) AS norm_max_q,
+             |  CASE WHEN count(n2_q) > 0
+             |       THEN CAST(sum(n2_q) AS BIGINT) // count(n2_q)
+             |       ELSE CAST(-1 AS BIGINT) END AS norm_mean_q
+             |FROM w GROUP BY 1""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -323,6 +323,46 @@ class ScaleSpec extends AnyFunSuite {
         "which sits above the scan — the window never sees token rows")
   }
 
+  test("growth curve and embedding audit hold their documented plan shapes") {
+    // growthCurve: the materialized 1-row corpus bound leaves exactly
+    // TWO parquet scans in the closing plan (volume + first-occurrence
+    // — different grains, rescanning column-pruned parquet beats
+    // materializing a corpus-sized frame), consumed via broadcast on
+    // both branches; every aggregation combines map-side; the
+    // cumulative window sits above the bucket join, never on corpus
+    // rows.
+    val vg = graft.operators.VocabGrowth.growthCurve(
+      Tables.documents(spark, sf001), "text")
+    assert(vg.count() > 0)
+    val vgPlan = vg.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(vgPlan).size == 2,
+      "volume + first-occurrence scans only — the corpus bound is materialized, not re-planned per branch")
+    assert("BroadcastExchange".r.findAllIn(vgPlan).size == 2,
+      "the 1-row bound broadcasts onto both per-row branches")
+    assert(vgPlan.contains("partial_count") && vgPlan.contains("partial_min"),
+      "volume counts and first-occurrence mins must map-side combine")
+    val vgW = vgPlan.indexOf("Window")
+    assert(vgW >= 0 && vgW < vgPlan.indexOf("Scan parquet"),
+      "the cumulative window sits at the top of the plan, over the bucket frame")
+
+    // healthSheet: ONE scan, one map-side-combined agg keyed on label,
+    // the codegen dot product in the per-row projection, no window,
+    // no higher-order functions (interpreted lambda nodes) anywhere.
+    val ea = graft.operators.EmbeddingAudit.healthSheet(
+      Tables.embeddings(spark, sf001))
+    assert(ea.count() > 0)
+    val eaPlan = ea.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(eaPlan).size == 1,
+      "the audit reads the embeddings exactly once")
+    assert(eaPlan.contains("graft_dot"),
+      "norm2 must be the native codegen dot product")
+    assert(eaPlan.contains("partial_count"),
+      "the label agg must map-side combine")
+    assert(!eaPlan.contains("Window") && !eaPlan.contains("ArrayTransform") &&
+      !eaPlan.contains("ArrayAggregate"),
+      "no window and no interpreted higher-order functions on the audit path")
+  }
+
   test("sequence packing holds its invariants at 2M documents without a global window") {
     // 2M docs ~ the per-executor share of a corpus; the operator's
     // single-partition window sees only n/bucketWidth subtotal rows
