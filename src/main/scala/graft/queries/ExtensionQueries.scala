@@ -1861,7 +1861,80 @@ object ExtensionQueries {
              |  CASE WHEN count(n2_q) > 0
              |       THEN CAST(sum(n2_q) AS BIGINT) // count(n2_q)
              |       ELSE CAST(-1 AS BIGINT) END AS norm_mean_q
-             |FROM w GROUP BY 1""".stripMargin))
+             |FROM w GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "q95_source_overlap",
+      """Cross-source near-duplicate overlap matrix
+        |([[graft.operators.SourceOverlap.overlapMatrix]]) — the
+        |provenance view of dedup: verified near-dup pairs (the q28
+        |MinHash→LSH→Jaccard pipeline, bitwise-oracled end-to-end)
+        |rolled up to canonical (src_a ≤ src_b) source cells; the
+        |diagonal is within-source duplication, hot off-diagonal cells
+        |mark syndication/mirrors and decide which acquisition to
+        |deprecate. Adds only two doc_id-keyed joins against the thin
+        |(doc_id, source) projection and a BIGINT count onto the
+        |≤|sources|² key — oracles bitwise by construction on top of
+        |q28's relation. Scale shape: candidate generation stays
+        |banded/bucketed; the collision-bounded pair relation
+        |broadcasts against the pruned two-column scan.""".stripMargin,
+      (s, d) => graft.operators.SourceOverlap.overlapMatrix(
+        Tables.documents(s, d)),
+      Some(s"""WITH p AS (
+             |${MinhashOracle.sql(16, 4, 0.8)}
+             |), s AS (SELECT doc_id, source FROM documents)
+             |SELECT least(a.source, b.source) AS src_a,
+             |       greatest(a.source, b.source) AS src_b,
+             |       CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM p JOIN s a ON p.a_id = a.doc_id
+             |       JOIN s b ON p.b_id = b.doc_id
+             |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
+      "q96_source_curation",
+      """Per-source curation dashboard
+        |([[graft.streaming.Curation.sourceAudit]]) — q81's audit
+        |relation rolled up to (source, reason) cells with doc counts
+        |and token mass: "which acquisition is failing which rule" at
+        |a glance. Token mass sums greatest(n_tokens, 0) so the −1
+        |null-text sentinel never deflates a cell; every column is a
+        |BIGINT count on top of q81's already-oracled relation, so the
+        |sheet oracles bitwise. Like q81 the corpus first UNIONs in
+        |deterministic copies of every 50th doc so the 'duplicate'
+        |cell observably fires. Scale shape: map-side rules, one md5
+        |hash shuffle + co-partitioned join back (the audited q81
+        |plan), then ONE map-side-combined count onto the
+        |≤|sources|×5 key.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"), col("source"))
+        val echoes = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("text"), col("source"))
+        graft.streaming.Curation.sourceAudit(docs.union(echoes))
+      },
+      Some(s"""WITH u AS (
+             |  SELECT doc_id, lang, text, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, text, source FROM documents WHERE doc_id % 50 = 0),
+             |t AS (SELECT doc_id, source, md5(lower(text)) AS h,
+             |  coalesce(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), -1) AS n_tokens,
+             |  CASE WHEN coalesce(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), -1) < 20 THEN 'too_short'
+             |       WHEN lang <> 'en' THEN 'non_english'
+             |       WHEN 100 * coalesce(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+             |              x -> x IN ($StopList))) AS BIGINT), 0)
+             |            < 2 * CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) THEN 'low_stopword'
+             |       ELSE 'kept' END AS qr
+             |  FROM u),
+             |k AS (SELECT h, min(doc_id) AS keeper_id FROM t WHERE qr = 'kept' GROUP BY h)
+             |SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(greatest(n_tokens, 0)) AS BIGINT) AS n_tokens
+             |FROM (SELECT source,
+             |        CASE WHEN qr <> 'kept' THEN qr
+             |             WHEN doc_id <> keeper_id THEN 'duplicate'
+             |             ELSE 'kept' END AS reason, n_tokens
+             |      FROM t LEFT JOIN k USING (h))
+             |GROUP BY 1, 2""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -91,17 +91,47 @@ object Curation {
     * co-partitioned join back on the same key — no window, no sort. */
   def batchAudit(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", langCol: String = "lang", minTokens: Int = 20,
+      lang: String = "en", stopwordPct: Int = 2): DataFrame =
+    auditRows(docs, idCol, textCol, langCol, minTokens, lang, stopwordPct)
+      .select(col(idCol), col("n_tokens"), col("reason"), col("kept"))
+
+  /** The audit relation underlying [[batchAudit]] with the caller's
+    * columns PRESERVED beside `(n_tokens, reason, kept)` — the shape a
+    * downstream grouping (by source, by language, by shard) composes
+    * on. Same rules, same deterministic min-id keeper. */
+  def auditRows(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang", minTokens: Int = 20,
       lang: String = "en", stopwordPct: Int = 2): DataFrame = {
     val stats = withStats(docs, textCol)
       .withColumn("__h", md5(lower(col(textCol))))
       .withColumn("__q", qualityReason(langCol, minTokens, lang, stopwordPct))
     val keepers = stats.filter(col("__q") === "kept")
       .groupBy(col("__h")).agg(min(col(idCol)).as("__keeper_id"))
+    val original = docs.columns.toSeq
     stats.join(keepers, Seq("__h"), "left")
-      .select(col(idCol), col("__n_tokens").as("n_tokens"),
+      .select(original.map(col) :+
+        col("__n_tokens").as("n_tokens") :+
         when(col("__q") =!= "kept", col("__q"))
           .when(col(idCol) =!= col("__keeper_id"), "duplicate")
-          .otherwise("kept").as("reason"))
+          .otherwise("kept").as("reason"): _*)
       .withColumn("kept", when(col("reason") === "kept", 1L).otherwise(0L))
   }
+
+  /** Per-source curation dashboard (q95's companion view of the q81
+    * gate): one row per (source, reason) with the doc count and the
+    * token mass involved — "which acquisition is failing which rule"
+    * at a glance. Token mass sums `greatest(n_tokens, 0)` so the −1
+    * null-text sentinel can never deflate a cell; every column is a
+    * BIGINT count, so the sheet oracles bitwise on top of q81's
+    * already-oracled relation. Scale shape: [[auditRows]]'s audited
+    * plan (map-side rules, one md5 shuffle, co-partitioned join back)
+    * plus ONE map-side-combined count onto the ≤|sources|×5 key. */
+  def sourceAudit(docs: DataFrame, srcCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang", minTokens: Int = 20, lang: String = "en",
+      stopwordPct: Int = 2): DataFrame =
+    auditRows(docs, idCol, textCol, langCol, minTokens, lang, stopwordPct)
+      .groupBy(col(srcCol).as("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(greatest(col("n_tokens"), lit(0L))).as("n_tokens"))
 }

@@ -363,6 +363,37 @@ class ScaleSpec extends AnyFunSuite {
       "no window and no interpreted higher-order functions on the audit path")
   }
 
+  test("provenance sheets add only thin joins and map-side counts to their audited upstreams") {
+    val docs = Tables.documents(spark, sf001)
+
+    // overlapMatrix: everything upstream is the audited q28 pipeline;
+    // the provenance layer must add doc_id-keyed joins against the
+    // COLUMN-PRUNED (doc_id, source) projection — never a re-read of
+    // text — and a map-side-combined count. Both source scans must
+    // show the 2-column ReadSchema.
+    val om = graft.operators.SourceOverlap.overlapMatrix(docs)
+    assert(om.count() > 0)
+    val omPlan = om.queryExecution.executedPlan.toString
+    val srcScans = "ReadSchema: struct<doc_id:bigint,source:string>".r
+      .findAllIn(omPlan).size
+    assert(srcScans == 2,
+      "both provenance joins read the pruned 2-column projection, not the text")
+    assert(omPlan.contains("partial_count"),
+      "the cell count must map-side combine")
+
+    // sourceAudit: q81's audited plan (map-side rules, one md5
+    // exchange, co-partitioned join back) plus ONE more aggregation —
+    // still no window, no sort anywhere.
+    val sa = graft.streaming.Curation.sourceAudit(
+      docs.select("doc_id", "lang", "text", "source"))
+    assert(sa.count() > 0)
+    val saPlan = sa.queryExecution.executedPlan.toString
+    assert(!saPlan.contains("Window") && !saPlan.contains("Sort "),
+      "sourceAudit must not window or sort")
+    assert(saPlan.contains("partial_count"),
+      "the (source, reason) count must map-side combine")
+  }
+
   test("sequence packing holds its invariants at 2M documents without a global window") {
     // 2M docs ~ the per-executor share of a corpus; the operator's
     // single-partition window sees only n/bucketWidth subtotal rows

@@ -69,6 +69,31 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 5L))
   }
 
+  test("sourceAudit rolls the audit relation into (source, reason) cells") {
+    // srcX: a kept doc, its copy under a larger id (duplicate), and a
+    // short doc; srcY: a kept doc and a null-text doc (too_short with
+    // the -1 sentinel — greatest(n_tokens, 0) must keep its token
+    // mass at 0, not -1).
+    val kept = "a walk in the park is good for the soul and the mind"
+    val df = Seq(
+      (1L, "en", Option(kept), "srcX"),
+      (2L, "en", Option(kept), "srcX"),
+      (3L, "en", Option("too short"), "srcX"),
+      (4L, "en", Option("the cat and the dog sat by the warm fire all night"), "srcY"),
+      (5L, "en", Option.empty[String], "srcY"))
+      .toDF("doc_id", "lang", "text", "source")
+    val cells = Curation.sourceAudit(df, minTokens = 5, stopwordPct = 10)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[String]("reason")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(cells(("srcX", "kept")) == ((1L, 13L)))
+    assert(cells(("srcX", "duplicate")) == ((1L, 13L)), "min-id keeper: id 2 loses")
+    assert(cells(("srcX", "too_short")) == ((1L, 2L)))
+    assert(cells(("srcY", "kept")) == ((1L, 12L)))
+    assert(cells(("srcY", "too_short")) == ((1L, 0L)),
+      "the null-text -1 sentinel clamps to 0 token mass")
+    assert(cells.size == 5)
+  }
+
   test("null text drops as too_short — the gate is total on null payloads") {
     val df = Seq((7L, "en", Option.empty[String]), (8L, "en", Option("a walk in the park is good for the soul")))
       .toDF("doc_id", "lang", "text")
