@@ -60,6 +60,46 @@ object Mixing {
       wProp.as("w_prop"), wTemp.as("w_temp"), (wTemp / wProp).as("boost"))
   }
 
+  /** Integer sample-budget allocation over the α=1/2 weights — the
+    * step AFTER [[sqrtTemperatureWeights]]: turn the per-group shares
+    * into whole-document quotas summing EXACTLY to `budget`, by the
+    * largest-remainder (Hamilton) method on the quantized integer
+    * weights. `base_i = (budget · s_q_i) div S` floors every quota;
+    * the `budget − Σ base` leftover seats go to the largest integer
+    * remainders `budget · s_q_i − base_i · S`, ties broken by group
+    * name ascending — every step is BIGINT arithmetic, so the plan
+    * oracles bitwise (no float shares are ever allocated). Overflow
+    * bound: `budget · s_q < 2^63` ⇒ with s_q ≤ 2^40 (n_size ≤ 2^40,
+    * i.e. a trillion tokens per group) budgets to ~8 billion docs are
+    * exact — documented, not checked; split the budget across shards
+    * beyond that.
+    *
+    * Output: one row per group — `(group, n_items, n_size, s_q, base,
+    * alloc)` with `Σ alloc = budget` whenever the corpus is non-empty.
+    * Scale shape: [[sqrtTemperatureWeights]]'s audited plan (one
+    * map-side-combined corpus agg + unpartitioned window over the
+    * per-group frame) plus rank/total windows over the SAME tiny
+    * frame — nothing new touches corpus rows. */
+  def sqrtAllocation(items: DataFrame, groupCol: String, sizeCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val per = items
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"), sum(col(sizeCol)).cast("long").as("n_size"))
+      .withColumn("s_q", floor(sqrt(col("n_size")) * lit(Q)).cast("long"))
+      .withColumn("__s", sum(col("s_q")).over(whole))
+      .withColumn("base", expr(s"CAST(($budget * s_q) DIV __s AS BIGINT)"))
+      .withColumn("__rem", lit(budget) * col("s_q") - col("base") * col("__s"))
+      .withColumn("__left", lit(budget) - sum(col("base")).over(whole))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rem").desc, col(groupCol).asc)))
+    per.select(col(groupCol), col("n_items"), col("n_size"), col("s_q"),
+      col("base"),
+      (col("base") + when(col("__rank") <= col("__left"), 1L).otherwise(0L))
+        .as("alloc"))
+  }
+
   /** General-α temperature weights via `pow`. Same output shape minus
     * the quantized path: `(group, n_items, n_size, w_prop, w_temp,
     * boost)`. For library use — `pow` is not correctly rounded, so

@@ -66,4 +66,31 @@ object SequencePack {
         expr(s"(__cb + greatest(n_tokens, 1L) - 1L) div $capacity").as("pack_last"))
       .withColumn("packs_spanned", col("pack_last") - col("pack_first") + lit(1L))
   }
+
+  /** Training-shard manifest over [[packAssignments]] — the writer's
+    * work order: packs grouped `packsPerShard` at a time into shards,
+    * one row per shard with the document count, token mass, widest
+    * document span, and how many documents CROSS the shard's trailing
+    * boundary (each crosser is a doc the writer must either split or
+    * shift — the number to minimize when tuning capacity). A document
+    * belongs to the shard where it STARTS (`pack_first`), so every doc
+    * counts exactly once and the manifest partitions the corpus.
+    *
+    * All columns are BIGINT counts over q65's already-oracled exact
+    * integer relation — bitwise-oracled by construction. Scale shape:
+    * [[packAssignments]]' audited plan plus ONE map-side-combined
+    * count onto the small shard key; nothing new touches corpus rows. */
+  def shardManifest(docs: DataFrame, idCol: String, nTokensCol: String,
+      capacity: Long, packsPerShard: Long,
+      bucketWidth: Long = 8192L): DataFrame = {
+    require(packsPerShard > 0, s"packsPerShard must be positive: $packsPerShard")
+    packAssignments(docs, idCol, nTokensCol, capacity, bucketWidth)
+      .withColumn("shard", expr(s"pack_first div $packsPerShard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("packs_spanned")).as("max_span"),
+        sum(when(expr(s"pack_last div $packsPerShard") =!= col("shard"), 1L)
+          .otherwise(0L)).as("boundary_crossers"))
+  }
 }

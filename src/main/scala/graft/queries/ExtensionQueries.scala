@@ -1934,7 +1934,160 @@ object ExtensionQueries {
              |             WHEN doc_id <> keeper_id THEN 'duplicate'
              |             ELSE 'kept' END AS reason, n_tokens
              |      FROM t LEFT JOIN k USING (h))
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
+      "q97_doc_novelty",
+      """Per-document novelty score
+        |([[graft.operators.Novelty.noveltyScores]]) — the
+        |dedup-priority / curriculum signal: the fraction of a doc's
+        |DISTINCT 3-token shingles appearing nowhere else in the
+        |corpus; near-0 marks boilerplate assembled from corpus-common
+        |phrases even when no pairwise near-dup fires. BIGINT counts,
+        |one integer floor division for novelty_q, cross-multiplied
+        |majority flag — bitwise-oracled (the q90 idiom), reusing the
+        |q28 shingle CTE shape. Scale shape: NO corpus-wide (doc_id,
+        |shingle) distinct — shingles dedup DOC-LOCALLY map-side
+        |(array_distinct over codegen graft_ngrams, before the
+        |explode), after which a plain count keyed on shingle IS
+        |document frequency; one map-side-combined sh agg, one
+        |co-partitioned join back over the materialized shingle frame,
+        |one doc-keyed count.""".stripMargin,
+      (s, d) => graft.operators.Novelty.noveltyScores(
+        Tables.documents(s, d)),
+      Some("""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\s+') toks
+             |             FROM documents WHERE text IS NOT NULL),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+             |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs),
+             |dfq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+             |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             |  (CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1048576) // count(*) AS novelty_q,
+             |  CAST(CASE WHEN 2 * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) > count(*)
+             |       THEN 1 ELSE 0 END AS BIGINT) AS is_novel
+             |FROM sh JOIN dfq USING (sh) GROUP BY doc_id""".stripMargin)),
+
+    QuerySpec(
+      "q98_sampling_allocation",
+      """Integer sample-budget allocation
+        |([[graft.operators.Mixing.sqrtAllocation]]) — the step after
+        |q89: per-source α=1/2 shares turned into whole-document
+        |quotas summing EXACTLY to a 100k budget by the
+        |largest-remainder (Hamilton) method on the quantized integer
+        |weights. base = (budget·s_q) div S floors each quota; the
+        |leftover seats go to the largest BIGINT remainders, ties by
+        |source name — every step integer, bitwise-oracled (no float
+        |share is ever allocated). Scale shape: q89's audited plan
+        |(one map-side-combined corpus agg + unpartitioned window over
+        |the per-source frame) plus rank/total windows over the SAME
+        |tiny frame.""".stripMargin,
+      (s, d) => graft.operators.Mixing.sqrtAllocation(
+        Tables.documents(s, d).select(col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")),
+        "source", "n_tokens", budget = 100000L),
+      Some("""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(len(string_split_regex(coalesce(text, ''), '\s+'))) AS BIGINT) AS n_size
+             |  FROM documents GROUP BY 1),
+             |q AS (SELECT *, CAST(floor(sqrt(n_size) * 1048576) AS BIGINT) AS s_q FROM per),
+             |tot AS (SELECT CAST(sum(s_q) AS BIGINT) AS s FROM q),
+             |b AS (SELECT source, n_items, n_size, s_q,
+             |    (100000 * s_q) // s AS base,
+             |    100000 * s_q - ((100000 * s_q) // s) * s AS rem
+             |  FROM q, tot),
+             |l AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM b),
+             |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) AS rk FROM b)
+             |SELECT source, n_items, n_size, s_q, base,
+             |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+             |FROM r, l""".stripMargin)),
+
+    QuerySpec(
+      "q99_shard_manifest",
+      """Training-shard manifest
+        |([[graft.operators.SequencePack.shardManifest]]) — q65's pack
+        |assignments grouped 16 packs per shard into the writer's work
+        |order: per shard, the doc count, token mass, widest document
+        |span, and the boundary-crossing docs a writer must split or
+        |shift. A doc belongs to the shard where it STARTS, so the
+        |manifest partitions the corpus; all BIGINT counts over q65's
+        |exact integer relation — bitwise-oracled by construction.
+        |Scale shape: q65's audited two-level prefix-sum plan plus ONE
+        |map-side-combined count onto the small shard key.""".stripMargin,
+      (s, d) => graft.operators.SequencePack.shardManifest(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 2048L, packsPerShard = 16L),
+      Some("""WITH t AS (SELECT doc_id,
+             |  CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |c AS (SELECT doc_id, n_tokens,
+             |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+             |  FROM t),
+             |p AS (SELECT doc_id, n_tokens,
+             |  cb // 2048 AS pack_first,
+             |  (cb + greatest(n_tokens, 1) - 1) // 2048 AS pack_last
+             |  FROM c)
+             |SELECT pack_first // 16 AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |  CAST(max(pack_last - pack_first + 1) AS BIGINT) AS max_span,
+             |  CAST(sum(CASE WHEN pack_last // 16 <> pack_first // 16 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS boundary_crossers
+             |FROM p GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "q100_corpus_datasheet",
+      """Corpus datasheet capstone
+        |([[graft.operators.Datasheet.summarize]]) — the one-page
+        |"datasheet for datasets" a release ships with: volume,
+        |vocabulary, provenance spread, exact duplication, curation
+        |yield (q81 rules + dedup), and the exact median document
+        |length (the q60 decimal-exact rank pick), as one long-format
+        |(metric, value) sheet. Every value is a BIGINT count or a
+        |rank-picked integer — no ratios, no floats — so the capstone
+        |oracles bitwise. Scale shape: four corpus passes, one per
+        |grain — scalar sheet (ONE scan; the three distincts share it
+        |via Expand), vocabulary two-stage distinct, the q60 quantile
+        |kernel, q81's audited curation plan — each collapsing
+        |map-side; the closing union is nine 1-row frames.""".stripMargin,
+      (s, d) => graft.operators.Datasheet.summarize(
+        Tables.documents(s, d)),
+      Some(s"""WITH scalars AS (SELECT
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(count(text) AS BIGINT) AS n_text_docs,
+             |    CAST(sum(coalesce(len(string_split_regex(text, '\\s+')), 0)) AS BIGINT) AS n_tokens,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |    CAST(count(DISTINCT md5(lower(text))) AS BIGINT) AS n_distinct_content
+             |  FROM documents),
+             |vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM (
+             |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+             |    FROM documents WHERE text IS NOT NULL)),
+             |med AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (
+             |    ORDER BY len(string_split_regex(text, '\\s+'))) AS BIGINT) AS m
+             |  FROM documents WHERE text IS NOT NULL),
+             |t AS (SELECT doc_id, md5(lower(text)) AS h,
+             |  coalesce(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), -1) AS n_tok,
+             |  CASE WHEN coalesce(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), -1) < 20 THEN 'too_short'
+             |       WHEN lang <> 'en' THEN 'non_english'
+             |       WHEN 100 * coalesce(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+             |              x -> x IN ($StopList))) AS BIGINT), 0)
+             |            < 2 * CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) THEN 'low_stopword'
+             |       ELSE 'kept' END AS qr
+             |  FROM documents),
+             |k AS (SELECT h, min(doc_id) AS keeper_id FROM t WHERE qr = 'kept' GROUP BY h),
+             |kept AS (SELECT CAST(sum(CASE WHEN qr = 'kept' AND doc_id = keeper_id
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS kc
+             |  FROM t LEFT JOIN k USING (h))
+             |SELECT 'n_docs' AS metric, n_docs AS value FROM scalars
+             |UNION ALL SELECT 'n_text_docs', n_text_docs FROM scalars
+             |UNION ALL SELECT 'n_tokens', n_tokens FROM scalars
+             |UNION ALL SELECT 'n_langs', n_langs FROM scalars
+             |UNION ALL SELECT 'n_sources', n_sources FROM scalars
+             |UNION ALL SELECT 'n_exact_dup_docs', n_text_docs - n_distinct_content FROM scalars
+             |UNION ALL SELECT 'n_distinct_terms', v FROM vocab
+             |UNION ALL SELECT 'p50_doc_tokens', m FROM med
+             |UNION ALL SELECT 'curation_kept_docs', kc FROM kept""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -41,6 +41,34 @@ class MixingSpec extends AnyFunSuite {
     assert(pa == 900.0 / 1400 && pb == 400.0 / 1400 && pc == 100.0 / 1400)
   }
 
+  test("sqrtAllocation sums exactly to the budget and seats the largest remainders") {
+    // sizes 900/400/100 -> s_q proportional to 30/20/10 -> shares
+    // 1/2, 1/3, 1/6 of the budget. With budget 100: bases
+    // 50/33/16 = 99, one leftover seat; remainders (budget*s_q mod S)
+    // are 0, 1/3·S, 2/3·S -> the seat goes to c.
+    val items = (Seq.fill(9)(("a", 100L)) ++ Seq.fill(4)(("b", 100L)) ++
+      Seq(("c", 100L))).toDF("source", "n_tokens")
+    val m = Mixing.sqrtAllocation(items, "source", "n_tokens", budget = 100L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("base"), r.getAs[Long]("alloc")))).toMap
+    assert(m == Map("a" -> ((50L, 50L)), "b" -> ((33L, 33L)), "c" -> ((16L, 17L))),
+      "the single leftover seat goes to the largest remainder (c at 2/3)")
+    assert(m.values.map(_._2).sum == 100L)
+
+    // exact-division case: no leftover, alloc == base everywhere
+    val even = Seq(("x", 900L), ("y", 400L), ("z", 100L)).toDF("source", "n_tokens")
+    val e = Mixing.sqrtAllocation(even, "source", "n_tokens", budget = 60L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+    assert(e == Map("x" -> 30L, "y" -> 20L, "z" -> 10L))
+
+    // tie-break: two equal groups, odd budget -> the NAME decides
+    val tie = Seq(("p", 100L), ("q", 100L)).toDF("source", "n_tokens")
+    val t = Mixing.sqrtAllocation(tie, "source", "n_tokens", budget = 7L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+    assert(t == Map("p" -> 4L, "q" -> 3L),
+      "equal remainders seat by ascending group name")
+  }
+
   test("pow path matches the exact path at alpha=1/2 and proportion at alpha=1") {
     val exact = Mixing.sqrtTemperatureWeights(fixture, "source", "n_tokens")
       .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("w_temp")).toMap

@@ -394,6 +394,61 @@ class ScaleSpec extends AnyFunSuite {
       "the (source, reason) count must map-side combine")
   }
 
+  test("novelty, allocation, manifest and datasheet hold their documented plan shapes") {
+    val docs = Tables.documents(spark, sf001)
+
+    // noveltyScores: the doc-locally-distinct shingle frame is
+    // materialized (df agg + join-back both consume it), so the
+    // closing plan reads NO parquet — both consumers read the one
+    // checkpointed frame — and the df count combines map-side. No
+    // corpus-wide (doc_id, sh) distinct exists anywhere: doc-local
+    // array_distinct made the plain count BE document frequency.
+    val nv = graft.operators.Novelty.noveltyScores(docs)
+    assert(nv.count() > 0)
+    val nvPlan = nv.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(nvPlan).size == 0 &&
+      "Scan ExistingRDD".r.findAllIn(nvPlan).size == 2,
+      "both consumers read the one materialized shingle frame")
+    assert(nvPlan.contains("partial_count"), "df counts combine map-side")
+
+    // sqrtAllocation: q89's shape — ONE corpus scan, every window
+    // strictly above the per-source aggregation.
+    val al = graft.operators.Mixing.sqrtAllocation(
+      docs.select(col("source"),
+        graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+          .as("n_tokens")),
+      "source", "n_tokens", budget = 1000L)
+    assert(al.count() > 0)
+    val alPlan = al.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(alPlan).size == 1,
+      "allocation adds no corpus pass beyond q89's one scan")
+    assert(alPlan.indexOf("Window") < alPlan.indexOf("Scan parquet"),
+      "rank/total windows run over the per-source frame, never corpus rows")
+
+    // shardManifest: one map-side-combined agg on top of the audited
+    // q65 plan — the shard rollup itself must not sort or window.
+    val sm = graft.operators.SequencePack.shardManifest(
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", capacity = 2048L, packsPerShard = 16L)
+    assert(sm.count() > 0)
+    assert(sm.queryExecution.executedPlan.toString.contains("partial_count"),
+      "the shard rollup combines map-side")
+
+    // datasheet: the scalar branch computes its THREE distincts over
+    // one scan via Expand; five parquet passes total — scalars,
+    // vocab, median, and TWO for curation (batchAudit's keeper branch
+    // rescans rather than materializing corpus-sized stats, its
+    // documented trade) — not one per metric.
+    val ds = graft.operators.Datasheet.summarize(docs)
+    assert(ds.count() == 9)
+    val dsPlan = ds.queryExecution.executedPlan.toString
+    assert(dsPlan.contains("Expand"),
+      "multi-distinct scalars share one scan through Expand")
+    assert("Scan parquet".r.findAllIn(dsPlan).size == 5,
+      "one pass per grain plus curation's keeper rescan — nothing per-metric")
+  }
+
   test("sequence packing holds its invariants at 2M documents without a global window") {
     // 2M docs ~ the per-executor share of a corpus; the operator's
     // single-partition window sees only n/bucketWidth subtotal rows

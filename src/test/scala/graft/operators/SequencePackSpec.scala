@@ -48,6 +48,30 @@ class SequencePackSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("shardManifest partitions the corpus and counts boundary crossers exactly") {
+    // cap 10, 2 packs/shard. Docs in id order: 15 + 3 + 10 + 2 tokens
+    // (cum starts 0, 15, 18, 28):
+    //   doc 1: packs 0-1 (span 2), shard 0
+    //   doc 2: pack 1, shard 0
+    //   doc 3: packs 1-2 (span 2), starts in shard 0, ends in pack 2
+    //     = shard 1 -> the one boundary CROSSER
+    //   doc 4: pack 2, shard 1
+    val rows = Seq((1L, 15L), (2L, 3L), (3L, 10L), (4L, 2L))
+    val m = SequencePack.shardManifest(rows.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", capacity = 10L, packsPerShard = 2L)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("max_span"), r.getAs[Long]("boundary_crossers")))).toMap
+    // reference: cum=0 -> d1 packs 0..1 (span 2); cum=15 -> d2 packs
+    // 1..1; cum=18 -> d3 packs 1..2 (span 2, crosses shard 0->1);
+    // cum=28 -> d4 packs 2..2 (shard 1).
+    assert(m == Map(
+      0L -> ((3L, 28L, 2L, 1L)),
+      1L -> ((1L, 2L, 1L, 0L))))
+    assert(m.values.map(_._1).sum == rows.size,
+      "every doc counts exactly once — the manifest partitions the corpus")
+  }
+
   test("null ids are dropped; packs_spanned is always >= 1 and pack_first is monotone in id order") {
     val withNull = Seq[(java.lang.Long, java.lang.Long)]((1L, 5L), (null, 99L), (2L, 0L), (3L, 200L))
       .toDF("doc_id", "n_tokens")
