@@ -44,7 +44,13 @@ object Bench {
         // honest steady-state number. A failed first run is not retried
         // (a timing regression must never mask a breakage).
         val t1 = timeOnce(fn, name)
-        name -> (if (t1 < 0) t1 else math.min(t1, timeOnce(fn, name)))
+        val best = name -> (if (t1 < 0) t1 else math.min(t1, timeOnce(fn, name)))
+        // Between queries (never between the two timed runs — eviction
+        // churn would distort the second timing): drop accumulated
+        // cache/localCheckpoint blocks so a late query in the 100-query
+        // sweep is timed against the same empty storage as an early one.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        best
     }
     val loadEnd = loadavg
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

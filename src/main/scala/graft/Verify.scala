@@ -22,6 +22,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Drop this query's cached/localCheckpoint blocks before the next
+      // one: each materialize()d frame parks blocks in executor storage
+      // until its DataFrame is GC'd, and across a 100-query session the
+      // accumulation can evict or OOM a LATE query at larger SFs. Safe
+      // here — the result is fully written and never reused. (Between
+      // queries only: unpersisting a localCheckpoint mid-query would
+      // destroy data whose lineage was truncated.)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

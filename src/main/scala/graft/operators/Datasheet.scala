@@ -39,7 +39,8 @@ object Datasheet {
     * n_distinct_terms, p50_doc_tokens (exact median over text docs),
     * and curation_kept_docs (q81 rules + dedup survivors). */
   def summarize(docs: DataFrame, textCol: String = "text",
-      langCol: String = "lang", srcCol: String = "source"): DataFrame = {
+      langCol: String = "lang", srcCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
     val texts = docs.filter(col(textCol).isNotNull)
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
 
@@ -71,7 +72,7 @@ object Datasheet {
       .select(lit("p50_doc_tokens").as("metric"), col("p50").as("value"))
 
     val kept = graft.streaming.Curation
-      .batchAudit(docs.select(col("doc_id"), col(langCol).as("lang"),
+      .batchAudit(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         col(textCol).as("text")))
       .agg(sum(col("kept")).as("value"))
       .select(lit("curation_kept_docs").as("metric"), col("value"))
