@@ -100,6 +100,46 @@ object Mixing {
         .as("alloc"))
   }
 
+  /** Execute a [[sqrtAllocation]]: turn the per-group quotas into the
+    * concrete keep-set — exactly `min(alloc_i, n_i)` items per group,
+    * chosen by md5-hash order of the item key with the key as tiebreak
+    * (the [[Sampling.capPerGroup]] ordering), so the kept set is a
+    * pure function of the data: stable across runs, partitionings and
+    * engines. A group smaller than its quota keeps everything (its
+    * unused seats are NOT redistributed — re-run [[sqrtAllocation]]
+    * on the survivors if exact-budget refill matters), so the output
+    * has `Σ min(alloc_i, n_i) ≤ budget` rows.
+    *
+    * PRECONDITION (as [[Sampling.capPerGroup]]): `keyCol` unique
+    * within each group — only then is the md5 order total and the
+    * keep-set partition-independent. NULL keys are excluded from BOTH
+    * the quota computation and the keep-set (one population for both
+    * steps; a null has no stable identity to hash).
+    *
+    * Scale shape: the quota pass is [[sqrtAllocation]]'s audited plan
+    * over a column-pruned second scan (group+size only — at 100 TB
+    * the parquet reader prunes to two columns, so the extra pass is
+    * cheap relative to materializing the full corpus); the per-group
+    * quota frame (thousands of rows) broadcasts back onto the corpus,
+    * and the keep-set costs ONE hash shuffle on the group key for the
+    * ranking window. The rank is a BIGINT running count (no Int
+    * row_number ceiling); skewed groups cost the sort of the hot
+    * group, exactly the capPerGroup bound. */
+  def executeSqrtAllocation(items: DataFrame, keyCol: String, groupCol: String,
+      sizeCol: String, budget: Long, salt: String = "graft"): DataFrame = {
+    val pop = items.filter(col(keyCol).isNotNull)
+    val quotas = sqrtAllocation(pop, groupCol, sizeCol, budget)
+      .select(col(groupCol), col("alloc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))).asc,
+        col(keyCol).asc)
+      .rowsBetween(Long.MinValue, 0)
+    pop.join(broadcast(quotas), Seq(groupCol))
+      .withColumn("__rk", count(lit(1)).over(w))
+      .filter(col("__rk") <= col("alloc"))
+      .drop("__rk", "alloc")
+  }
+
   /** General-α temperature weights via `pow`. Same output shape minus
     * the quantized path: `(group, n_items, n_size, w_prop, w_temp,
     * boost)`. For library use — `pow` is not correctly rounded, so

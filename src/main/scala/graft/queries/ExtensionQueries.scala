@@ -2087,7 +2087,45 @@ object ExtensionQueries {
              |UNION ALL SELECT 'n_exact_dup_docs', n_text_docs - n_distinct_content FROM scalars
              |UNION ALL SELECT 'n_distinct_terms', v FROM vocab
              |UNION ALL SELECT 'p50_doc_tokens', m FROM med
-             |UNION ALL SELECT 'curation_kept_docs', kc FROM kept""".stripMargin))
+             |UNION ALL SELECT 'curation_kept_docs', kc FROM kept""".stripMargin)),
+
+    QuerySpec(
+      "q101_allocation_sample",
+      """Allocation execution
+        |([[graft.operators.Mixing.executeSqrtAllocation]]) — the step
+        |after q98: the per-source Hamilton quotas materialized as a
+        |concrete keep-set, exactly min(alloc, n) docs per source
+        |chosen by md5-hash order of doc_id (the capPerGroup ordering),
+        |so the sampled corpus is a pure function of the data — same
+        |rows on any engine, run, or partitioning. Budget 137 over 20
+        |sources forces base=6 quotas plus 17 largest-remainder seats,
+        |exercising the tie-break path. Scale shape: q98's audited
+        |quota plan over a 2-column pruned scan, the tiny quota frame
+        |broadcast back, ONE group-key shuffle for the BIGINT ranking
+        |window.""".stripMargin,
+      (s, d) => graft.operators.Mixing.executeSqrtAllocation(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")),
+        "doc_id", "source", "n_tokens", budget = 137L),
+      Some("""WITH pop AS (SELECT doc_id, source,
+             |    CAST(len(string_split_regex(coalesce(text, ''), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_size
+             |  FROM pop GROUP BY 1),
+             |q AS (SELECT *, CAST(floor(sqrt(n_size) * 1048576) AS BIGINT) AS s_q FROM per),
+             |tot AS (SELECT CAST(sum(s_q) AS BIGINT) AS s FROM q),
+             |b AS (SELECT source, s_q, (137 * s_q) // s AS base,
+             |    137 * s_q - ((137 * s_q) // s) * s AS rem FROM q, tot),
+             |l AS (SELECT CAST(137 - sum(base) AS BIGINT) AS leftover FROM b),
+             |a AS (SELECT source, base + CASE WHEN
+             |      CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) <= leftover
+             |    THEN 1 ELSE 0 END AS alloc FROM b, l),
+             |ranked AS (SELECT doc_id, source, n_tokens,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rk
+             |  FROM pop)
+             |SELECT doc_id, source, n_tokens
+             |FROM ranked JOIN a USING (source) WHERE rk <= alloc""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

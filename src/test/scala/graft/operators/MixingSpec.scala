@@ -69,6 +69,50 @@ class MixingSpec extends AnyFunSuite {
       "equal remainders seat by ascending group name")
   }
 
+  test("executeSqrtAllocation keeps min(alloc, n) per group, deterministically") {
+    // keyed fixture: a = 9 docs, b = 4, c = 1, all 100 tokens. Budget
+    // 100 allocates 50/33/17 (the seat test above) but the groups only
+    // HAVE 9/4/1 docs -> every group is smaller than its quota and
+    // keeps everything (no redistribution).
+    val items = ((1 to 9).map(i => (s"a$i", "a", 100L)) ++
+      (1 to 4).map(i => (s"b$i", "b", 100L)) ++ Seq(("c1", "c", 100L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val all = Mixing.executeSqrtAllocation(items, "doc_id", "source",
+      "n_tokens", budget = 100L)
+    assert(all.count() == 14L, "quota > group size keeps the whole group")
+
+    // budget 6 -> quotas 3/2/1; each group keeps exactly its quota,
+    // chosen by md5 order — recompute the expected pick in plain Scala
+    val kept = Mixing.executeSqrtAllocation(items, "doc_id", "source",
+      "n_tokens", budget = 6L)
+      .collect().map(r => r.getAs[String]("doc_id")).toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = Seq("a" -> 3, "b" -> 2, "c" -> 1).flatMap { case (g, k) =>
+      items.collect().filter(_.getAs[String]("source") == g)
+        .map(_.getAs[String]("doc_id"))
+        .sortBy(id => (md5hex("graft" + id), id)).take(k).toSeq
+    }.toSet
+    assert(kept == expected, "the keep-set is the md5-rank prefix per group")
+
+    // partition-independence: a different physical layout, same rows
+    val shuffled = Mixing.executeSqrtAllocation(items.repartition(7),
+      "doc_id", "source", "n_tokens", budget = 6L)
+      .collect().map(_.getAs[String]("doc_id")).toSet
+    assert(shuffled == kept, "keep-set is a pure function of the data")
+
+    // null keys are excluded from BOTH the quota and the keep-set:
+    // nulls carry huge token mass; if they leaked into the quota pass
+    // they would distort every allocation
+    val withNulls = items.union(
+      Seq((null.asInstanceOf[String], "a", 1000000L)).toDF("doc_id", "source", "n_tokens"))
+    val nn = Mixing.executeSqrtAllocation(withNulls, "doc_id", "source",
+      "n_tokens", budget = 6L)
+      .collect().map(_.getAs[String]("doc_id")).toSet
+    assert(nn == kept, "null-key rows join neither population")
+  }
+
   test("pow path matches the exact path at alpha=1/2 and proportion at alpha=1") {
     val exact = Mixing.sqrtTemperatureWeights(fixture, "source", "n_tokens")
       .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("w_temp")).toMap

@@ -425,6 +425,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(alPlan.indexOf("Window") < alPlan.indexOf("Scan parquet"),
       "rank/total windows run over the per-source frame, never corpus rows")
 
+    // executeSqrtAllocation: the quota pass re-plans q98's shape over
+    // a SECOND scan pruned to (source, text->n_tokens); the tiny quota
+    // frame comes back as a broadcast join (never a shuffle), and the
+    // keep-set adds exactly one group-key shuffle for its ranking
+    // window.
+    val ex = graft.operators.Mixing.executeSqrtAllocation(
+      docs.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+          .as("n_tokens")),
+      "doc_id", "source", "n_tokens", budget = 137L)
+    assert(ex.count() > 0)
+    val exPlan = ex.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(exPlan).size == 2,
+      "quota pass + keep pass: two pruned scans, no materialized corpus")
+    assert(exPlan.contains("BroadcastHashJoin"),
+      "the per-source quota frame broadcasts back onto the corpus")
+
     // shardManifest: one map-side-combined agg on top of the audited
     // q65 plan — the shard rollup itself must not sort or window.
     val sm = graft.operators.SequencePack.shardManifest(
