@@ -140,6 +140,51 @@ object Mixing {
       .drop("__rk", "alloc")
   }
 
+  /** Materialize a [[sqrtAllocation]] WITH repetition: one output row
+    * per training-epoch appearance of an item, so every group emits
+    * EXACTLY `alloc_i` rows even when its quota exceeds its size —
+    * the sampling-with-replacement step of corpus mixing (a
+    * boosted-but-small source is seen for multiple epochs). Repeats
+    * are balanced: every item gets `alloc div n` base epochs and the
+    * `alloc mod n` leftover epochs go to the md5-rank prefix
+    * ([[executeSqrtAllocation]]'s ordering), so within a group no two
+    * items' repeat counts differ by more than one, and with
+    * `budget < corpus` the output degenerates to exactly
+    * [[executeSqrtAllocation]]'s keep-set at `epoch = 0`. Every step
+    * is BIGINT arithmetic on a total md5 order — the materialized
+    * plan is a pure function of the data (same rows on any engine,
+    * run, or partitioning).
+    *
+    * Output: the item columns plus `epoch` in `[0, reps_item)`;
+    * `Σ rows per group = alloc_i`, total = budget (non-empty corpus).
+    * Same PRECONDITION as [[executeSqrtAllocation]]: `keyCol` unique
+    * per group; NULL keys join neither population.
+    *
+    * Scale shape: [[executeSqrtAllocation]]'s audited plan (pruned
+    * quota pass, broadcast quota frame, ONE group-key shuffle for the
+    * ranking window) plus a narrow per-row `sequence`+`explode` —
+    * emitted rows are bounded by the budget, not the corpus, and no
+    * new exchange is added. */
+  def allocationEpochs(items: DataFrame, keyCol: String, groupCol: String,
+      sizeCol: String, budget: Long, salt: String = "graft"): DataFrame = {
+    val pop = items.filter(col(keyCol).isNotNull)
+    val quotas = sqrtAllocation(pop, groupCol, sizeCol, budget)
+      .select(col(groupCol), col("n_items"), col("alloc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))).asc,
+        col(keyCol).asc)
+      .rowsBetween(Long.MinValue, 0)
+    val outCols = pop.columns.toSeq
+    pop.join(broadcast(quotas), Seq(groupCol))
+      .withColumn("__rk", count(lit(1)).over(w))
+      .withColumn("__reps",
+        expr("CAST(alloc DIV n_items AS BIGINT)") +
+          when(col("__rk") <= col("alloc") % col("n_items"), 1L).otherwise(0L))
+      .filter(col("__reps") > 0)
+      .select(outCols.map(col) :+
+        explode(sequence(lit(0L), col("__reps") - lit(1L))).as("epoch"): _*)
+  }
+
   /** General-α temperature weights via `pow`. Same output shape minus
     * the quantized path: `(group, n_items, n_size, w_prop, w_temp,
     * boost)`. For library use — `pow` is not correctly rounded, so

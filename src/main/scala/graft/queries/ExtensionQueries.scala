@@ -2125,7 +2125,50 @@ object ExtensionQueries {
              |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rk
              |  FROM pop)
              |SELECT doc_id, source, n_tokens
-             |FROM ranked JOIN a USING (source) WHERE rk <= alloc""".stripMargin))
+             |FROM ranked JOIN a USING (source) WHERE rk <= alloc""".stripMargin)),
+
+    QuerySpec(
+      "q102_allocation_epochs",
+      """Allocation with repetition
+        |([[graft.operators.Mixing.allocationEpochs]]) — the
+        |with-replacement closing of the mixing loop: every source
+        |emits EXACTLY alloc rows as (doc, epoch) appearances, base
+        |alloc div n epochs per doc plus the alloc mod n leftovers to
+        |the md5-rank prefix, so no two docs of a source differ by
+        |more than one repeat. Budget 1200 over 500 docs forces the
+        |upsampling path (sources seen ~2.4 epochs); at budget <
+        |corpus the same operator degenerates to q101's keep-set at
+        |epoch 0. All-BIGINT on a total md5 order — bitwise-oracled.
+        |Scale shape: q101's audited plan plus a narrow
+        |sequence+explode; emitted rows bounded by the budget, not the
+        |corpus.""".stripMargin,
+      (s, d) => graft.operators.Mixing.allocationEpochs(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")),
+        "doc_id", "source", "n_tokens", budget = 1200L),
+      Some("""WITH pop AS (SELECT doc_id, source,
+             |    CAST(len(string_split_regex(coalesce(text, ''), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(n_tokens) AS BIGINT) AS n_size
+             |  FROM pop GROUP BY 1),
+             |q AS (SELECT *, CAST(floor(sqrt(n_size) * 1048576) AS BIGINT) AS s_q FROM per),
+             |tot AS (SELECT CAST(sum(s_q) AS BIGINT) AS s FROM q),
+             |b AS (SELECT source, n_items, s_q, (1200 * s_q) // s AS base,
+             |    1200 * s_q - ((1200 * s_q) // s) * s AS rem FROM q, tot),
+             |l AS (SELECT CAST(1200 - sum(base) AS BIGINT) AS leftover FROM b),
+             |a AS (SELECT source, n_items, base + CASE WHEN
+             |      CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) <= leftover
+             |    THEN 1 ELSE 0 END AS alloc FROM b, l),
+             |ranked AS (SELECT doc_id, source, n_tokens,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rk
+             |  FROM pop),
+             |rep AS (SELECT doc_id, source, n_tokens,
+             |    alloc // n_items + CASE WHEN rk <= alloc % n_items THEN 1 ELSE 0 END AS reps
+             |  FROM ranked JOIN a USING (source))
+             |SELECT doc_id, source, n_tokens, CAST(unnest(range(reps)) AS BIGINT) AS epoch
+             |FROM rep WHERE reps > 0""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

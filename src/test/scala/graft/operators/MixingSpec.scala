@@ -113,6 +113,39 @@ class MixingSpec extends AnyFunSuite {
     assert(nn == kept, "null-key rows join neither population")
   }
 
+  test("allocationEpochs emits exactly alloc rows per group with balanced repeats") {
+    val items = ((1 to 9).map(i => (s"a$i", "a", 100L)) ++
+      (1 to 4).map(i => (s"b$i", "b", 100L)) ++ Seq(("c1", "c", 100L)))
+      .toDF("doc_id", "source", "n_tokens")
+
+    // budget 100 ≫ the 14-doc corpus: quotas 50/33/17 all exceed group
+    // sizes -> with-replacement. Per source exactly alloc rows; no two
+    // docs of a source differ by more than one repeat.
+    val rows = Mixing.allocationEpochs(items, "doc_id", "source",
+      "n_tokens", budget = 100L).collect()
+    assert(rows.length == 100, "total materialized rows = budget")
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.view.mapValues(_.length).toMap ==
+      Map("a" -> 50, "b" -> 33, "c" -> 17), "each group emits exactly alloc rows")
+    for ((src, rs) <- bySource) {
+      val reps = rs.groupBy(_.getAs[String]("doc_id")).values.map(_.length)
+      assert(reps.max - reps.min <= 1, s"$src repeats unbalanced: $reps")
+      // epochs are dense [0, reps) per doc
+      for (docRows <- rs.groupBy(_.getAs[String]("doc_id")).values)
+        assert(docRows.map(_.getAs[Long]("epoch")).sorted.toSeq ==
+          (0L until docRows.length).toSeq)
+    }
+
+    // budget 6 < corpus: degenerates to the keep-set at epoch 0
+    val down = Mixing.allocationEpochs(items, "doc_id", "source",
+      "n_tokens", budget = 6L).collect()
+    assert(down.forall(_.getAs[Long]("epoch") == 0L))
+    val keep = Mixing.executeSqrtAllocation(items, "doc_id", "source",
+      "n_tokens", budget = 6L).collect().map(_.getAs[String]("doc_id")).toSet
+    assert(down.map(_.getAs[String]("doc_id")).toSet == keep,
+      "downsampling path IS executeSqrtAllocation's keep-set")
+  }
+
   test("pow path matches the exact path at alpha=1/2 and proportion at alpha=1") {
     val exact = Mixing.sqrtTemperatureWeights(fixture, "source", "n_tokens")
       .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("w_temp")).toMap

@@ -442,6 +442,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(exPlan.contains("BroadcastHashJoin"),
       "the per-source quota frame broadcasts back onto the corpus")
 
+    // allocationEpochs: q101's exact shape (two pruned scans, quota
+    // broadcast, one ranking shuffle) — the with-replacement explode
+    // is narrow and must NOT add an exchange.
+    val ae = graft.operators.Mixing.allocationEpochs(
+      docs.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+          .as("n_tokens")),
+      "doc_id", "source", "n_tokens", budget = 137L)
+    assert(ae.count() > 0)
+    val aePlan = ae.queryExecution.executedPlan
+    assert("Scan parquet".r.findAllIn(aePlan.toString).size == 2 &&
+      aePlan.toString.contains("BroadcastHashJoin"),
+      "epoch materialization reuses q101's two-scan broadcast shape")
+    assert(collectShuffles(aePlan) == collectShuffles(ex.queryExecution.executedPlan),
+      "the sequence+explode adds no exchange beyond the keep-set plan")
+
     // shardManifest: one map-side-combined agg on top of the audited
     // q65 plan — the shard rollup itself must not sort or window.
     val sm = graft.operators.SequencePack.shardManifest(
