@@ -2168,7 +2168,58 @@ object ExtensionQueries {
              |    alloc // n_items + CASE WHEN rk <= alloc % n_items THEN 1 ELSE 0 END AS reps
              |  FROM ranked JOIN a USING (source))
              |SELECT doc_id, source, n_tokens, CAST(unnest(range(reps)) AS BIGINT) AS epoch
-             |FROM rep WHERE reps > 0""".stripMargin))
+             |FROM rep WHERE reps > 0""".stripMargin)),
+
+    QuerySpec(
+      "q103_snapshot_diff",
+      """Corpus snapshot diff
+        |([[graft.operators.SnapshotDiff.summarize]]) — the release
+        |delta a reviewer signs off on: per (source, status) doc counts
+        |and token mass with status added / removed / modified /
+        |unchanged, membership by key presence and modification by
+        |md5(coalesce(text,'')) equality. Snapshots are simulated
+        |deterministically from one table: the old cut lacks doc_id %
+        |10 = 0 (those are the release's additions) and carries a
+        |' v1' draft suffix on doc_id % 7 = 0 (re-crawled in the new
+        |cut); the new cut lacks doc_id % 11 = 0 (takedowns). NULL
+        |text stays NULL through concat on both engines, so a
+        |null-in-both doc lands unchanged. All BIGINT counts over
+        |engine-independent hashes — bitwise-oracled. Scale shape: two
+        |map-side-thinned (key, source, hash, tokens) frames — the
+        |wide text column never shuffles — one key shuffle per side
+        |for the full-outer sort-merge join, map-side-combined agg
+        |onto the tiny (source, status) key.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val old = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v1"))).otherwise(col("text")))
+        val nw = docs.filter(col("doc_id") % 11 =!= 0)
+        graft.operators.SnapshotDiff.summarize(old, nw, "doc_id", "text")
+      },
+      Some("""WITH o AS (SELECT doc_id, source,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 10 <> 0 AND doc_id IS NOT NULL),
+             |n AS (SELECT doc_id, source, text
+             |  FROM documents WHERE doc_id % 11 <> 0 AND doc_id IS NOT NULL),
+             |oo AS (SELECT doc_id, source, md5(coalesce(text, '')) AS h,
+             |    CAST(len(string_split_regex(coalesce(text, ''), '\s+')) AS BIGINT) AS t,
+             |    1 AS f FROM o),
+             |nn AS (SELECT doc_id, source, md5(coalesce(text, '')) AS h,
+             |    CAST(len(string_split_regex(coalesce(text, ''), '\s+')) AS BIGINT) AS t,
+             |    1 AS f FROM n),
+             |j AS (SELECT coalesce(nn.source, oo.source) AS source,
+             |    CASE WHEN oo.f IS NULL THEN 'added'
+             |         WHEN nn.f IS NULL THEN 'removed'
+             |         WHEN oo.h = nn.h THEN 'unchanged'
+             |         ELSE 'modified' END AS status,
+             |    coalesce(oo.t, 0) AS t_o, coalesce(nn.t, 0) AS t_n
+             |  FROM oo FULL OUTER JOIN nn USING (doc_id))
+             |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(t_o) AS BIGINT) AS tokens_old,
+             |  CAST(sum(t_n) AS BIGINT) AS tokens_new,
+             |  CAST(sum(t_n) - sum(t_o) AS BIGINT) AS token_delta
+             |FROM j GROUP BY 1, 2""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

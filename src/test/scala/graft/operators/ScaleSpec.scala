@@ -482,6 +482,28 @@ class ScaleSpec extends AnyFunSuite {
       "one pass per grain plus curation's keeper rescan — nothing per-metric")
   }
 
+  test("snapshot diff shuffles thin frames only: two scans, one full-outer join, map-side summary") {
+    val docs = Tables.documents(spark, sf001)
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val nw = docs.filter(col("doc_id") % 11 =!= 0)
+
+    val sd = graft.operators.SnapshotDiff.summarize(old, nw, "doc_id", "text")
+    assert(sd.count() > 0)
+    val plan = sd.queryExecution.executedPlan
+    val s = plan.toString
+    assert("Scan parquet".r.findAllIn(s).size == 2,
+      "one pruned scan per snapshot — no materialized corpus")
+    assert(s.contains("FullOuter"), "membership needs the full-outer join")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      "keyed join only")
+    // each side is thinned to (key, source, hash, tokens) BEFORE its
+    // exchange: two join-side shuffles plus the (source, status) agg
+    // shuffle, nothing else (the wide text column never moves)
+    assert(collectShuffles(plan) == 3,
+      s"expected exactly 3 exchanges, got ${collectShuffles(plan)}")
+    assert(s.contains("partial_count"), "the summary combines map-side")
+  }
+
   test("sequence packing holds its invariants at 2M documents without a global window") {
     // 2M docs ~ the per-executor share of a corpus; the operator's
     // single-partition window sees only n/bucketWidth subtotal rows
