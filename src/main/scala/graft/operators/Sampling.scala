@@ -68,6 +68,46 @@ object Sampling {
       .drop("__bucket")
   }
 
+  /** Leakage-safe train/eval split: md5-bucket membership keyed on the
+    * near-dup CLUSTER id instead of the document's own id, so a
+    * near-duplicate family never straddles the split. Bucketing doc
+    * ids directly ([[sampleByKey]]) puts a test doc's near-twin in
+    * train with probability ≈ train fraction — the contamination that
+    * [[Decontaminate]] then has to detect after the fact; assigning by
+    * the cluster's canonical id closes that leak at split time, and
+    * the two compose (decontamination still catches sub-threshold
+    * overlap the pair graph missed).
+    *
+    * `components` is the PRECOMPUTED `(node_id, cluster_id)` frame of
+    * [[ConnectedComponents.components]] — the shared-frame rule: a
+    * real pipeline runs the star iteration once and feeds labels,
+    * keep-set, and this split from the same frame. Docs absent from
+    * it are singleton clusters keyed by their own id, so with an empty
+    * pair graph this IS [[withSplitBucket]]'s split. NULL ids are
+    * dropped ([[withSplitBucket]]'s contract). Output:
+    * `(idCol, cluster_id, split)` with `split ∈ train | eval`.
+    *
+    * Scale shape: the components frame is bounded by the pair-graph
+    * node count (a vanishing fraction of the corpus under LSH
+    * banding) and the corpus side is projected to the id column alone
+    * before the label join, so the join ships ~8 bytes/doc either
+    * way: it broadcasts when the frame's stats are known small
+    * (checkpoint propagates them — the ScaleSpec-pinned path) and
+    * otherwise falls back to a sort-merge on the bare id, q58's
+    * audited labeling shape. Bucket and split are per-row
+    * projections; the wide columns never move. */
+  def clusterSafeSplit(items: DataFrame, idCol: String, components: DataFrame,
+      evalPermille: Int, salt: String = "graft"): DataFrame = {
+    require(evalPermille >= 0 && evalPermille <= 1000,
+      s"evalPermille must be in [0,1000], got $evalPermille")
+    val labeled = ConnectedComponents.clusterLabelsFromComponents(
+      items, idCol, components)
+    withSplitBucket(labeled, "cluster_id", salt)
+      .withColumn("split",
+        when(col("__bucket") < evalPermille, lit("eval")).otherwise(lit("train")))
+      .drop("__bucket")
+  }
+
   /** Deterministic per-group cap: keep at most `k` rows per group,
     * chosen by md5-hash order of the row key (key as tiebreak).
     * PRECONDITION: `keyCol` must be unique within each group — only

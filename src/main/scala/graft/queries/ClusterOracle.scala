@@ -48,6 +48,20 @@ cl AS (SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""
 
+  /** q104: the leakage-safe split — THE md5-bucket membership
+    * ([[DecontaminateOracle.bucketExpr]]) keyed on the cluster id, so
+    * a near-dup family lands whole on one side. */
+  def splitSql(evalPermille: Int = 100, salt: String = "graft"): String = {
+    val bucket = DecontaminateOracle.bucketExpr(salt, "cluster_id")
+    s"""WITH RECURSIVE $pairCtes,
+lab AS (SELECT d.doc_id, CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+        WHERE d.doc_id IS NOT NULL)
+SELECT doc_id, cluster_id,
+  CASE WHEN ($bucket) % 1000 < $evalPermille THEN 'eval' ELSE 'train' END AS split
+FROM lab"""
+  }
+
   /** q59: the dedup keep-set — documents minus non-canonical cluster
     * members. */
   def keepSql: String =

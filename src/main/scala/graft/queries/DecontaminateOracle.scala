@@ -9,11 +9,13 @@ package graft.queries
 object DecontaminateOracle {
 
   /** The md5-bucket arithmetic of [[graft.operators.Sampling.withSplitBucket]]
-    * as DuckDB SQL over a `doc_id` column — first 12 hex digits of
-    * md5(salt ∥ id) as a 48-bit integer (shared with q55/q56/q66/q68). */
-  def bucketExpr(salt: String = "graft"): String =
+    * as DuckDB SQL over an integer key expression (`doc_id` by
+    * default; q104 buckets the cluster id) — first 12 hex digits of
+    * md5(salt ∥ key) as a 48-bit integer (shared with
+    * q55/q56/q66/q68/q104). */
+  def bucketExpr(salt: String = "graft", keyExpr: String = "doc_id"): String =
     (0 until 12).map { j =>
-      s"(strpos('0123456789abcdef', substr(md5(concat('$salt', CAST(doc_id AS VARCHAR))), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+      s"(strpos('0123456789abcdef', substr(md5(concat('$salt', CAST($keyExpr AS VARCHAR))), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
     }.mkString("\n    + ")
 
   /** q66: (train_id, n_shared_shingles, n_test_docs) for every

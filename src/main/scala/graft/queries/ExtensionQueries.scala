@@ -2219,7 +2219,36 @@ object ExtensionQueries {
              |  CAST(sum(t_o) AS BIGINT) AS tokens_old,
              |  CAST(sum(t_n) AS BIGINT) AS tokens_new,
              |  CAST(sum(t_n) - sum(t_o) AS BIGINT) AS token_delta
-             |FROM j GROUP BY 1, 2""".stripMargin))
+             |FROM j GROUP BY 1, 2""".stripMargin)),
+
+    QuerySpec(
+      "q104_cluster_safe_split",
+      """Leakage-safe train/eval split
+        |([[graft.operators.Sampling.clusterSafeSplit]]) — THE
+        |md5-bucket split (q55) keyed on the near-dup CLUSTER id
+        |instead of the doc's own id, so a near-duplicate family never
+        |straddles the split: bucketing doc ids directly puts a test
+        |doc's near-twin in train with probability ≈ the train
+        |fraction, exactly the contamination q66 then has to detect
+        |after the fact. Composes the shared components frame (q58's
+        |minhash ∪ simhash pair graph, one star iteration) with the
+        |q55 bucket arithmetic over the canonical id; singletons key
+        |by their own id, so with no pairs this IS q55's split. The
+        |oracle chains the q58 recursive-CTE closure with the q55
+        |bucket CTE — both engine-exact, so the composition oracles
+        |bitwise. Scale shape: the components frame is pair-graph
+        |bounded and the corpus side is thinned to the bare id before
+        |the label join (~8 bytes/doc — q58's audited labeling shape;
+        |broadcast when the frame's checkpoint stats are known small);
+        |bucket and split are per-row projections.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
+          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+        graft.operators.Sampling.clusterSafeSplit(docs, "doc_id",
+          graft.operators.ConnectedComponents.components(pairs), evalPermille = 100)
+      },
+      Some(ClusterOracle.splitSql(evalPermille = 100)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

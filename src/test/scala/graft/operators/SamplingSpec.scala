@@ -60,4 +60,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.sampleByKey(docs, "doc_id", 0).count() == 0)
     assert(Sampling.sampleByKey(docs, "doc_id", 1000).count() == n.toLong)
   }
+
+  test("cluster-safe split never straddles a near-dup family; singletons are THE q55 split") {
+    import spark.implicits._
+    // family {1,2,3} + family {10,11}; 20 and 21 are singletons; null
+    // id dropped
+    val items = (Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).map(Option(_)) :+
+      Option.empty[Long]).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val comps = ConnectedComponents.components(pairs)
+
+    val rows = Sampling.clusterSafeSplit(items, "doc_id", comps,
+      evalPermille = 500).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster_id"), r.getAs[String]("split")))
+    assert(rows.length == 7, "null ids are dropped")
+
+    // a family shares one cluster id and therefore one split
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster(1L).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(byCluster(10L).map(_._1).toSet == Set(10L, 11L))
+    for ((_, members) <- byCluster)
+      assert(members.map(_._3).toSet.size == 1,
+        s"cluster straddles the split: $members")
+
+    // singleton assignment IS withSplitBucket's q55 membership
+    val buckets = Sampling.withSplitBucket(
+        Seq(20L, 21L).toDF("doc_id"), "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("__bucket")).toMap
+    for ((id, _, split) <- rows if id >= 20L)
+      assert(split == (if (buckets(id) < 500) "eval" else "train"),
+        s"singleton $id diverges from the q55 bucket")
+
+    // a member's split is the CANONICAL id's bucket, not its own:
+    // with enough planted families, some member must differ from its
+    // own-id assignment (probability 2^-6 per family of being
+    // all-same by luck is excluded by picking a family that differs)
+    val own = Sampling.withSplitBucket(items.na.drop(), "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("__bucket") < 500L)).toMap
+    val assigned = rows.map(t => t._1 -> (t._3 == "eval")).toMap
+    val clustered = rows.filter(t => t._1 != t._2).map(_._1)
+    assert(clustered.nonEmpty)
+    // every clustered member follows its canonical id's own-bucket
+    for (id <- clustered; canonical = rows.find(_._1 == id).get._2)
+      assert(assigned(id) == own(canonical),
+        s"member $id does not follow canonical $canonical")
+  }
 }

@@ -504,6 +504,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(s.contains("partial_count"), "the summary combines map-side")
   }
 
+  test("cluster-safe split adds only a broadcast label join to a precomputed components frame") {
+    val docs = Tables.documents(spark, sf001)
+    // checkpoint propagates the planted frame's known-small stats, so
+    // the label join plans broadcast STATICALLY; a frame with large
+    // estimated stats (the full pair pipeline) falls back to q58's
+    // id-only sort-merge — both ship ~8 bytes/doc
+    val comps = graft.operators.ConnectedComponents.components(
+      Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"))
+    val sp = Sampling.clusterSafeSplit(docs, "doc_id", comps, evalPermille = 100)
+    assert(sp.count() > 0)
+    val s = sp.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(s).size == 1,
+      "one pruned corpus scan; the components frame is pair-graph bounded")
+    assert(s.contains("BroadcastHashJoin"), "the label join broadcasts")
+    assert(!s.contains("SortMergeJoin"),
+      "the corpus is never shuffled for labeling — bucket and split are projections")
+  }
+
   test("sequence packing holds its invariants at 2M documents without a global window") {
     // 2M docs ~ the per-executor share of a corpus; the operator's
     // single-partition window sees only n/bucketWidth subtotal rows
