@@ -62,6 +62,35 @@ SELECT doc_id, cluster_id,
 FROM lab"""
   }
 
+  /** q105: the incremental-maintenance equivalence oracle — the
+    * MONOLITHIC minhash-pair closure over the full corpus. The Spark
+    * side folds the new batch's pairs into the standing corpus
+    * components ([[graft.operators.ConnectedComponents.componentsFromIncrement]]);
+    * because labels are the old graph's closure skeleton and LSH
+    * candidacy is per-pair (a pair's bands depend only on its two
+    * docs, so splitting the corpus changes nothing about which pairs
+    * verify), the incremental result must be bitwise-equal to this
+    * full recompute. Minhash-only: the incremental candidate kernel
+    * ([[graft.operators.Dedup.crossNearDupPairs]]) is the minhash
+    * pipeline, so the simhash union of q58 stays out on both sides. */
+  def incrementalClustersSql: String = {
+    val mh = MinhashOracle.sql(numHashes = 16, rowsPerBand = 4, threshold = 0.8)
+    s"""WITH RECURSIVE mh AS (SELECT a_id, b_id FROM (
+$mh
+) t_mh),
+edges AS (SELECT a_id AS u, b_id AS v FROM mh UNION SELECT b_id, a_id FROM mh),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach(node, r) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT rc.node, e.v FROM reach rc JOIN edges e ON e.u = rc.r
+),
+cl AS (SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""
+  }
+
   /** q59: the dedup keep-set — documents minus non-canonical cluster
     * members. */
   def keepSql: String =

@@ -2248,7 +2248,47 @@ object ExtensionQueries {
         graft.operators.Sampling.clusterSafeSplit(docs, "doc_id",
           graft.operators.ConnectedComponents.components(pairs), evalPermille = 100)
       },
-      Some(ClusterOracle.splitSql(evalPermille = 100)))
+      Some(ClusterOracle.splitSql(evalPermille = 100))),
+
+    QuerySpec(
+      "q105_incremental_clusters",
+      """Incremental cluster maintenance
+        |([[graft.operators.ConnectedComponents.componentsFromIncrement]])
+        |— the clustering twin of q68's incremental dedup, closing the
+        |incremental family (dedup candidates q68, ANN cells q82,
+        |cluster labels here): fold today's batch (the q55 10%
+        |md5-bucket split) into the STANDING corpus components without
+        |re-running the historical pair graph. The standing frame is
+        |components over the corpus side's minhash pairs; the
+        |increment is q68's new×corpus kernel plus the batch's own
+        |self-pairs; the star iteration then runs over
+        |labels-as-edges ∪ increment — pair-graph NODE count + batch
+        |rows, never the historical edge multiset, and none of the
+        |corpus-side shingle/signature/verify work repeats. Labels are
+        |the old graph's closure skeleton and LSH candidacy is
+        |per-pair (a pair's bands depend only on its two docs), so the
+        |oracle is the MONOLITHIC full-corpus minhash closure — the
+        |incremental path must reproduce it bitwise, including batch
+        |pairs that merge standing clusters. Scale shape: the
+        |convergence bill is O(1) rounds on a star-forest prior
+        |(lastRounds-probed in spec) vs O(log² n) for a rebuild; the
+        |closing label join is q58's audited ~8 bytes/doc shape.""".stripMargin,
+      (s, d) => {
+        val cc = graft.operators.ConnectedComponents
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val flagged = graft.operators.Sampling.withSplitBucket(docs, "doc_id")
+          .withColumn("is_new", col("__bucket") < 100).drop("__bucket")
+        val standing = cc.components(
+          Dedup.nearDupPairs(flagged.filter(!col("is_new")).select("doc_id", "text"))
+            .select("a_id", "b_id"))
+        val increment = Dedup.crossNearDupPairs(flagged, "is_new")
+          .select(col("new_id").as("a_id"), col("corpus_id").as("b_id"))
+          .unionByName(Dedup.nearDupPairs(flagged.filter(col("is_new")).select("doc_id", "text"))
+            .select("a_id", "b_id"))
+        cc.clusterLabelsFromComponents(Tables.documents(s, d), "doc_id",
+          cc.componentsFromIncrement(standing, increment))
+      },
+      Some(ClusterOracle.incrementalClustersSql))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -108,6 +108,55 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       kept.collect().map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("componentsFromIncrement equals a full recompute, including cluster merges") {
+    // standing graph: families {1,2,3} and {10,11,12}; 20 isolated
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+    val standing = ConnectedComponents.components(pairsDF(oldPairs: _*))
+    // increment exercises every arm: extend a family (3→30), MERGE the
+    // two standing families (3→10), a brand-new cluster (40,41), and a
+    // previously-isolated old node entering the graph (20→40)
+    val newPairs = Seq((3L, 30L), (3L, 10L), (40L, 41L), (20L, 40L))
+    val updated = resultMap(
+      ConnectedComponents.componentsFromIncrement(standing, pairsDF(newPairs: _*)))
+    val full = resultMap(
+      ConnectedComponents.components(pairsDF(oldPairs ++ newPairs: _*)))
+    assert(updated == full,
+      "the incremental path must be bitwise-equal to the monolithic recompute")
+    // the merge collapsed both families onto the global min
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 12L, 30L).forall(updated(_) == 1L))
+    assert(Seq(20L, 40L, 41L).forall(updated(_) == 20L))
+  }
+
+  test("a star-forest prior with an empty or small increment converges in O(1) rounds") {
+    // 3k nodes in 1k converged star clusters, planted directly as a
+    // labels frame (the shape a standing corpus persists between loads)
+    val standing = (0L until 1000L).flatMap { c =>
+      val root = c * 10
+      Seq((root, root), (root + 1, root), (root + 2, root))
+    }.toDF("node_id", "cluster_id")
+    // empty increment: the prior IS the answer, zero star rounds
+    val unchanged = ConnectedComponents.componentsFromIncrement(
+      standing, pairsDF())
+    assert(unchanged.count() == 3000)
+    assert(ConnectedComponents.lastRounds.get() == 0L,
+      "a converged prior with no new edges must not pay any star round")
+    // a 5-pair batch (one of them merging two standing clusters):
+    // absorbed in O(1) rounds, not a full-graph iteration; new ids
+    // start above the standing node range (0..9992)
+    val batch = pairsDF((1L, 1000001L), (12L, 1000002L), (22L, 9990L),
+      (1000003L, 1000004L), (31L, 32L))
+    val merged = resultMap(ConnectedComponents.componentsFromIncrement(standing, batch))
+    assert(ConnectedComponents.lastRounds.get() <= 2L,
+      "a small increment on a star-forest prior must settle in O(1) rounds")
+    assert(merged == resultMap(ConnectedComponents.components(
+      standing.filter(col("node_id") =!= col("cluster_id"))
+        .toDF("a_id", "b_id").union(batch))))
+    assert(merged(1000001L) == 0L && merged(1000002L) == 10L)
+    assert(merged(9990L) == 20L && merged(22L) == 20L, "cross-cluster merge onto the min")
+    assert(merged(1000004L) == 1000003L)
+    assert(merged(32L) == 30L)
+  }
+
   test("keepCanonical satisfies |kept| = |docs| - sum(|cluster| - 1)") {
     val items = (1L to 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = pairsDF((1L, 2L), (2L, 3L), (7L, 9L), (15L, 16L), (16L, 17L), (17L, 18L))

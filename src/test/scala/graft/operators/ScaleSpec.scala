@@ -522,6 +522,28 @@ class ScaleSpec extends AnyFunSuite {
       "the corpus is never shuffled for labeling — bucket and split are projections")
   }
 
+  test("incremental cluster maintenance absorbs a 500-pair batch into a 200k-node prior in O(1) rounds") {
+    // the iteration's input is the labels frame + the batch — built
+    // here as in-memory frames precisely because the operator never
+    // touches the historical pair graph or the corpus (no scan to
+    // audit); the scale claim under test is the CONVERGENCE bill:
+    // a star-forest prior must absorb a small increment in O(1)
+    // star rounds where a full rebuild pays O(log² n) over the graph
+    val standing = spark.range(0, 200000).select(
+      col("id").as("node_id"), (col("id") - (col("id") % 4)).as("cluster_id"))
+    val batch = spark.range(0, 500).select(
+      (col("id") + 1000000L).as("a_id"), (col("id") * 40).as("b_id"))
+    val updated = graft.operators.ConnectedComponents
+      .componentsFromIncrement(standing, batch)
+    assert(updated.count() == 200500L)
+    assert(graft.operators.ConnectedComponents.lastRounds.get() <= 2L,
+      "a small increment on a 200k-node star-forest prior must settle in O(1) rounds")
+    // every new node landed in the standing cluster it was paired with
+    val newLabels = updated.filter(col("node_id") >= 1000000L)
+      .select(col("node_id"), col("cluster_id"))
+    assert(newLabels.filter(col("cluster_id") =!= (col("node_id") - 1000000L) * 40).count() == 0)
+  }
+
   test("sequence packing holds its invariants at 2M documents without a global window") {
     // 2M docs ~ the per-executor share of a corpus; the operator's
     // single-partition window sees only n/bucketWidth subtotal rows
