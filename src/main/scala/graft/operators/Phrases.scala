@@ -84,4 +84,45 @@ object Phrases {
             col("cnt1") * col("cnt2") * num, lit(1L)).otherwise(lit(0L))
           .as("is_phrase"))
   }
+
+  /** BPE pair statistics — the distributed step of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016, public): the
+    * frequency-weighted count of every adjacent symbol pair inside
+    * words, whose argmax is the merge BPE performs each iteration.
+    * Output: the top `k` rows of `(c1, c2, pair_count)` by
+    * (pair_count DESC, c1, c2) — a total order, since (c1, c2) is the
+    * group key — with `pair_count = Σ word_freq` over occurrences.
+    * Lower-cased whitespace tokens ([[graft.functions.TextFunctions
+    * .tokens]], the q91 vocab convention); single-char words carry no
+    * pair and are excluded; null text contributes nothing.
+    *
+    * The architecture point (why only the PAIR SHEET is the
+    * distributed op): BPE training is corpus-scale exactly once — the
+    * word-frequency aggregation. Every subsequent merge iteration
+    * rewrites the VOCAB (thousands of types, not billions of tokens),
+    * which is single-node work by construction — sentencepiece and
+    * the HF trainers do precisely this split — so the engine's job is
+    * the one corpus collapse and the first pair table it implies;
+    * iterating merges belongs to the vocab-local consumer.
+    *
+    * Scale shape: ONE corpus scan, collapsing map-side onto vocab
+    * keys (the word-count agg combines before its single exchange);
+    * the char-pair explode and pair aggregation run entirely on the
+    * vocab-sized frame (per-row work ∝ word length), and the closing
+    * top-k is TakeOrdered over a ≤ |alphabet|² sheet — corpus rows
+    * never move after the first combine. */
+  def bpePairStats(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val wc = docs.filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    wc.select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+        "i -> named_struct('c1', substr(w, i, 1), 'c2', substr(w, i + 1, 1)))")).as("p"))
+      .select(col("p.c1").as("c1"), col("p.c2").as("c2"), col("cnt"))
+      .groupBy(col("c1"), col("c2")).agg(sum(col("cnt")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("c1"), col("c2"))
+      .limit(k)
+  }
 }

@@ -2288,7 +2288,40 @@ object ExtensionQueries {
         cc.clusterLabelsFromComponents(Tables.documents(s, d), "doc_id",
           cc.componentsFromIncrement(standing, increment))
       },
-      Some(ClusterOracle.incrementalClustersSql))
+      Some(ClusterOracle.incrementalClustersSql)),
+
+    QuerySpec(
+      "q106_bpe_pair_stats",
+      """BPE pair statistics ([[graft.operators.Phrases.bpePairStats]])
+        |— the distributed step of byte-pair-encoding tokenizer
+        |training: frequency-weighted counts of every adjacent symbol
+        |pair inside words, whose argmax is the merge BPE performs
+        |each iteration. Top-50 by (pair_count DESC, c1, c2) — total
+        |order since (c1, c2) is the group key, so the LIMIT cut is
+        |engine-independent; counts are BIGINT sums of exact word
+        |frequencies, so the sheet oracles bitwise. The boundary is
+        |deliberate: BPE is corpus-scale exactly once (the word-freq
+        |agg); merge iterations rewrite the vocab-sized symbol table —
+        |single-node by construction in sentencepiece and the HF
+        |trainers alike — so the engine ships the corpus collapse and
+        |the pair table it implies. Scale shape: ONE corpus scan
+        |collapsing map-side onto vocab keys; the char-pair explode
+        |and pair agg run entirely on the vocab-sized frame; the
+        |closing top-k is TakeOrdered over a ≤ |alphabet|² sheet —
+        |corpus rows never move after the first combine.""".stripMargin,
+      (s, d) => graft.operators.Phrases.bpePairStats(
+        Tables.documents(s, d), "text", k = 50),
+      Some("""WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t
+             |              FROM documents WHERE text IS NOT NULL),
+             |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |         SELECT unnest(t) AS w FROM toks)
+             |       WHERE length(w) >= 2 GROUP BY w),
+             |pr AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS c1,
+             |              substr(w, CAST(i AS INTEGER) + 1, 1) AS c2, cnt
+             |       FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc))
+             |SELECT c1, c2, CAST(sum(cnt) AS BIGINT) AS pair_count
+             |FROM pr GROUP BY c1, c2
+             |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -54,4 +54,30 @@ class PhrasesSpec extends AnyFunSuite {
       Phrases.bigramLift(docs.toDF("text"), "text", num = 0L)
     }
   }
+
+  test("bpePairStats counts frequency-weighted char pairs; BPE's argmax is the top row") {
+    // "abab" x3 contributes a-b twice and b-a once per occurrence;
+    // "ab" x2 adds a-b each; "Cd" folds to "cd" (casing convention)
+    // joining doc2's "cd"; "x" is pairless -> a-b 8, b-a 3, c-d 2
+    val docs = Seq(Some("abab abab abab ab ab Cd"), Some("cd x"), None)
+    val rows = Phrases.bpePairStats(docs.toDF("text"), "text", k = 10)
+      .collect().map(r => (r.getAs[String]("c1"), r.getAs[String]("c2")) ->
+        r.getAs[Long]("pair_count")).toMap
+    assert(rows == Map(("a", "b") -> 8L, ("b", "a") -> 3L, ("c", "d") -> 2L))
+
+    // the argmax — the merge BPE would perform — is the first row of
+    // the total (pair_count DESC, c1, c2) order
+    val top = Phrases.bpePairStats(docs.toDF("text"), "text", k = 1).collect()
+    assert(top.length == 1 &&
+      top.head.getAs[String]("c1") == "a" && top.head.getAs[String]("c2") == "b")
+
+    // k cuts on the total order: ties on pair_count break by (c1, c2)
+    val tied = Phrases.bpePairStats(
+      Seq("xy pq xy pq").toDF("text"), "text", k = 1).collect()
+    assert(tied.head.getAs[String]("c1") == "p", "tie must break lexicographically")
+
+    intercept[IllegalArgumentException] {
+      Phrases.bpePairStats(docs.toDF("text"), "text", k = 0)
+    }
+  }
 }

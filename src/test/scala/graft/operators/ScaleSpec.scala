@@ -304,6 +304,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(!phrPlan.contains("Window"),
       "no window anywhere near the token stream in the closing plan")
 
+    // bpePairStats: ONE corpus scan collapsing map-side onto vocab
+    // keys; the char-pair explode and pair agg run on the vocab-sized
+    // frame; the closing top-k is TakeOrdered (no global sort of the
+    // pair sheet).
+    val bpe = graft.operators.Phrases.bpePairStats(docs, "text", k = 50)
+    assert(bpe.count() > 0)
+    val bpePlan = bpe.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(bpePlan).size == 1,
+      "bpePairStats must read the corpus exactly once")
+    assert(bpePlan.contains("partial_count"),
+      "the word-count agg must map-side combine before its exchange")
+    assert(bpePlan.contains("TakeOrderedAndProject"),
+      "the top-k must be TakeOrdered, not a global sort")
+
     // termDrift: exactly ONE corpus scan (conditional sums, not
     // per-slice re-scans), map-side combine on the term agg, and the
     // slice-totals window strictly above the aggregation.
