@@ -366,7 +366,14 @@ object Dedup {
     * window explode and per-(doc, key) map-side combine live here, so
     * composing pipelines can share one pass and plan audits (ScaleSpec)
     * can assert the pre-checkpoint aggregation shape directly. */
-  def repeatedSpanKeys(docs: DataFrame, width: Int = 16, stride: Int = 4): DataFrame = {
+  /** The (doc_id, start, k) window frame under the span family: every
+    * `width`-token window at the given `stride`, keyed by the 48-bit
+    * md5-derived span key, with its 1-based token start position kept
+    * — [[repeatedSpanKeys]] aggregates it (positions dropped) for the
+    * q83 stats; [[scrubRepeatedSpans]] consumes the positions to
+    * actually remove flagged spans. Map-side only: explode + hash, no
+    * exchange. */
+  def spanWindows(docs: DataFrame, width: Int = 16, stride: Int = 4): DataFrame = {
     require(width > 0 && stride > 0, s"width/stride must be positive, got $width/$stride")
     docs
       .select(col("doc_id"), graft.functions.TextFunctions.rawTokens(col("text")).as("toks"))
@@ -374,10 +381,62 @@ object Dedup {
         explode(sequence(lit(1), greatest(size(col("toks")) - (width - 1), lit(1)),
           lit(stride))).as("start"))
       .filter(col("start") + (width - 1) <= size(col("toks")))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("start"),
         md5(array_join(slice(col("toks"), col("start"), lit(width)), " ")).as("h"))
-      .select(col("doc_id"), md5Base48("h").as("k"))
+      .select(col("doc_id"), col("start"), md5Base48("h").as("k"))
+  }
+
+  def repeatedSpanKeys(docs: DataFrame, width: Int = 16, stride: Int = 4): DataFrame =
+    spanWindows(docs, width, stride)
       .groupBy(col("doc_id"), col("k")).agg(count(lit(1)).as("cnt"))
+
+  /** Span scrubbing — the TRANSFORM closing q83's detect step: remove
+    * every token covered by a cross-document repeated span (a
+    * `width`-token window whose key occurs in ≥ 2 distinct docs) and
+    * reassemble the remaining tokens in order. Lee et al. diagnose
+    * verbatim cross-document spans; this is the cure a pipeline
+    * actually ships — license headers, navigation chrome, templated
+    * boilerplate cut out of every afflicted document, not just
+    * counted. Output: `(doc_id, clean_text, n_tokens, n_removed)`
+    * with `clean_text` the whitespace-normalized kept-token stream
+    * (the tokenization contract; '' when nothing survives — total on
+    * null text, the q81 convention). Overlapping repeated windows
+    * merge: a token is removed once, however many windows cover it.
+    *
+    * Scale shape: the window frame explodes map-side to 8-byte keys +
+    * int positions and is materialized ONCE ([[spanWindows]] feeds
+    * both the repeated-key derivation and the coverage frame — the
+    * q83 reuse rule); the repeated-key set and the coverage join are
+    * key-level; per-doc coverage collapses to a sorted int array
+    * (bounded by windows-per-doc × width) in the afflicted-docs-only
+    * frame, which is materialized so its true (small) size drives a
+    * broadcast of the closing enrichment join — the corpus' text
+    * column then never shuffles; token filtering and reassembly are
+    * pure per-row array work. Cost per token of an afflicted doc is
+    * O(|covered|) membership tests — bounded by doc length, the same
+    * order as tokenization itself. */
+  def scrubRepeatedSpans(docs: DataFrame, width: Int = 16, stride: Int = 4): DataFrame = {
+    val win = materialize(spanWindows(docs, width, stride))
+    val rep = win.select(col("doc_id"), col("k")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("k"))
+    val cov = materialize(win.join(rep, "k")
+      .groupBy(col("doc_id")).agg(collect_set(col("start")).as("starts"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(flatten(transform(col("starts"),
+          p => sequence(p, p + (width - 1)))))).as("covered")))
+    docs.select(col("doc_id"), col("text"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(graft.functions.TextFunctions.rawTokens(col("text")),
+          array().cast("array<string>")).as("t"),
+        coalesce(col("covered"), array().cast("array<int>")).as("covered"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr(
+          "transform(filter(transform(t, (tok, i) -> named_struct('tok', tok, 'i', i)), " +
+          "s -> NOT array_contains(covered, s.i + 1)), s -> s.tok)")).as("clean_text"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"))
   }
 
   def repeatedSpanStats(docs: DataFrame, width: Int = 16, stride: Int = 4): DataFrame = {

@@ -2321,7 +2321,50 @@ object ExtensionQueries {
              |       FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc))
              |SELECT c1, c2, CAST(sum(cnt) AS BIGINT) AS pair_count
              |FROM pr GROUP BY c1, c2
-             |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin))
+             |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin)),
+
+    {
+      val digits = (0 until 12).map { j =>
+        s"(strpos('0123456789abcdef', substr(hh, ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+      }.mkString("\n             |    + ")
+      QuerySpec(
+        "q107_span_scrub",
+        """Span scrubbing ([[graft.operators.Dedup.scrubRepeatedSpans]])
+          |— the TRANSFORM closing q83's detect step: every token
+          |covered by a cross-document repeated 16-token window (key in
+          |≥ 2 distinct docs, the q83 criterion at the same width 16 /
+          |stride 4) is removed and the survivors reassemble in order —
+          |the boilerplate cure a pipeline ships, not just the count.
+          |Overlapping windows merge (a token is removed once);
+          |clean_text is the whitespace-normalized kept-token stream,
+          |total on null text (''). Exact token surgery over
+          |engine-identical md5 span keys, so the oracle replays it
+          |bitwise with the same CTE chain as q83 plus a coverage
+          |expansion. Scale shape: ONE materialized window frame feeds
+          |both the repeated-key set and the coverage frame (the q83
+          |reuse rule); coverage collapses to per-afflicted-doc sorted
+          |int arrays, materialized so its true size drives a broadcast
+          |of the closing enrichment join — the corpus text column
+          |never shuffles; token filtering/reassembly is per-row array
+          |work.""".stripMargin,
+        (s, d) => Dedup.scrubRepeatedSpans(Tables.documents(s, d), width = 16, stride = 4),
+        Some(s"""WITH tk AS (SELECT doc_id, coalesce(string_split_regex(text, '\\s+'), []) AS t FROM documents),
+             |w AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 15, 1) + 1, 4)) AS start, t FROM tk),
+             |f AS (SELECT doc_id, start, t FROM w WHERE start + 15 <= len(t)),
+             |h AS (SELECT doc_id, start, md5(array_to_string(t[start : start + 15], ' ')) AS hh FROM f),
+             |k AS (SELECT doc_id, start, $digits AS k FROM h),
+             |rep AS (SELECT k FROM (SELECT DISTINCT doc_id, k FROM k) GROUP BY k HAVING count(*) >= 2),
+             |cov AS (SELECT doc_id,
+             |          list_sort(list_distinct(flatten(list(range(start, start + 16))))) AS covered
+             |        FROM (SELECT DISTINCT k.doc_id, k.start FROM k JOIN rep USING (k))
+             |        GROUP BY doc_id)
+             |SELECT tk.doc_id,
+             |  coalesce(array_to_string(list_transform(list_filter(range(1, len(t) + 1),
+             |    i -> NOT list_contains(coalesce(c.covered, []), i)), i -> t[i]), ' '), '') AS clean_text,
+             |  CAST(len(t) AS BIGINT) AS n_tokens,
+             |  CAST(len(coalesce(c.covered, [])) AS BIGINT) AS n_removed
+             |FROM tk LEFT JOIN cov c USING (doc_id)""".stripMargin))
+    }
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -200,4 +200,43 @@ class DedupSpec extends AnyFunSuite {
     assert(a(5L)._1 == 2L && a(6L)._1 == 2L,
       s"aligned shared run must yield the 2 in-run windows per doc: $a")
   }
+
+  test("scrubRepeatedSpans removes covered tokens, merges overlaps, leaves clean docs alone") {
+    // docs 1 and 2 open with the same 20-token header, then diverge;
+    // repeated windows at starts 1 and 5 cover tokens 1..20 — the
+    // overlap must merge, removing each token once
+    val header = (1 to 20).map(i => s"lic$i").mkString(" ")
+    val tail1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val tail2 = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val fixture = Seq(
+      (Some(1L), Some(header + " " + tail1)),
+      (Some(2L), Some(header + " " + tail2)),
+      (Some(3L), Some((1 to 40).map(i => s"gamma$i").mkString(" "))),
+      (Some(4L), Some("tiny doc under window")),
+      (Some(5L), None): (Option[Long], Option[String])).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(fixture, width = 16, stride = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed")))).toMap
+
+    assert(out(1L) == ((tail1, 50L, 20L)), "header cut, tail intact, overlap merged")
+    assert(out(2L) == ((tail2, 50L, 20L)))
+    assert(out(3L)._1.startsWith("gamma1 ") && out(3L)._3 == 0L,
+      "unique doc untouched (whitespace-normalized)")
+    assert(out(4L) == (("tiny doc under window", 4L, 0L)), "short doc untouched")
+    assert(out(5L) == (("", 0L, 0L)), "null text is total: empty output, zero counts")
+
+    // survivors re-tokenize to exactly n_tokens - n_removed
+    for ((id, (clean, n, rem)) <- out if clean.nonEmpty)
+      assert(clean.split("\\s+").length.toLong == n - rem, s"doc $id token accounting")
+
+    // a doc that is ENTIRELY boilerplate scrubs to '' — planted with
+    // aligned 16-token twins so every window repeats
+    val whole = (1 to 16).map(i => s"w$i").mkString(" ")
+    val wiped = Dedup.scrubRepeatedSpans(
+      Seq((10L, whole), (11L, whole)).toDF("doc_id", "text"), width = 16, stride = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(wiped(10L) == (("", 16L)) && wiped(11L) == (("", 16L)))
+  }
 }

@@ -536,6 +536,21 @@ class ScaleSpec extends AnyFunSuite {
       "the corpus is never shuffled for labeling — bucket and split are projections")
   }
 
+  test("span scrubbing reassembles text map-side: one corpus scan, broadcast coverage, no token window") {
+    val docs = Tables.documents(spark, sf001)
+    val scrub = graft.operators.Dedup.scrubRepeatedSpans(docs, width = 16, stride = 4)
+    assert(scrub.count() > 0)
+    val s = scrub.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(s).size == 1,
+      "the closing plan reads the corpus once; the window frame is materialized upstream")
+    assert(s.contains("BroadcastHashJoin"),
+      "the materialized afflicted-docs coverage frame must broadcast onto the corpus")
+    assert(!s.contains("SortMergeJoin"),
+      "the text column never shuffles for the enrichment join")
+    assert(!s.contains("Window"),
+      "token filtering and reassembly are per-row array work, not a window")
+  }
+
   test("incremental cluster maintenance absorbs a 500-pair batch into a 200k-node prior in O(1) rounds") {
     // the iteration's input is the labels frame + the batch — built
     // here as in-memory frames precisely because the operator never
