@@ -37,8 +37,19 @@ object SourceOverlap {
     * is the exact-Jaccard verify bound of [[Dedup.nearDupPairs]]. */
   def overlapMatrix(docs: DataFrame, srcCol: String = "source",
       numHashes: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
-    val pairs = Dedup.nearDupPairs(docs, numHashes, rowsPerBand, threshold)
+      threshold: Double = 0.8): DataFrame =
+    overlapMatrixFromPairs(
+      Dedup.nearDupPairs(docs, numHashes, rowsPerBand, threshold), docs, srcCol)
+
+  /** The composed-pipeline entry (the `FromShingles`/`FromComponents`
+    * idiom): build the sheet from a STANDING verified pair relation
+    * (`a_id`, `b_id`) so a pipeline that already ran the q28 pair
+    * pipeline — or [[Dedup.crossNearDupPairs]] renamed onto the same
+    * keys — pays only the two thin provenance joins and the map-side
+    * count, never a second shingle pass. [[overlapMatrix]] is this
+    * plus the standalone pair build. */
+  def overlapMatrixFromPairs(pairs: DataFrame, docs: DataFrame,
+      srcCol: String = "source"): DataFrame = {
     val src = docs.select(col("doc_id"), col(srcCol).as("__src"))
     pairs
       .join(src.select(col("doc_id").as("a_id"), col("__src").as("__sa")), Seq("a_id"))

@@ -39,6 +39,26 @@ class SourceOverlapSpec extends AnyFunSuite {
       "one canonical cross-source cell, one diagonal cell, no essay cell")
   }
 
+  test("composed entry reuses a standing pair relation — no second shingle pass") {
+    val docs = Seq(
+      (10L, wire, "feedB"),
+      (11L, wire, "feedA"),
+      (12L, recipe, "feedB"),
+      (13L, recipe, "feedB"),
+      (14L, essay, "feedC")).toDF("doc_id", "text", "source")
+    val standing = Dedup.materialize(Dedup.nearDupPairs(docs))
+    val composed = SourceOverlap.overlapMatrixFromPairs(standing, docs)
+    // the composed plan consumes the materialized pair frame: zero
+    // Generate nodes (the shingle/band explodes all live upstream of
+    // the checkpoint) — just the two provenance joins + count.
+    val plan = composed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"composed plan must not re-run the shingle/band explodes:\n$plan")
+    assert(composed.orderBy("src_a", "src_b").collect().toSeq ==
+      SourceOverlap.overlapMatrix(docs).orderBy("src_a", "src_b").collect().toSeq,
+      "composed sheet equals the standalone sheet on the same corpus")
+  }
+
   test("matrix is partition-invariant") {
     val docs = Seq(
       (1L, wire, "a"), (2L, wire, "b"), (3L, wire, "c"),
