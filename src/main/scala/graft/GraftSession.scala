@@ -13,10 +13,11 @@ import org.apache.spark.sql.SparkSession
   *    on a real cluster AQE coalesces post-shuffle partitions anyway.
   *  - AQE on: runtime re-planning (skew-join splitting, dynamic coalescing,
   *    broadcast-join conversion) is the 100 TB safety net.
-  *  - `parquet.nanosAsLong`: the driver testdata's `events.ts` column is
-  *    parquet TIMESTAMP(NANOS), which Spark does not map to TimestampType;
-  *    we read it as epoch-nanos long and convert with `timestamp_micros`
-  *    (see [[graft.sources.Tables]] callers / EventQueries).
+  *  - `parquet.nanosAsLong`: kept defensively — the driver testdata's
+  *    `events.ts` has been TIMESTAMP(NANOS) in past generations (currently
+  *    `timestamp[us]`); [[graft.sources.Tables.events]] branches on the
+  *    read schema, and this conf makes a nanos flip-back readable instead
+  *    of a hard error.
   *  - UTC session TZ: all oracle comparisons are naive-UTC.
   */
 object GraftSession {

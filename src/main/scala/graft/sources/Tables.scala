@@ -27,15 +27,37 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS): Spark has no nanos
-    * TimestampType, so the session reads it as epoch-nanos long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set by [[graft.GraftSession]])
-    * and we normalize to a micros timestamp here. Integer `div` — a
-    * double division would lose precision above 2^53 epoch-nanos. */
+  /** `events.ts` has drifted across testdata generations — parquet
+    * TIMESTAMP(NANOS) (read as epoch-nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong`, set by [[graft.GraftSession]])
+    * and parquet `timestamp[us]` (read as `timestamp_ntz`) have both been
+    * observed. Branch on the read schema and normalize every shape to the
+    * session-TZ `TimestampType` the query surface expects:
+    *  - LongType (epoch-nanos): `timestamp_micros(ts div 1000)`. Integer
+    *    `div` — double division would lose precision above 2^53 nanos.
+    *  - TimestampNTZType (micros, no zone): cast to `timestamp`. Under the
+    *    UTC session TZ the wall-clock value is unchanged.
+    *  - TimestampType: pass through. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.ensureConfs(spark)
-    read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(read(spark, dir, "events"))
+  }
+
+  /** Normalize an events-shaped frame's `ts` column to session-TZ
+    * `TimestampType`, whatever shape it was read as. Schema-driven, so it
+    * works on batch AND streaming frames (a `readStream` with the raw
+    * schema resolves identically). */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other (expected LongType epoch-nanos, " +
+          "timestamp_ntz, or timestamp) — testdata schema drifted; update Tables.normalizeEventTs")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

@@ -90,11 +90,11 @@ class StreamingOpsSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf001/events.parquet"),
       dir.resolve("events.parquet"))
-    // the raw parquet schema (nanosAsLong): ts is epoch-nanos LongType
+    // raw read schema drifts across testdata generations (epoch-nanos
+    // long vs timestamp[us]); normalizeEventTs handles every shape
     val raw = spark.read.parquet(s"$sf001/events.parquet")
-    val stream = spark.readStream.schema(raw.schema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(raw.schema).parquet(dir.toString))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val q = stream.writeStream.format("memory").queryName("filestream")
