@@ -98,4 +98,53 @@ FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""
 SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM cl
                   WHERE cl.doc_id = d.doc_id AND cl.cluster_id <> d.doc_id)"""
+
+  /** q108: the release-bundle capstone — the full closure chained with
+    * the q104 cluster-keyed split bucket, the q101 Hamilton allocation
+    * (population = the kept train side), and the q99 prefix-sum shard
+    * assignment over the sampled docs. Every stage reuses the exact CTE
+    * formulation of its standalone oracle, so the composition is
+    * bitwise by construction. */
+  def releaseBundleSql(evalPermille: Int = 100, budget: Long = 250L,
+      capacity: Long = 2048L, packsPerShard: Long = 16L,
+      salt: String = "graft"): String = {
+    val bucket = DecontaminateOracle.bucketExpr(salt, "cluster_id")
+    s"""WITH RECURSIVE $pairCtes,
+rel AS (SELECT doc_id, source,
+    CAST(len(string_split_regex(coalesce(text, ''), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id IS NOT NULL),
+lab AS (SELECT r.doc_id, r.source, r.n_tokens,
+    CAST(coalesce(cl.cluster_id, r.doc_id) AS BIGINT) AS cluster_id
+  FROM rel r LEFT JOIN cl ON cl.doc_id = r.doc_id),
+st AS (SELECT *, (cluster_id = doc_id) AS is_kept,
+    CASE WHEN ($bucket) % 1000 < $evalPermille THEN 'eval' ELSE 'train' END AS split
+  FROM lab),
+tr AS (SELECT doc_id, source, n_tokens FROM st WHERE is_kept AND split = 'train'),
+per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_size FROM tr GROUP BY 1),
+qt AS (SELECT *, CAST(floor(sqrt(n_size) * 1048576) AS BIGINT) AS s_q FROM per),
+tot AS (SELECT CAST(sum(s_q) AS BIGINT) AS s FROM qt),
+bs AS (SELECT source, s_q, ($budget * s_q) // s AS base,
+    $budget * s_q - (($budget * s_q) // s) * s AS rem FROM qt, tot),
+lv AS (SELECT CAST($budget - sum(base) AS BIGINT) AS leftover FROM bs),
+al AS (SELECT source, base + CASE WHEN
+      CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) <= leftover
+    THEN 1 ELSE 0 END AS alloc FROM bs, lv),
+rk AS (SELECT doc_id, source, n_tokens,
+    CAST(row_number() OVER (PARTITION BY source
+      ORDER BY md5('$salt' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rnk
+  FROM tr),
+samp AS (SELECT doc_id, n_tokens FROM rk JOIN al USING (source) WHERE rnk <= alloc),
+cum AS (SELECT doc_id,
+    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+  FROM samp),
+shd AS (SELECT doc_id, CAST((cb // $capacity) // $packsPerShard AS BIGINT) AS shard FROM cum)
+SELECT st.doc_id, st.source, st.n_tokens, st.cluster_id,
+  CASE WHEN NOT is_kept THEN 'dropped_dup'
+       WHEN split = 'eval' THEN 'eval'
+       WHEN shd.shard IS NOT NULL THEN 'sampled'
+       ELSE 'train_unsampled' END AS status,
+  shd.shard AS shard
+FROM st LEFT JOIN shd USING (doc_id)"""
+  }
 }

@@ -2364,7 +2364,72 @@ object ExtensionQueries {
              |  CAST(len(t) AS BIGINT) AS n_tokens,
              |  CAST(len(coalesce(c.covered, [])) AS BIGINT) AS n_removed
              |FROM tk LEFT JOIN cov c USING (doc_id)""".stripMargin))
-    }
+    },
+
+    QuerySpec(
+      "q108_release_bundle",
+      """Release-bundle capstone — the engine's END STATE: one queryable
+        |release table giving every document's disposition in a shipped
+        |training release, composed from the shipped operators over ONE
+        |shared shingle/pair/components frame (the reference's own end
+        |state is a queryable curated table, 01-setup-ec-vm.md:309).
+        |Chain: near-dup components over the minhash∪simhash pair graph
+        |(q58; the star iteration runs ONCE — spec-asserted via
+        |componentsRuns) → canonical keep-set as a per-doc flag (q59's
+        |drop criterion, node ≠ cluster min) → cluster-safe train/eval
+        |split keyed on the cluster id (q104, the SAME components
+        |frame) → sqrt-allocation sample of the kept train side, budget
+        |250 (q101's Hamilton quotas + md5-rank execution) → prefix-sum
+        |shard assignment of the sampled docs at capacity 2048 / 16
+        |packs per shard (q99's two-level pack kernel). Output: one row
+        |per doc — (doc_id, source, n_tokens, cluster_id, status ∈
+        |dropped_dup|eval|sampled|train_unsampled, shard — NULL unless
+        |sampled). Every stage is BIGINT/md5-deterministic, so the
+        |whole bundle oracles bitwise via the standalone oracles' CTEs
+        |chained verbatim. Scale shape: the pair pipeline and star
+        |iteration are the audited banded plans, paid once; the
+        |per-doc disposition is the corpus scan + one broadcastable
+        |label join (comps is pair-graph-node bounded) + per-row bucket
+        |arithmetic; allocation windows run on the train side with ONE
+        |group-key shuffle; the pack prefix-sum serializes only the
+        |budget-bounded sampled frame (materialized — ≤ budget rows by
+        |construction, so its window is trivially single-partition
+        |safe); the wide text column never moves past the shingle
+        |stage.""".stripMargin,
+      (s, d) => {
+        val cc = graft.operators.ConnectedComponents
+        val docs = Tables.documents(s, d)
+        // ONE shingle pass feeds the minhash pipeline; ONE components
+        // frame feeds the keep flag AND the cluster-keyed split — the
+        // q71 shared-frame rule.
+        val shingles = Dedup.materialize(Dedup.shingleRows(docs))
+        val pairs = Dedup.nearDupPairsFromShingles(shingles).select("a_id", "b_id")
+          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+        val comps = cc.components(pairs)
+        val base = docs.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens"))
+        val status = base
+          .join(graft.operators.Sampling.clusterSafeSplit(base, "doc_id", comps,
+            evalPermille = 100), Seq("doc_id"))
+          .withColumn("is_kept", col("cluster_id") === col("doc_id"))
+        val sampled = Dedup.materialize(graft.operators.Mixing.executeSqrtAllocation(
+          status.filter(col("is_kept") && col("split") === "train")
+            .select(col("doc_id"), col("source"), col("n_tokens")),
+          "doc_id", "source", "n_tokens", budget = 250L))
+        val shards = graft.operators.SequencePack
+          .packAssignments(sampled, "doc_id", "n_tokens", capacity = 2048L)
+          .select(col("doc_id"), expr("pack_first div 16").as("shard"))
+        status.join(shards, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("cluster_id"),
+            when(!col("is_kept"), lit("dropped_dup"))
+              .when(col("split") === "eval", lit("eval"))
+              .when(col("shard").isNotNull, lit("sampled"))
+              .otherwise(lit("train_unsampled")).as("status"),
+            col("shard"))
+      },
+      Some(ClusterOracle.releaseBundleSql(evalPermille = 100, budget = 250L,
+        capacity = 2048L, packsPerShard = 16L)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
