@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bigram collocation (phrase) detection — the word2phrase step of a
@@ -113,15 +113,92 @@ object Phrases {
     * never move after the first combine. */
   def bpePairStats(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val wc = docs.filter(col(textCol).isNotNull)
+    pairSheet(wordCounts(docs, textCol), identity)
+      .orderBy(col("pair_count").desc, col("c1"), col("c2"))
+      .limit(k)
+  }
+
+  /** Lower-cased whitespace word-frequency frame `(w, cnt)`, words of
+    * length ≥ 2 — the ONE corpus collapse both BPE steps share (a real
+    * trainer keeps this frame as standing state across merges). */
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    wc.select(col("cnt"), explode(expr(
-        "transform(sequence(1, length(w) - 1), " +
-        "i -> named_struct('c1', substr(w, i, 1), 'c2', substr(w, i + 1, 1)))")).as("p"))
+
+  /** Frequency-weighted adjacent-symbol pair sheet of a `(w, cnt)`
+    * word frame: `(c1, c2, pair_count = Σ cnt)`. `sym` maps each raw
+    * one-char symbol for output (identity for the plain char sheet;
+    * the merge-delta path maps its marker char back to the fused
+    * pair). Entirely vocab-local — per-row work ∝ word length, then
+    * one map-side-combined agg on the ≤ |alphabet|² key. */
+  private def pairSheet(words: DataFrame, sym: Column => Column): DataFrame =
+    words.filter(length(col("w")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => struct(sym(col("w").substr(i, lit(1))).as("c1"),
+          sym(col("w").substr(i + lit(1), lit(1))).as("c2")))).as("p"))
       .select(col("p.c1").as("c1"), col("p.c2").as("c2"), col("cnt"))
       .groupBy(col("c1"), col("c2")).agg(sum(col("cnt")).as("pair_count"))
+
+  /** BPE merge-step delta — the incremental twin of [[bpePairStats]]
+    * (the q105/q68/q82 incremental-family pattern applied to tokenizer
+    * training): perform the ONE merge BPE would do next — fuse the
+    * argmax pair (a, b) — and produce the post-merge pair sheet by
+    * DELTA, touching only the words that actually contain the fused
+    * pair, instead of re-pairing the whole vocabulary.
+    *
+    * Algorithm: standing sheet P0 = [[pairSheet]] over all words; the
+    * merge pair is the P0 argmax under the q106 total order
+    * (pair_count DESC, c1, c2 — a one-row vocab-level collect, the
+    * same boundary every BPE trainer crosses per merge); affected
+    * words are `w CONTAINS a||b` (single-char symbols, so substring
+    * adjacency IS pair adjacency); each affected word is rewritten by
+    * greedy left-to-right non-overlapping replacement (`replace` —
+    * exactly BPE's merge scan) with a one-char marker standing for
+    * the fused symbol; the delta is (new pairs of rewritten words) −
+    * (old pairs of the same words), and P1 = P0 + delta with zero
+    * rows dropped. P1 is bitwise-equal to a monolithic re-pairing of
+    * the merged symbolization — the DuckDB oracle computes exactly
+    * that recount, so the q109 hash match IS the equivalence proof.
+    *
+    * Marker contract: U+0001 must not occur inside corpus words; a
+    * word already containing it would be labeled as the fused symbol
+    * on BOTH engines identically (hash-stable, label wrong), so the
+    * failure mode is cosmetic, not silent corruption.
+    *
+    * Scale shape (100 TB): the corpus is scanned ONCE (the word-count
+    * collapse, map-side combined — standing state in a real trainer);
+    * P0, the affected subset, the rewrite, and the delta join are all
+    * vocab-sized or smaller; the closing full-outer joins are
+    * ≤ |alphabet|²-keyed. Nothing corpus-sized moves after the first
+    * combine — the property that makes per-merge iteration affordable
+    * at all. */
+  def bpeMergeDelta(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val wc = Dedup.materialize(wordCounts(docs, textCol))
+    val p0 = Dedup.materialize(pairSheet(wc, identity))
+    val topRows = p0.orderBy(col("pair_count").desc, col("c1"), col("c2"))
+      .limit(1).collect()
+    if (topRows.isEmpty) return p0 // empty corpus: nothing to merge
+    val ab = topRows(0).getString(0) + topRows(0).getString(1)
+    val marker = "\u0001"
+    val affected = wc.filter(col("w").contains(ab))
+    val rewritten = affected.select(
+      call_function("replace", col("w"), lit(ab), lit(marker)).as("w"), col("cnt"))
+    val added = pairSheet(rewritten,
+        c => when(c === lit(marker), lit(ab)).otherwise(c))
+      .withColumnRenamed("pair_count", "add_cnt")
+    val removed = pairSheet(affected, identity)
+      .withColumnRenamed("pair_count", "sub_cnt")
+    val delta = added.join(removed, Seq("c1", "c2"), "full_outer")
+      .select(col("c1"), col("c2"),
+        (coalesce(col("add_cnt"), lit(0L)) - coalesce(col("sub_cnt"), lit(0L))).as("d"))
+    p0.join(delta, Seq("c1", "c2"), "full_outer")
+      .select(col("c1"), col("c2"),
+        (coalesce(col("pair_count"), lit(0L)) + coalesce(col("d"), lit(0L))).as("pair_count"))
+      .filter(col("pair_count") > 0L)
       .orderBy(col("pair_count").desc, col("c1"), col("c2"))
       .limit(k)
   }

@@ -2429,7 +2429,56 @@ object ExtensionQueries {
             col("shard"))
       },
       Some(ClusterOracle.releaseBundleSql(evalPermille = 100, budget = 250L,
-        capacity = 2048L, packsPerShard = 16L)))
+        capacity = 2048L, packsPerShard = 16L))),
+
+    QuerySpec(
+      "q109_bpe_merge_delta",
+      """BPE merge-step delta ([[graft.operators.Phrases.bpeMergeDelta]])
+        |— the incremental-family twin of q106, closing the tokenizer
+        |loop the way q105 closes clustering: perform the ONE merge BPE
+        |does next (fuse the q106-argmax pair under the same total
+        |order) and produce the post-merge pair sheet by DELTA — only
+        |words containing the fused pair are re-paired (old pairs
+        |subtracted, rewritten-word pairs added onto the standing
+        |sheet), never the whole vocabulary. The rewrite is greedy
+        |left-to-right non-overlapping replacement — exactly BPE's
+        |merge scan — via a one-char marker mapped back to the fused
+        |symbol in the output. The oracle is the MONOLITHIC recount
+        |(re-pair every word of the merged symbolization from scratch),
+        |so the hash match IS the incremental == monolithic equivalence
+        |proof, q105's pattern. Top-50 by (pair_count DESC, c1, c2) —
+        |total order, engine-independent cut. Scale shape: ONE
+        |map-side-combined corpus collapse (standing state in a real
+        |trainer); P0, the affected subset, the rewrite, and the delta
+        |are vocab-sized or smaller; the argmax is a one-row collect
+        |off the materialized sheet (the boundary every BPE trainer
+        |crosses per merge); closing joins are ≤ |alphabet|²-keyed —
+        |corpus rows never move after the first combine.""".stripMargin,
+      (s, d) => graft.operators.Phrases.bpeMergeDelta(
+        Tables.documents(s, d), "text", k = 50),
+      Some("""WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t
+             |              FROM documents WHERE text IS NOT NULL),
+             |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |         SELECT unnest(t) AS w FROM toks)
+             |       WHERE length(w) >= 2 GROUP BY w),
+             |p0 AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS c1,
+             |              substr(w, CAST(i AS INTEGER) + 1, 1) AS c2,
+             |              CAST(sum(cnt) AS BIGINT) AS pair_count
+             |       FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc)
+             |       GROUP BY 1, 2),
+             |top AS (SELECT c1 AS ta, c2 AS tb FROM p0
+             |        ORDER BY pair_count DESC, c1, c2 LIMIT 1),
+             |mw AS (SELECT replace(w, ta || tb, chr(1)) AS m, cnt, ta, tb FROM wc, top),
+             |np AS (SELECT CASE WHEN substr(m, CAST(i AS INTEGER), 1) = chr(1)
+             |                   THEN ta || tb ELSE substr(m, CAST(i AS INTEGER), 1) END AS c1,
+             |              CASE WHEN substr(m, CAST(i AS INTEGER) + 1, 1) = chr(1)
+             |                   THEN ta || tb ELSE substr(m, CAST(i AS INTEGER) + 1, 1) END AS c2,
+             |              cnt
+             |       FROM (SELECT m, cnt, ta, tb, unnest(range(1, length(m))) AS i FROM mw
+             |             WHERE length(m) >= 2))
+             |SELECT c1, c2, CAST(sum(cnt) AS BIGINT) AS pair_count
+             |FROM np GROUP BY c1, c2
+             |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

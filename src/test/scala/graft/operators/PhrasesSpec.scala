@@ -80,4 +80,29 @@ class PhrasesSpec extends AnyFunSuite {
       Phrases.bpePairStats(docs.toDF("text"), "text", k = 0)
     }
   }
+
+  test("bpeMergeDelta applies the argmax merge incrementally and equals the monolithic recount") {
+    // wc: ab:2, cab:1, xy:1. Char pairs: (a,b)=3 (argmax), (c,a)=1, (x,y)=1.
+    // Merging (a,b): "ab" fuses whole (no pairs left), "cab" -> (c, ab).
+    // Post-merge sheet: (c,ab)=1, (x,y)=1 — (a,b) and (c,a) vanish, the
+    // fused symbol appears as a NEW 2-char symbol; count-1 tie breaks
+    // lexicographically on c1 ("c" < "x").
+    val docs = Seq(Some("ab ab cab xy"), None)
+    val rows = Phrases.bpeMergeDelta(docs.toDF("text"), "text", k = 10)
+      .collect().map(r => (r.getAs[String]("c1"), r.getAs[String]("c2")) ->
+        r.getAs[Long]("pair_count"))
+    assert(rows.toMap == Map(("c", "ab") -> 1L, ("x", "y") -> 1L))
+    assert(rows.head._1 == (("c", "ab")), "ties must cut on the (c1, c2) total order")
+
+    // greedy left-to-right scan: "aaa" under merge (a,a) yields [aa],a —
+    // ONE fused pair member, not two overlapping merges
+    val greedy = Phrases.bpeMergeDelta(Seq("aaa aa").toDF("text"), "text", k = 10)
+      .collect().map(r => (r.getAs[String]("c1"), r.getAs[String]("c2")) ->
+        r.getAs[Long]("pair_count")).toMap
+    assert(greedy == Map(("aa", "a") -> 1L))
+
+    intercept[IllegalArgumentException] {
+      Phrases.bpeMergeDelta(docs.toDF("text"), "text", k = 0)
+    }
+  }
 }
