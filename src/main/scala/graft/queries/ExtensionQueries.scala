@@ -2387,15 +2387,18 @@ object ExtensionQueries {
         |sampled). Every stage is BIGINT/md5-deterministic, so the
         |whole bundle oracles bitwise via the standalone oracles' CTEs
         |chained verbatim. Scale shape: the pair pipeline and star
-        |iteration are the audited banded plans, paid once; the
-        |per-doc disposition is the corpus scan + one broadcastable
-        |label join (comps is pair-graph-node bounded) + per-row bucket
-        |arithmetic; allocation windows run on the train side with ONE
-        |group-key shuffle; the pack prefix-sum serializes only the
-        |budget-bounded sampled frame (materialized — ≤ budget rows by
-        |construction, so its window is trivially single-partition
-        |safe); the wide text column never moves past the shingle
-        |stage.""".stripMargin,
+        |iteration are the audited banded plans, paid once; the wide
+        |text column is read and tokenized ONCE into a materialized
+        |~24-byte/doc (doc_id, source, n_tokens) projection that every
+        |downstream consumer (disposition join, split, allocation
+        |population) re-reads instead of re-scanning the corpus's
+        |heaviest column; the disposition is then one broadcastable
+        |label join (comps is pair-graph-node bounded) + per-row
+        |bucket arithmetic; allocation windows run on the train side
+        |with ONE group-key shuffle; the pack prefix-sum serializes
+        |only the budget-bounded sampled frame (materialized —
+        |≤ budget rows by construction, so its window is trivially
+        |single-partition safe).""".stripMargin,
       (s, d) => {
         val cc = graft.operators.ConnectedComponents
         val docs = Tables.documents(s, d)
@@ -2406,9 +2409,14 @@ object ExtensionQueries {
         val pairs = Dedup.nearDupPairsFromShingles(shingles).select("a_id", "b_id")
           .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
         val comps = cc.components(pairs)
-        val base = docs.filter(col("doc_id").isNotNull)
+        // base is consumed by the disposition join, the split, and the
+        // allocation population — materialized so the WIDE text column
+        // is read and tokenized ONCE and every consumer re-reads the
+        // ~24-byte/doc narrow projection instead of re-scanning the
+        // corpus's heaviest column per consumer.
+        val base = Dedup.materialize(docs.filter(col("doc_id").isNotNull)
           .select(col("doc_id"), col("source"),
-            TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens"))
+            TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")))
         val status = base
           .join(graft.operators.Sampling.clusterSafeSplit(base, "doc_id", comps,
             evalPermille = 100), Seq("doc_id"))

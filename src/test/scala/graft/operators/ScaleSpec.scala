@@ -615,4 +615,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(perGroup("hot") == 5)
     assert(perGroup.values.forall(_ <= 5))
   }
+
+  test("release bundle and BPE merge delta hold their documented plan shapes") {
+    // q108: the wide text column is read ONCE (materialized narrow base
+    // + materialized components + budget-bounded sampled frame), so the
+    // CLOSING plan touches no parquet at all — every consumer reads a
+    // checkpointed frame.
+    val rel = graft.SparkEntry.queries("q108_release_bundle")(spark, sf001)
+    assert(rel.count() > 0)
+    val relPlan = rel.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(relPlan).size == 0,
+      "the closing disposition plan must read only materialized frames — " +
+        "a parquet scan here means a consumer re-reads the corpus text column")
+    assert("Scan ExistingRDD".r.findAllIn(relPlan).size >= 3,
+      "base, components, and the sampled frame all arrive checkpointed")
+
+    // q109: the corpus collapse and the standing pair sheet are
+    // materialized; the delta path re-pairs only the affected vocab
+    // subset from the checkpointed word counts — no parquet rescans —
+    // and the closing top-k is TakeOrdered, not a global sort.
+    val delta = graft.operators.Phrases.bpeMergeDelta(
+      Tables.documents(spark, sf001), "text", k = 50)
+    assert(delta.count() > 0)
+    val dPlan = delta.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(dPlan).size == 0,
+      "the delta plan must read the materialized word counts, never the corpus")
+    assert("Scan ExistingRDD".r.findAllIn(dPlan).size == 3,
+      "P0 once + the affected word subset twice (added and removed sheets)")
+    assert(dPlan.contains("TakeOrderedAndProject"),
+      "the top-k must be TakeOrdered, not a global sort")
+  }
 }
