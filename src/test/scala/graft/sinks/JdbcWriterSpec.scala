@@ -55,4 +55,39 @@ class JdbcWriterSpec extends AnyFunSuite {
     val got = readBack("overwrite_t").collect()
     assert(got.length == 1 && got.head.getLong(0) == 9L)
   }
+
+  test("reference topology end-to-end: envelope stream -> parse -> JDBC table") {
+    // The NiFi path (S4 JSON->SQL + S5 PutSQL) as the engine runs it:
+    // a checkpointed micro-batch stream of Debezium envelopes, the
+    // P1-P4 transform, and a foreachBatch JDBC append into a REAL
+    // database — two drains prove the checkpoint makes the appends
+    // incremental (no batch replayed, no rows doubled).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.{EnvelopeParser, Envelopes}
+    val stream = MemoryStream[String](spark)
+    val cp = java.nio.file.Files.createTempDirectory("jdbc_cp").toString
+    def drain(): Unit = {
+      val q = EnvelopeParser.transform(stream.toDF())
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          JdbcWriter.write(batch, url, "bus_stream", "app", "secret")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    stream.addData(
+      Envelopes.envelope(Envelopes.busJson(recordId = 1, kph = 10)),
+      Envelopes.envelope(Envelopes.busJson(recordId = 2, kph = 20)))
+    drain()
+    assert(readBack("bus_stream").count() == 2)
+
+    stream.addData(Envelopes.envelope(Envelopes.busJson(recordId = 3, kph = 30)))
+    drain()
+    val got = readBack("bus_stream")
+    assert(got.count() == 3, "second drain must append ONLY the new micro-batch")
+    assert(got.select("record_id").collect().map(_.getInt(0)).sorted
+      .sameElements(Array(1, 2, 3)))
+  }
 }
