@@ -23,8 +23,19 @@ class RelationalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("every registered query runs on sf0.001 and returns rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf001).count()
+      val df = fn(spark, sf001)
+      val n = df.count()
       assert(n > 0, s"$name returned no rows")
+      // Fleet-wide plan-hygiene net: an unconstrained cartesian product
+      // is the one join shape that is ALWAYS fatal at 100 TB (every
+      // deliberate small-side cross join in the engine broadcasts, so
+      // it plans as BroadcastNestedLoopJoin, never CartesianProduct).
+      // Catches a future join whose equi-condition silently stops
+      // pushing down.
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — an unbroadcast cross join " +
+          "reached the physical plan; at scale this query cannot run")
     }
   }
 
