@@ -55,6 +55,8 @@ object GraftSession {
       reg.createOrReplaceTempFunction("graft_dot", GraftExtensions.buildDot, "built-in")
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kr")))
       reg.createOrReplaceTempFunction("graft_kr", GraftExtensions.buildKr, "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5b48")))
+      reg.createOrReplaceTempFunction("graft_md5b48", GraftExtensions.buildMd5b48, "built-in")
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngrams")))
       reg.createOrReplaceTempFunction("graft_ngrams", GraftExtensions.buildNgrams, "built-in")
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_maxrun")))

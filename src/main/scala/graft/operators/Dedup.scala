@@ -123,16 +123,17 @@ object Dedup {
   val MinhashP: Long = 2147483647L
 
   /** 48-bit integer from the first 12 hex digits of the md5-hex column
-    * named `hexColName`, built digit-by-digit (instr over the hex
-    * alphabet) so the IDENTICAL expression shape runs under DuckDB with
-    * no engine-specific hex conversion. Shared by the minhash base and
-    * [[Sampling.sampleByKey]] — one definition, mirrored once per
-    * oracle. */
+    * named `hexColName` — the native codegen
+    * [[graft.functions.Md5Base48]] expression (`graft_md5b48`), bit-for-
+    * bit the legacy digit-by-digit `instr`-over-the-alphabet tree that
+    * the DuckDB oracles still mirror verbatim
+    * ([[graft.queries.DecontaminateOracle.bucketExpr]]). Shared by the
+    * minhash base, [[Sampling.sampleByKey]], and the q83 span keys —
+    * one definition, mirrored once per oracle. Callers must have run
+    * [[graft.GraftSession.ensureConfs]] (every operator entry touching
+    * this does). */
   def md5Base48(hexColName: String): Column =
-    (0 until 12).map { j =>
-      (expr(s"instr('0123456789abcdef', substring($hexColName, ${j + 1}, 1))") - lit(1)) *
-        lit(1L << (4 * (11 - j)))
-    }.reduce(_ + _)
+    call_function("graft_md5b48", col(hexColName))
 
   /** Deterministic (a_i, b_i) coefficients of the pairwise-independent
     * affine family h_i(x) = (a_i·x + b_i) mod p — shared with the DuckDB
@@ -170,6 +171,7 @@ object Dedup {
     * same share-the-expensive-frame rule as
     * [[ConnectedComponents.clusterLabelsFromComponents]]. */
   def minhashSignaturesFromShingles(shingles: DataFrame, numHashes: Int = 16): DataFrame = {
+    graft.GraftSession.ensureConfs(shingles.sparkSession)
     val coeffs = minhashCoeffs(numHashes)
     val withBase = shingles
       .withColumn("md5_h", md5(col("sh")))
@@ -375,6 +377,7 @@ object Dedup {
     * exchange. */
   def spanWindows(docs: DataFrame, width: Int = 16, stride: Int = 4): DataFrame = {
     require(width > 0 && stride > 0, s"width/stride must be positive, got $width/$stride")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
     docs
       .select(col("doc_id"), graft.functions.TextFunctions.rawTokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),

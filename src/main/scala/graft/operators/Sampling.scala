@@ -26,11 +26,13 @@ object Sampling {
     * [[Decontaminate.contaminationReport]]) derives membership from
     * this one definition, so the "q66's test split IS the q55 sample"
     * invariant cannot drift. */
-  def withSplitBucket(df: DataFrame, keyCol: String, salt: String = "graft"): DataFrame =
+  def withSplitBucket(df: DataFrame, keyCol: String, salt: String = "graft"): DataFrame = {
+    graft.GraftSession.ensureConfs(df.sparkSession)
     df.filter(col(keyCol).isNotNull)
       .withColumn("__h", md5(concat(lit(salt), col(keyCol).cast("string"))))
       .withColumn("__bucket", Dedup.md5Base48("__h") % 1000L)
       .drop("__h")
+  }
 
   /** Keep rows whose key hashes into [0, permille) of 1000 buckets.
     * Deterministic, partition-independent, incremental-load-stable.

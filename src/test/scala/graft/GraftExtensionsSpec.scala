@@ -10,6 +10,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(new SparkSessionExtensions) // builder-path smoke
   }
 
+  test("graft_md5b48 resolves in SQL and matches the oracle digit-tree formulation") {
+    GraftSession.ensureConfs(spark)
+    val tree = (0 until 12).map { j =>
+      s"(instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}L"
+    }.mkString(" + ")
+    val r = spark.sql(
+      s"SELECT graft_md5b48(h) fast, $tree slow FROM (SELECT md5('probe') h)").head
+    assert(r.getLong(0) == r.getLong(1) && r.getLong(0) >= 0L)
+  }
+
   test("graft_nfc/graft_nfd resolve via the runtime registry with correct semantics") {
     GraftSession.ensureConfs(spark)
     val eDec = "é" // e + combining acute
