@@ -54,4 +54,36 @@ class Md5Base48Spec extends AnyFunSuite {
       .select(Dedup.md5Base48("h")).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("property: equals a direct reimplementation of the tree semantics on generated strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Reference semantics, implemented independently of both the
+    // expression and the SQL tree: digit = alphabet position − 1 of the
+    // j-th CODE POINT (−1 when absent, incl. every non-ASCII cp), 0
+    // past the end.
+    def reference(s: String): Long = {
+      val cps = s.codePoints().toArray
+      (0 until 12).map { j =>
+        val d = if (j < cps.length) "0123456789abcdef".indexOf(cps(j)) else 0
+        d.toLong * (1L << (4 * (11 - j)))
+      }.sum
+    }
+    val charGen = Gen.frequency(
+      8 -> Gen.oneOf("0123456789abcdef".toSeq),
+      2 -> Gen.oneOf("ABCDEFxyz!@# ".toSeq),
+      1 -> Gen.oneOf('é', '漢', '\uD83D')) // é, 漢, lone surrogate half
+    val strGen = Gen.chooseNum(0, 40).flatMap(n => Gen.stringOfN(n, charGen))
+    val inputs = (1L to 300L).map(seed =>
+      strGen.pureApply(Gen.Parameters.default, Seed(seed)))
+    // lone surrogates can't round-trip through UTF-8; drop malformed
+    val clean = inputs.map(s => new String(
+      s.getBytes("UTF-8"), "UTF-8"))
+    val rows = clean.toDF("h")
+      .select(col("h"), Dedup.md5Base48("h").as("fast")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == reference(r.getString(0)),
+        s"property mismatch on '${r.getString(0)}'")
+    }
+  }
 }
