@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductD, MaxTokenRun, Md5Base48, RollingHash, UnicodeNormalize, WordNgrams}
+import graft.functions.{DotProductD, MaxTokenRun, Md5Base48, Md5Bits64, RollingHash, UnicodeNormalize, WordNgrams}
 
 /** Spark extensions entry point: registers the engine's native
   * expressions at session build time, so a cluster deployment gets them
@@ -40,6 +40,13 @@ object GraftExtensions {
     require(exprs.length == 1,
       s"graft_md5b48 expects exactly 1 string argument, got ${exprs.length}")
     Md5Base48(exprs.head)
+  }
+
+  /** Builder for the 64-bit md5-hex packing (simhash kernel). */
+  def buildMd5b64(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Md5Bits64 = {
+    require(exprs.length == 1,
+      s"graft_md5b64 expects exactly 1 string argument, got ${exprs.length}")
+    Md5Bits64(exprs.head)
   }
 
   /** Builder for the word-n-gram array kernel: the width must be a
@@ -95,6 +102,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Base48].getName, "graft_md5b48"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.buildMd5b48(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_md5b64"),
+      new ExpressionInfo(classOf[Md5Bits64].getName, "graft_md5b64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.buildMd5b64(exprs)))
     e.injectFunction((
       new FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_ngrams"),

@@ -468,23 +468,28 @@ object Dedup {
     * string (string form sidesteps 64-bit shift overflow in SQL).
     * Near-identical docs differ in few bits (compare with
     * [[hammingHex]]). One explode + one wide 64-column sum aggregate —
-    * the same map-side-combined shape as the MinHash signatures. */
+    * the same map-side-combined shape as the MinHash signatures.
+    *
+    * The per-token bits come from the native
+    * [[graft.functions.Md5Bits64]] packing (`graft_md5b64`): ONE long
+    * per token instead of the legacy 16 `instr`/`substring` digit
+    * columns, with `shiftrightunsigned` bit votes — vote-identical to
+    * the digit tree the DuckDB oracle still mirrors (non-hex digits
+    * clamp to 0, which votes exactly like the legacy −1; see the
+    * expression scaladoc). */
   def simhashSignature(docs: DataFrame): DataFrame = {
+    graft.GraftSession.ensureConfs(docs.sparkSession)
     val toks = docs.select(col("doc_id"),
       explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    // per-hex-digit value: strpos('0123456789abcdef', hex_char) - 1
-    val withDigits = (0 until 16).foldLeft(toks) { (df, k) =>
-      df.withColumn(s"d$k",
-        expr(s"instr('0123456789abcdef', substring(h, ${k + 1}, 1)) - 1"))
-    }
+      .withColumn("__v", call_function("graft_md5b64", md5(col("tok"))))
     val votes = (0 until 16).flatMap { k =>
       (0 until 4).map { b =>
-        sum(expr(s"CASE WHEN (d$k div ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END"))
+        sum(expr(s"CASE WHEN (shiftrightunsigned(__v, ${4 * (15 - k) + b}) & 1) = 1" +
+            " THEN 1 ELSE -1 END"))
           .as(s"v${k}_$b")
       }
     }
-    val agg = withDigits.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val digitExprs = (0 until 16).map { k =>
       val d = (0 until 4).map(b => s"(CASE WHEN v${k}_$b >= 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
       s"substring('0123456789abcdef', ($d) + 1, 1)"
