@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductD, MaxTokenRun, Md5Base48, Md5Bits64, RollingHash, UnicodeNormalize, WordNgrams}
+import graft.functions.{DotProductD, MaxTokenRun, Md5Base48, Md5Bits64, RollingHash, TokenCount, UnicodeNormalize, WordNgrams}
 
 /** Spark extensions entry point: registers the engine's native
   * expressions at session build time, so a cluster deployment gets them
@@ -47,6 +47,13 @@ object GraftExtensions {
     require(exprs.length == 1,
       s"graft_md5b64 expects exactly 1 string argument, got ${exprs.length}")
     Md5Bits64(exprs.head)
+  }
+
+  /** Builder for the whitespace token counter. */
+  def buildTokCount(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): TokenCount = {
+    require(exprs.length == 1,
+      s"graft_tokcount expects exactly 1 string argument, got ${exprs.length}")
+    TokenCount(exprs.head)
   }
 
   /** Builder for the word-n-gram array kernel: the width must be a
@@ -107,6 +114,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Bits64].getName, "graft_md5b64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.buildMd5b64(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_tokcount"),
+      new ExpressionInfo(classOf[TokenCount].getName, "graft_tokcount"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.buildTokCount(exprs)))
     e.injectFunction((
       new FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_ngrams"),

@@ -59,6 +59,8 @@ object GraftSession {
       reg.createOrReplaceTempFunction("graft_md5b48", GraftExtensions.buildMd5b48, "built-in")
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5b64")))
       reg.createOrReplaceTempFunction("graft_md5b64", GraftExtensions.buildMd5b64, "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tokcount")))
+      reg.createOrReplaceTempFunction("graft_tokcount", GraftExtensions.buildTokCount, "built-in")
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngrams")))
       reg.createOrReplaceTempFunction("graft_ngrams", GraftExtensions.buildNgrams, "built-in")
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_maxrun")))

@@ -58,7 +58,13 @@ object TextFunctions {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(rawTokens(text)).cast("long")
+  /** Whitespace token count — the native [[TokenCount]] expression
+    * (`graft_tokcount`): one byte loop, no token-array materialization;
+    * count-identical to `size(split(text, "\\s+"))` on every input
+    * (TokenCountSpec pins the equivalence property). Callers must have
+    * run [[graft.GraftSession.ensureConfs]] — every operator entry
+    * touching this does. */
+  def tokenCount(text: Column): Column = call_function("graft_tokcount", text)
 
   /** BPE-style pre-tokenization pattern (GPT-2-family shape, public):
     * contractions, optionally-space-prefixed letter runs, digit runs,

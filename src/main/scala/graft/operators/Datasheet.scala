@@ -41,6 +41,7 @@ object Datasheet {
   def summarize(docs: DataFrame, textCol: String = "text",
       langCol: String = "lang", srcCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
+    graft.GraftSession.ensureConfs(docs.sparkSession)
     val texts = docs.filter(col(textCol).isNotNull)
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
 

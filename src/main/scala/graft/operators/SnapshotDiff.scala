@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
 object SnapshotDiff {
 
   private def thin(df: DataFrame, keyCol: String, contentCol: String,
-      srcCol: String, suffix: String): DataFrame =
+      srcCol: String, suffix: String): DataFrame = {
+    graft.GraftSession.ensureConfs(df.sparkSession)
     df.filter(col(keyCol).isNotNull).select(
       col(keyCol).as("__k"),
       col(srcCol).as(s"__src_$suffix"),
@@ -40,6 +41,7 @@ object SnapshotDiff {
       graft.functions.TextFunctions.tokenCount(
         coalesce(col(contentCol).cast("string"), lit(""))).as(s"__t_$suffix"),
       lit(1L).as(s"__in_$suffix"))
+  }
 
   private def statusCol: org.apache.spark.sql.Column =
     when(col("__in_o").isNull, lit("added"))
