@@ -41,7 +41,7 @@ object TextFunctions {
     * shuffled the whole token stream; see [[WordNgrams]]). Empty array
     * for docs with fewer than n tokens. */
   def tokenNgrams(toks: Column, n: Int): Column =
-    call_function("graft_ngrams", toks, lit(n))
+    NativeColumn(WordNgrams(NativeColumn.expr(toks), n))
 
   /** Longest run of consecutive identical tokens — the native codegen
     * [[MaxTokenRun]] expression (`graft_maxrun`): one comparison loop
@@ -50,7 +50,7 @@ object TextFunctions {
     * The intra-document repetition signal (Gopher): a run ≥ 4 marks
     * degenerate "word word word …" text. */
   def maxTokenRun(toks: Column): Column =
-    call_function("graft_maxrun", toks)
+    NativeColumn(MaxTokenRun(NativeColumn.expr(toks)))
 
   /** Whitespace tokens of the raw text (no case folding). */
   def rawTokens(text: Column): Column = split(text, "\\s+")
@@ -61,10 +61,10 @@ object TextFunctions {
   /** Whitespace token count — the native [[TokenCount]] expression
     * (`graft_tokcount`): one byte loop, no token-array materialization;
     * count-identical to `size(split(text, "\\s+"))` on every input
-    * (TokenCountSpec pins the equivalence property). Callers must have
-    * run [[graft.GraftSession.ensureConfs]] — every operator entry
-    * touching this does. */
-  def tokenCount(text: Column): Column = call_function("graft_tokcount", text)
+    * (TokenCountSpec pins the equivalence property). Constructed
+    * directly ([[NativeColumn]]) — no registry precondition for
+    * DataFrame-API callers. */
+  def tokenCount(text: Column): Column = NativeColumn(TokenCount(NativeColumn.expr(text)))
 
   /** BPE-style pre-tokenization pattern (GPT-2-family shape, public):
     * contractions, optionally-space-prefixed letter runs, digit runs,
@@ -137,7 +137,8 @@ object TextFunctions {
 
   /** Karp-Rabin polynomial fingerprint over code points — the native
     * codegen [[RollingHash]] expression (registered as `graft_kr`). */
-  def rollingFingerprint(text: Column): Column = call_function("graft_kr", text)
+  def rollingFingerprint(text: Column): Column =
+    NativeColumn(RollingHash(NativeColumn.expr(text)))
 
   /** PII redaction patterns — deliberately restricted to explicit
     * character classes and bounded quantifiers, the regex subset on

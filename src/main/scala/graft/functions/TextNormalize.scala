@@ -21,12 +21,13 @@ import org.apache.spark.sql.functions._
   * step owns ALL whitespace decisions. */
 object TextNormalize {
 
-  /** Canonical composition (NFC) — call_function resolves the
-    * session-registered codegen expression. */
-  def nfc(c: Column): Column = call_function("graft_nfc", c)
+  /** Canonical composition (NFC) — the [[UnicodeNormalize]] codegen
+    * expression, constructed directly ([[NativeColumn]]; the SQL name
+    * `graft_nfc` still resolves via the session registry). */
+  def nfc(c: Column): Column = NativeColumn(UnicodeNormalize(NativeColumn.expr(c), "NFC"))
 
   /** Canonical decomposition (NFD). */
-  def nfd(c: Column): Column = call_function("graft_nfd", c)
+  def nfd(c: Column): Column = NativeColumn(UnicodeNormalize(NativeColumn.expr(c), "NFD"))
 
   /** Accent stripping: decompose, then drop every combining mark.
     * (Deliberately NOT a translate() lookup table — NFD + `\p{M}`

@@ -129,11 +129,12 @@ object Dedup {
     * the DuckDB oracles still mirror verbatim
     * ([[graft.queries.DecontaminateOracle.bucketExpr]]). Shared by the
     * minhash base, [[Sampling.sampleByKey]], and the q83 span keys —
-    * one definition, mirrored once per oracle. Callers must have run
-    * [[graft.GraftSession.ensureConfs]] (every operator entry touching
-    * this does). */
+    * one definition, mirrored once per oracle. Constructed directly
+    * ([[graft.functions.NativeColumn]]) — no registry precondition for
+    * DataFrame-API callers. */
   def md5Base48(hexColName: String): Column =
-    call_function("graft_md5b48", col(hexColName))
+    graft.functions.NativeColumn(graft.functions.Md5Base48(
+      graft.functions.NativeColumn.expr(col(hexColName))))
 
   /** Deterministic (a_i, b_i) coefficients of the pairwise-independent
     * affine family h_i(x) = (a_i·x + b_i) mod p — shared with the DuckDB
@@ -481,7 +482,8 @@ object Dedup {
     graft.GraftSession.ensureConfs(docs.sparkSession)
     val toks = docs.select(col("doc_id"),
       explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .withColumn("__v", call_function("graft_md5b64", md5(col("tok"))))
+      .withColumn("__v", graft.functions.NativeColumn(graft.functions.Md5Bits64(
+        graft.functions.NativeColumn.expr(md5(col("tok"))))))
     val votes = (0 until 16).flatMap { k =>
       (0 until 4).map { b =>
         sum(expr(s"CASE WHEN (shiftrightunsigned(__v, ${4 * (15 - k) + b}) & 1) = 1" +

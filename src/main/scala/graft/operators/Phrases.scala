@@ -40,6 +40,14 @@ object Phrases {
 
   private val Q = 1048576L // 2^20 ratio quantizer
 
+  /** The BPE merge-marker alphabet: merge m is stood for by `chr(m)`
+    * during in-vocab rewriting (U+0001…U+0008) and mapped back to its
+    * fused string in every output. Corpus words containing any of
+    * these characters are excluded from the vocabulary up front
+    * ([[wordCounts]] and the oracles' `wc`/`tok` CTEs carry the same
+    * predicate) — the enforced marker contract. */
+  val Markers: IndexedSeq[Char] = (1 to 8).map(_.toChar)
+
   /** One row per adjacent bigram with `pair_cnt ≥ minCount`:
     * `(w1, w2, pair_cnt, cnt1, cnt2, lift_q, is_phrase)`. `discount`
     * is word2phrase's δ (penalizes rare pairs); `num/den` the lift
@@ -120,11 +128,20 @@ object Phrases {
 
   /** Lower-cased whitespace word-frequency frame `(w, cnt)`, words of
     * length ≥ 2 — the ONE corpus collapse both BPE steps share (a real
-    * trainer keeps this frame as standing state across merges). */
+    * trainer keeps this frame as standing state across merges).
+    *
+    * Words containing the marker-range control characters
+    * U+0001–U+0008 (the BPE merge-marker alphabet, [[Markers]]) are
+    * EXCLUDED — the enforced form of the marker contract: an
+    * unfiltered marker-carrying word would diverge between engines
+    * (see [[bpeMergeDelta]]), so out-of-contract input is dropped
+    * identically on both sides (the oracles' `wc` CTEs carry the same
+    * `NOT regexp_matches(w, '[\x01-\x08]')` predicate) instead of
+    * corrupting the sheet. */
   private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) >= 2)
+      .filter(length(col("w")) >= 2 && !col("w").rlike("[\\x01-\\x08]"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
   /** Frequency-weighted adjacent-symbol pair sheet of a `(w, cnt)`
@@ -163,10 +180,15 @@ object Phrases {
     * the merged symbolization — the DuckDB oracle computes exactly
     * that recount, so the q109 hash match IS the equivalence proof.
     *
-    * Marker contract: U+0001 must not occur inside corpus words; a
-    * word already containing it would be labeled as the fused symbol
-    * on BOTH engines identically (hash-stable, label wrong), so the
-    * failure mode is cosmetic, not silent corruption.
+    * Marker contract — ENFORCED, not assumed: a corpus word already
+    * containing U+0001 would diverge between engines (the monolithic
+    * oracle recount maps EVERY chr(1) occurrence to the fused symbol,
+    * while the delta path re-pairs only pair-containing words and
+    * leaves unaffected words' natural U+0001 as a raw symbol — an
+    * oracle hash MISMATCH, not cosmetic label drift), so
+    * [[wordCounts]] excludes marker-range words up front and the
+    * oracle's `wc` CTE carries the identical predicate; both engines
+    * therefore agree bitwise on any input.
     *
     * Scale shape (100 TB): the corpus is scanned ONCE (the word-count
     * collapse, map-side combined — standing state in a real trainer);
@@ -202,4 +224,94 @@ object Phrases {
       .orderBy(col("pair_count").desc, col("c1"), col("c2"))
       .limit(k)
   }
+
+  /** BPE apply/encode — the missing third of the tokenizer family,
+    * closing train (q106) → incremental update (q109) → APPLY: learn
+    * `numMerges` merges by replaying the merge step (each iteration
+    * fuses the current argmax pair under the q106 total order —
+    * pair_count DESC, then the EXPANDED symbol strings ascending) and
+    * encode every document with the learned table, reporting per-doc
+    * `(doc_id, n_words, n_chars, n_bpe_tokens)` — the before/after
+    * symbol counts a tokenizer-budget planner actually consumes.
+    *
+    * Encoding semantics: words rewrite by greedy left-to-right
+    * non-overlapping replacement in merge-rank order (`replace` —
+    * exactly BPE's apply scan, merge 1 first); a word's encoded
+    * length is its marker-space character count. The vocabulary here
+    * keeps ALL words (1-char words encode as themselves — unlike the
+    * ≥ 2 training filter, which the PAIR sheet preserves implicitly:
+    * sub-2-symbol words carry no pairs). Marker-range words are
+    * excluded from vocab AND token stream on both engines (the
+    * [[Markers]] contract). Null-text docs report zeros.
+    *
+    * Scale shape (100 TB): corpus is scanned exactly TWICE — the
+    * vocab collapse (map-side combined, the standing-state frame) and
+    * the encode pass (token explode joined against the vocab-sized
+    * encode map, one doc_id group-key shuffle); every merge iteration
+    * is vocab-local with a one-row argmax collect (the boundary every
+    * BPE trainer crosses per merge, bounded by `numMerges` ≤ 8). */
+  def bpeEncode(docs: DataFrame, textCol: String, numMerges: Int = 8): DataFrame = {
+    require(numMerges >= 1 && numMerges <= Markers.length,
+      s"numMerges must be in [1, ${Markers.length}] (the marker alphabet), got $numMerges")
+    val markerClass = "[\\x01-\\x08]"
+    val texts = docs.filter(col(textCol).isNotNull)
+    val vocab0 = texts
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w0"))
+      .filter(!col("w0").rlike(markerClass))
+      .groupBy(col("w0")).agg(count(lit(1)).as("cnt"))
+    // words carries (original word, marker-space rewrite, freq);
+    // materialized per iteration so each merge reads the previous
+    // checkpoint instead of replaying the whole lineage.
+    var words = materializeVocab(vocab0.select(col("w0"), col("w0").as("w"), col("cnt")))
+    // marker char -> expanded fused string, and its inverse
+    val expandOf = scala.collection.mutable.Map.empty[String, String]
+    val markerOf = scala.collection.mutable.Map.empty[String, String]
+    var m = 1
+    var exhausted = false
+    while (m <= numMerges && !exhausted) {
+      // pair sheet with symbols EXPANDED (markers mapped back to their
+      // fused strings) so the argmax tie-break orders the true symbols
+      val expand: Column => Column = c =>
+        expandOf.toSeq.sortBy(_._1).foldLeft(c) { case (acc, (mk, ex)) =>
+          when(c === lit(mk), lit(ex)).otherwise(acc)
+        }
+      val top = pairSheet(words.select(col("w"), col("cnt")), expand)
+        .orderBy(col("pair_count").desc, col("c1"), col("c2")).limit(1).collect()
+      if (top.isEmpty) exhausted = true // vocab has no pairs left
+      else {
+        val e1 = top(0).getString(0); val e2 = top(0).getString(1)
+        val r1 = markerOf.getOrElse(e1, e1); val r2 = markerOf.getOrElse(e2, e2)
+        val mk = Markers(m - 1).toString
+        expandOf(mk) = e1 + e2
+        // Two merge paths CAN fuse to the same expanded string (e.g.
+        // ("a","bc") and ("ab","c") → "abc"); the reverse map keeps the
+        // FIRST (lowest) marker — the oracle mirrors with min(ch) — so
+        // both engines rewrite the identical representation.
+        markerOf.getOrElseUpdate(e1 + e2, mk)
+        words = materializeVocab(words.select(col("w0"),
+          call_function("replace", col("w"), lit(r1 + r2), lit(mk)).as("w"), col("cnt")))
+        m += 1
+      }
+    }
+    val enc = words.select(col("w0"),
+      length(col("w0")).cast("long").as("n_chars"),
+      length(col("w")).cast("long").as("n_sym"))
+    val perDoc = texts
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w0"))
+      .filter(!col("w0").rlike(markerClass))
+      .join(enc, "w0")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** [[Dedup.materialize]] for the per-merge vocab frames. */
+  private def materializeVocab(df: DataFrame): DataFrame = Dedup.materialize(df)
 }

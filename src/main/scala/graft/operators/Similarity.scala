@@ -26,7 +26,9 @@ object Similarity {
     * `graft_dot` by GraftSession.ensureConfs). Bitwise identical to the
     * `aggregate(zip_with(...))` HOF formulation, ~10× faster: HOFs are
     * interpreted per element, this is one codegen'd primitive loop. */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dot(a: Column, b: Column): Column =
+    graft.functions.NativeColumn(graft.functions.DotProductD(
+      graft.functions.NativeColumn.expr(a), graft.functions.NativeColumn.expr(b)))
 
   /** Cosine similarity: dot/(‖a‖·‖b‖), each norm a left-fold sqrt. */
   def cosine(a: Column, b: Column): Column =

@@ -15,6 +15,12 @@ import graft.multimodal.Multimodal
 object ExtensionQueries {
   import QuerySpec.MoneyAddend
 
+  /** q108's shard grouping (packs per shard) — ONE constant feeding both
+    * the Spark `pack_first div N` expression and the oracle's
+    * `releaseBundleSql(packsPerShard = N)`, so the two sides cannot
+    * silently drift apart. */
+  private val ReleasePacksPerShard = 16L
+
   private val StopList = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
   private def markers(l: String) = TextFunctions.LangMarkers(l).map(s => s"'$s'").mkString(", ")
 
@@ -2315,7 +2321,8 @@ object ExtensionQueries {
              |              FROM documents WHERE text IS NOT NULL),
              |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
              |         SELECT unnest(t) AS w FROM toks)
-             |       WHERE length(w) >= 2 GROUP BY w),
+             |       WHERE length(w) >= 2
+             |         AND NOT regexp_matches(w, '[\x01-\x08]') GROUP BY w),
              |pr AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS c1,
              |              substr(w, CAST(i AS INTEGER) + 1, 1) AS c2, cnt
              |       FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc))
@@ -2427,7 +2434,7 @@ object ExtensionQueries {
           "doc_id", "source", "n_tokens", budget = 250L))
         val shards = graft.operators.SequencePack
           .packAssignments(sampled, "doc_id", "n_tokens", capacity = 2048L)
-          .select(col("doc_id"), expr("pack_first div 16").as("shard"))
+          .select(col("doc_id"), expr(s"pack_first div $ReleasePacksPerShard").as("shard"))
         status.join(shards, Seq("doc_id"), "left_outer")
           .select(col("doc_id"), col("source"), col("n_tokens"), col("cluster_id"),
             when(!col("is_kept"), lit("dropped_dup"))
@@ -2437,7 +2444,7 @@ object ExtensionQueries {
             col("shard"))
       },
       Some(ClusterOracle.releaseBundleSql(evalPermille = 100, budget = 250L,
-        capacity = 2048L, packsPerShard = 16L))),
+        capacity = 2048L, packsPerShard = ReleasePacksPerShard))),
 
     QuerySpec(
       "q109_bpe_merge_delta",
@@ -2468,7 +2475,8 @@ object ExtensionQueries {
              |              FROM documents WHERE text IS NOT NULL),
              |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
              |         SELECT unnest(t) AS w FROM toks)
-             |       WHERE length(w) >= 2 GROUP BY w),
+             |       WHERE length(w) >= 2
+             |         AND NOT regexp_matches(w, '[\x01-\x08]') GROUP BY w),
              |p0 AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS c1,
              |              substr(w, CAST(i AS INTEGER) + 1, 1) AS c2,
              |              CAST(sum(cnt) AS BIGINT) AS pair_count
@@ -2486,7 +2494,31 @@ object ExtensionQueries {
              |             WHERE length(m) >= 2))
              |SELECT c1, c2, CAST(sum(cnt) AS BIGINT) AS pair_count
              |FROM np GROUP BY c1, c2
-             |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin))
+             |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin)),
+
+    QuerySpec(
+      "q110_bpe_encode",
+      """BPE apply/encode ([[graft.operators.Phrases.bpeEncode]]) — the
+        |missing third of the tokenizer family, closing train (q106) →
+        |incremental update (q109) → APPLY: learn 8 merges by replaying
+        |the merge step (each iteration fuses the current argmax pair
+        |under the q106 total order, tie-broken on the EXPANDED symbol
+        |strings) and encode every document with the learned table.
+        |Output per doc: (doc_id, n_words, n_chars, n_bpe_tokens) — the
+        |before/after symbol counts a tokenizer-budget planner consumes.
+        |All-BIGINT, so the sheet oracles bitwise; the oracle is the
+        |bounded-merge-count replay (one generated CTE block per merge —
+        |[[BpeOracle.encodeSql]]), so the hash match proves the whole
+        |train+apply chain, not just the final counts. Marker contract
+        |enforced on both engines (words containing U+0001–U+0008 are
+        |excluded from vocab and token stream alike). Scale shape:
+        |corpus scanned exactly TWICE (vocab collapse + encode pass,
+        |both map-side combined / vocab-joined); each merge iteration
+        |is vocab-local with a one-row argmax collect — the boundary
+        |every BPE trainer crosses per merge.""".stripMargin,
+      (s, d) => graft.operators.Phrases.bpeEncode(
+        Tables.documents(s, d), "text", numMerges = 8),
+      Some(BpeOracle.encodeSql(numMerges = 8)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

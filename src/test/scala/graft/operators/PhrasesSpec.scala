@@ -105,4 +105,50 @@ class PhrasesSpec extends AnyFunSuite {
       Phrases.bpeMergeDelta(docs.toDF("text"), "text", k = 0)
     }
   }
+
+  test("bpeEncode learns rank-ordered merges and encodes documents (hand-computed)") {
+    // Vocab: ababc(2), abc(1), xy(1). Merge replay:
+    //  1. pairs ab=5, bc=3, ba=2, xy=1      -> fuse (a,b)    [ababc -> (ab)(ab)c]
+    //  2. pairs (ab,c)=3, (ab,ab)=2, xy=1   -> fuse (ab,c)   [ababc -> (ab)(abc)]
+    //  3. pairs (ab,abc)=2, xy=1            -> fuse (ab,abc) [ababc -> (ababc)]
+    //  4. pairs xy=1                        -> fuse (x,y)
+    //  5. no pairs left -> exhausted (early stop is exercised)
+    val docs = Seq((1L, "ababc ababc"), (2L, "abc"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val at5 = Phrases.bpeEncode(docs, "text", numMerges = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(at5(1L) == ((2L, 10L, 2L)), "both ababc tokens collapse to one symbol")
+    assert(at5(2L) == ((1L, 3L, 1L)))
+    assert(at5(3L) == ((1L, 2L, 1L)))
+
+    // Stopping after merge 2 leaves ababc as 2 symbols and xy unfused —
+    // the encode must apply EXACTLY the learned prefix, in rank order.
+    val at2 = Phrases.bpeEncode(docs, "text", numMerges = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(at2(1L) == ((2L, 10L, 4L)))
+    assert(at2(2L) == ((1L, 3L, 1L)))
+    assert(at2(3L) == ((1L, 2L, 2L)))
+
+    intercept[IllegalArgumentException] {
+      Phrases.bpeEncode(docs, "text", numMerges = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Phrases.bpeEncode(docs, "text", numMerges = 9)
+    }
+  }
+
+  test("bpeEncode enforces the marker contract and is total on null text") {
+    // The marker-range word drops from vocab AND token stream (the
+    // enforced contract); the null-text doc reports zeros.
+    val docs = Seq((1L, Some("abz ab ab")), (2L, None), (3L, Some("ab")))
+      .toDF("doc_id", "text")
+    val out = Phrases.bpeEncode(docs, "text", numMerges = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 4L, 2L)), "the \\u0001-carrying word is excluded")
+    assert(out(2L) == ((0L, 0L, 0L)))
+    assert(out(3L) == ((1L, 2L, 1L)))
+  }
 }
