@@ -546,6 +546,131 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Unit-id packing for sub-document near-dup: paragraph (doc_id,
+    * para_idx) pairs pack into ONE BIGINT `doc_id * ParaPack +
+    * para_idx` so every whole-doc kernel ([[nearDupPairsFromShingles]]
+    * etc.) runs unchanged at paragraph granularity. Contract:
+    * para_idx < 2^20 (a 2^20-paragraph doc is ~25M tokens at the
+    * default block width) and doc_id < 2^43 — both asserted nowhere
+    * because violating inputs overflow loudly into negative ids the
+    * `a_id < b_id` canonicalization still orders consistently; the
+    * oracles mirror the same arithmetic either way. */
+  val ParaPack: Long = 1048576L
+
+  /** Paragraph rows `(doc_id, para_idx, para)` by BLANK-LINE split —
+    * the RefinedWeb-style unit for corpora with real paragraph
+    * structure. Empty/whitespace-only segments are dropped; `para_idx`
+    * is the 0-based position among the doc's raw splits (kept, not
+    * re-numbered, so the index is stable under segment drops). */
+  def blankLineParagraphs(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\n\\s*\\n")))
+      .toDF("doc_id", "para_idx", "para")
+      .filter(trim(col("para")) =!= "")
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"), col("para"))
+
+  /** Paragraph rows `(doc_id, para_idx, para)` by fixed-width token
+    * blocks — the segmentation fallback for corpora WITHOUT newline
+    * structure (the driver's synthetic documents are single-line):
+    * consecutive non-overlapping `blockTokens`-token windows of the
+    * lower-cased whitespace token stream, the last block partial.
+    * Pure map-side work (split + explode over a sequence — the
+    * [[spanWindows]] shape at stride = width); `para` is the
+    * space-rejoined block, so downstream shingling sees exactly the
+    * in-block token stream. */
+  def tokenBlockParagraphs(docs: DataFrame, blockTokens: Int = 24): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(0L, CAST((size(t) + ${blockTokens - 1}) DIV $blockTokens AS BIGINT) - 1)"))
+          .as("para_idx"))
+      .select(col("doc_id"), col("para_idx"),
+        array_join(slice(col("t"),
+          (col("para_idx") * blockTokens + 1).cast("int"), lit(blockTokens)), " ").as("para"))
+  }
+
+  /** Paragraph-granularity near-dup pairs (RefinedWeb-style): the
+    * banded MinHash kernel ([[nearDupPairs]]) applied to paragraph
+    * units instead of whole docs, catching templated boilerplate
+    * paragraphs that whole-doc Jaccard dilutes away (a 5-paragraph doc
+    * sharing ONE paragraph with another scores ~0.2 whole-doc — under
+    * every dedup threshold — but 1.0 at this granularity; the same
+    * motivation as the q83 exact spans, at a coarser, fuzzier unit).
+    * Cross-document pairs only (`a_doc ≠ b_doc`): intra-doc repetition
+    * is q73's separate signal. Output
+    * `(a_doc, a_para, b_doc, b_para, jacc)` with a_doc < b_doc (the
+    * packed `a_id < b_id` canonicalization orders doc-major).
+    *
+    * Scale shape: identical to the whole-doc pipeline — the unit
+    * explode multiplies ROW COUNT (not bytes; blocks partition the
+    * token stream) before the same map-side shingle/signature
+    * collapse, banding keeps candidate verification bucket-local, and
+    * nothing corpus-quadratic exists at any granularity. */
+  def paragraphNearDupPairs(docs: DataFrame, blockTokens: Int = 24,
+      numHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame =
+    paragraphPairsFromUnits(
+      nearDupPairs(packParagraphUnits(tokenBlockParagraphs(docs, blockTokens)),
+        numHashes, rowsPerBand, threshold))
+
+  /** (doc_id, para_idx, para) → the packed (doc_id, text) unit frame
+    * every whole-doc kernel consumes. */
+  private def packParagraphUnits(paras: DataFrame): DataFrame =
+    paras.select((col("doc_id") * ParaPack + col("para_idx")).as("doc_id"),
+      col("para").as("text"))
+
+  /** Unpack kernel pairs over packed units to
+    * (a_doc, a_para, b_doc, b_para, jacc), cross-document only. */
+  private def paragraphPairsFromUnits(pairs: DataFrame): DataFrame =
+    pairs.select(
+        expr(s"CAST(a_id DIV $ParaPack AS BIGINT)").as("a_doc"),
+        (col("a_id") % ParaPack).as("a_para"),
+        expr(s"CAST(b_id DIV $ParaPack AS BIGINT)").as("b_doc"),
+        (col("b_id") % ParaPack).as("b_para"),
+        col("jacc"))
+      .filter(col("a_doc") =!= col("b_doc"))
+
+  /** Paragraph-dedup scrub — the TRANSFORM closing
+    * [[paragraphNearDupPairs]]'s detect step, the way
+    * [[scrubRepeatedSpans]] closes q83: every paragraph that is a
+    * near-dup of a paragraph in a LOWER-id document (any `b`-side
+    * appearance in the cross-doc pair set — keep-first semantics,
+    * deterministic because the pair set is) is dropped, and the
+    * survivors reassemble in paragraph order. Output
+    * `(doc_id, clean_text, n_paras, n_dropped)`, total on null text
+    * (the q81 convention).
+    *
+    * Scale shape (the q83 materialization rule): ONE paragraph frame
+    * is materialized and feeds the pair pipeline AND the reassembly;
+    * ONE shingle frame is materialized and feeds signatures AND
+    * verification ([[nearDupPairsFromShingles]]); the drop-set is
+    * pair-bounded (tiny), so the anti-join broadcasts; reassembly is
+    * one doc_id group-key shuffle of the kept paragraphs — the only
+    * corpus-sized exchange beyond the kernel's own. */
+  def scrubDupParagraphs(docs: DataFrame, blockTokens: Int = 24,
+      numHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val paras = materialize(tokenBlockParagraphs(docs, blockTokens))
+    val sh = materialize(shingleRows(packParagraphUnits(paras)))
+    val drops = nearDupPairsFromShingles(sh, numHashes, rowsPerBand, threshold)
+      .filter(expr(s"a_id DIV $ParaPack") =!= expr(s"b_id DIV $ParaPack"))
+      .select(col("b_id").as("__unit")).distinct()
+    val kept = paras.join(drops,
+      col("doc_id") * ParaPack + col("para_idx") === col("__unit"), "left_anti")
+    val agg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(para_idx, para))), s -> s.para)"))
+        .as("clean_text"))
+    val tot = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+    docs.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        (coalesce(col("n_paras"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** Embedding-cosine near-dup pairs over the FULL corpus via sign-bit
     * LSH bucketing — the unbounded scale path ([[embeddingNearDupPairs]]
     * is the exact O(n²) form, only usable id-bounded). One bucket

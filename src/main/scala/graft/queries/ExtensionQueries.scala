@@ -2518,7 +2518,44 @@ object ExtensionQueries {
         |every BPE trainer crosses per merge.""".stripMargin,
       (s, d) => graft.operators.Phrases.bpeEncode(
         Tables.documents(s, d), "text", numMerges = 8),
-      Some(BpeOracle.encodeSql(numMerges = 8)))
+      Some(BpeOracle.encodeSql(numMerges = 8))),
+
+    QuerySpec(
+      "q111_paragraph_neardup",
+      """Paragraph-granularity near-dup pairs
+        |([[graft.operators.Dedup.paragraphNearDupPairs]], RefinedWeb-
+        |style): the banded MinHash kernel applied to sub-document
+        |units — fixed 24-token blocks here, the segmentation fallback
+        |for the driver's newline-free synthetic corpus
+        |([[graft.operators.Dedup.blankLineParagraphs]] is the
+        |real-corpus unit) — catching templated paragraphs that
+        |whole-doc Jaccard (q28) dilutes: one shared paragraph in a
+        |5-paragraph doc scores ~0.2 whole-doc, 1.0 here. Cross-doc
+        |pairs only; (doc, para) packs into ONE BIGINT so the ENTIRE
+        |whole-doc pipeline (signatures, bands, candidate join, exact
+        |Jaccard verify) runs unchanged, and the oracle is the SAME
+        |generated CTE chain over the packed unit frame. Scale shape:
+        |identical to q28 — the unit explode multiplies row count, not
+        |bytes; everything stays banded/bucket-local.""".stripMargin,
+      (s, d) => Dedup.paragraphNearDupPairs(Tables.documents(s, d), blockTokens = 24),
+      Some(MinhashOracle.paragraphPairsSql(blockTokens = 24))),
+
+    QuerySpec(
+      "q112_paragraph_scrub",
+      """Paragraph-dedup scrub ([[graft.operators.Dedup
+        |.scrubDupParagraphs]]) — the TRANSFORM closing q111's detect
+        |step, the way q107 closes q83: every paragraph near-duplicating
+        |a paragraph of a lower-id document (any b-side appearance in
+        |the cross-doc pair set — keep-first, deterministic because the
+        |pair set is) is dropped; survivors reassemble in paragraph
+        |order as (doc_id, clean_text, n_paras, n_dropped), total on
+        |null text. Scale shape (the q83 materialization rule): ONE
+        |paragraph frame feeds the pair pipeline AND reassembly, ONE
+        |shingle frame feeds signatures AND verification; the drop-set
+        |is pair-bounded so the anti-join broadcasts; reassembly is one
+        |doc_id group-key shuffle.""".stripMargin,
+      (s, d) => Dedup.scrubDupParagraphs(Tables.documents(s, d), blockTokens = 24),
+      Some(MinhashOracle.paragraphScrubSql(blockTokens = 24)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

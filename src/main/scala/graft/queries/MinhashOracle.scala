@@ -12,16 +12,42 @@ import graft.operators.Dedup
   * permutations are exact BIGINT arithmetic, identical on both engines.
   * The hex→int conversion is spelled digit-by-digit (strpos over the hex
   * alphabet) precisely so the same expression shape runs under DuckDB
-  * without engine-specific conv() functions. */
+  * without engine-specific conv() functions.
+  *
+  * One CTE chain serves every granularity: [[sql]]/[[containmentSql]]/
+  * [[crossSql]] run it over whole documents, the paragraph family
+  * ([[paragraphPairsSql]], [[paragraphScrubSql]]) over packed
+  * (doc·[[Dedup.ParaPack]] + para_idx) token-block units — the same
+  * substitution the Spark side makes. */
 object MinhashOracle {
 
-  def sql(numHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): String = {
+  /** The default whole-document base: `docs(doc_id, toks)`. */
+  private val DocsCte: String =
+    """docs AS (SELECT doc_id, string_split_regex(lower(text), '\s+') toks FROM documents)"""
+
+  /** Token-block paragraph base (see
+    * [[graft.operators.Dedup.tokenBlockParagraphs]]): `paras(doc_id,
+    * para_idx, ptoks)` plus the packed `docs(doc_id, toks)` unit frame
+    * the shared chain consumes. */
+  private def paraDocsCte(blockTokens: Int): String = {
+    val b = blockTokens
+    s"""docs0 AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') t
+       |          FROM documents WHERE text IS NOT NULL),
+       |paras AS (SELECT doc_id, CAST(p AS BIGINT) AS para_idx,
+       |            t[(CAST(p AS INTEGER)*$b+1):(CAST(p AS INTEGER)*$b+$b)] AS ptoks
+       |          FROM (SELECT doc_id, t, unnest(range(0, (len(t)+${b - 1})//$b)) p FROM docs0)),
+       |docs AS (SELECT doc_id * ${Dedup.ParaPack} + para_idx AS doc_id, ptoks AS toks FROM paras)""".stripMargin
+  }
+
+  /** `docs(doc_id, toks)` → the shared shingle/signature/band/candidate
+    * chain, ending with `cand(a_id, b_id)` and `sets(doc_id, s)`. */
+  private def chainFrom(docsCte: String, numHashes: Int, rowsPerBand: Int): String = {
     val values = Dedup.minhashCoeffs(numHashes).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     val baseExpr = (0 until 12).map { j =>
       s"(strpos('0123456789abcdef', substr(md5(sh), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
     }.mkString("\n    + ")
-    s"""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks FROM documents),
+    s"""$docsCte,
        |sh AS (SELECT doc_id, sh FROM (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
@@ -35,11 +61,57 @@ object MinhashOracle {
        |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
        |          AND a.doc_id < b.doc_id),
-       |sets AS (SELECT doc_id, list(sh) s FROM sh GROUP BY doc_id)
-       |SELECT a_id, b_id,
+       |sets AS (SELECT doc_id, list(sh) s FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The verified-pair closing select: `(a_id, b_id, jacc)` at
+    * `threshold`. */
+  private def jaccSelect(threshold: Double): String =
+    s"""SELECT a_id, b_id,
        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) AS jacc
        |FROM cand JOIN sets x ON x.doc_id = a_id JOIN sets y ON y.doc_id = b_id
        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) >= $threshold""".stripMargin
+
+  def sql(numHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): String =
+    s"""WITH ${chainFrom(DocsCte, numHashes, rowsPerBand)}
+       |${jaccSelect(threshold)}""".stripMargin
+
+  /** Mirror of [[graft.operators.Dedup.paragraphNearDupPairs]]: the
+    * shared chain over packed token-block units, unpacked to
+    * (a_doc, a_para, b_doc, b_para, jacc), cross-document only. */
+  def paragraphPairsSql(blockTokens: Int = 24, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8): String = {
+    val pk = Dedup.ParaPack
+    s"""WITH ${chainFrom(paraDocsCte(blockTokens), numHashes, rowsPerBand)}
+       |SELECT CAST(a_id // $pk AS BIGINT) AS a_doc, CAST(a_id % $pk AS BIGINT) AS a_para,
+       |       CAST(b_id // $pk AS BIGINT) AS b_doc, CAST(b_id % $pk AS BIGINT) AS b_para, jacc
+       |FROM (${jaccSelect(threshold)})
+       |WHERE a_id // $pk <> b_id // $pk""".stripMargin
+  }
+
+  /** Mirror of [[graft.operators.Dedup.scrubDupParagraphs]]: drop every
+    * paragraph appearing as the b-side of a cross-document verified
+    * pair (keep-first), reassemble survivors in paragraph order. */
+  def paragraphScrubSql(blockTokens: Int = 24, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8): String = {
+    val pk = Dedup.ParaPack
+    s"""WITH ${chainFrom(paraDocsCte(blockTokens), numHashes, rowsPerBand)},
+       |drops AS (SELECT DISTINCT b_id FROM (${jaccSelect(threshold)})
+       |          WHERE a_id // $pk <> b_id // $pk),
+       |kept AS (SELECT p.doc_id, p.para_idx, array_to_string(p.ptoks, ' ') AS para
+       |         FROM paras p LEFT JOIN drops d ON p.doc_id * $pk + p.para_idx = d.b_id
+       |         WHERE d.b_id IS NULL),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |               string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+       |        FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM paras GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(agg.clean_text, '') AS clean_text,
+       |  CAST(coalesce(tot.n_paras, 0) AS BIGINT) AS n_paras,
+       |  CAST(coalesce(tot.n_paras, 0) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
+       |FROM documents d
+       |LEFT JOIN tot ON d.doc_id = tot.doc_id
+       |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
   }
 
   /** Mirror of [[graft.operators.Dedup.containmentPairs]]: identical
@@ -47,27 +119,8 @@ object MinhashOracle {
     * containment |A∩B| / min(|A|, |B|) with the integer counts
     * exposed. */
   def containmentSql(numHashes: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): String = {
-    val values = Dedup.minhashCoeffs(numHashes).zipWithIndex
-      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    val baseExpr = (0 until 12).map { j =>
-      s"(strpos('0123456789abcdef', substr(md5(sh), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
-    }.mkString("\n    + ")
-    s"""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks FROM documents),
-       |sh AS (SELECT doc_id, sh FROM (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
-       |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
-       |coeffs(i, a, b) AS (VALUES $values),
-       |sh2 AS (SELECT doc_id, sh,
-       |  ($baseExpr) % ${Dedup.MinhashP} AS hp FROM sh),
-       |sigs AS (SELECT doc_id, i, min((hp * a + b) % ${Dedup.MinhashP}) sig
-       |         FROM sh2, coeffs GROUP BY doc_id, i),
-       |bands AS (SELECT doc_id, i // $rowsPerBand band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) bh
-       |          FROM sigs GROUP BY doc_id, i // $rowsPerBand),
-       |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
-       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-       |          AND a.doc_id < b.doc_id),
-       |sets AS (SELECT doc_id, list(sh) s FROM sh GROUP BY doc_id),
+      threshold: Double = 0.5): String =
+    s"""WITH ${chainFrom(DocsCte, numHashes, rowsPerBand)},
        |ov AS (SELECT a_id, b_id,
        |  CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_int,
        |  CAST(len(x.s) AS BIGINT) AS n_a, CAST(len(y.s) AS BIGINT) AS n_b
@@ -75,7 +128,6 @@ object MinhashOracle {
        |SELECT a_id, b_id, n_int, n_a, n_b,
        |  CAST(n_int AS DOUBLE) / least(n_a, n_b) AS cont
        |FROM ov WHERE CAST(n_int AS DOUBLE) / least(n_a, n_b) >= $threshold""".stripMargin
-  }
 
   /** Mirror of [[graft.operators.Dedup.crossNearDupPairs]] with the
     * md5-bucket split as membership (is_new ⇔ bucket < `newPermille`,

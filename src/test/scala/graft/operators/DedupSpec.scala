@@ -239,4 +239,59 @@ class DedupSpec extends AnyFunSuite {
         ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
     assert(wiped(10L) == (("", 16L)) && wiped(11L) == (("", 16L)))
   }
+
+  test("paragraph near-dup catches the shared paragraph whole-doc Jaccard dilutes") {
+    // Each doc = one shared 24-token paragraph + 24 tokens of private
+    // filler: whole-doc Jaccard ~0.3 (under every dedup threshold),
+    // paragraph-granularity Jaccard = 1.0 on block 0.
+    val shared = (1 to 24).map(i => s"p$i").mkString(" ")
+    val d = docs(
+      (1L, shared + " " + (1 to 24).map(i => s"f$i").mkString(" ")),
+      (2L, shared + " " + (1 to 24).map(i => s"g$i").mkString(" ")),
+      (3L, (100 to 147).map(i => s"z$i").mkString(" ")))
+    assert(Dedup.nearDupPairs(d).count() == 0,
+      "whole-doc Jaccard must dilute the one shared paragraph below 0.8")
+    val pairs = Dedup.paragraphNearDupPairs(d, blockTokens = 24).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getAs[Long]("a_doc") == 1L && r.getAs[Long]("a_para") == 0L &&
+      r.getAs[Long]("b_doc") == 2L && r.getAs[Long]("b_para") == 0L &&
+      r.getAs[Double]("jacc") == 1.0)
+  }
+
+  test("paragraph scrub drops the b-side copy, keeps intra-doc twins, is total on null") {
+    val shared = (1 to 24).map(i => s"p$i").mkString(" ")
+    val fill = (1 to 24).map(i => s"g$i").mkString(" ")
+    val twin = (1 to 24).map(i => s"x$i").mkString(" ")
+    val d = Seq(
+      (1L, Some(shared + " " + (1 to 24).map(i => s"f$i").mkString(" "))),
+      (2L, Some(shared + " " + fill)),
+      (3L, None),
+      // intra-doc duplicate paragraph: cross-doc filter must KEEP both
+      (4L, Some(twin + " " + twin))).toDF("doc_id", "text")
+    val out = Dedup.scrubDupParagraphs(d, blockTokens = 24)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_paras"),
+          r.getAs[Long]("n_dropped")))).toMap
+    assert(out(1L)._2 == 2L && out(1L)._3 == 0L, "the keep-first a-side is intact")
+    assert(out(2L) == ((fill, 2L, 1L)), "doc 2 loses its copy of the shared paragraph")
+    assert(out(3L) == (("", 0L, 0L)), "null text reports zeros")
+    assert(out(4L) == ((twin + " " + twin, 2L, 0L)),
+      "intra-doc twins are q73's signal, not a cross-doc drop")
+  }
+
+  test("blank-line paragraphs segment real structure; token blocks are the fallback unit") {
+    val rows = Dedup.blankLineParagraphs(
+      Seq((7L, "first para here\n\nsecond one\n\n\n  \nthird\n\n")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq((0L, "first para here"), (1L, "second one"), (2L, "third")),
+      "blank-line runs (with interior whitespace) are ONE separator; " +
+        "empty trailing segments drop with their index kept")
+
+    val blocks = Dedup.tokenBlockParagraphs(
+      Seq((8L, (1 to 50).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"), 24)
+      .collect().map(r => (r.getLong(1), r.getString(2).split(" ").length))
+    assert(blocks.toSeq == Seq((0L, 24), (1L, 24), (2L, 2)),
+      "non-overlapping blocks, last partial")
+  }
 }
