@@ -21,7 +21,22 @@ object TestSpark {
 class RelationalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
   import TestSpark._
 
+  /** Every node of an executed plan, descending through AQE wrappers
+    * (the adaptive root and materialized query stages hide their
+    * subtrees from plain `children`). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
   test("every registered query runs on sf0.001 and returns rows") {
+    var bnljSeen = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf001)
       val n = df.count()
@@ -36,6 +51,51 @@ class RelationalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct — an unbroadcast cross join " +
           "reached the physical plan; at scale this query cannot run")
+      // Second net: a BroadcastNestedLoopJoin is only survivable when
+      // its BROADCAST side is genuinely small (the engine's deliberate
+      // cross joins broadcast query vectors, centroids, one-row argmax
+      // frames — tens to hundreds of rows). A corpus-sized relation
+      // showing up on the build side means a both-sides-large nested
+      // loop: fatal at scale long before CartesianProduct would be.
+      // The count() above populated the runtime metrics, so the check
+      // reads the ACTUAL broadcast row count, not an estimate.
+      for (b <- allNodes(df.queryExecution.executedPlan)
+          .collect { case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }) {
+        bnljSeen += 1
+        val buildPlan =
+          if (b.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight) b.right else b.left
+        val bcastRows = allNodes(buildPlan)
+          .collect { case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e }
+          .flatMap(_.metrics.get("numOutputRows")).map(_.value)
+        assert(bcastRows.nonEmpty,
+          s"$name: BroadcastNestedLoopJoin build side carries no BroadcastExchange metrics")
+        assert(bcastRows.forall(_ <= 2000L),
+          s"$name: BroadcastNestedLoopJoin broadcasts ${bcastRows.max} rows — " +
+            "a large relation reached a nested-loop build side; at scale this query cannot run")
+      }
+    }
+    // Non-vacuity: the similarity family deliberately plans several
+    // broadcast cross joins (q30/q46/q49 query vectors, centroids) —
+    // if the AQE traversal ever stops finding them, the guard above is
+    // checking nothing and must be fixed, not trusted.
+    assert(bnljSeen >= 3,
+      s"plan traversal found only $bnljSeen BroadcastNestedLoopJoins across the fleet — " +
+        "the guard lost sight of the known broadcast cross joins")
+  }
+
+  test("filtered scans push their predicates into parquet (q01/q03/q06)") {
+    // The positive half of the pushdown story: PLANS.md shows the
+    // PushedFilters today; this guard fails the build if a future
+    // change (a cast, a wrapped column, an expression rewrite) silently
+    // un-pushes a filter and turns the scan into read-everything.
+    val pushed = "PushedFilters: \\[\\s*[A-Za-z]".r
+    for (name <- Seq("q01_agg_pricing_summary", "q03_filter_pushdown", "q06_anti_join")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(pushed.findFirstIn(plan).isDefined,
+        s"$name: no non-empty PushedFilters in any parquet scan — " +
+          "a predicate stopped reaching the data source")
     }
   }
 
