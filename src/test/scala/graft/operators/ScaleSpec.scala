@@ -661,4 +661,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(dPlan.contains("TakeOrdered"),
       "the top-k must be TakeOrdered, not a global sort")
   }
+
+  test("paragraph scrub and BPE encode hold their documented scan budgets") {
+    // q112: ONE materialized paragraph frame + ONE materialized shingle
+    // frame feed everything; the CLOSING plan's only parquet read is
+    // the narrow doc_id base projection — the wide text column was
+    // tokenized exactly once, before the checkpoint.
+    val scrub = Dedup.scrubDupParagraphs(Tables.documents(spark, sf001), blockTokens = 24)
+    assert(scrub.count() > 0)
+    val sPlan = scrub.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(sPlan).size == 1,
+      "only the closing doc_id projection may read parquet — a second scan " +
+        "means a consumer re-tokenizes the corpus text column")
+    assert("Scan ExistingRDD".r.findAllIn(sPlan).size >= 2,
+      "the paragraph frame and the pair pipeline's frames arrive checkpointed")
+
+    // q110: the corpus is scanned exactly TWICE in total — the vocab
+    // collapse (paid before its checkpoint, invisible here) and the
+    // encode pass; the closing plan therefore shows the encode-pass
+    // text scan plus the narrow doc_id base = 2 parquet scans, with the
+    // per-merge vocab frames all arriving checkpointed.
+    val enc = graft.operators.Phrases.bpeEncode(Tables.documents(spark, sf001), "text", numMerges = 4)
+    assert(enc.count() > 0)
+    val ePlan = enc.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(ePlan).size == 2,
+      "encode pass + doc_id base — any more means a merge iteration rescans the corpus")
+    assert("Scan ExistingRDD".r.findAllIn(ePlan).size >= 1,
+      "the final vocab frame arrives checkpointed")
+  }
 }

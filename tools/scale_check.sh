@@ -1,0 +1,44 @@
+#!/bin/bash
+# Dev-only: measure wall time + shuffle bytes of the shingle/CC family
+# (q58/q59/q71/q108) over the inflated corpora from gen_scale_corpus.py,
+# at x1/x4/x8 the sf0.1 document count. Emits SCALE lines; SCALE.md is
+# written from them by hand (the measurement is the artifact, prose is
+# cheap). Run idle — contention inflates everything.
+set -e
+cd /root/repo
+/opt/spark/bin/spark-shell --master 'local[32]' --conf spark.ui.enabled=false \
+  --conf spark.sql.shuffle.partitions=32 \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.session.timeZone=UTC \
+  --driver-memory 24g \
+  --driver-class-path target/scala-2.13/classes <<'EOF'
+import org.apache.spark.scheduler._
+@volatile var shufW = 0L
+@volatile var shufR = 0L
+spark.sparkContext.addSparkListener(new SparkListener {
+  override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+    shufW += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    shufR += s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
+  }
+})
+graft.GraftSession.ensureConfs(spark)
+spark.range(1000000).selectExpr("sum(id)").collect()  // session warmup
+val names = Seq("q58_neardup_clusters", "q59_dedup_keepset",
+  "q71_corpus_build", "q108_release_bundle")
+for (scale <- Seq("x1", "x4", "x8"); name <- names) {
+  val dir = s"/tmp/graft_scale/$scale"
+  def once(): Double = {
+    val t0 = System.nanoTime
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+    (System.nanoTime - t0) / 1e9
+  }
+  val t1 = once()
+  spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  Thread.sleep(1500); shufW = 0L; shufR = 0L
+  val t2 = once()
+  Thread.sleep(1500)  // let listener events drain before reading counters
+  println(f"SCALE $scale $name min=${math.min(t1, t2)}%.3f shufW_MB=${shufW / 1048576.0}%.1f shufR_MB=${shufR / 1048576.0}%.1f")
+  spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+}
+System.exit(0)
+EOF
