@@ -651,10 +651,16 @@ object Dedup {
       numHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
     val paras = materialize(tokenBlockParagraphs(docs, blockTokens))
     val sh = materialize(shingleRows(packParagraphUnits(paras)))
-    val drops = nearDupPairsFromShingles(sh, numHashes, rowsPerBand, threshold)
-      .filter(expr(s"a_id DIV $ParaPack") =!= expr(s"b_id DIV $ParaPack"))
-      .select(col("b_id").as("__unit")).distinct()
-    val kept = paras.join(drops,
+    // materialized so its TRUE (pair-bounded, tiny) size is known, and
+    // broadcast explicitly: without the hint the static plan estimates
+    // the aggregated drop-set large and sorts/shuffles the WHOLE
+    // paragraph frame — text column included — through a merge
+    // anti-join, the exact movement this operator exists to avoid.
+    val drops = materialize(
+      nearDupPairsFromShingles(sh, numHashes, rowsPerBand, threshold)
+        .filter(expr(s"a_id DIV $ParaPack") =!= expr(s"b_id DIV $ParaPack"))
+        .select(col("b_id").as("__unit")).distinct())
+    val kept = paras.join(broadcast(drops),
       col("doc_id") * ParaPack + col("para_idx") === col("__unit"), "left_anti")
     val agg = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_kept"),

@@ -246,9 +246,17 @@ object Phrases {
     *
     * Scale shape (100 TB): corpus is scanned exactly TWICE — the
     * vocab collapse (map-side combined, the standing-state frame) and
-    * the encode pass (token explode joined against the vocab-sized
-    * encode map, one doc_id group-key shuffle); every merge iteration
-    * is vocab-local with a one-row argmax collect (the boundary every
+    * the encode pass. Encoding does NOT join the vocabulary: the
+    * learned merge table is ≤ 8 (pattern, marker) literals, so each
+    * token's encoded length is the rank-ordered `replace` chain
+    * applied DIRECTLY — by construction the same function the vocab
+    * rewrite computed, now a per-row codegen'd expression — and the
+    * per-doc sums partial-aggregate map-side, so the one doc_id
+    * exchange carries per-doc partials, never tokens (an earlier
+    * vocab-join formulation let the static planner broadcast the
+    * exploded TOKEN STREAM — corpus-sized — instead of the vocab;
+    * this shape has nothing to misjudge). Every merge iteration is
+    * vocab-local with a one-row argmax collect (the boundary every
     * BPE trainer crosses per merge, bounded by `numMerges` ≤ 8). */
   def bpeEncode(docs: DataFrame, textCol: String, numMerges: Int = 8): DataFrame = {
     require(numMerges >= 1 && numMerges <= Markers.length,
@@ -266,6 +274,8 @@ object Phrases {
     // marker char -> expanded fused string, and its inverse
     val expandOf = scala.collection.mutable.Map.empty[String, String]
     val markerOf = scala.collection.mutable.Map.empty[String, String]
+    // the applied replaces in rank order: (marker-space pattern, marker)
+    val mergeChain = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var m = 1
     var exhausted = false
     while (m <= numMerges && !exhausted) {
@@ -288,23 +298,27 @@ object Phrases {
         // FIRST (lowest) marker — the oracle mirrors with min(ch) — so
         // both engines rewrite the identical representation.
         markerOf.getOrElseUpdate(e1 + e2, mk)
+        mergeChain += ((r1 + r2, mk))
         words = materializeVocab(words.select(col("w0"),
           call_function("replace", col("w"), lit(r1 + r2), lit(mk)).as("w"), col("cnt")))
         m += 1
       }
     }
-    val enc = words.select(col("w0"),
-      length(col("w0")).cast("long").as("n_chars"),
-      length(col("w")).cast("long").as("n_sym"))
+    // Encode by replaying the EXACT replace sequence the vocab rewrite
+    // applied, per token, in rank order — the same function, now a
+    // per-row codegen'd chain instead of a vocab join (see scaladoc).
+    val applyChain: Column => Column = w =>
+      mergeChain.foldLeft(w) { case (acc, (pat, mk)) =>
+        call_function("replace", acc, lit(pat), lit(mk))
+      }
     val perDoc = texts
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w0"))
       .filter(!col("w0").rlike(markerClass))
-      .join(enc, "w0")
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_words"),
-        sum(col("n_chars")).as("n_chars"),
-        sum(col("n_sym")).as("n_bpe_tokens"))
+        sum(length(col("w0")).cast("long")).as("n_chars"),
+        sum(length(applyChain(col("w0"))).cast("long")).as("n_bpe_tokens"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),

@@ -675,18 +675,28 @@ class ScaleSpec extends AnyFunSuite {
         "means a consumer re-tokenizes the corpus text column")
     assert("Scan ExistingRDD".r.findAllIn(sPlan).size >= 2,
       "the paragraph frame and the pair pipeline's frames arrive checkpointed")
+    // The drop-set is pair-bounded and explicitly broadcast: a merge
+    // anti-join here would sort/shuffle the whole paragraph frame —
+    // text column included — the exact movement the operator avoids.
+    assert(!sPlan.contains("SortMergeJoin LeftAnti"),
+      "the paragraph drop-set must broadcast, not merge-join")
 
     // q110: the corpus is scanned exactly TWICE in total — the vocab
-    // collapse (paid before its checkpoint, invisible here) and the
-    // encode pass; the closing plan therefore shows the encode-pass
-    // text scan plus the narrow doc_id base = 2 parquet scans, with the
-    // per-merge vocab frames all arriving checkpointed.
+    // collapse (paid during training, before its checkpoint, invisible
+    // here) and the encode pass; the closing plan shows the encode-pass
+    // text scan plus the narrow doc_id base = 2 parquet scans. The
+    // encode joins NOTHING (the merge table rides as ≤ 8 replace
+    // literals per token — an earlier vocab-join formulation let the
+    // planner broadcast the exploded TOKEN STREAM), and the per-doc
+    // sums combine map-side so the doc_id exchange carries partials.
     val enc = graft.operators.Phrases.bpeEncode(Tables.documents(spark, sf001), "text", numMerges = 4)
     assert(enc.count() > 0)
     val ePlan = enc.queryExecution.executedPlan.toString
     assert("Scan parquet".r.findAllIn(ePlan).size == 2,
       "encode pass + doc_id base — any more means a merge iteration rescans the corpus")
-    assert("Scan ExistingRDD".r.findAllIn(ePlan).size >= 1,
-      "the final vocab frame arrives checkpointed")
+    assert("Scan ExistingRDD".r.findAllIn(ePlan).size == 0,
+      "the closing plan reads no checkpoint — the merge chain is literals, not a vocab join")
+    assert(ePlan.contains("partial_count"),
+      "per-doc sums must combine map-side before the doc_id exchange")
   }
 }
