@@ -333,4 +333,48 @@ object Similarity {
           lit(10) * col("mean_new_q") > lit(12) * col("mean_old_q"), 1L)
           .otherwise(0L))
   }
+
+  /** Semantic dedup over an IVF cell partition — SemDeDup (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540, public): cluster the
+    * embedding space (the [[kmeansIterate]] k-means the IVF family
+    * already ships), then within each cell drop every vector whose
+    * cosine to a LOWER-id cell-mate reaches `threshold` — the keep-one-
+    * per-ε-ball rule with the engine's deterministic min-id
+    * representative instead of the paper's random pick. Output: one
+    * row per valid vector, `(vec_id, cell, kept)` with kept ∈ {0, 1}.
+    *
+    * Relation to the neighbors: [[graft.operators.Dedup
+    * .embeddingNearDupPairsLsh]] (q50) REPORTS pairs via sign-bit
+    * buckets (fixed 2^bits buckets, recall from probing); this is the
+    * k-means-partitioned DISPOSITION sheet — cells adapt to the data's
+    * cluster structure and the output is the per-vector keep decision
+    * a curation pipeline consumes. Cross-cell near-dups are the
+    * documented recall trade (SemDeDup's own): near-identical vectors
+    * share an argmax centroid except on cell boundaries.
+    *
+    * Scale shape (100 TB): assignment is the audited [[ivfAssign]]
+    * map-side argmax (one exchange row per vector); the quadratic is
+    * strictly within-cell — `nlist` is the knob that bounds cell size
+    * (scale it with the corpus so |cell| stays ~constant; the paper
+    * runs 50k clusters at web scale); the drop-set join is id-keyed.
+    * The assigned frame is materialized once and feeds both pair
+    * sides and the disposition join. */
+  def semanticDedup(embs: DataFrame, centroids: DataFrame,
+      threshold: Double, dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else inferDim(embs)
+    val assigned = Dedup.materialize(
+      ivfAssign(embs, centroids, d).select(col("n_id"), col("n_v"), col("n_n"), col("c_id")))
+    val a = assigned.select(col("c_id"), col("n_id").as("a_id"),
+      col("n_v").as("a_v"), col("n_n").as("a_n"))
+    val b = assigned.select(col("c_id"), col("n_id").as("b_id"),
+      col("n_v").as("b_v"), col("n_n").as("b_n"))
+    val drops = Dedup.materialize(a.join(b, "c_id").filter(col("a_id") < col("b_id"))
+      .filter(dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")) >= threshold)
+      .select(col("b_id").as("__drop")).distinct())
+    assigned.join(drops, col("n_id") === col("__drop"), "left")
+      .select(col("n_id").as("vec_id"), col("c_id").cast("long").as("cell"),
+        when(col("__drop").isNull, 1L).otherwise(0L).as("kept"))
+  }
 }

@@ -2555,7 +2555,34 @@ object ExtensionQueries {
         |is pair-bounded so the anti-join broadcasts; reassembly is one
         |doc_id group-key shuffle.""".stripMargin,
       (s, d) => Dedup.scrubDupParagraphs(Tables.documents(s, d), blockTokens = 24),
-      Some(MinhashOracle.paragraphScrubSql(blockTokens = 24)))
+      Some(MinhashOracle.paragraphScrubSql(blockTokens = 24))),
+
+    QuerySpec(
+      "q113_semantic_dedup",
+      """Semantic dedup ([[graft.operators.Similarity.semanticDedup]],
+        |SemDeDup — Abbas et al. 2023): cluster the embedding space
+        |with the q49 k-means (same seed, same TWO bitwise-reproducible
+        |Lloyd rounds), then within each cell drop every vector whose
+        |cosine to a lower-id cell-mate reaches 0.35 (the q29/q50
+        |near-dup threshold) — keep-one-per-ε-ball with a deterministic
+        |min-id representative. Output: the per-vector (vec_id, cell,
+        |kept) disposition sheet a curation pipeline consumes — the
+        |k-means-partitioned complement of q50's fixed sign-bit
+        |buckets. The oracle chains the q49 refine CTEs verbatim plus
+        |the within-cell pair/drop closing, so the hash match covers
+        |clustering AND disposition. Scale shape: assignment is the
+        |audited map-side argmax (one exchange row per vector); the
+        |quadratic is strictly within-cell, bounded by nlist (scale it
+        |with the corpus — SemDeDup runs 50k clusters at web scale);
+        |the assigned frame is materialized ONCE feeding both pair
+        |sides and the disposition join.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val refined = Similarity.kmeansIterate(e, e.filter(col("vec_id") < 16),
+          iters = 2, dim = 64)
+        Similarity.semanticDedup(e, refined, threshold = 0.35, dim = 64)
+      },
+      Some(IvfOracle.semanticDedupSql(nlist = 16, iters = 2, dim = 64, threshold = 0.35)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -72,6 +72,34 @@ object IvfOracle {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Similarity.semanticDedup]] (SemDeDup):
+    * the same seed/refine/assign chain as [[sql]], then within-cell
+    * pairs at `threshold` drop the higher id (keep-min-id), closing as
+    * the per-vector (vec_id, cell, kept) disposition sheet. */
+  def semanticDedupSql(nlist: Int = 16, iters: Int = 2, dim: Int = 64,
+      threshold: Double = 0.35): String = {
+    val refine = refineChain(iters, dim)
+    val cent = s"cent$iters"
+    s"""WITH corp AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id c_id, embedding::DOUBLE[] cv FROM embeddings WHERE vec_id < $nlist),
+       |$refine
+       |assign AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT n_id, c_id, row_number() OVER (PARTITION BY n_id
+       |      ORDER BY list_cosine_similarity(v, cv) DESC, c_id ASC) rk
+       |    FROM corp, $cent) t WHERE rk = 1),
+       |drops AS (
+       |  SELECT DISTINCT b.n_id AS d_id
+       |  FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.n_id < b.n_id
+       |  JOIN corp va ON va.n_id = a.n_id
+       |  JOIN corp vb ON vb.n_id = b.n_id
+       |  WHERE list_cosine_similarity(va.v, vb.v) >= $threshold)
+       |SELECT assign.n_id AS vec_id, CAST(assign.c_id AS BIGINT) AS cell,
+       |  CAST(CASE WHEN d.d_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM assign LEFT JOIN drops d ON assign.n_id = d.d_id""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Similarity.ivfDrift]] over the q82
     * fixture: standing corpus = `vec_id % 8 <> 0`, incoming batch =
     * `vec_id % 8 = 0`, seeds = the standing corpus's `vec_id < nlist`

@@ -182,4 +182,27 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy("b").count().collect()
     assert(buckets.length > 4, "expected spread across >4 of 16 buckets")
   }
+
+  test("semantic dedup keeps the min-id representative per ε-ball, keeps non-dups") {
+    // Planted near-identical pairs (i, i+100) over 50 base vectors —
+    // the same fixture the IVF recall test uses: near-copies share an
+    // argmax cell, so SemDeDup must drop exactly the HIGHER id of each
+    // pair and keep everything else.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 50L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val pert = base.map { case (i, v) => (i + 100L) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat) }
+    val all = (base ++ pert).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansIterate(all, all.filter(col("vec_id") < 16), iters = 2, dim = 64)
+    val out = Similarity.semanticDedup(all, cents, threshold = 0.95, dim = 64)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("kept")).toMap
+    assert(out.size == 100, "one disposition row per vector")
+    val dropped = out.filter(_._2 == 0L).keys.toSet
+    assert(dropped.forall(_ >= 100L), "only the higher-id copy of a planted pair may drop")
+    val recall = dropped.count(_ >= 100L) / 50.0
+    info(f"SemDeDup planted-dup drop recall: $recall%.2f")
+    assert(recall >= 0.9, "near-copies share an argmax cell — most planted dups must drop")
+    // random gaussians are near-orthogonal: no base vector reaches 0.95
+    // cosine to a different base vector, so every base id is kept
+    assert((0L until 50L).forall(out(_) == 1L))
+  }
 }
