@@ -364,6 +364,11 @@ object Similarity {
       threshold: Double, dim: Int = 0): DataFrame = {
     graft.GraftSession.ensureConfs(embs.sparkSession)
     val d = if (dim > 0) dim else inferDim(embs)
+    // empty/all-null corpus → zero rows, not a crash (the annTopK
+    // degenerate contract)
+    if (d <= 0) return embs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("vec_id"), lit(0L).as("cell"), lit(1L).as("kept"))
+      .limit(0)
     val assigned = Dedup.materialize(
       ivfAssign(embs, centroids, d).select(col("n_id"), col("n_v"), col("n_n"), col("c_id")))
     val a = assigned.select(col("c_id"), col("n_id").as("a_id"),

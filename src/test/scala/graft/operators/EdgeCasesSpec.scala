@@ -47,4 +47,35 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Dedup.nearDupPairs(one).count() == 0)
     assert(Dedup.simhashNearDupPairs(one).count() == 0)
   }
+
+  test("round-9 operators survive empty/null/degenerate corpora") {
+    // bpeEncode: empty corpus exhausts training at merge 1 and still
+    // returns a (zero-row) total frame; an all-null corpus returns the
+    // doc base with zeros.
+    assert(Phrases.bpeEncode(noDocs, "text").count() == 0)
+    val nulls = Seq((1L, Option.empty[String]), (2L, None)).toDF("doc_id", "text")
+    val z = Phrases.bpeEncode(nulls, "text").collect()
+    assert(z.length == 2 && z.forall(r => r.getLong(1) == 0L && r.getLong(3) == 0L))
+    // a corpus of only 1-char words trains zero merges (no pairs) but
+    // still encodes: every word is its own symbol
+    val ones = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val o = Phrases.bpeEncode(ones, "text").collect().head
+    assert((o.getLong(1), o.getLong(2), o.getLong(3)) == ((3L, 3L, 3L)))
+
+    // paragraph family: empty and null-text corpora produce no units,
+    // no pairs, and a total scrub output
+    assert(Dedup.tokenBlockParagraphs(noDocs).count() == 0)
+    assert(Dedup.paragraphNearDupPairs(noDocs).count() == 0)
+    assert(Dedup.scrubDupParagraphs(noDocs).count() == 0)
+    val scrubNull = Dedup.scrubDupParagraphs(nulls).collect()
+    assert(scrubNull.length == 2 &&
+      scrubNull.forall(r => r.getString(1) == "" && r.getLong(2) == 0L && r.getLong(3) == 0L))
+
+    // semantic dedup: empty corpus (dim uninferable) → zero rows, and a
+    // single vector is trivially kept
+    assert(Similarity.semanticDedup(noVecs, noVecs, 0.9).count() == 0)
+    val oneVec = Seq((5L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(oneVec, oneVec, 0.9, dim = 2).collect()
+    assert(kept.length == 1 && kept.head.getLong(2) == 1L)
+  }
 }
