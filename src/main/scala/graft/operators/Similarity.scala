@@ -382,4 +382,59 @@ object Similarity {
       .select(col("n_id").as("vec_id"), col("c_id").cast("long").as("cell"),
         when(col("__drop").isNull, 1L).otherwise(0L).as("kept"))
   }
+
+  /** Incremental semantic dedup — the SemDeDup member of the
+    * incremental family (q68 minhash, q82 IVF drift, q105 clusters,
+    * q109 BPE): dedup an incoming batch against FROZEN standing keep
+    * decisions. `isNewCol` marks the batch; `centroids` is the
+    * standing index (trained on the corpus side — the q82 convention).
+    * A new vector drops when a same-cell neighbor at ≥ `threshold`
+    * cosine is either a KEPT standing vector (standing decisions are
+    * frozen — an old vector never retro-drops, whatever the ids) or a
+    * LOWER-id batch-mate (the [[semanticDedup]] b-side rule applied
+    * within the batch). Output: the batch's (vec_id, cell, kept)
+    * disposition — standing rows are not re-emitted.
+    *
+    * Scale shape: ONE assignment pass over old∪new (map-side argmax,
+    * the standing side's assignment is exactly what an incremental
+    * system has persisted — recomputed here only because the oracle
+    * replays from scratch); the standing keep sheet is the q113
+    * within-cell computation the standing system also persists; the
+    * batch verification joins (kept-old ∪ new) × NEW within cells —
+    * b-side bounded by the SMALL batch, never corpus × corpus. */
+  def incrementalSemanticDedup(embs: DataFrame, isNewCol: String,
+      centroids: DataFrame, threshold: Double, dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else inferDim(embs)
+    if (d <= 0) return embs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("vec_id"), lit(0L).as("cell"), lit(1L).as("kept"))
+      .limit(0)
+    val mem = embs.select(col("vec_id").as("__mid"), col(isNewCol).cast("boolean").as("__new"))
+    val assigned = Dedup.materialize(
+      ivfAssign(embs, centroids, d)
+        .join(mem, col("n_id") === col("__mid")).drop("__mid")
+        .select(col("n_id"), col("n_v"), col("n_n"), col("c_id"), col("__new")))
+    val old = assigned.filter(!col("__new"))
+    val oldA = old.select(col("c_id"), col("n_id").as("a_id"),
+      col("n_v").as("a_v"), col("n_n").as("a_n"))
+    val oldB = old.select(col("c_id"), col("n_id").as("b_id"),
+      col("n_v").as("b_v"), col("n_n").as("b_n"))
+    val oldDrops = oldA.join(oldB, "c_id").filter(col("a_id") < col("b_id"))
+      .filter(dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")) >= threshold)
+      .select(col("b_id")).distinct()
+    val aSide = oldA.join(oldDrops, col("a_id") === col("b_id"), "left_anti")
+      .withColumn("__a_new", lit(false))
+      .unionByName(assigned.filter(col("__new")).select(col("c_id"),
+        col("n_id").as("a_id"), col("n_v").as("a_v"), col("n_n").as("a_n"))
+        .withColumn("__a_new", lit(true)))
+    val newB = assigned.filter(col("__new")).select(col("c_id"), col("n_id").as("b_id"),
+      col("n_v").as("b_v"), col("n_n").as("b_n"))
+    val drops = Dedup.materialize(aSide.join(newB, "c_id")
+      .filter(!col("__a_new") || col("a_id") < col("b_id"))
+      .filter(dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")) >= threshold)
+      .select(col("b_id").as("__drop")).distinct())
+    assigned.filter(col("__new")).join(drops, col("n_id") === col("__drop"), "left")
+      .select(col("n_id").as("vec_id"), col("c_id").cast("long").as("cell"),
+        when(col("__drop").isNull, 1L).otherwise(0L).as("kept"))
+  }
 }

@@ -2582,7 +2582,38 @@ object ExtensionQueries {
           iters = 2, dim = 64)
         Similarity.semanticDedup(e, refined, threshold = 0.35, dim = 64)
       },
-      Some(IvfOracle.semanticDedupSql(nlist = 16, iters = 2, dim = 64, threshold = 0.35)))
+      Some(IvfOracle.semanticDedupSql(nlist = 16, iters = 2, dim = 64, threshold = 0.35))),
+
+    QuerySpec(
+      "q114_incremental_semantic_dedup",
+      """Incremental semantic dedup ([[graft.operators.Similarity
+        |.incrementalSemanticDedup]]) — the SemDeDup member of the
+        |incremental family (q68 minhash, q82 IVF drift, q105 clusters,
+        |q109 BPE): dedup an incoming batch (q68's md5-bucket
+        |membership, is_new ⇔ bucket < 100) against FROZEN standing
+        |keep decisions. Centroids train on the corpus side only (the
+        |q82 standing-index convention); a new vector drops on a
+        |≥ 0.35 same-cell neighbor that is kept-standing (any id — old
+        |decisions never retro-drop) or lower-id new (the q113 b-side
+        |rule within the batch). Output: the batch's (vec_id, cell,
+        |kept) disposition only. Scale shape: one assignment pass
+        |(map-side argmax; the standing side's assignment and keep
+        |sheet are persisted state in a real system, replayed here for
+        |the oracle); batch verification joins (kept-old ∪ new) × NEW
+        |within cells — bounded by the small batch, never
+        |corpus × corpus.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val flagged = graft.operators.Sampling.withSplitBucket(e, "vec_id")
+          .withColumn("is_new", col("__bucket") < 100).drop("__bucket")
+        val old = flagged.filter(!col("is_new"))
+        val refined = Similarity.kmeansIterate(old, old.filter(col("vec_id") < 16),
+          iters = 2, dim = 64)
+        Similarity.incrementalSemanticDedup(flagged, "is_new", refined,
+          threshold = 0.35, dim = 64)
+      },
+      Some(IvfOracle.incrementalSemanticDedupSql(nlist = 16, iters = 2, dim = 64,
+        threshold = 0.35, newPermille = 100)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -100,6 +100,52 @@ object IvfOracle {
        |FROM assign LEFT JOIN drops d ON assign.n_id = d.d_id""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Similarity.incrementalSemanticDedup]]
+    * over the q68-style md5-bucket membership (is_new ⇔ bucket <
+    * `newPermille`): centroids train on the CORPUS side only (the q82
+    * standing-index convention), the standing keep sheet is the q113
+    * within-cell computation among old vectors, and a new vector drops
+    * on a ≥ threshold same-cell neighbor that is kept-old (any id) or
+    * lower-id new. Emits the NEW side's disposition only. */
+  def incrementalSemanticDedupSql(nlist: Int = 16, iters: Int = 2, dim: Int = 64,
+      threshold: Double = 0.35, newPermille: Int = 100, salt: String = "graft"): String = {
+    val refine = refineChain(iters, dim)
+    val cent = s"cent$iters"
+    val bucket = DecontaminateOracle.bucketExpr(salt, "vec_id")
+    s"""WITH mem AS (SELECT vec_id, (($bucket) % 1000 < $newPermille) is_new
+       |            FROM embeddings WHERE vec_id IS NOT NULL),
+       |alle AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings),
+       |corp AS (SELECT a.n_id, a.v FROM alle a JOIN mem ON mem.vec_id = a.n_id
+       |         WHERE NOT mem.is_new),
+       |cent0 AS (SELECT n_id c_id, v cv FROM corp WHERE n_id < $nlist),
+       |$refine
+       |assign AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT n_id, c_id, row_number() OVER (PARTITION BY n_id
+       |      ORDER BY list_cosine_similarity(v, cv) DESC, c_id ASC) rk
+       |    FROM alle, $cent) t WHERE rk = 1),
+       |oldasg AS (SELECT a.n_id, a.c_id FROM assign a JOIN mem ON mem.vec_id = a.n_id
+       |           WHERE NOT mem.is_new),
+       |newasg AS (SELECT a.n_id, a.c_id FROM assign a JOIN mem ON mem.vec_id = a.n_id
+       |           WHERE mem.is_new),
+       |olddrop AS (SELECT DISTINCT b.n_id d
+       |            FROM oldasg a JOIN oldasg b ON a.c_id = b.c_id AND a.n_id < b.n_id
+       |            JOIN alle va ON va.n_id = a.n_id JOIN alle vb ON vb.n_id = b.n_id
+       |            WHERE list_cosine_similarity(va.v, vb.v) >= $threshold),
+       |oldkept AS (SELECT o.n_id, o.c_id FROM oldasg o
+       |            LEFT JOIN olddrop d ON o.n_id = d.d WHERE d.d IS NULL),
+       |aside AS (SELECT n_id, c_id, FALSE AS a_new FROM oldkept
+       |          UNION ALL SELECT n_id, c_id, TRUE FROM newasg),
+       |drops AS (SELECT DISTINCT b.n_id d
+       |          FROM aside a JOIN newasg b ON a.c_id = b.c_id
+       |            AND (NOT a.a_new OR a.n_id < b.n_id)
+       |          JOIN alle va ON va.n_id = a.n_id JOIN alle vb ON vb.n_id = b.n_id
+       |          WHERE list_cosine_similarity(va.v, vb.v) >= $threshold)
+       |SELECT n.n_id AS vec_id, CAST(n.c_id AS BIGINT) AS cell,
+       |  CAST(CASE WHEN d.d IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM newasg n LEFT JOIN drops d ON n.n_id = d.d""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Similarity.ivfDrift]] over the q82
     * fixture: standing corpus = `vec_id % 8 <> 0`, incoming batch =
     * `vec_id % 8 = 0`, seeds = the standing corpus's `vec_id < nlist`

@@ -205,4 +205,29 @@ class SimilaritySpec extends AnyFunSuite {
     // cosine to a different base vector, so every base id is kept
     assert((0L until 50L).forall(out(_) == 1L))
   }
+
+  test("incremental semantic dedup freezes standing decisions (hand-built geometry)") {
+    // One cell (single centroid). Standing: 20=(1,0,0) keeps,
+    // 21=(1,.3,0) drops standing (cos .958 to 20). New batch:
+    //  - 5 ≈ kept-standing 50=(0,1,0): drops even though 5 < 50 —
+    //    standing decisions are FROZEN (monolithic SemDeDup would have
+    //    kept 5 and dropped 50 instead);
+    //  - 7=(1,.6,0): cos .969 to the DROPPED standing 21 but only .857
+    //    to kept 20 — must survive (only KEPT standing vectors veto);
+    //  - 3/4 near-copies within the batch: the lower id keeps.
+    val rows = Seq(
+      (20L, Array(1f, 0f, 0f), false), (21L, Array(1f, 0.3f, 0f), false),
+      (50L, Array(0f, 1f, 0f), false),
+      (3L, Array(0f, 0f, 1f), true), (4L, Array(0f, 0.01f, 1f), true),
+      (5L, Array(0.01f, 1f, 0f), true), (7L, Array(1f, 0.6f, 0f), true))
+      .toDF("vec_id", "embedding", "is_new")
+    val oneCell = Seq((0L, Array(1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.incrementalSemanticDedup(rows, "is_new", oneCell,
+      threshold = 0.95, dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(3L, 4L, 5L, 7L), "only the batch's disposition is emitted")
+    assert(out(3L) == 1L && out(4L) == 0L, "within-batch near-copy: lower id keeps")
+    assert(out(5L) == 0L, "a kept standing vector vetoes regardless of id order")
+    assert(out(7L) == 1L, "a DROPPED standing vector must not veto")
+  }
 }
