@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Train/test contamination detection — the n-gram overlap audit every
@@ -85,5 +85,83 @@ object Decontaminate {
       .agg(countDistinct(col("sh")).as("n_shared_shingles"),
         countDistinct(col("test_id")).as("n_test_docs"))
       .filter(col("n_shared_shingles") >= minOverlap)
+  }
+
+  /** Bloom-filter hash positions of a shingle: `k = 4` probes, probe
+    * `j` reading hex digits `[8j+1, 8j+8]` of md5 (a 32-bit integer)
+    * mod `mBits` — ONE digest per shingle, exact BIGINT arithmetic,
+    * mirrored digit-by-digit in the DuckDB oracle
+    * ([[graft.queries.DecontaminateOracle.bloomSql]]). */
+  private[graft] def bloomPosition(c: Column, j: Int, mBits: Long): Column =
+    conv(substring(md5(c), 1 + 8 * j, 8), 16, 10).cast("long") % mBits
+
+  private[graft] def bloomPositions(c: Column, mBits: Long): Column =
+    array((0 until 4).map(bloomPosition(c, _, mBits)): _*)
+
+  /** Bloom-filter decontamination probe — the broadcast-sketch variant
+    * of [[contaminationReport]], the shape production decontamination
+    * takes when the training side is 100 TB: the EVAL split's shingles
+    * collapse into an `mBits`-bit Bloom filter (a set of set bit
+    * positions, ≤ mBits rows regardless of corpus size), and every
+    * training shingle probes it map-side. A training shingle whose 4
+    * probe bits are all set is a contamination CANDIDATE — a strict
+    * superset of the exact matches (Bloom has no false negatives; the
+    * deterministic false-positive rate is fill⁴, ~10⁻⁴ at the default
+    * sizing), routed to the exact [[contaminationReport]] join or
+    * human review. Output: `(train_id, n_shingles, n_candidates)` for
+    * docs with ≥ `minOverlap` candidate shingles.
+    *
+    * The df cap is applied on the TEST side only (`maxTestDf`) — the
+    * q66 hot-key bound restated so it is computable from the sketch
+    * side alone: a stop-phrase shingle is prevalent in every split, so
+    * capping its test-side df drops it from the filter, and the train
+    * side never needs a corpus-wide census.
+    *
+    * Scale shape — the point of this operator: the training side is
+    * never joined against eval data, never df-capped, never shuffled
+    * on the shingle string. Each shingle row computes its 4 positions
+    * map-side and passes through 4 chained BROADCAST semi-joins
+    * against the bit set (one per probe — all map-side, the all-bits
+    * AND gate with zero exchanges); the only training-side shuffle is
+    * the final map-side-combinable per-doc count. Eval-side work is
+    * bounded by the eval split (tiny by construction), and the
+    * broadcast state is ≤ mBits rows regardless of scale — the Bloom
+    * trade in its native habitat. */
+  def bloomContaminationCandidates(
+      docs: DataFrame,
+      testPermille: Int = 100,
+      mBits: Long = 1L << 18,
+      maxTestDf: Long = 20L,
+      minOverlap: Long = 3L,
+      salt: String = "graft"): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille must be in [0,1000], got $testPermille")
+    require(mBits > 0, s"mBits must be positive, got $mBits")
+    val membership = Sampling.withSplitBucket(docs.select(col("doc_id")), "doc_id", salt)
+      .select(col("doc_id"), (col("__bucket") < testPermille).as("is_test"))
+    val sh = Dedup.materialize(
+      Dedup.shingleRows(docs).distinct().join(membership, "doc_id"))
+    val testSh = sh.filter(col("is_test"))
+    val rare = testSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTestDf).select(col("sh"))
+    // the filter: distinct set bits of the capped eval shingles
+    val bits = Dedup.materialize(
+      testSh.join(rare, Seq("sh"), "left_semi")
+        .select(explode(bloomPositions(col("sh"), mBits)).as("bit")).distinct())
+    val train = sh.filter(!col("is_test"))
+      .select(Seq(col("doc_id").as("train_id"), col("sh")) ++
+        (0 until 4).map(j => bloomPosition(col("sh"), j, mBits).as(s"__p$j")): _*)
+    // the AND gate: 4 chained broadcast semi-joins, one per probe —
+    // all map-side; a shingle survives iff every probe bit is set
+    val candidates = (0 until 4).foldLeft(train) { (t, j) =>
+      t.join(broadcast(bits), t(s"__p$j") === bits("bit"), "left_semi")
+    }
+    val totals = sh.filter(!col("is_test"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    candidates.groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+      .filter(col("n_candidates") >= minOverlap)
+      .join(totals.withColumnRenamed("doc_id", "train_id"), "train_id")
+      .select(col("train_id"), col("n_shingles"), col("n_candidates"))
   }
 }

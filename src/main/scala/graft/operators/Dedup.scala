@@ -132,9 +132,12 @@ object Dedup {
     * one definition, mirrored once per oracle. Constructed directly
     * ([[graft.functions.NativeColumn]]) — no registry precondition for
     * DataFrame-API callers. */
-  def md5Base48(hexColName: String): Column =
+  def md5Base48(hexColName: String): Column = md5Base48Of(col(hexColName))
+
+  /** [[md5Base48]] over an arbitrary md5-hex Column expression. */
+  def md5Base48Of(hexCol: Column): Column =
     graft.functions.NativeColumn(graft.functions.Md5Base48(
-      graft.functions.NativeColumn.expr(col(hexColName))))
+      graft.functions.NativeColumn.expr(hexCol)))
 
   /** Deterministic (a_i, b_i) coefficients of the pairwise-independent
     * affine family h_i(x) = (a_i·x + b_i) mod p — shared with the DuckDB
@@ -674,6 +677,57 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_paras"), lit(0L)).as("n_paras"),
         (coalesce(col("n_paras"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
+  /** Corpus-level EXACT boilerplate removal (the MassiveText/RefinedWeb
+    * repeated-line filter; C4's three-sentence-span rule is the same
+    * signal): a unit — token-block paragraph, the same segmentation as
+    * [[scrubDupParagraphs]] ([[blankLineParagraphs]] for real corpora)
+    * — whose normalized text occurs in ≥ `minDocs` DISTINCT documents
+    * is boilerplate (header/footer/nav/license chrome) and is dropped
+    * from EVERY document. No keep-first: unlike the near-dup scrub,
+    * prevalence itself is the drop signal — a unit the corpus repeats
+    * verbatim carries no per-document information. Exact counterpart of
+    * the fuzzy [[scrubDupParagraphs]]; the two compose (run this first,
+    * it shrinks the near-dup candidate space). Survivors reassemble in
+    * unit order; output `(doc_id, clean_text, n_units, n_dropped)`,
+    * total on null text (the q81 convention).
+    *
+    * Scale shape: the corpus census groups on the unit's 48-bit md5 key
+    * ([[md5Base48]]) — 8-byte shuffle rows, never unit text — and
+    * distinct-doc counting is the standard two-level aggregate, both
+    * levels map-side combinable. The boilerplate set is prevalence-
+    * bounded and tiny (bounded by |corpus units|/minDocs, in practice
+    * ~10⁻³ of it), so the drop is a broadcast anti-join on the same
+    * 8-byte key, and reassembly is one doc_id group-key shuffle — the
+    * text column moves exactly once. A 48-bit key collision can only
+    * drop an innocent unit whose key collides with a boilerplate key
+    * (~|units|·|boiler|/2^48, vanishing); the oracle mirrors the same
+    * key arithmetic, so the check is bitwise either way. */
+  def scrubBoilerplateUnits(docs: DataFrame, blockTokens: Int = 24,
+      minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 2L, s"minDocs < 2 would drop every unit, got $minDocs")
+    val paras = materialize(tokenBlockParagraphs(docs, blockTokens))
+    val keyed = paras.withColumn("__uk", md5Base48Of(md5(col("para"))))
+    // census: distinct docs per unit key, two-level (both combinable)
+    val boiler = materialize(
+      keyed.select(col("__uk"), col("doc_id")).distinct()
+        .groupBy(col("__uk")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= minDocs).select(col("__uk")))
+    val kept = keyed.join(broadcast(boiler), Seq("__uk"), "left_anti")
+    val agg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(para_idx, para))), s -> s.para)"))
+        .as("clean_text"))
+    val tot = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_units"))
+    docs.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        (coalesce(col("n_units"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
           .as("n_dropped"))
   }
 

@@ -41,4 +41,45 @@ object DecontaminateOracle {
        |GROUP BY 1
        |HAVING count(DISTINCT a.sh) >= $minOverlap""".stripMargin
   }
+
+  /** q116 mirror of
+    * [[graft.operators.Decontaminate.bloomContaminationCandidates]]:
+    * same shingle/membership CTEs as [[sql]]; the Bloom filter is the
+    * distinct set of probe positions of the test-df-capped eval
+    * shingles (probe `j` = hex digits [8j+1, 8j+8] of md5(sh), a
+    * 32-bit integer, mod `mBits` — the digit-by-digit base shared with
+    * every md5-keyed oracle); a train shingle is a candidate iff all 4
+    * of its positions are set. */
+  def bloomSql(testPermille: Int = 100, mBits: Long = 1L << 18,
+      maxTestDf: Int = 20, minOverlap: Int = 3,
+      salt: String = "graft"): String = {
+    val bucket = bucketExpr(salt)
+    def pos(j: Int): String = "(" + (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(sh), ${8 * j + i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("\n      + ") + s") % $mBits"
+    val posList = (0 until 4).map(pos).mkString("[", ",\n    ", "]")
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |sh AS (SELECT doc_id, sh FROM (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+       |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
+       |mem AS (SELECT doc_id, (($bucket) % 1000 < $testPermille) AS is_test
+       |        FROM documents WHERE doc_id IS NOT NULL),
+       |tsh AS (SELECT s.sh FROM sh s JOIN mem m ON m.doc_id = s.doc_id AND m.is_test),
+       |rare AS (SELECT sh FROM tsh GROUP BY sh HAVING count(*) <= $maxTestDf),
+       |pbits AS (SELECT DISTINCT unnest($posList) AS bit
+       |          FROM (SELECT DISTINCT sh FROM tsh JOIN rare USING (sh))),
+       |tr AS (SELECT s.doc_id AS train_id, s.sh, unnest($posList) AS bit
+       |       FROM sh s JOIN mem m ON m.doc_id = s.doc_id AND NOT m.is_test),
+       |cands AS (SELECT train_id, sh FROM tr JOIN pbits USING (bit)
+       |          GROUP BY train_id, sh HAVING count(*) = 4),
+       |tot AS (SELECT s.doc_id AS train_id, CAST(count(*) AS BIGINT) AS n_shingles
+       |        FROM sh s JOIN mem m ON m.doc_id = s.doc_id AND NOT m.is_test
+       |        GROUP BY 1)
+       |SELECT c.train_id, tot.n_shingles,
+       |  CAST(count(*) AS BIGINT) AS n_candidates
+       |FROM cands c JOIN tot ON tot.train_id = c.train_id
+       |GROUP BY c.train_id, tot.n_shingles
+       |HAVING count(*) >= $minOverlap""".stripMargin
+  }
 }

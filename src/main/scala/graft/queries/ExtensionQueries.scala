@@ -2613,7 +2613,47 @@ object ExtensionQueries {
           threshold = 0.35, dim = 64)
       },
       Some(IvfOracle.incrementalSemanticDedupSql(nlist = 16, iters = 2, dim = 64,
-        threshold = 0.35, newPermille = 100)))
+        threshold = 0.35, newPermille = 100))),
+
+    QuerySpec(
+      "q115_boilerplate_scrub",
+      """Corpus-level EXACT boilerplate removal ([[graft.operators.Dedup
+        |.scrubBoilerplateUnits]] — the MassiveText/RefinedWeb
+        |repeated-line filter): any token-block unit (q111's
+        |segmentation) whose normalized text occurs in ≥ 2 DISTINCT
+        |documents is corpus chrome and is dropped from EVERY document —
+        |no keep-first, unlike the fuzzy q112 scrub (prevalence itself
+        |is the signal); the two compose, this pass first. Survivors
+        |reassemble in unit order as (doc_id, clean_text, n_units,
+        |n_dropped). Scale shape: the census shuffles 8-byte md5-48 unit
+        |keys (never text) through a two-level distinct-doc aggregate;
+        |the boilerplate set is prevalence-bounded and broadcast for the
+        |anti-join; reassembly is one doc_id group-key shuffle — the
+        |text column moves exactly once.""".stripMargin,
+      (s, d) => Dedup.scrubBoilerplateUnits(Tables.documents(s, d),
+        blockTokens = 24, minDocs = 2L),
+      Some(MinhashOracle.boilerplateScrubSql(blockTokens = 24, minDocs = 2L))),
+
+    QuerySpec(
+      "q116_bloom_decontaminate",
+      """Bloom-filter decontamination probe ([[graft.operators
+        |.Decontaminate.bloomContaminationCandidates]]) — the
+        |broadcast-sketch shape of q66 for a 100 TB training side: the
+        |eval split's shingles (q66's split, df-capped on the TEST side
+        |alone so the filter is computable without a corpus census)
+        |collapse into a 2^18-bit Bloom filter; every training shingle
+        |computes its 4 md5-window probe positions map-side and passes
+        |4 chained BROADCAST semi-joins (the all-bits AND gate — zero
+        |training-side exchanges before the final map-side-combinable
+        |per-doc count). Candidates are a strict superset of exact
+        |matches (no false negatives — spec-asserted; deterministic
+        |fill⁴ false-positive rate), routed to the q66 exact join.
+        |Output (train_id, n_shingles, n_candidates) at ≥ 3 candidate
+        |shingles; all-integer, bitwise-oracled — the oracle replays
+        |bit positions digit-by-digit and the set-membership gate.""".stripMargin,
+      (s, d) => graft.operators.Decontaminate.bloomContaminationCandidates(
+        Tables.documents(s, d)),
+      Some(DecontaminateOracle.bloomSql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -129,6 +129,38 @@ object MinhashOracle {
        |  CAST(n_int AS DOUBLE) / least(n_a, n_b) AS cont
        |FROM ov WHERE CAST(n_int AS DOUBLE) / least(n_a, n_b) >= $threshold""".stripMargin
 
+  /** Mirror of [[graft.operators.Dedup.scrubBoilerplateUnits]]: the
+    * token-block unit frame of [[paragraphScrubSql]], an EXACT
+    * prevalence census on the unit's 48-bit md5 key (the same
+    * digit-by-digit base as the minhash chain, over md5 of the
+    * space-rejoined unit), drop every occurrence of units in ≥
+    * `minDocs` distinct documents, reassemble survivors in unit
+    * order. */
+  def boilerplateScrubSql(blockTokens: Int = 24, minDocs: Long = 2L): String = {
+    val ukExpr = (0 until 12).map { j =>
+      s"(strpos('0123456789abcdef', substr(md5(para), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+    }.mkString("\n    + ")
+    s"""WITH ${paraDocsCte(blockTokens)},
+       |u AS (SELECT doc_id, para_idx, array_to_string(ptoks, ' ') AS para FROM paras),
+       |k AS (SELECT doc_id, para_idx, para, ($ukExpr) AS uk FROM u),
+       |boiler AS (SELECT uk FROM (
+       |    SELECT uk, count(DISTINCT doc_id) AS df FROM k GROUP BY uk)
+       |  WHERE df >= $minDocs),
+       |kept AS (SELECT k.doc_id, k.para_idx, k.para
+       |         FROM k LEFT JOIN boiler b ON k.uk = b.uk WHERE b.uk IS NULL),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |               string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+       |        FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units FROM u GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(agg.clean_text, '') AS clean_text,
+       |  CAST(coalesce(tot.n_units, 0) AS BIGINT) AS n_units,
+       |  CAST(coalesce(tot.n_units, 0) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
+       |FROM documents d
+       |LEFT JOIN tot ON d.doc_id = tot.doc_id
+       |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Dedup.crossNearDupPairs]] with the
     * md5-bucket split as membership (is_new ⇔ bucket < `newPermille`,
     * the [[graft.operators.Sampling.withSplitBucket]] definition):

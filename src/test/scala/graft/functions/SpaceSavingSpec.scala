@@ -86,8 +86,10 @@ class SpaceSavingSpec extends AnyFunSuite {
     assume(load <= cpus * 0.15,
       f"loadavg $load%.2f exceeds ${cpus * 0.15}%.1f — throughput floors skipped on a contended machine")
     // floor far below expectations — guards regressions to per-row O(m)
-    // scans or per-row allocation storms without being machine-flaky
-    assert(r64 > 500000, f"m=64 throughput $r64%.0f rows/s")
-    assert(r1024 > 500000, f"m=1024 throughput $r1024%.0f rows/s")
+    // scans or per-row allocation storms (10-100x slower) without being
+    // machine-flaky: the loadavg gate is a start-of-test snapshot, so
+    // leave headroom for load arriving mid-test
+    assert(r64 > 250000, f"m=64 throughput $r64%.0f rows/s")
+    assert(r1024 > 250000, f"m=1024 throughput $r1024%.0f rows/s")
   }
 }

@@ -59,4 +59,42 @@ class DecontaminateSpec extends AnyFunSuite {
     val rep = Decontaminate.contaminationReport(docs, testPermille = 1000)
     assert(rep.isEmpty)
   }
+
+  test("bloom probe flags the copied doc and has no false negatives vs exact overlap") {
+    val split = testIds(1L to 200L)
+    val testId = split.head
+    val Seq(dirty, clean) = (1L to 200L).filterNot(split).take(2)
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val docs = Seq(
+      (testId, shared),
+      (dirty, shared + " juliett kilo lima"),
+      (clean, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val bloom = Decontaminate.bloomContaminationCandidates(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bloom.contains(dirty), "a verbatim copy always hits every probe bit")
+    assert(bloom(dirty)._2 >= 3L, "every shared shingle is a candidate")
+    assert(bloom(dirty)._2 <= bloom(dirty)._1, "candidates are bounded by the doc's shingles")
+    assert(!bloom.contains(clean), "at 2^18 bits a 7-shingle filter cannot 4-bit-collide")
+
+    // no false negatives on the driver corpus: every doc the exact
+    // report flags (same minOverlap) must appear in the bloom candidates
+    val d = graft.sources.Tables.documents(spark, sf001)
+    val exact = Decontaminate.contaminationReport(d, maxShingleDf = Long.MaxValue)
+      .select(col("train_id")).collect().map(_.getLong(0)).toSet
+    val probed = Decontaminate.bloomContaminationCandidates(d, maxTestDf = Long.MaxValue)
+      .select(col("train_id")).collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(probed),
+      s"bloom must be a superset of exact; missing ${exact -- probed}")
+  }
+
+  test("bloom probe positions are in range and the filter is test-split-bounded") {
+    val d = Seq((1L, "alpha bravo charlie delta echo")).toDF("doc_id", "text")
+    val m = 1L << 18
+    val pos = Dedup.shingleRows(d)
+      .select(explode(Decontaminate.bloomPositions(col("sh"), m)).as("p"))
+      .collect().map(_.getLong(0))
+    assert(pos.length == 12, "3 shingles x 4 probes")
+    assert(pos.forall(p => p >= 0 && p < m))
+  }
 }

@@ -294,4 +294,37 @@ class DedupSpec extends AnyFunSuite {
     assert(blocks.toSeq == Seq((0L, 24), (1L, 24), (2L, 2)),
       "non-overlapping blocks, last partial")
   }
+
+  test("boilerplate scrub drops prevalent units from EVERY doc, keeps intra-doc repeats, is total on null") {
+    val chrome = (1 to 24).map(i => s"c$i").mkString(" ")   // in 3 docs
+    val fillA = (1 to 24).map(i => s"a$i").mkString(" ")
+    val fillB = (1 to 24).map(i => s"b$i").mkString(" ")
+    val twin = (1 to 24).map(i => s"x$i").mkString(" ")
+    val d = Seq(
+      (1L, Some(chrome + " " + fillA)),
+      (2L, Some(chrome + " " + fillB)),
+      (3L, Some(chrome)),                    // entirely boilerplate
+      (4L, Some(twin + " " + twin)),         // intra-doc repeat: ONE doc, kept
+      (5L, None)).toDF("doc_id", "text")
+    val out = Dedup.scrubBoilerplateUnits(d, blockTokens = 24, minDocs = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_units"),
+          r.getAs[Long]("n_dropped")))).toMap
+    assert(out(1L) == ((fillA, 2L, 1L)), "no keep-first: doc 1's copy drops too")
+    assert(out(2L) == ((fillB, 2L, 1L)))
+    assert(out(3L) == (("", 1L, 1L)), "an all-chrome doc scrubs to empty")
+    assert(out(4L) == ((twin + " " + twin, 2L, 0L)),
+      "prevalence counts DISTINCT docs — an intra-doc repeat is not boilerplate")
+    assert(out(5L) == (("", 0L, 0L)), "null text reports zeros")
+  }
+
+  test("boilerplate scrub at minDocs=3 spares a two-doc unit") {
+    val shared = (1 to 24).map(i => s"s$i").mkString(" ")
+    val d = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val out = Dedup.scrubBoilerplateUnits(d, blockTokens = 24, minDocs = 3L)
+      .agg(sum("n_dropped")).head.getLong(0)
+    assert(out == 0L, "df=2 is below the minDocs=3 prevalence bar")
+    assertThrows[IllegalArgumentException](
+      Dedup.scrubBoilerplateUnits(d, blockTokens = 24, minDocs = 1L))
+  }
 }

@@ -1,10 +1,11 @@
 #!/bin/bash
 # Dev-only: run graft.Verify from compiled classes (avoids sbt startup).
-# Usage: tools/run_verify.sh [sfDir] [outDir] [mainClass]
+# Usage: tools/run_verify.sh [sfDir] [outDir] [mainClass] [extraArgs...]
 set -e
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_out}
 MAIN=${3:-graft.Verify}
+shift $(( $# > 3 ? 3 : $# ))
 cd /root/repo
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
@@ -18,4 +19,4 @@ exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  "$MAIN" "$SF" "$OUT"
+  "$MAIN" "$SF" "$OUT" "$@"
