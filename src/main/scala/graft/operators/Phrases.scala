@@ -328,4 +328,36 @@ object Phrases {
 
   /** [[Dedup.materialize]] for the per-merge vocab frames. */
   private def materializeVocab(df: DataFrame): DataFrame = Dedup.materialize(df)
+
+  /** Tokenizer fertility sheet — the corpus-health readout a tokenizer
+    * budget planner consumes, composed from [[bpeEncode]]: per
+    * (source, lang), document/word/char/BPE-symbol totals plus
+    * `fertility` = BPE symbols per word (the number multilingual
+    * tokenizer evaluations report per language) and `compression` =
+    * chars per BPE symbol. The ratios are two identical BIGINTs under
+    * one IEEE division — bitwise on both engines; zero-word groups
+    * yield NULL (nullif guard), not engine-specific inf.
+    *
+    * Scale shape: [[bpeEncode]]'s two audited corpus passes (vocab
+    * collapse + encode) plus ONE map-side-combined aggregation onto
+    * the small (source, lang) key — the sheet adds no new
+    * corpus-sized movement; the doc_id join rides the encode pass's
+    * existing per-doc frame. */
+  def bpeFertilitySheet(docs: DataFrame, textCol: String,
+      numMerges: Int = 8): DataFrame = {
+    val enc = bpeEncode(docs, textCol, numMerges)
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(enc, "doc_id")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_words"),
+        col("n_chars"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") /
+          when(col("n_words") > 0L, col("n_words"))).as("fertility"),
+        (col("n_chars").cast("double") /
+          when(col("n_bpe_tokens") > 0L, col("n_bpe_tokens"))).as("compression"))
+  }
 }

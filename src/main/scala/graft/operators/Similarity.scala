@@ -437,4 +437,40 @@ object Similarity {
       .select(col("n_id").as("vec_id"), col("c_id").cast("long").as("cell"),
         when(col("__drop").isNull, 1L).otherwise(0L).as("kept"))
   }
+
+  /** ANN recall audit — measure the approximate indexes BEFORE trusting
+    * them: per query vector and ANN family (`ivf` = [[ivfTopK]] at the
+    * q49 parameters, `lsh` = multi-probe [[annTopK]] at the q46
+    * parameters), how many of the EXACT top-k ([[bruteForceTopK]])
+    * the index returned. Output
+    * `(q_id, method, n_returned, n_hits, recall)` — n_returned < k
+    * means the index could not even fill k (LSH probes exhausted),
+    * recall = n_hits/k is the number every ANN deployment pins its
+    * nprobe/bits tuning to. The division of two identical integers by
+    * an identical literal is IEEE-identical on both engines, so even
+    * the DOUBLE column oracles bitwise.
+    *
+    * Scale shape: the three kernels keep their own audited shapes
+    * (broadcast query side everywhere; the exact arm is the documented
+    * O(|q|·corpus) slice — an audit runs over a SAMPLE of queries, not
+    * the corpus, so |q| is small by construction); the audit itself
+    * joins q·k-bounded frames — driver-negligible at any corpus
+    * size. */
+  def annRecallAudit(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 4, bits: Int = 4, seed: Long = 42L,
+      dim: Int = 0): DataFrame = {
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    val ivf = ivfTopK(queries, corpus, centroids, k, nprobe, dim)
+      .select(col("q_id"), col("n_id"), lit("ivf").as("method"))
+    val lsh = annTopK(queries, corpus, k, bits, seed, multiProbe = true, dim = dim)
+      .select(col("q_id"), col("n_id"), lit("lsh").as("method"))
+    ivf.unionByName(lsh)
+      .join(exact, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"), col("method"))
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .select(col("q_id"), col("method"), col("n_returned"), col("n_hits"),
+        (col("n_hits") / lit(k.toDouble)).as("recall"))
+  }
 }

@@ -1,0 +1,49 @@
+package graft.queries
+
+/** Generated DuckDB mirror of
+  * [[graft.operators.Similarity.annRecallAudit]]: the exact
+  * brute-force arm ([[bruteForceSql]], shared with the q30 spec), the
+  * IVF arm ([[IvfOracle.sql]]) and the LSH arm ([[AnnOracle.sql]])
+  * embedded as CTE subqueries, closed by the per-(query, method) hit
+  * count against the exact top-k. */
+object AnnRecallOracle {
+
+  /** Mirror of [[graft.operators.Similarity.bruteForceTopK]] over
+    * queries `vec_id < qBound` — exact cosine top-k with the
+    * (cos DESC, n_id ASC) total order. The single source for the q30
+    * oracle AND the recall audit's exact arm. */
+  def bruteForceSql(qBound: Long = 8, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < $qBound),
+       |c AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings)
+       |SELECT q_id, n_id, cos, rank FROM (
+       |  SELECT q.q_id, c.n_id, list_cosine_similarity(q.v, c.v) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.n_id ASC) AS BIGINT) AS rank
+       |  FROM q, c WHERE q.q_id <> c.n_id) t
+       |WHERE rank <= $k""".stripMargin
+
+  /** q117: (q_id, method, n_returned, n_hits, recall) per query vector
+    * and ANN family. `recall` is n_hits / k — two identical integers
+    * divided by an identical literal, IEEE-identical on both
+    * engines. */
+  def sql(nlist: Int = 16, nprobe: Int = 4, bits: Int = 4, k: Int = 5,
+      qBound: Long = 8, seed: Long = 42L, iters: Int = 2,
+      dim: Int = 64): String =
+    s"""WITH exact AS (SELECT q_id, n_id FROM (
+       |${bruteForceSql(qBound, k)}
+       |)),
+       |ivf AS (SELECT q_id, n_id FROM (
+       |${IvfOracle.sql(nlist, nprobe, k, qBound, iters, dim)}
+       |)),
+       |lsh AS (SELECT q_id, n_id FROM (
+       |${AnnOracle.sql(bits, k, qBound, seed, dim)}
+       |)),
+       |appr AS (SELECT q_id, n_id, 'ivf' AS method FROM ivf
+       |         UNION ALL SELECT q_id, n_id, 'lsh' AS method FROM lsh)
+       |SELECT a.q_id, a.method,
+       |  CAST(count(*) AS BIGINT) AS n_returned,
+       |  CAST(coalesce(sum(CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(sum(CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) / $k AS recall
+       |FROM appr a LEFT JOIN exact e ON e.q_id = a.q_id AND e.n_id = a.n_id
+       |GROUP BY a.q_id, a.method""".stripMargin
+}

@@ -68,4 +68,22 @@ object BpeOracle {
        |  CAST(coalesce(per.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
   }
+
+  /** q118 mirror of
+    * [[graft.operators.Phrases.bpeFertilitySheet]]: the full
+    * [[encodeSql]] chain as a subquery, aggregated onto
+    * (source, lang) with the two IEEE ratio columns (nullif-guarded
+    * like the Spark side). */
+  def fertilitySql(numMerges: Int): String =
+    s"""SELECT d.source, d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(e.n_bpe_tokens) AS DOUBLE) / nullif(sum(e.n_words), 0) AS fertility,
+       |  CAST(sum(e.n_chars) AS DOUBLE) / nullif(sum(e.n_bpe_tokens), 0) AS compression
+       |FROM (
+       |${encodeSql(numMerges)}
+       |) e JOIN documents d ON d.doc_id = e.doc_id
+       |GROUP BY d.source, d.lang""".stripMargin
 }

@@ -147,14 +147,7 @@ object ExtensionQueries {
         val e = Tables.embeddings(s, d)
         Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, 5)
       },
-      Some("""WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 8),
-             |c AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings)
-             |SELECT q_id, n_id, cos, rank FROM (
-             |  SELECT q.q_id, c.n_id, list_cosine_similarity(q.v, c.v) AS cos,
-             |    CAST(row_number() OVER (PARTITION BY q.q_id
-             |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.n_id ASC) AS BIGINT) AS rank
-             |  FROM q, c WHERE q.q_id <> c.n_id) t
-             |WHERE rank <= 5""".stripMargin)),
+      Some(AnnRecallOracle.bruteForceSql(qBound = 8, k = 5))),
 
     QuerySpec(
       "q31_multimodal_meta",
@@ -2653,7 +2646,53 @@ object ExtensionQueries {
         |bit positions digit-by-digit and the set-membership gate.""".stripMargin,
       (s, d) => graft.operators.Decontaminate.bloomContaminationCandidates(
         Tables.documents(s, d)),
-      Some(DecontaminateOracle.bloomSql()))
+      Some(DecontaminateOracle.bloomSql())),
+
+    QuerySpec(
+      "q117_ann_recall_audit",
+      """ANN recall audit ([[graft.operators.Similarity.annRecallAudit]])
+        |— measure the approximate indexes BEFORE trusting them, the
+        |step every ANN deployment runs when tuning nprobe/bits: per
+        |query vector and family (ivf = q49's IVF-flat, lsh = q46's
+        |multi-probe sign-bit LSH), how many of the EXACT top-5 (q30's
+        |brute force) the index returned — (q_id, method, n_returned,
+        |n_hits, recall). n_returned < k exposes an index that cannot
+        |even fill k; recall = n_hits/k (two identical BIGINTs over an
+        |identical literal — IEEE-identical on both engines, so the
+        |DOUBLE oracles bitwise). The oracle embeds all three audited
+        |CTE chains and replays the hit join. Scale shape: each kernel
+        |keeps its own audited plan; the audit joins q·k-bounded
+        |frames — an audit runs over a query SAMPLE by construction, so
+        |the exact arm's corpus scan is the q30 slice, not a new
+        |quadratic.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val refined = Similarity.kmeansIterate(e, e.filter(col("vec_id") < 16),
+          iters = 2, dim = 64)
+        Similarity.annRecallAudit(e.filter(col("vec_id") < 8), e, refined,
+          k = 5, nprobe = 4, bits = 4, seed = 42L, dim = 64)
+      },
+      Some(AnnRecallOracle.sql(nlist = 16, nprobe = 4, bits = 4, k = 5,
+        qBound = 8, seed = 42L, iters = 2, dim = 64))),
+
+    QuerySpec(
+      "q118_bpe_fertility",
+      """Tokenizer fertility sheet ([[graft.operators.Phrases
+        |.bpeFertilitySheet]]) — the corpus-health readout a tokenizer
+        |budget planner consumes, composed from q110's encoder: per
+        |(source, lang), doc/word/char/BPE-symbol totals plus fertility
+        |(BPE symbols per word — the number multilingual tokenizer
+        |evals report per language) and compression (chars per symbol).
+        |Ratios are identical BIGINTs under one IEEE division (bitwise
+        |both engines; nullif-guarded zero groups). The oracle embeds
+        |the whole q110 train+apply CTE chain, so the hash covers
+        |training, encoding AND the sheet. Scale shape: q110's two
+        |audited corpus passes plus ONE map-side-combined aggregation
+        |onto the small (source, lang) key — no new corpus-sized
+        |movement.""".stripMargin,
+      (s, d) => graft.operators.Phrases.bpeFertilitySheet(
+        Tables.documents(s, d), "text", numMerges = 8),
+      Some(BpeOracle.fertilitySql(numMerges = 8)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -151,4 +151,29 @@ class PhrasesSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, 0L, 0L)))
     assert(out(3L) == ((1L, 2L, 1L)))
   }
+
+  test("fertility sheet aggregates the encode per (source, lang) with exact ratios") {
+    // same corpus as the hand-computed encode test, tagged into groups
+    val docs = Seq(
+      (1L, "ababc ababc", "web", "en"),
+      (2L, "abc", "web", "en"),
+      (3L, "xy", "books", "fr"))
+      .toDF("doc_id", "text", "source", "lang")
+    val sheet = Phrases.bpeFertilitySheet(docs, "text", numMerges = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    // web/en: docs 1+2 -> words 3, chars 13, symbols 3 (each doc's
+    // tokens collapse to single symbols at 5 merges)
+    assert(sheet(("web", "en")) == ((2L, 3L, 13L, 3L, 1.0, 13.0 / 3.0)))
+    assert(sheet(("books", "fr")) == ((1L, 1L, 2L, 1L, 1.0, 2.0)))
+
+    // a zero-word group (null text) reports NULL ratios, not inf
+    val withNull = Seq((1L, Some("ab ab"), "w", "en"), (2L, None, "empty", "xx"))
+      .toDF("doc_id", "text", "source", "lang")
+    val row = Phrases.bpeFertilitySheet(withNull, "text", numMerges = 1)
+      .filter($"source" === "empty").head
+    assert(row.getLong(2) == 1L && row.getLong(3) == 0L &&
+      row.isNullAt(6) && row.isNullAt(7))
+  }
 }

@@ -206,6 +206,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert((0L until 50L).forall(out(_) == 1L))
   }
 
+  test("recall audit agrees with a direct intersection of the kernels' outputs") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.filter(col("vec_id") < 8)
+    val refined = Similarity.kmeansIterate(e, e.filter(col("vec_id") < 16),
+      iters = 2, dim = 64)
+    val audit = Similarity.annRecallAudit(q, e, refined, k = 5, nprobe = 4,
+      bits = 4, seed = 42L, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(audit.keys.map(_._1).toSet.size == 8 && audit.size == 16,
+      "8 queries x 2 methods")
+    // recompute one method's hits directly
+    val exact = Similarity.bruteForceTopK(q, e, 5).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, e, refined, k = 5, nprobe = 4, dim = 64)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = ivf.groupBy(_._1)
+    for ((qid, rows) <- byQ) {
+      val hits = rows.count(exact)
+      val (nRet, nHits, recall) = audit((qid, "ivf"))
+      assert(nRet == rows.length && nHits == hits && recall == hits / 5.0,
+        s"q$qid ivf audit row")
+    }
+    assert(audit.values.forall { case (nRet, nHits, rec) =>
+      nHits <= nRet && rec >= 0.0 && rec <= 1.0 })
+  }
+
   test("incremental semantic dedup freezes standing decisions (hand-built geometry)") {
     // One cell (single centroid). Standing: 20=(1,0,0) keeps,
     // 21=(1,.3,0) drops standing (cos .958 to 20). New batch:
