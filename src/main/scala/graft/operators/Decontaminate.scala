@@ -158,10 +158,14 @@ object Decontaminate {
     }
     val totals = sh.filter(!col("is_test"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    candidates.groupBy(col("train_id"))
+    // the flagged set is minOverlap-bounded (tiny) while totals is one
+    // row per training doc — broadcast the flagged side, not a merge
+    // join keyed on the corpus
+    val flagged = candidates.groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_candidates"))
       .filter(col("n_candidates") >= minOverlap)
-      .join(totals.withColumnRenamed("doc_id", "train_id"), "train_id")
+    totals.withColumnRenamed("doc_id", "train_id")
+      .join(broadcast(flagged), "train_id")
       .select(col("train_id"), col("n_shingles"), col("n_candidates"))
   }
 }
