@@ -731,6 +731,61 @@ object Dedup {
           .as("n_dropped"))
   }
 
+  /** Incremental boilerplate scrub — the [[scrubBoilerplateUnits]]
+    * member of the incremental family (q68 minhash, q82 IVF drift,
+    * q105 clusters, q109 BPE, q114 SemDeDup): scrub an incoming BATCH
+    * against the COMBINED prevalence census without retro-scrubbing
+    * the standing corpus (shipped docs are frozen — the q114
+    * convention). A batch unit drops when its distinct-doc count
+    * across standing ∪ batch reaches `minDocs`; the decision is
+    * identical to running the monolithic scrub over the union and
+    * reading only the batch rows, which is exactly what the oracle
+    * replays — the hash match IS the incremental == monolithic
+    * equivalence. `isNewCol` marks batch membership (the q68
+    * md5-bucket split in the query surface). Output: the batch's
+    * `(doc_id, clean_text, n_units, n_dropped)` only.
+    *
+    * Scale shape: the standing side collapses to its (unit-key,
+    * distinct-doc-count) census — 16-byte rows a production system
+    * PERSISTS and folds batch deltas into (the q82 standing-index
+    * convention; replayed from the corpus here for the oracle), so
+    * steady-state cost is batch-sized: the batch's unit frame, one
+    * batch-keyspace census join (batch keys probe the standing
+    * census), a broadcast anti-join, one batch-doc reassembly
+    * shuffle. */
+  def scrubBoilerplateIncrement(docs: DataFrame, isNewCol: String,
+      blockTokens: Int = 24, minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 2L, s"minDocs < 2 would drop every unit, got $minDocs")
+    val paras = materialize(tokenBlockParagraphs(
+        docs.filter(col(isNewCol)).drop(isNewCol), blockTokens))
+    val keyed = paras.withColumn("__uk", md5Base48Of(md5(col("para"))))
+    // standing census: persisted state in production, replayed here
+    val standing = tokenBlockParagraphs(
+        docs.filter(!col(isNewCol)).drop(isNewCol), blockTokens)
+      .select(md5Base48Of(md5(col("para"))).as("__uk"), col("doc_id")).distinct()
+      .groupBy(col("__uk")).agg(count(lit(1)).as("__df_old"))
+    val batchCensus = keyed.select(col("__uk"), col("doc_id")).distinct()
+      .groupBy(col("__uk")).agg(count(lit(1)).as("__df_new"))
+    val boiler = materialize(
+      batchCensus.join(standing, Seq("__uk"), "left")
+        .filter(col("__df_new") + coalesce(col("__df_old"), lit(0L)) >= minDocs)
+        .select(col("__uk")))
+    val kept = keyed.join(broadcast(boiler), Seq("__uk"), "left_anti")
+    val agg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(para_idx, para))), s -> s.para)"))
+        .as("clean_text"))
+    val tot = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_units"))
+    docs.filter(col(isNewCol)).select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        (coalesce(col("n_units"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** Embedding-cosine near-dup pairs over the FULL corpus via sign-bit
     * LSH bucketing — the unbounded scale path ([[embeddingNearDupPairs]]
     * is the exact O(n²) form, only usable id-bounded). One bucket

@@ -2692,7 +2692,32 @@ object ExtensionQueries {
         |movement.""".stripMargin,
       (s, d) => graft.operators.Phrases.bpeFertilitySheet(
         Tables.documents(s, d), "text", numMerges = 8),
-      Some(BpeOracle.fertilitySql(numMerges = 8)))
+      Some(BpeOracle.fertilitySql(numMerges = 8))),
+
+    QuerySpec(
+      "q119_incremental_boilerplate",
+      """Incremental boilerplate scrub ([[graft.operators.Dedup
+        |.scrubBoilerplateIncrement]]) — q115's member of the
+        |incremental family (q68 minhash, q82 IVF, q105 clusters, q109
+        |BPE, q114 SemDeDup): scrub an incoming batch (q68's md5-bucket
+        |split, is_new ⇔ bucket < 100) against the COMBINED standing ∪
+        |batch prevalence census without retro-scrubbing shipped docs.
+        |The standing side collapses to the (unit-key, doc-count)
+        |census a production system persists and folds deltas into
+        |(the q82 standing-index convention), so steady-state cost is
+        |batch-sized. The oracle is deliberately MONOLITHIC — census
+        |over the union, scrub read for batch docs — so the hash match
+        |proves incremental == monolithic, the q105/q109/q114
+        |pattern.""".stripMargin,
+      (s, d) => {
+        val flagged = graft.operators.Sampling.withSplitBucket(
+            Tables.documents(s, d), "doc_id")
+          .withColumn("is_new", col("__bucket") < 100).drop("__bucket")
+        Dedup.scrubBoilerplateIncrement(flagged, "is_new",
+          blockTokens = 24, minDocs = 2L)
+      },
+      Some(MinhashOracle.incrementalBoilerplateSql(blockTokens = 24,
+        minDocs = 2L, newPermille = 100)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

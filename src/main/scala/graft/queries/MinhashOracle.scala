@@ -161,6 +161,44 @@ object MinhashOracle {
        |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Dedup.scrubBoilerplateIncrement]] —
+    * deliberately the MONOLITHIC form: census over standing ∪ batch
+    * (the whole corpus), scrub read only for batch docs (md5-bucket
+    * membership, is_new ⇔ bucket < `newPermille` — the q68 split), so
+    * the hash match proves incremental == monolithic. */
+  def incrementalBoilerplateSql(blockTokens: Int = 24, minDocs: Long = 2L,
+      newPermille: Int = 100, salt: String = "graft"): String = {
+    val ukExpr = (0 until 12).map { j =>
+      s"(strpos('0123456789abcdef', substr(md5(para), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+    }.mkString("\n    + ")
+    val bucket = DecontaminateOracle.bucketExpr(salt)
+    s"""WITH ${paraDocsCte(blockTokens)},
+       |mem AS (SELECT doc_id, (($bucket) % 1000 < $newPermille) AS is_new
+       |        FROM documents WHERE doc_id IS NOT NULL),
+       |u AS (SELECT doc_id, para_idx, array_to_string(ptoks, ' ') AS para FROM paras),
+       |k AS (SELECT doc_id, para_idx, para, ($ukExpr) AS uk FROM u),
+       |boiler AS (SELECT uk FROM (
+       |    SELECT uk, count(DISTINCT doc_id) AS df FROM k GROUP BY uk)
+       |  WHERE df >= $minDocs),
+       |kept AS (SELECT k.doc_id, k.para_idx, k.para
+       |         FROM k JOIN mem m ON m.doc_id = k.doc_id AND m.is_new
+       |         LEFT JOIN boiler b ON k.uk = b.uk WHERE b.uk IS NULL),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |               string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+       |        FROM kept GROUP BY doc_id),
+       |tot AS (SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_units
+       |        FROM u JOIN mem m ON m.doc_id = u.doc_id AND m.is_new
+       |        GROUP BY u.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(agg.clean_text, '') AS clean_text,
+       |  CAST(coalesce(tot.n_units, 0) AS BIGINT) AS n_units,
+       |  CAST(coalesce(tot.n_units, 0) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
+       |FROM documents d
+       |JOIN mem m ON m.doc_id = d.doc_id AND m.is_new
+       |LEFT JOIN tot ON d.doc_id = tot.doc_id
+       |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Dedup.crossNearDupPairs]] with the
     * md5-bucket split as membership (is_new ⇔ bucket < `newPermille`,
     * the [[graft.operators.Sampling.withSplitBucket]] definition):

@@ -318,6 +318,36 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == (("", 0L, 0L)), "null text reports zeros")
   }
 
+  test("incremental boilerplate scrub: combined census decides, standing docs frozen, equals monolithic on the batch") {
+    val chrome = (1 to 24).map(i => s"c$i").mkString(" ")  // standing 1 + batch 1 -> combined df=2
+    val fresh = (1 to 24).map(i => s"n$i").mkString(" ")   // batch 2 -> df=2 within batch alone
+    val lone = (1 to 24).map(i => s"l$i").mkString(" ")    // batch 1 only -> kept
+    val d = Seq(
+      (1L, chrome, false),                  // standing: frozen, never output
+      (2L, chrome + " " + lone, true),      // batch: chrome drops via combined census
+      (3L, fresh, true),
+      (4L, fresh, true)).toDF("doc_id", "text", "is_new")
+    val out = Dedup.scrubBoilerplateIncrement(d, "is_new", blockTokens = 24, minDocs = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_units"),
+          r.getAs[Long]("n_dropped")))).toMap
+    assert(out.keySet == Set(2L, 3L, 4L), "only batch docs are output")
+    assert(out(2L) == ((lone, 2L, 1L)),
+      "a unit at standing-df 1 + batch-df 1 crosses minDocs=2 via the COMBINED census")
+    assert(out(3L) == (("", 1L, 1L)) && out(4L) == (("", 1L, 1L)),
+      "batch-internal prevalence alone also crosses the bar")
+
+    // monolithic equivalence: scrubbing the union and reading batch rows
+    // gives the identical result
+    val mono = Dedup.scrubBoilerplateUnits(
+        d.drop("is_new"), blockTokens = 24, minDocs = 2L)
+      .filter($"doc_id" =!= 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_units"),
+          r.getAs[Long]("n_dropped")))).toMap
+    assert(mono == out, "incremental == monolithic restricted to the batch")
+  }
+
   test("boilerplate scrub at minDocs=3 spares a two-doc unit") {
     val shared = (1 to 24).map(i => s"s$i").mkString(" ")
     val d = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")

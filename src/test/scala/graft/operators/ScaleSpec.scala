@@ -699,4 +699,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(ePlan.contains("partial_count"),
       "per-doc sums must combine map-side before the doc_id exchange")
   }
+
+  test("boilerplate scrubs broadcast their census; bloom probe never exchanges the train side before the count") {
+    // q115: the unit frame is materialized once; the boilerplate set is
+    // prevalence-bounded and must broadcast into the anti-join — a
+    // merge anti-join would shuffle the whole unit frame, text included.
+    val boil = Dedup.scrubBoilerplateUnits(Tables.documents(spark, sf001), blockTokens = 24)
+    assert(boil.count() > 0)
+    val bPlan = boil.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(bPlan).size == 1,
+      "only the closing doc_id projection may read parquet")
+    assert(!bPlan.contains("SortMergeJoin LeftAnti"),
+      "the boilerplate set must broadcast, not merge-join")
+
+    // q119: same closing shape; the standing census folds into the
+    // materialized boiler frame, so the batch-side plan reads one
+    // parquet base and checkpointed frames.
+    val incr = Dedup.scrubBoilerplateIncrement(
+      Tables.documents(spark, sf001)
+        .withColumn("is_new", col("doc_id") % 2 === 0), "is_new", blockTokens = 24)
+    assert(incr.count() > 0)
+    val iPlan = incr.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(iPlan).size == 1,
+      "standing census arrives via the checkpointed boiler frame — the " +
+        "closing plan must not rescan the corpus")
+    assert(!iPlan.contains("SortMergeJoin LeftAnti"),
+      "the combined-census drop-set must broadcast")
+
+    // q116: the 4 probe gates are broadcast semi-joins — the training
+    // side's ONLY exchanges are the two per-doc aggregations (candidate
+    // count + shingle totals); any SortMergeJoin means a corpus-keyed
+    // exchange crept back in.
+    val probe = graft.operators.Decontaminate.bloomContaminationCandidates(
+      Tables.documents(spark, sf001))
+    assert(probe.count() > 0)
+    val pExec = probe.queryExecution.executedPlan
+    val pPlan = pExec.toString
+    assert(!pPlan.contains("SortMergeJoin"), "all joins must broadcast")
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(pPlan).size >= 4,
+      "the all-bits AND gate is 4 chained broadcast semi-probes")
+    assert(collectShuffles(pExec) <= 2,
+      s"train side: candidate count + totals only, got ${collectShuffles(pExec)}")
+  }
 }
