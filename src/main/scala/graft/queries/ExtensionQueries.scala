@@ -21,6 +21,13 @@ object ExtensionQueries {
     * silently drift apart. */
   private val ReleasePacksPerShard = 16L
 
+  /** q99's packing geometry — the same single-constant rule as
+    * [[ReleasePacksPerShard]]: both the Spark `shardManifest` call and
+    * the interpolated oracle SQL read these, so the two sides cannot
+    * silently drift apart. */
+  private val ManifestCapacity = 2048L
+  private val ManifestPacksPerShard = 16L
+
   private val StopList = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
   private def markers(l: String) = TextFunctions.LangMarkers(l).map(s => s"'$s'").mkString(", ")
 
@@ -2014,23 +2021,24 @@ object ExtensionQueries {
       (s, d) => graft.operators.SequencePack.shardManifest(
         Tables.documents(s, d).select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens")),
-        "doc_id", "n_tokens", capacity = 2048L, packsPerShard = 16L),
-      Some("""WITH t AS (SELECT doc_id,
-             |  CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        "doc_id", "n_tokens", capacity = ManifestCapacity,
+        packsPerShard = ManifestPacksPerShard),
+      Some(s"""WITH t AS (SELECT doc_id,
+             |  CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
              |  FROM documents WHERE doc_id IS NOT NULL),
              |c AS (SELECT doc_id, n_tokens,
              |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
              |  FROM t),
              |p AS (SELECT doc_id, n_tokens,
-             |  cb // 2048 AS pack_first,
-             |  (cb + greatest(n_tokens, 1) - 1) // 2048 AS pack_last
+             |  cb // $ManifestCapacity AS pack_first,
+             |  (cb + greatest(n_tokens, 1) - 1) // $ManifestCapacity AS pack_last
              |  FROM c)
-             |SELECT pack_first // 16 AS shard,
+             |SELECT pack_first // $ManifestPacksPerShard AS shard,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
              |  CAST(max(pack_last - pack_first + 1) AS BIGINT) AS max_span,
-             |  CAST(sum(CASE WHEN pack_last // 16 <> pack_first // 16 THEN 1 ELSE 0 END) AS BIGINT)
+             |  CAST(sum(CASE WHEN pack_last // $ManifestPacksPerShard <> pack_first // $ManifestPacksPerShard THEN 1 ELSE 0 END) AS BIGINT)
              |    AS boundary_crossers
              |FROM p GROUP BY 1""".stripMargin)),
 
