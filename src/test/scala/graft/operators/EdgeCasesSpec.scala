@@ -78,4 +78,46 @@ class EdgeCasesSpec extends AnyFunSuite {
     val kept = Similarity.semanticDedup(oneVec, oneVec, 0.9, dim = 2).collect()
     assert(kept.length == 1 && kept.head.getLong(2) == 1L)
   }
+
+  test("census/probe operators survive empty/null/degenerate corpora") {
+    val nulls = Seq((1L, Option.empty[String]), (2L, None)).toDF("doc_id", "text")
+
+    // boilerplate scrubs: empty corpus → zero rows; all-null corpus →
+    // total output with zeros; single doc can never cross minDocs >= 2
+    assert(Dedup.scrubBoilerplateUnits(noDocs).count() == 0)
+    val bNull = Dedup.scrubBoilerplateUnits(nulls).collect()
+    assert(bNull.length == 2 &&
+      bNull.forall(r => r.getString(1) == "" && r.getLong(2) == 0L && r.getLong(3) == 0L))
+    val one = Seq((1L, (1 to 50).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.scrubBoilerplateUnits(one).agg(sum("n_dropped")).head.getLong(0) == 0L)
+
+    // incremental: an empty batch is an empty output whatever the
+    // standing side holds; an empty STANDING side degrades to the
+    // batch-only census (== monolithic over the batch)
+    val flagged = one.withColumn("is_new", lit(false))
+    assert(Dedup.scrubBoilerplateIncrement(flagged, "is_new").count() == 0)
+    val batchOnly = Seq((1L, "a b", true), (2L, "a b", true))
+      .toDF("doc_id", "text", "is_new")
+    assert(Dedup.scrubBoilerplateIncrement(batchOnly, "is_new", blockTokens = 2)
+      .agg(sum("n_dropped")).head.getLong(0) == 2L)
+
+    // bloom probe: empty corpus and a corpus whose docs are all too
+    // short to shingle both yield an empty (not crashed) report
+    assert(Decontaminate.bloomContaminationCandidates(noDocs).count() == 0)
+    val short = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    assert(Decontaminate.bloomContaminationCandidates(short).count() == 0)
+
+    // recall audit: empty query side → empty audit (the corpus side
+    // empty is covered by the kernels' own guards)
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.annRecallAudit(noVecs, vecs, vecs, k = 3, dim = 2).count() == 0)
+
+    // fertility sheet: all-null corpus aggregates to zero counts with
+    // NULL ratios
+    val fNulls = Seq((1L, Option.empty[String], "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val fr = Phrases.bpeFertilitySheet(fNulls, "text", numMerges = 1).collect().head
+    assert(fr.getLong(3) == 0L && fr.isNullAt(6) && fr.isNullAt(7))
+  }
 }

@@ -1,9 +1,10 @@
 #!/bin/bash
 # Dev-only: measure wall time + shuffle bytes of the shingle/CC family
-# (q58/q59/q71/q108) over the inflated corpora from gen_scale_corpus.py,
-# at x1/x4/x8 the sf0.1 document count. Emits SCALE lines; SCALE.md is
-# written from them by hand (the measurement is the artifact, prose is
-# cheap). Run idle — contention inflates everything.
+# (q58/q59/q71/q108) and the census/probe family (q115/q116/q119) over
+# the inflated corpora from gen_scale_corpus.py, at x1/x4/x8 the sf0.1
+# document count. Emits SCALE lines; SCALE.md is written from them by
+# hand (the measurement is the artifact, prose is cheap). Run idle —
+# contention inflates everything.
 set -e
 cd /root/repo
 /opt/spark/bin/spark-shell --master 'local[32]' --conf spark.ui.enabled=false \
@@ -24,7 +25,9 @@ spark.sparkContext.addSparkListener(new SparkListener {
 graft.GraftSession.ensureConfs(spark)
 spark.range(1000000).selectExpr("sum(id)").collect()  // session warmup
 val names = Seq("q58_neardup_clusters", "q59_dedup_keepset",
-  "q71_corpus_build", "q108_release_bundle")
+  "q71_corpus_build", "q108_release_bundle",
+  "q115_boilerplate_scrub", "q116_bloom_decontaminate",
+  "q119_incremental_boilerplate")
 for (scale <- Seq("x1", "x4", "x8"); name <- names) {
   val dir = s"/tmp/graft_scale/$scale"
   def once(): Double = {
