@@ -2725,7 +2725,27 @@ object ExtensionQueries {
           blockTokens = 24, minDocs = 2L)
       },
       Some(MinhashOracle.incrementalBoilerplateSql(blockTokens = 24,
-        minDocs = 2L, newPermille = 100)))
+        minDocs = 2L, newPermille = 100))),
+
+    QuerySpec(
+      "q120_winnow_matches",
+      """Winnowing fingerprint matches ([[graft.operators.Winnow]] —
+        |Schleimer/Wilkerson/Aiken 2003, the MOSS algorithm): each
+        |window of 4 consecutive token-3-gram hashes contributes its
+        |minimal hash (rightmost tie), giving a ~2/(w+1)-density sketch
+        |with the winnowing guarantee — any shared verbatim run of ≥
+        |w+k−1 = 6 tokens lands ≥ 1 identical fingerprint in both docs;
+        |the local, positional near-dup evidence set-global MinHash
+        |(q28) can't give, at a fraction of q83's exhaustive span keys.
+        |Output: (a_id, b_id, n_shared) over df-capped fingerprints
+        |(the q66 hot-key bound) at ≥ 2 shared. Both engines select via
+        |ONE integer — enc = h40·2²⁰ + (2²⁰−1−i) — whose plain window
+        |min IS the argmin-with-rightmost-tie, so the sketch oracles
+        |bitwise. Scale shape: gram hashing map-side; one doc-keyed
+        |window exchange of 16-byte rows; the match join fans out ≤
+        |maxDf per hash over a sketch ~2/(w+1) the gram volume.""".stripMargin,
+      (s, d) => graft.operators.Winnow.matches(Tables.documents(s, d)),
+      Some(WinnowOracle.matchesSql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
