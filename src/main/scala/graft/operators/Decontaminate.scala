@@ -118,15 +118,21 @@ object Decontaminate {
     * side never needs a corpus-wide census.
     *
     * Scale shape — the point of this operator: the training side is
-    * never joined against eval data, never df-capped, never shuffled
-    * on the shingle string. Each shingle row computes its 4 positions
-    * map-side and passes through 4 chained BROADCAST semi-joins
-    * against the bit set (one per probe — all map-side, the all-bits
-    * AND gate with zero exchanges); the only training-side shuffle is
-    * the final map-side-combinable per-doc count. Eval-side work is
-    * bounded by the eval split (tiny by construction), and the
-    * broadcast state is ≤ mBits rows regardless of scale — the Bloom
-    * trade in its native habitat. */
+    * never joined against eval data, never df-capped, never exchanged
+    * on the shingle string ANYWHERE. The shingle frame is built fully
+    * map-side — split-bucket membership is an EXPRESSION on doc_id
+    * (no membership join), and per-doc set semantics come from
+    * `array_distinct` on the per-doc gram array BEFORE the explode (a
+    * shingle cannot span documents, so per-doc dedup IS the
+    * (doc, shingle) distinct — without the corpus-wide exchange
+    * `.distinct()` would cost). Each shingle row then computes its 4
+    * positions map-side and passes through 4 chained BROADCAST
+    * semi-joins against the bit set (the all-bits AND gate, zero
+    * exchanges); the training side's only shuffles are the two
+    * map-side-combinable per-doc counts. Eval-side work is bounded by
+    * the eval split (tiny by construction), and the broadcast state is
+    * ≤ mBits rows regardless of scale — the Bloom trade in its native
+    * habitat. */
   def bloomContaminationCandidates(
       docs: DataFrame,
       testPermille: Int = 100,
@@ -137,10 +143,11 @@ object Decontaminate {
     require(testPermille >= 0 && testPermille <= 1000,
       s"testPermille must be in [0,1000], got $testPermille")
     require(mBits > 0, s"mBits must be positive, got $mBits")
-    val membership = Sampling.withSplitBucket(docs.select(col("doc_id")), "doc_id", salt)
-      .select(col("doc_id"), (col("__bucket") < testPermille).as("is_test"))
     val sh = Dedup.materialize(
-      Dedup.shingleRows(docs).distinct().join(membership, "doc_id"))
+      Sampling.withSplitBucket(docs, "doc_id", salt)
+        .select(col("doc_id"), (col("__bucket") < testPermille).as("is_test"),
+          explode(array_distinct(graft.functions.TextFunctions.tokenNgrams(
+            split(lower(col("text")), "\\s+"), 3))).as("sh")))
     val testSh = sh.filter(col("is_test"))
     val rare = testSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxTestDf).select(col("sh"))

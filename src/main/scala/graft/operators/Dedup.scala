@@ -554,10 +554,14 @@ object Dedup {
     * para_idx` so every whole-doc kernel ([[nearDupPairsFromShingles]]
     * etc.) runs unchanged at paragraph granularity. Contract:
     * para_idx < 2^20 (a 2^20-paragraph doc is ~25M tokens at the
-    * default block width) and doc_id < 2^43 — both asserted nowhere
-    * because violating inputs overflow loudly into negative ids the
-    * `a_id < b_id` canonicalization still orders consistently; the
-    * oracles mirror the same arithmetic either way. */
+    * default block width) — enforced with raise_error in
+    * [[packParagraphUnits]], because an overflow there is SILENT, not
+    * loud: idx 2^20 of doc d aliases to idx 0 of doc d+1, so two
+    * blocks of the SAME long doc would pass the cross-document filter
+    * and keep-first could scrub a doc against itself. doc_id < 2^43 is
+    * not separately asserted: violating ids overflow into negative
+    * packed values the `a_id < b_id` canonicalization still orders
+    * consistently, and the oracles mirror the same arithmetic. */
   val ParaPack: Long = 1048576L
 
   /** Paragraph rows `(doc_id, para_idx, para)` by BLANK-LINE split —
@@ -617,9 +621,16 @@ object Dedup {
         numHashes, rowsPerBand, threshold))
 
   /** (doc_id, para_idx, para) → the packed (doc_id, text) unit frame
-    * every whole-doc kernel consumes. */
+    * every whole-doc kernel consumes. The para_idx bound is fused into
+    * the packed id (so the optimizer cannot prune the check): a ≥
+    * 2^20-unit doc fails LOUDLY instead of aliasing into its
+    * neighbor's id space (see [[ParaPack]]). */
   private def packParagraphUnits(paras: DataFrame): DataFrame =
-    paras.select((col("doc_id") * ParaPack + col("para_idx")).as("doc_id"),
+    paras.select(
+      when(col("para_idx") >= ParaPack, expr(
+          s"raise_error('paragraph index >= $ParaPack — a ~25M-token doc exceeds the ParaPack contract')")
+          .cast("long"))
+        .otherwise(col("doc_id") * ParaPack + col("para_idx")).as("doc_id"),
       col("para").as("text"))
 
   /** Unpack kernel pairs over packed units to
@@ -665,18 +676,30 @@ object Dedup {
         .select(col("b_id").as("__unit")).distinct())
     val kept = paras.join(broadcast(drops),
       col("doc_id") * ParaPack + col("para_idx") === col("__unit"), "left_anti")
+    reassembleUnits(docs.select(col("doc_id")), paras, kept, "n_paras")
+  }
+
+  /** Shared closing of the unit scrubs ([[scrubDupParagraphs]],
+    * [[scrubBoilerplateUnits]], [[scrubBoilerplateIncrement]]):
+    * reassemble surviving `(doc_id, para_idx, para)` units in order,
+    * close totals over the doc base —
+    * `(doc_id, clean_text, <nUnitsName>, n_dropped)`, total on docs
+    * with no units (the q81 convention). One doc_id group-key shuffle
+    * of the kept units — the only corpus-sized exchange any scrub's
+    * closing pays. */
+  private def reassembleUnits(docBase: DataFrame, units: DataFrame,
+      kept: DataFrame, nUnitsName: String): DataFrame = {
     val agg = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_kept"),
       concat_ws(" ", expr(
         "transform(array_sort(collect_list(struct(para_idx, para))), s -> s.para)"))
         .as("clean_text"))
-    val tot = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
-    docs.select(col("doc_id"))
-      .join(tot, Seq("doc_id"), "left").join(agg, Seq("doc_id"), "left")
+    val tot = units.groupBy(col("doc_id")).agg(count(lit(1)).as("__n_units"))
+    docBase.join(tot, Seq("doc_id"), "left").join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
-        (coalesce(col("n_paras"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+        coalesce(col("__n_units"), lit(0L)).as(nUnitsName),
+        (coalesce(col("__n_units"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
           .as("n_dropped"))
   }
 
@@ -716,19 +739,7 @@ object Dedup {
         .groupBy(col("__uk")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") >= minDocs).select(col("__uk")))
     val kept = keyed.join(broadcast(boiler), Seq("__uk"), "left_anti")
-    val agg = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_kept"),
-      concat_ws(" ", expr(
-        "transform(array_sort(collect_list(struct(para_idx, para))), s -> s.para)"))
-        .as("clean_text"))
-    val tot = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_units"))
-    docs.select(col("doc_id"))
-      .join(tot, Seq("doc_id"), "left").join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_units"), lit(0L)).as("n_units"),
-        (coalesce(col("n_units"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
-          .as("n_dropped"))
+    reassembleUnits(docs.select(col("doc_id")), paras, kept, "n_units")
   }
 
   /** Incremental boilerplate scrub — the [[scrubBoilerplateUnits]]
@@ -771,19 +782,8 @@ object Dedup {
         .filter(col("__df_new") + coalesce(col("__df_old"), lit(0L)) >= minDocs)
         .select(col("__uk")))
     val kept = keyed.join(broadcast(boiler), Seq("__uk"), "left_anti")
-    val agg = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_kept"),
-      concat_ws(" ", expr(
-        "transform(array_sort(collect_list(struct(para_idx, para))), s -> s.para)"))
-        .as("clean_text"))
-    val tot = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_units"))
-    docs.filter(col(isNewCol)).select(col("doc_id"))
-      .join(tot, Seq("doc_id"), "left").join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_units"), lit(0L)).as("n_units"),
-        (coalesce(col("n_units"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
-          .as("n_dropped"))
+    reassembleUnits(docs.filter(col(isNewCol)).select(col("doc_id")),
+      paras, kept, "n_units")
   }
 
   /** Embedding-cosine near-dup pairs over the FULL corpus via sign-bit

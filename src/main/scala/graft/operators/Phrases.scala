@@ -270,7 +270,12 @@ object Phrases {
     // words carries (original word, marker-space rewrite, freq);
     // materialized per iteration so each merge reads the previous
     // checkpoint instead of replaying the whole lineage.
-    var words = materializeVocab(vocab0.select(col("w0"), col("w0").as("w"), col("cnt")))
+    // (w, cnt) only: the original-word column the ORACLE's CTE chain
+    // threads (its encode joins back on w0) is dead weight Spark-side —
+    // encoding replays the replace chain per token, never joining the
+    // vocab — so checkpointing it per merge would double string bytes
+    // written for nothing.
+    var words = materializeVocab(vocab0.select(col("w0").as("w"), col("cnt")))
     // marker char -> expanded fused string, and its inverse
     val expandOf = scala.collection.mutable.Map.empty[String, String]
     val markerOf = scala.collection.mutable.Map.empty[String, String]
@@ -299,7 +304,7 @@ object Phrases {
         // both engines rewrite the identical representation.
         markerOf.getOrElseUpdate(e1 + e2, mk)
         mergeChain += ((r1 + r2, mk))
-        words = materializeVocab(words.select(col("w0"),
+        words = materializeVocab(words.select(
           call_function("replace", col("w"), lit(r1 + r2), lit(mk)).as("w"), col("cnt")))
         m += 1
       }

@@ -17,17 +17,20 @@ import org.apache.spark.sql.functions._
   * ships ~2/(w+1) of the grams; q83 ships all of them).
   *
   * Determinism on BOTH engines via one integer: each gram encodes
-  * `enc = h40 · 2²⁰ + (2²⁰−1 − i)`, so a plain window `min(enc)` IS
+  * `enc = h36 · 2²⁴ + (2²⁴−1 − i)`, so a plain window `min(enc)` IS
   * "min hash, rightmost tie" — no argmin/min_by construct needed.
-  * Contracts: gram index i < 2²⁰ (the [[Dedup.ParaPack]] bound — a
-  * 2²⁰-gram doc is ~1M tokens) and h40 = 40-bit md5 prefix reduction
-  * (pair-window collision ~2⁻⁴⁰ — vanishing, and mirrored exactly by
-  * the oracle, so the check is bitwise either way).
+  * Contracts: gram index i < 2²⁴ (a 16M-gram doc is ~64 MB of text —
+  * far past any sane document bound; violations raise_error LOUDLY
+  * rather than silently bleeding into the adjacent hash's keyspace)
+  * and h36 = 36-bit md5 prefix reduction (pair-window collision ~2⁻³⁶
+  * — vanishing for candidate detection, the ≥ minShared threshold
+  * absorbs strays, and the oracle mirrors the same arithmetic so the
+  * check is bitwise either way).
   */
 object Winnow {
 
-  val H40: Long = 1L << 40
-  val PosPack: Long = 1L << 20
+  val H36: Long = 1L << 36
+  val PosPack: Long = 1L << 24
 
   /** Selected fingerprints `(doc_id, fp_h, fp_pos)` — distinct per doc.
     * Scale shape: grams and the window selection are per-doc local (ONE
@@ -44,9 +47,15 @@ object Winnow {
       .toDF("doc_id", "p", "sh")
       // 1-based gram index, shared with the oracle's range(1, ...)
       .select(col("doc_id"), (col("p") + 1).cast("long").as("i"),
-        (Dedup.md5Base48Of(md5(col("sh"))) % H40).as("h40"))
+        (Dedup.md5Base48Of(md5(col("sh"))) % H36).as("h36"))
+    // the contract check is fused into enc so the optimizer cannot
+    // prune it: a >= 2^24-gram doc fails LOUDLY instead of silently
+    // corrupting fingerprints across the pack boundary
     val enc = grams.select(col("doc_id"), col("i"),
-      (col("h40") * PosPack + (lit(PosPack - 1) - col("i"))).as("enc"))
+      when(col("i") >= PosPack, expr(
+          s"raise_error('winnow: gram index >= $PosPack (a ~64MB doc) — widen PosPack')")
+          .cast("long"))
+        .otherwise(col("h36") * PosPack + (lit(PosPack - 1) - col("i"))).as("enc"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, window - 1)
     val n = Window.partitionBy(col("doc_id"))

@@ -4,8 +4,8 @@ import graft.operators.Winnow
 
 /** Generated DuckDB mirror of [[graft.operators.Winnow]]: positional
   * token-3-grams (the MinhashOracle gram construction, with position
-  * kept instead of distinct'd), the 40-bit md5 base, the
-  * `h40·2²⁰ + (2²⁰−1−i)` encoding whose window `min` IS
+  * kept instead of distinct'd), the 36-bit md5 base, the
+  * `h36·2²⁴ + (2²⁴−1−i)` encoding whose window `min` IS
   * "min hash, rightmost tie", full windows only, distinct per-doc
   * fingerprints, df-capped cross-doc match counts. */
 object WinnowOracle {
@@ -20,10 +20,10 @@ object WinnowOracle {
     s"""docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks
        |  FROM documents WHERE doc_id IS NOT NULL),
        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
-       |        (${b48("concat(toks[CAST(i AS INTEGER)], ' ', toks[CAST(i AS INTEGER)+1], ' ', toks[CAST(i AS INTEGER)+2])")}) % ${Winnow.H40} AS h40
+       |        (${b48("concat(toks[CAST(i AS INTEGER)], ' ', toks[CAST(i AS INTEGER)+1], ' ', toks[CAST(i AS INTEGER)+2])")}) % ${Winnow.H36} AS h36
        |      FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-1, 1))) AS i FROM docs)),
        |e AS (SELECT doc_id, i,
-       |        h40 * ${Winnow.PosPack} + (${Winnow.PosPack - 1} - i) AS enc FROM g),
+       |        h36 * ${Winnow.PosPack} + (${Winnow.PosPack - 1} - i) AS enc FROM g),
        |s AS (SELECT doc_id, i,
        |        min(enc) OVER (PARTITION BY doc_id ORDER BY i
        |          ROWS BETWEEN CURRENT ROW AND ${window - 1} FOLLOWING) AS sel,

@@ -30,6 +30,10 @@ class RelationalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         Seq(a.executedPlan)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      // a reused exchange is a LEAF whose metrics live on the original
+      // it points at — descend, or an executed plan's build side shows
+      // no BroadcastExchange at all
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
       case other => other.children
     }
     p +: kids.flatMap(allNodes)
@@ -37,9 +41,16 @@ class RelationalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("every registered query runs on sf0.001 and returns rows") {
     var bnljSeen = 0
+    var bcastRowsSeen = 0L
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf001)
-      val n = df.count()
+      // Execute THIS dataset's own QueryExecution: df.count() would
+      // plan and run a NEW one (groupBy().count()), leaving the
+      // executedPlan inspected below with never-updated SQLMetrics —
+      // the broadcast-size check would read 0 forever and guard
+      // nothing. toRdd.count() materializes the same plan instance
+      // whose metrics are read.
+      val n = df.queryExecution.toRdd.count()
       assert(n > 0, s"$name returned no rows")
       // Fleet-wide plan-hygiene net: an unconstrained cartesian product
       // is the one join shape that is ALWAYS fatal at 100 TB (every
@@ -57,8 +68,8 @@ class RelationalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       // frames — tens to hundreds of rows). A corpus-sized relation
       // showing up on the build side means a both-sides-large nested
       // loop: fatal at scale long before CartesianProduct would be.
-      // The count() above populated the runtime metrics, so the check
-      // reads the ACTUAL broadcast row count, not an estimate.
+      // The toRdd.count() above executed THIS plan instance, so the
+      // check reads the ACTUAL broadcast row count, not an estimate.
       for (b <- allNodes(df.queryExecution.executedPlan)
           .collect { case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }) {
         bnljSeen += 1
@@ -72,8 +83,16 @@ class RelationalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(bcastRows.forall(_ <= 2000L),
           s"$name: BroadcastNestedLoopJoin broadcasts ${bcastRows.max} rows — " +
             "a large relation reached a nested-loop build side; at scale this query cannot run")
+        bcastRowsSeen += bcastRows.sum
       }
     }
+    // Metric-read non-vacuity: if the metrics were read off a plan that
+    // never executed they'd all be 0 (the exact bug this guard once
+    // had) — the known broadcast cross joins ship real vectors, so a
+    // zero total means the read went dead, not that the joins shrank.
+    assert(bcastRowsSeen > 0L,
+      "every BroadcastNestedLoopJoin build-side metric read 0 — the " +
+        "metric read is off a never-executed plan instance again")
     // Non-vacuity: the similarity family deliberately plans several
     // broadcast cross joins (q30/q46/q49 query vectors, centroids) —
     // if the AQE traversal ever stops finding them, the guard above is
