@@ -87,6 +87,52 @@ object Decontaminate {
       .filter(col("n_shared_shingles") >= minOverlap)
   }
 
+  /** Eval-side contamination report — the flip side of
+    * [[contaminationReport]], answering the question the EVAL owner
+    * asks: which test items are compromised and must be dropped or
+    * re-drawn before the split ships? A test doc is compromised by a
+    * training doc when the two share ≥ `minOverlap` distinct capped
+    * shingles (the same pair-level evidence rule); per compromised
+    * test doc the report carries how many training docs leak into it
+    * and the worst single-doc overlap. Output:
+    * `(test_id, n_train_docs, max_overlap)`.
+    *
+    * Same split, shingle, and df-cap definitions as q66 — one
+    * contamination evidence rule read from both ends, so the two
+    * reports cannot disagree about what counts as leakage.
+    *
+    * Scale shape: identical to [[contaminationReport]] through the
+    * capped join (df-capped fan-out keeps it linear); the pair-level
+    * aggregation keys on (test, train) pairs the join already bounds,
+    * and the closing per-test rollup is test-split-sized. */
+  def evalContaminationReport(
+      docs: DataFrame,
+      testPermille: Int = 100,
+      maxShingleDf: Long = 20L,
+      minOverlap: Long = 3L,
+      salt: String = "graft"): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille must be in [0,1000], got $testPermille")
+    val membership = Sampling.withSplitBucket(docs.select(col("doc_id")), "doc_id", salt)
+      .select(col("doc_id"), (col("__bucket") < testPermille).as("is_test"))
+    val sh = Dedup.materialize(
+      Dedup.shingleRows(docs).distinct().join(membership, "doc_id"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("sh"))
+    val capped = Dedup.materialize(sh.join(rare, Seq("sh"), "left_semi"))
+    val trainSh = capped.filter(!col("is_test"))
+      .select(col("doc_id").as("train_id"), col("sh"))
+    val testSh = capped.filter(col("is_test"))
+      .select(col("doc_id").as("test_id"), col("sh"))
+    trainSh.join(testSh, "sh")
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(countDistinct(col("sh")).as("n_pair"))
+      .filter(col("n_pair") >= minOverlap)
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_train_docs"), max(col("n_pair")).as("max_overlap"))
+  }
+
   /** Bloom-filter hash positions of a shingle: `k = 4` probes, probe
     * `j` reading hex digits `[8j+1, 8j+8]` of md5 (a 32-bit integer)
     * mod `mBits` — ONE digest per shingle, exact BIGINT arithmetic,

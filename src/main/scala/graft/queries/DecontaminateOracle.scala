@@ -42,6 +42,35 @@ object DecontaminateOracle {
        |HAVING count(DISTINCT a.sh) >= $minOverlap""".stripMargin
   }
 
+  /** q121 mirror of
+    * [[graft.operators.Decontaminate.evalContaminationReport]]: same
+    * CTEs as [[sql]], closed pair-level (≥ minOverlap distinct shared
+    * shingles per (test, train) pair) then rolled up per test doc. */
+  def evalSql(testPermille: Int = 100, maxShingleDf: Int = 20, minOverlap: Int = 3,
+      salt: String = "graft"): String = {
+    val bucket = bucketExpr(salt)
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |sh AS (SELECT doc_id, sh FROM (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+       |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
+       |mem AS (SELECT doc_id, (($bucket) % 1000 < $testPermille) AS is_test
+       |        FROM documents WHERE doc_id IS NOT NULL),
+       |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxShingleDf),
+       |capped AS (SELECT s.doc_id, s.sh, m.is_test
+       |           FROM sh s JOIN rare USING (sh) JOIN mem m ON m.doc_id = s.doc_id),
+       |pairs AS (SELECT b.doc_id AS test_id, a.doc_id AS train_id,
+       |            count(DISTINCT a.sh) AS n_pair
+       |          FROM capped a JOIN capped b ON a.sh = b.sh
+       |          WHERE NOT a.is_test AND b.is_test
+       |          GROUP BY 1, 2
+       |          HAVING count(DISTINCT a.sh) >= $minOverlap)
+       |SELECT test_id,
+       |  CAST(count(*) AS BIGINT) AS n_train_docs,
+       |  CAST(max(n_pair) AS BIGINT) AS max_overlap
+       |FROM pairs GROUP BY 1""".stripMargin
+  }
+
   /** q116 mirror of
     * [[graft.operators.Decontaminate.bloomContaminationCandidates]]:
     * same shingle/membership CTEs as [[sql]]; the Bloom filter is the

@@ -2745,7 +2745,26 @@ object ExtensionQueries {
         |window exchange of 16-byte rows; the match join fans out ≤
         |maxDf per hash over a sketch ~2/(w+1) the gram volume.""".stripMargin,
       (s, d) => graft.operators.Winnow.matches(Tables.documents(s, d)),
-      Some(WinnowOracle.matchesSql()))
+      Some(WinnowOracle.matchesSql())),
+
+    QuerySpec(
+      "q121_eval_contamination",
+      """Eval-side contamination report ([[graft.operators.Decontaminate
+        |.evalContaminationReport]]) — the flip side of q66, answering
+        |the EVAL owner's question: which test items are compromised
+        |and must be dropped or re-drawn before the split ships? A test
+        |doc is compromised by a training doc when the pair shares ≥ 3
+        |distinct capped shingles (the SAME split/shingle/df-cap
+        |definitions as q66 — one evidence rule read from both ends, so
+        |the two reports cannot disagree about what leakage is); per
+        |compromised test doc: how many training docs leak into it and
+        |the worst single-doc overlap. All-integer, bitwise-oracled.
+        |Scale shape: q66's capped-join kernel (df cap keeps fan-out
+        |linear); the pair rollup keys on join-bounded (test, train)
+        |pairs and the closing aggregation is test-split-sized.""".stripMargin,
+      (s, d) => graft.operators.Decontaminate.evalContaminationReport(
+        Tables.documents(s, d)),
+      Some(DecontaminateOracle.evalSql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -88,6 +88,30 @@ class DecontaminateSpec extends AnyFunSuite {
       s"bloom must be a superset of exact; missing ${exact -- probed}")
   }
 
+  test("eval-side report flags the compromised test doc; both directions agree on the evidence") {
+    val split = testIds(1L to 200L)
+    val testId = split.head
+    val Seq(dirty, dirty2, clean) = (1L to 200L).filterNot(split).take(3)
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val docs = Seq(
+      (testId, shared),
+      (dirty, shared + " juliett kilo lima"),
+      (dirty2, "mike november " + shared),
+      (clean, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val rep = Decontaminate.evalContaminationReport(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep.keySet == Set(testId), "only the copied test doc is compromised")
+    assert(rep(testId)._1 == 2L, "both leaking train docs are counted")
+    assert(rep(testId)._2 >= 3L, "max overlap carries the worst pair's evidence")
+
+    // the two directions read ONE evidence rule: every (train, test)
+    // pair the train-side report implies must appear from the eval side
+    val trainSide = Decontaminate.contaminationReport(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(trainSide == Set(dirty, dirty2))
+  }
+
   test("bloom probe positions are in range and the filter is test-split-bounded") {
     val d = Seq((1L, "alpha bravo charlie delta echo")).toDF("doc_id", "text")
     val m = 1L << 18
