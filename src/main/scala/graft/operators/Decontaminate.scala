@@ -48,14 +48,17 @@ object Decontaminate {
     * frame and feed both — the shingle pass is a full window shuffle of
     * the token stream, the most expensive stage of either consumer.
     *
-    * CONTRACT: `shingles` must be the shingle rows of this SAME `docs`
-    * frame (document membership decides the train/test split, shingles
-    * supply the overlap evidence — they must describe the same corpus).
-    * Passing a subset's shingles (e.g. train-only) cannot be detected
-    * here without an extra pass and silently UNDER-reports: test docs
+    * Split membership is an EXPRESSION on the shingle rows' own doc_id
+    * (the [[Sampling.withSplitBucket]] arithmetic) — deriving it from
+    * the frame that supplies the evidence removes a corpus-sized
+    * membership join AND makes membership/evidence desync structurally
+    * impossible. CONTRACT: `shingles` must cover the whole corpus
+    * being audited. Passing a subset's shingles (e.g. train-only)
+    * cannot be detected here and silently UNDER-reports: test docs
     * with no shingle rows contribute no overlap, and a contaminated
-    * train doc ships. When in doubt, use [[contaminationReport]], which
-    * derives both from one frame by construction. */
+    * train doc ships. When in doubt, use [[contaminationReport]],
+    * which derives the frame itself. (`docs` is retained for API
+    * stability; membership no longer reads it.) */
   def contaminationReportFromShingles(
       docs: DataFrame,
       shingles: DataFrame,
@@ -65,13 +68,13 @@ object Decontaminate {
       salt: String = "graft"): DataFrame = {
     require(testPermille >= 0 && testPermille <= 1000,
       s"testPermille must be in [0,1000], got $testPermille")
-    val membership = Sampling.withSplitBucket(docs.select(col("doc_id")), "doc_id", salt)
-      .select(col("doc_id"), (col("__bucket") < testPermille).as("is_test"))
-    // distinct (doc, shingle) with the split tag; referenced by the df
-    // cap AND the capped join below — materialized so the shingle
-    // pipeline runs once
+    // distinct (doc, shingle) with the split tag computed map-side;
+    // referenced by the df cap AND the capped join below —
+    // materialized so the shingle pipeline runs once
     val sh = Dedup.materialize(
-      shingles.distinct().join(membership, "doc_id"))
+      Sampling.withSplitBucket(shingles.distinct(), "doc_id", salt)
+        .select(col("doc_id"), col("sh"),
+          (col("__bucket") < testPermille).as("is_test")))
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
       .select(col("sh"))
@@ -113,10 +116,12 @@ object Decontaminate {
       salt: String = "graft"): DataFrame = {
     require(testPermille >= 0 && testPermille <= 1000,
       s"testPermille must be in [0,1000], got $testPermille")
-    val membership = Sampling.withSplitBucket(docs.select(col("doc_id")), "doc_id", salt)
-      .select(col("doc_id"), (col("__bucket") < testPermille).as("is_test"))
+    // same membership-as-expression shape as
+    // [[contaminationReportFromShingles]] — no membership join
     val sh = Dedup.materialize(
-      Dedup.shingleRows(docs).distinct().join(membership, "doc_id"))
+      Sampling.withSplitBucket(Dedup.shingleRows(docs).distinct(), "doc_id", salt)
+        .select(col("doc_id"), col("sh"),
+          (col("__bucket") < testPermille).as("is_test")))
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
       .select(col("sh"))
