@@ -66,19 +66,7 @@ object Decontaminate {
       maxShingleDf: Long = 20L,
       minOverlap: Long = 3L,
       salt: String = "graft"): DataFrame = {
-    require(testPermille >= 0 && testPermille <= 1000,
-      s"testPermille must be in [0,1000], got $testPermille")
-    // distinct (doc, shingle) with the split tag computed map-side;
-    // referenced by the df cap AND the capped join below —
-    // materialized so the shingle pipeline runs once
-    val sh = Dedup.materialize(
-      Sampling.withSplitBucket(shingles.distinct(), "doc_id", salt)
-        .select(col("doc_id"), col("sh"),
-          (col("__bucket") < testPermille).as("is_test")))
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select(col("sh"))
-    val capped = Dedup.materialize(sh.join(rare, Seq("sh"), "left_semi"))
+    val capped = cappedSplitShingles(shingles, testPermille, maxShingleDf, salt)
     val trainSh = capped.filter(!col("is_test"))
       .select(col("doc_id").as("train_id"), col("sh"))
     val testSh = capped.filter(col("is_test"))
@@ -88,6 +76,29 @@ object Decontaminate {
       .agg(countDistinct(col("sh")).as("n_shared_shingles"),
         countDistinct(col("test_id")).as("n_test_docs"))
       .filter(col("n_shared_shingles") >= minOverlap)
+  }
+
+  /** THE contamination evidence frame both report directions read —
+    * distinct (doc_id, sh) rows tagged with split membership (the
+    * [[Sampling.withSplitBucket]] expression on the rows' own doc_id,
+    * no membership join) and df-capped (the hot-key bound): the ONE
+    * definition of what counts as leakage evidence, so
+    * [[contaminationReportFromShingles]] and
+    * [[evalContaminationReport]] cannot disagree by construction.
+    * Materialized twice (pre-cap for the df census, post-cap for the
+    * join both directions close over). */
+  private def cappedSplitShingles(shingles: DataFrame, testPermille: Int,
+      maxShingleDf: Long, salt: String): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille must be in [0,1000], got $testPermille")
+    val sh = Dedup.materialize(
+      Sampling.withSplitBucket(shingles.distinct(), "doc_id", salt)
+        .select(col("doc_id"), col("sh"),
+          (col("__bucket") < testPermille).as("is_test")))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("sh"))
+    Dedup.materialize(sh.join(rare, Seq("sh"), "left_semi"))
   }
 
   /** Eval-side contamination report — the flip side of
@@ -113,26 +124,33 @@ object Decontaminate {
       testPermille: Int = 100,
       maxShingleDf: Long = 20L,
       minOverlap: Long = 3L,
+      salt: String = "graft"): DataFrame =
+    evalContaminationReportFromShingles(docs, Dedup.shingleRows(docs),
+      testPermille, maxShingleDf, minOverlap, salt)
+
+  /** [[evalContaminationReport]] over a precomputed shingle frame —
+    * the same sharing contract as [[contaminationReportFromShingles]]
+    * (a pipeline running BOTH directions materializes ONE shingle
+    * frame and feeds each). Reads [[cappedSplitShingles]], the shared
+    * evidence frame, so the directions agree by construction. */
+  def evalContaminationReportFromShingles(
+      docs: DataFrame,
+      shingles: DataFrame,
+      testPermille: Int = 100,
+      maxShingleDf: Long = 20L,
+      minOverlap: Long = 3L,
       salt: String = "graft"): DataFrame = {
-    require(testPermille >= 0 && testPermille <= 1000,
-      s"testPermille must be in [0,1000], got $testPermille")
-    // same membership-as-expression shape as
-    // [[contaminationReportFromShingles]] — no membership join
-    val sh = Dedup.materialize(
-      Sampling.withSplitBucket(Dedup.shingleRows(docs).distinct(), "doc_id", salt)
-        .select(col("doc_id"), col("sh"),
-          (col("__bucket") < testPermille).as("is_test")))
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select(col("sh"))
-    val capped = Dedup.materialize(sh.join(rare, Seq("sh"), "left_semi"))
+    val capped = cappedSplitShingles(shingles, testPermille, maxShingleDf, salt)
     val trainSh = capped.filter(!col("is_test"))
       .select(col("doc_id").as("train_id"), col("sh"))
     val testSh = capped.filter(col("is_test"))
       .select(col("doc_id").as("test_id"), col("sh"))
+    // capped is a distinct (doc, sh) frame, so the join emits each
+    // (test, train, sh) once: a plain count IS the distinct count,
+    // without the two-level distinct rewrite over the join output
     trainSh.join(testSh, "sh")
       .groupBy(col("test_id"), col("train_id"))
-      .agg(countDistinct(col("sh")).as("n_pair"))
+      .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minOverlap)
       .groupBy(col("test_id"))
       .agg(count(lit(1)).as("n_train_docs"), max(col("n_pair")).as("max_overlap"))

@@ -18,21 +18,33 @@ object DecontaminateOracle {
       s"(strpos('0123456789abcdef', substr(md5(concat('$salt', CAST($keyExpr AS VARCHAR))), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
     }.mkString("\n    + ")
 
-  /** q66: (train_id, n_shared_shingles, n_test_docs) for every
-    * contaminated training document. */
-  def sql(testPermille: Int = 100, maxShingleDf: Int = 20, minOverlap: Int = 3,
-      salt: String = "graft"): String = {
+  /** The shared docs/sh/mem/rare/capped CTE prefix — ONE textual
+    * definition of the evidence frame (the
+    * [[graft.operators.Decontaminate]] `cappedSplitShingles` mirror),
+    * so [[sql]], [[evalSql]] and [[bloomSql]]'s test side cannot
+    * silently audit different corpora. */
+  private def baseCtes(testPermille: Int, salt: String): String = {
     val bucket = bucketExpr(salt)
-    s"""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks
+    s"""docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks
        |  FROM documents WHERE doc_id IS NOT NULL),
        |sh AS (SELECT doc_id, sh FROM (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
        |mem AS (SELECT doc_id, (($bucket) % 1000 < $testPermille) AS is_test
-       |        FROM documents WHERE doc_id IS NOT NULL),
+       |        FROM documents WHERE doc_id IS NOT NULL)""".stripMargin
+  }
+
+  private def cappedCtes(testPermille: Int, maxShingleDf: Int, salt: String): String =
+    s"""${baseCtes(testPermille, salt)},
        |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxShingleDf),
        |capped AS (SELECT s.doc_id, s.sh, m.is_test
-       |           FROM sh s JOIN rare USING (sh) JOIN mem m ON m.doc_id = s.doc_id)
+       |           FROM sh s JOIN rare USING (sh) JOIN mem m ON m.doc_id = s.doc_id)""".stripMargin
+
+  /** q66: (train_id, n_shared_shingles, n_test_docs) for every
+    * contaminated training document. */
+  def sql(testPermille: Int = 100, maxShingleDf: Int = 20, minOverlap: Int = 3,
+      salt: String = "graft"): String =
+    s"""WITH ${cappedCtes(testPermille, maxShingleDf, salt)}
        |SELECT a.doc_id AS train_id,
        |  count(DISTINCT a.sh) AS n_shared_shingles,
        |  count(DISTINCT b.doc_id) AS n_test_docs
@@ -40,25 +52,15 @@ object DecontaminateOracle {
        |WHERE NOT a.is_test AND b.is_test
        |GROUP BY 1
        |HAVING count(DISTINCT a.sh) >= $minOverlap""".stripMargin
-  }
 
   /** q121 mirror of
-    * [[graft.operators.Decontaminate.evalContaminationReport]]: same
-    * CTEs as [[sql]], closed pair-level (≥ minOverlap distinct shared
-    * shingles per (test, train) pair) then rolled up per test doc. */
+    * [[graft.operators.Decontaminate.evalContaminationReport]]: the
+    * SAME [[cappedCtes]] prefix as [[sql]] (by construction, not by
+    * copy), closed pair-level (≥ minOverlap distinct shared shingles
+    * per (test, train) pair) then rolled up per test doc. */
   def evalSql(testPermille: Int = 100, maxShingleDf: Int = 20, minOverlap: Int = 3,
-      salt: String = "graft"): String = {
-    val bucket = bucketExpr(salt)
-    s"""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks
-       |  FROM documents WHERE doc_id IS NOT NULL),
-       |sh AS (SELECT doc_id, sh FROM (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
-       |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
-       |mem AS (SELECT doc_id, (($bucket) % 1000 < $testPermille) AS is_test
-       |        FROM documents WHERE doc_id IS NOT NULL),
-       |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxShingleDf),
-       |capped AS (SELECT s.doc_id, s.sh, m.is_test
-       |           FROM sh s JOIN rare USING (sh) JOIN mem m ON m.doc_id = s.doc_id),
+      salt: String = "graft"): String =
+    s"""WITH ${cappedCtes(testPermille, maxShingleDf, salt)},
        |pairs AS (SELECT b.doc_id AS test_id, a.doc_id AS train_id,
        |            count(DISTINCT a.sh) AS n_pair
        |          FROM capped a JOIN capped b ON a.sh = b.sh
@@ -69,7 +71,6 @@ object DecontaminateOracle {
        |  CAST(count(*) AS BIGINT) AS n_train_docs,
        |  CAST(max(n_pair) AS BIGINT) AS max_overlap
        |FROM pairs GROUP BY 1""".stripMargin
-  }
 
   /** q116 mirror of
     * [[graft.operators.Decontaminate.bloomContaminationCandidates]]:
@@ -82,18 +83,11 @@ object DecontaminateOracle {
   def bloomSql(testPermille: Int = 100, mBits: Long = 1L << 18,
       maxTestDf: Int = 20, minOverlap: Int = 3,
       salt: String = "graft"): String = {
-    val bucket = bucketExpr(salt)
     def pos(j: Int): String = "(" + (0 until 8).map { i =>
       s"(strpos('0123456789abcdef', substr(md5(sh), ${8 * j + i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     }.mkString("\n      + ") + s") % $mBits"
     val posList = (0 until 4).map(pos).mkString("[", ",\n    ", "]")
-    s"""WITH docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks
-       |  FROM documents WHERE doc_id IS NOT NULL),
-       |sh AS (SELECT doc_id, sh FROM (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
-       |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
-       |mem AS (SELECT doc_id, (($bucket) % 1000 < $testPermille) AS is_test
-       |        FROM documents WHERE doc_id IS NOT NULL),
+    s"""WITH ${baseCtes(testPermille, salt)},
        |tsh AS (SELECT s.sh FROM sh s JOIN mem m ON m.doc_id = s.doc_id AND m.is_test),
        |rare AS (SELECT sh FROM tsh GROUP BY sh HAVING count(*) <= $maxTestDf),
        |pbits AS (SELECT DISTINCT unnest($posList) AS bit
