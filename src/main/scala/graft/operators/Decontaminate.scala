@@ -38,7 +38,7 @@ object Decontaminate {
       maxShingleDf: Long = 20L,
       minOverlap: Long = 3L,
       salt: String = "graft"): DataFrame =
-    contaminationReportFromShingles(docs, Dedup.shingleRows(docs),
+    contaminationReportFromShingles(Dedup.shingleRows(docs),
       testPermille, maxShingleDf, minOverlap, salt)
 
   /** [[contaminationReport]] over a precomputed (doc_id, sh) shingle
@@ -57,10 +57,8 @@ object Decontaminate {
     * cannot be detected here and silently UNDER-reports: test docs
     * with no shingle rows contribute no overlap, and a contaminated
     * train doc ships. When in doubt, use [[contaminationReport]],
-    * which derives the frame itself. (`docs` is retained for API
-    * stability; membership no longer reads it.) */
+    * which derives the frame itself. */
   def contaminationReportFromShingles(
-      docs: DataFrame,
       shingles: DataFrame,
       testPermille: Int = 100,
       maxShingleDf: Long = 20L,
@@ -77,6 +75,19 @@ object Decontaminate {
         countDistinct(col("test_id")).as("n_test_docs"))
       .filter(col("n_shared_shingles") >= minOverlap)
   }
+
+  /** Pre-round-9 signature. Split membership is now derived from the
+    * shingle rows' own doc_id; the `docs` frame is IGNORED — a caller
+    * that scoped the audit by restricting `docs` must restrict
+    * `shingles` instead. Deprecated (no defaults, so legacy call
+    * shapes fail to resolve rather than silently re-scoping). */
+  @deprecated("membership derives from the shingle rows' own doc_id; " +
+    "`docs` is ignored — use the overload without it", "round 10")
+  def contaminationReportFromShingles(docs: DataFrame, shingles: DataFrame,
+      testPermille: Int, maxShingleDf: Long, minOverlap: Long,
+      salt: String): DataFrame =
+    contaminationReportFromShingles(shingles, testPermille, maxShingleDf,
+      minOverlap, salt)
 
   /** THE contamination evidence frame both report directions read —
     * distinct (doc_id, sh) rows tagged with split membership (the
@@ -125,7 +136,7 @@ object Decontaminate {
       maxShingleDf: Long = 20L,
       minOverlap: Long = 3L,
       salt: String = "graft"): DataFrame =
-    evalContaminationReportFromShingles(docs, Dedup.shingleRows(docs),
+    evalContaminationReportFromShingles(Dedup.shingleRows(docs),
       testPermille, maxShingleDf, minOverlap, salt)
 
   /** [[evalContaminationReport]] over a precomputed shingle frame —
@@ -134,7 +145,6 @@ object Decontaminate {
     * frame and feeds each). Reads [[cappedSplitShingles]], the shared
     * evidence frame, so the directions agree by construction. */
   def evalContaminationReportFromShingles(
-      docs: DataFrame,
       shingles: DataFrame,
       testPermille: Int = 100,
       maxShingleDf: Long = 20L,
@@ -155,6 +165,16 @@ object Decontaminate {
       .groupBy(col("test_id"))
       .agg(count(lit(1)).as("n_train_docs"), max(col("n_pair")).as("max_overlap"))
   }
+
+  /** Pre-round-9 signature — see the
+    * [[contaminationReportFromShingles]] deprecation note. */
+  @deprecated("membership derives from the shingle rows' own doc_id; " +
+    "`docs` is ignored — use the overload without it", "round 10")
+  def evalContaminationReportFromShingles(docs: DataFrame, shingles: DataFrame,
+      testPermille: Int, maxShingleDf: Long, minOverlap: Long,
+      salt: String): DataFrame =
+    evalContaminationReportFromShingles(shingles, testPermille, maxShingleDf,
+      minOverlap, salt)
 
   /** Bloom-filter hash positions of a shingle: `k = 4` probes, probe
     * `j` reading hex digits `[8j+1, 8j+8]` of md5 (a 32-bit integer)

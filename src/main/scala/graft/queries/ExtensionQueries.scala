@@ -849,7 +849,7 @@ object ExtensionQueries {
         val deduped = graft.operators.ConnectedComponents
           .keepCanonicalFromComponents(train, "doc_id", comps)
         val contaminated = graft.operators.Decontaminate
-          .contaminationReportFromShingles(docs, shingles)
+          .contaminationReportFromShingles(shingles)
           .select(col("train_id").as("doc_id"))
         val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
         val decorated = concat(lit("email user"), col("doc_id").cast("string"),
@@ -2739,7 +2739,7 @@ object ExtensionQueries {
         |(q28) can't give, at a fraction of q83's exhaustive span keys.
         |Output: (a_id, b_id, n_shared) over df-capped fingerprints
         |(the q66 hot-key bound) at ≥ 2 shared. Both engines select via
-        |ONE integer — enc = h40·2²⁰ + (2²⁰−1−i) — whose plain window
+        |ONE integer — enc = h36·2²⁴ + (2²⁴−1−i) — whose plain window
         |min IS the argmin-with-rightmost-tie, so the sketch oracles
         |bitwise. Scale shape: gram hashing map-side; one doc-keyed
         |window exchange of 16-byte rows; the match join fans out ≤

@@ -159,7 +159,7 @@ class DedupSpec extends AnyFunSuite {
     assert(plainPairs.nonEmpty)
 
     val plainReport = Decontaminate.contaminationReport(d).collect().toSet
-    val sharedReport = Decontaminate.contaminationReportFromShingles(d, shingles)
+    val sharedReport = Decontaminate.contaminationReportFromShingles(shingles)
       .collect().toSet
     assert(plainReport == sharedReport,
       "contaminationReportFromShingles must be result-identical to contaminationReport")

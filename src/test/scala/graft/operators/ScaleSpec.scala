@@ -516,9 +516,11 @@ class ScaleSpec extends AnyFunSuite {
       "keyed join only")
     // each side is thinned to (key, source, hash, tokens) BEFORE its
     // exchange: two join-side shuffles plus the (source, status) agg
-    // shuffle, nothing else (the wide text column never moves)
-    assert(collectShuffles(plan) == 3,
-      s"expected exactly 3 exchanges, got ${collectShuffles(plan)}")
+    // shuffle, nothing MORE (the wide text column never moves). Upper
+    // bound, not exact count — AQE/plan-rendering may legally collapse
+    // exchanges; the regression guarded against is EXTRA shuffles.
+    assert(collectShuffles(plan) <= 3,
+      s"expected at most 3 exchanges, got ${collectShuffles(plan)}")
     assert(s.contains("partial_count"), "the summary combines map-side")
   }
 
