@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, processed per-partition in bounded
   * batches.
   *
-  * The decode step is STUBBED (this container ships no image/audio
-  * codecs): [[FakeCodec]] derives deterministic pseudo-features from the
-  * payload bytes. Everything around it — schema, partitioning, the
-  * iterator-based per-partition batch shape, and the typed boundary —
-  * is the real 100 TB design:
+  * Decode: `image/`-prefixed payloads are REALLY decoded via the JDK's
+  * `javax.imageio` ([[ImageCodec]] — PNG/JPEG/GIF/BMP readers ship with
+  * every JDK, zero external deps): width/height/channels/mean-intensity
+  * come from the actual pixel raster. Non-image mimes (audio/video —
+  * no codec libs in this container) and undecodable image payloads
+  * fall back to [[FakeCodec]], which derives deterministic
+  * pseudo-features from the payload bytes. Everything around the codec
+  * boundary — schema, partitioning, the iterator-based per-partition
+  * batch shape, and the typed boundary — is the real 100 TB design:
   *
   *  - payloads stay off the driver (mapPartitions, never collect);
   *  - the decode boundary is `Iterator[MediaRecord] → Iterator[MediaFeatures]`,
@@ -28,8 +32,55 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, mime: String, n_bytes: Long,
       width: Int, height: Int, channels: Int, mean_intensity: Double)
 
+  /** Real image decode on the JDK's built-in `javax.imageio` readers
+    * (PNG, JPEG, GIF, BMP, WBMP — present in every JDK, no external
+    * codec needed). Runs inside executor tasks ([[extractFeatures]]'s
+    * mapPartitions); the in-memory cache setting avoids per-task temp
+    * files on executor disks. */
+  object ImageCodec {
+    // ImageIO defaults to a disk-backed stream cache; executors decode
+    // from in-memory byte arrays, so temp files are pure overhead.
+    // Static toggle, safe to set from concurrent tasks (idempotent).
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Decode image bytes → (width, height, channels, mean_intensity),
+      * where channels is the raster band count (gray=1, RGB=3, RGBA=4)
+      * and mean_intensity averages every sample of every band on the
+      * decoded raster (0–255 scale for 8-bit images). None when no
+      * registered reader accepts the payload (caller falls back to the
+      * deterministic stub). */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+      Option(img).map { im =>
+        val raster = im.getRaster
+        val (w, h, bands) = (im.getWidth, im.getHeight, raster.getNumBands)
+        // row-banded sample read: bounds the decode-side allocation to
+        // one row regardless of image size (a 100 TB corpus has big
+        // frames; never materialize w*h doubles per image)
+        var sum = 0.0
+        val row = new Array[Double](w)
+        var b = 0
+        while (b < bands) {
+          var y = 0
+          while (y < h) {
+            raster.getSamples(0, y, w, 1, b, row)
+            var x = 0
+            while (x < w) { sum += row(x); x += 1 }
+            y += 1
+          }
+          b += 1
+        }
+        (w, h, bands, sum / (w.toLong * h * bands))
+      }
+    }
+  }
+
   /** Deterministic fake decoder: features derived from payload bytes.
-    * Stands in for a real image decode (STUB — no codec libs here). */
+    * Stands in for the codecs this container does NOT ship (audio,
+    * video) and for undecodable payloads; `image/`-prefixed mimes take
+    * the real [[ImageCodec]] path. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
       val h = java.util.Arrays.hashCode(payload)
@@ -118,15 +169,20 @@ object Multimodal {
     }
   }
 
-  /** Per-partition batched decode: the Spark-side plumbing is real;
-    * only [[FakeCodec.decode]] is a stand-in. */
+  /** Per-partition batched decode. `image/`-prefixed payloads decode for real
+    * ([[ImageCodec]], JDK imageio); other mimes — and image payloads
+    * no reader accepts — take the deterministic [[FakeCodec]] stub, so
+    * the operator is total (a corrupt frame degrades, never kills the
+    * job — the decode-side posture a 100 TB media sweep needs). */
   def extractFeatures(media: DataFrame, decodeParallelism: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     val sized = if (decodeParallelism > 0) media.repartition(decodeParallelism) else media
     sized.as[MediaRecord].mapPartitions { it =>
       it.map { rec =>
-        val (w, h, c, m) = FakeCodec.decode(rec.payload)
+        val decoded =
+          if (rec.meta.mime.startsWith("image/")) ImageCodec.decode(rec.payload) else None
+        val (w, h, c, m) = decoded.getOrElse(FakeCodec.decode(rec.payload))
         MediaFeatures(rec.media_id, rec.meta.mime, rec.meta.n_bytes, w, h, c, m)
       }
     }

@@ -53,6 +53,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => f.n_bytes > 0 && f.width >= 64))
   }
 
+  test("ImageCodec really decodes generated PNGs: exact geometry, channels, mean") {
+    // 7x5 RGB, constant color (10, 20, 30): mean over all bands = 20.0 exactly
+    val rgb = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 7; y <- 0 until 5) rgb.setRGB(x, y, (10 << 16) | (20 << 8) | 30)
+    val rgbBytes = pngBytes(rgb)
+    assert(Multimodal.ImageCodec.decode(rgbBytes).contains((7, 5, 3, 20.0)))
+
+    // 4x6 grayscale gradient: sample(x,y) = (y*4+x)*10 → mean = 115.0 exactly
+    val gray = new java.awt.image.BufferedImage(4, 6, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until 4; y <- 0 until 6) gray.getRaster.setSample(x, y, 0, (y * 4 + x) * 10)
+    assert(Multimodal.ImageCodec.decode(pngBytes(gray)).contains((4, 6, 1, 115.0)))
+
+    // JPEG (lossy): geometry and band count are exact; constant-color mean
+    // survives DCT to within a hair
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "jpg", jb)
+    val Some((jw, jh, jc, jm)) = Multimodal.ImageCodec.decode(jb.toByteArray)
+    assert((jw, jh, jc) == (7, 5, 3))
+    assert(math.abs(jm - 20.0) < 3.0, s"jpeg mean drifted: $jm")
+
+    // junk bytes: no reader → None (extractFeatures falls back to the stub)
+    assert(Multimodal.ImageCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("binaryFile PNG scan → real decode → parquet, end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("media_png")
+    // distinct constant-color images with distinct geometry, keyed by file
+    val fixtures = Map(
+      "p1.png" -> (3, 4, 40),  // (w, h, gray level) → mean = level exactly
+      "p2.png" -> (5, 2, 200),
+      "p3.png" -> (8, 8, 0))
+    fixtures.foreach { case (name, (w, h, level)) =>
+      val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (x <- 0 until w; y <- 0 until h) im.getRaster.setSample(x, y, 0, level)
+      java.nio.file.Files.write(dir.resolve(name), pngBytes(im))
+    }
+    val media = Multimodal.fromBinaryFiles(spark, dir.toString, mime = "image/png", glob = "*.png")
+    val feats = Multimodal.extractFeatures(media, decodeParallelism = 2)
+    val out = java.nio.file.Files.createTempDirectory("media_feat").resolve("feats").toString
+    feats.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    // join decoded features back to their source file via media_id
+    val byId = media.select(col("media_id"), col("meta.source").as("source"))
+      .join(back, "media_id").collect()
+    assert(byId.length == 3)
+    byId.foreach { r =>
+      val (w, h, level) = fixtures(r.getAs[String]("source").split('/').last)
+      assert(r.getAs[Int]("width") == w)
+      assert(r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Double]("mean_intensity") == level.toDouble)
+    }
+  }
+
+  test("undecodable image payloads degrade to the deterministic stub, not a crash") {
+    import spark.implicits._
+    val junk = Array.tabulate(64)(i => (i * 37).toByte)
+    val m = Seq((9L, junk, Multimodal.MediaMeta("image/png", 64L, "fixture")))
+      .toDF("media_id", "payload", "meta")
+    val f = Multimodal.extractFeatures(m).collect().head
+    val (w, h, c, mean) = Multimodal.FakeCodec.decode(junk)
+    assert((f.width, f.height, f.channels, f.mean_intensity) == (w, h, c, mean))
+  }
+
+  private def pngBytes(im: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   test("resize emits the target byte count, composes, and is deterministic") {
     val m = Multimodal.toMediaTable(Tables.documents(spark, sf001)).limit(50)
     val r = Multimodal.resize(m, 128)
