@@ -842,4 +842,66 @@ object Dedup {
         (Similarity.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** MinHash/LSH recall audit — the q117 pattern applied to the banded
+    * dedup family: what fraction of TRUE near-dup pairs (exact 3-gram
+    * Jaccard, computed on an id-bounded slice) does the banded
+    * candidate generation ([[lshBands]] + [[candidatePairs]] at the
+    * shipped `(numHashes, rowsPerBand)`) actually surface? This is the
+    * number a 100 TB operator tunes its band geometry against: the
+    * theoretical S-curve P(candidate) = 1 − (1 − j^r)^b says little
+    * about a REAL corpus's shingle statistics; this measures it.
+    *
+    * Per similarity band `[thresholds(i), thresholds(i+1))` (last band
+    * closed above by 1.0-inclusive): `t_lo` (the band's lower edge),
+    * `n_true` true pairs whose exact Jaccard lands in the band,
+    * `n_hits` of those surfaced as LSH candidates, `recall` =
+    * n_hits/n_true, and `n_candidates` — the TOTAL candidate-pair
+    * count on the slice (constant column: the precision/cost context —
+    * candidates outside every band are LSH false positives the
+    * verification stage pays for). Pairs sharing zero shingles have
+    * Jaccard 0 and appear nowhere (thresholds are > 0).
+    *
+    * ONE shared shingle frame feeds both arms: the exact arm joins the
+    * slice's distinct (doc, sh) rows on shingle equality (only
+    * co-shingled pairs materialize — never the all-pairs cross
+    * product; within-shingle fan-out is df², bounded by the id slice),
+    * and the banded arm builds signatures from the same frame (min is
+    * duplicate-insensitive, so distinct rows give the q28 signatures
+    * bit-for-bit). Like q29/q30, the exact arm is the documented
+    * audit-sized slice — production audits a sample, the unbounded
+    * path stays [[nearDupPairs]]. */
+  def minhashRecallAudit(docs: DataFrame, idBound: Long = 600L,
+      numHashes: Int = 16, rowsPerBand: Int = 4,
+      thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.8, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.forall(t => t > 0.0 && t <= 1.0),
+      s"thresholds must be sorted and in (0, 1], got $thresholds")
+    val sh = materialize(shingleRows(docs.filter(col("doc_id") < idBound)).distinct())
+    val cands = materialize(candidatePairs(
+      lshBands(minhashSignaturesFromShingles(sh, numHashes), rowsPerBand)))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val truePairs = sh.select(col("doc_id").as("a_id"), col("sh"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_int"))
+      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int"))).as("jacc"))
+    // band edge: highest threshold ≤ jacc wins (chained whens, high→low)
+    val tLo = thresholds.init.zipWithIndex.reverse.foldLeft(
+        when(col("jacc") >= thresholds.last, lit(thresholds.last))) {
+      case (c, (t, _)) => c.when(col("jacc") >= t, lit(t))
+    }
+    val candCount = cands.agg(count(lit(1)).as("n_candidates"))
+    truePairs
+      .join(cands.withColumn("__hit", lit(1L)), Seq("a_id", "b_id"), "left")
+      .withColumn("t_lo", tLo).filter(col("t_lo").isNotNull)
+      .groupBy(col("t_lo"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_true"))
+      .crossJoin(broadcast(candCount))
+  }
 }

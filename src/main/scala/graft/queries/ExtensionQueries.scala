@@ -2764,7 +2764,26 @@ object ExtensionQueries {
         |pairs and the closing aggregation is test-split-sized.""".stripMargin,
       (s, d) => graft.operators.Decontaminate.evalContaminationReport(
         Tables.documents(s, d)),
-      Some(DecontaminateOracle.evalSql()))
+      Some(DecontaminateOracle.evalSql())),
+
+    QuerySpec(
+      "q122_minhash_recall_audit",
+      """MinHash/LSH recall audit ([[graft.operators.Dedup
+        |.minhashRecallAudit]]) — the q117 pattern for the banded dedup
+        |family: per exact-Jaccard band (id-bounded slice, the q29
+        |pattern), how many TRUE near-dup pairs exist, how many the q28
+        |band geometry (16 hashes × 4 rows/band) surfaces as
+        |candidates, recall = hits/true, plus the total candidate count
+        |(the precision/cost context). The number band tuning pins to
+        |on a REAL corpus — the S-curve 1−(1−j^r)^b assumes uniform
+        |shingle statistics this measures instead. ONE shared shingle
+        |frame feeds the exact arm (co-shingled pairs only, never
+        |all-pairs) and the banded arm; integer counts + one IEEE
+        |division, so the report oracles bitwise. Scale shape: the
+        |exact arm is the documented audit-sized slice; everything else
+        |is q28's audited plan.""".stripMargin,
+      (s, d) => graft.operators.Dedup.minhashRecallAudit(Tables.documents(s, d)),
+      Some(MinhashOracle.recallAuditSql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -114,6 +114,44 @@ object MinhashOracle {
        |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Dedup.minhashRecallAudit]]: the shared
+    * chain over the id-bounded doc slice, an exact-Jaccard arm built by
+    * joining the slice's distinct (doc, sh) rows on shingle equality
+    * (the SAME co-shingled-pairs formulation as the Spark side — never
+    * the all-pairs cross product), pairs bucketed by the highest
+    * threshold ≤ jacc, hits via LEFT JOIN against `cand`. The chain's
+    * per-doc `list_distinct` IS the slice-wide (doc, sh) distinct (a
+    * shingle cannot span documents), so both arms read one shingle
+    * definition. */
+  def recallAuditSql(idBound: Long = 600L, numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.8, 0.9)): String = {
+    val bounded =
+      s"""docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks
+         |         FROM documents WHERE doc_id < $idBound)""".stripMargin
+    val cases = thresholds.reverse
+      .map(t => s"WHEN t.jacc >= CAST($t AS DOUBLE) THEN CAST($t AS DOUBLE)")
+      .mkString(" ")
+    s"""WITH ${chainFrom(bounded, numHashes, rowsPerBand)},
+       |tp0 AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) AS n_int
+       |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |tp AS (SELECT a_id, b_id,
+       |         CAST(n_int AS DOUBLE) / (ca.n_sh + cb.n_sh - n_int) AS jacc
+       |       FROM tp0 JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id),
+       |banded AS (SELECT CASE $cases END AS t_lo,
+       |                  CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS hit
+       |           FROM tp t LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand)
+       |SELECT t_lo, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(hit) AS BIGINT) AS n_hits,
+       |  CAST(CAST(sum(hit) AS BIGINT) AS DOUBLE) / count(*) AS recall,
+       |  n_candidates
+       |FROM banded, tot WHERE t_lo IS NOT NULL
+       |GROUP BY t_lo, n_candidates""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Dedup.containmentPairs]]: identical
     * signature/band/candidate CTEs as [[sql]], closing on shingle-set
     * containment |A∩B| / min(|A|, |B|) with the integer counts

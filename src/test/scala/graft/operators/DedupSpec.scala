@@ -31,6 +31,46 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Double]("jacc") > 0.9)
   }
 
+  test("minhash recall audit buckets planted pairs at graded jaccard and scores the bands") {
+    // Pairs built by shared-prefix construction: n tokens → n−2 distinct
+    // 3-gram shingles; sharing an m-token prefix shares m−2 shingles, so
+    // jacc = (m−2)/(96−(m−2)) for two 50-token docs. One pair per band:
+    def toks(tag: String, r: Range) = r.map(i => s"$tag$i")
+    def doc(shared: Seq[String], tag: String, own: Int) =
+      (shared ++ toks(tag, 1000 until (1000 + own))).mkString(" ")
+    val pA = toks("a", 0 until 50)   // identical pair: jacc = 1.0   → band 0.9
+    val pB = toks("b", 0 until 46)   // 44/52 ≈ 0.846                → band 0.8
+    val pC = toks("c", 0 until 36)   // 34/62 ≈ 0.548                → band 0.5
+    val pD = toks("d", 0 until 26)   // 24/72 ≈ 0.333                → band 0.3
+    val d = docs(
+      (1L, pA.mkString(" ")), (2L, pA.mkString(" ")),
+      (3L, doc(pB, "b", 4)), (4L, doc(pB, "bb", 4)),
+      (5L, doc(pC, "c", 14)), (6L, doc(pC, "cc", 14)),
+      (7L, doc(pD, "d", 24)), (8L, doc(pD, "dd", 24)),
+      (9L, toks("z", 0 until 50).mkString(" ")))
+    val audit = Dedup.minhashRecallAudit(d).collect()
+      .map(r => r.getAs[Double]("t_lo") ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall"), r.getAs[Long]("n_candidates")))).toMap
+    assert(audit.keySet == Set(0.3, 0.5, 0.7, 0.8, 0.9).filter(audit.contains))
+    // exactly one true pair per planted band (0.7 band is empty)
+    assert(audit(0.9)._1 == 1L && audit(0.8)._1 == 1L &&
+      audit(0.5)._1 == 1L && audit(0.3)._1 == 1L)
+    assert(!audit.contains(0.7))
+    // the identical pair has identical signatures → always a candidate
+    assert(audit(0.9)._2 == 1L && audit(0.9)._3 == 1.0)
+    audit.values.foreach { case (nTrue, nHits, recall, nCands) =>
+      assert(nHits <= nTrue && recall == nHits.toDouble / nTrue)
+      assert(nCands >= 0L)
+    }
+    // n_candidates is the one global cost column: identical on every row
+    assert(audit.values.map(_._4).toSet.size == 1)
+    // monotone banding sanity on THIS hash family: the 0.85-jacc pair is
+    // essentially always banded together at r=4,b=4 (miss prob ~5%); pin
+    // the deterministic outcome so a family change surfaces loudly
+    assert(audit(0.8)._2 == 1L, "0.85-jacc planted pair must band-collide")
+  }
+
   test("near-dup pipeline on driver documents finds the planted pairs with high jaccard") {
     val pairs = Dedup.nearDupPairs(Tables.documents(spark, sf001))
     val n = pairs.count()

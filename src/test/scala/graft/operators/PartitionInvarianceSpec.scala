@@ -49,4 +49,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   test("winnow matches are partition-invariant") {
     invariant(Winnow.matches(_))
   }
+
+  test("minhash recall audit is partition-invariant") {
+    invariant(Dedup.minhashRecallAudit(_))
+  }
 }
