@@ -348,6 +348,140 @@ object Phrases {
     * the small (source, lang) key — the sheet adds no new
     * corpus-sized movement; the doc_id join rides the encode pass's
     * existing per-doc frame. */
+  /** One deterministic Viterbi-EM round of a unigram-LM tokenizer
+    * (SentencePiece's model family, Kudo 2018, public) — the SECOND
+    * tokenizer family beside BPE (q106/q109/q110/q118), sharing the
+    * same ONE-corpus-collapse architecture: everything after the word
+    * count is vocab-sized.
+    *
+    * Algorithm (hard-EM, one round):
+    *  1. SEED — every substring of length ≤ `maxPieceLen` of the
+    *     (truncated to `maxWordLen`) corpus words, frequency-weighted
+    *     by occurrence; vocabulary = ALL single chars (coverage
+    *     guarantee) + the top `seedSize` multi-char pieces under the
+    *     total order (seed_cnt DESC, piece ASC).
+    *  2. SCORE — the q89 quantization: score_q = seed_cnt·2^20 DIV
+    *     total, and the piece's Viterbi cost is the INTEGER log
+    *     `22 − length(bin(score_q + 1))` — floor(log2) read off the
+    *     binary string length, exact BIGINT arithmetic on both engines
+    *     (a float −log p would need libm `ln`, the q51/q84 divergence;
+    *     this is the monotone integer surrogate).
+    *  3. E-STEP — per distinct word, the min-total-cost segmentation
+    *     by DP over positions (Viterbi), tie-broken (cost ASC, piece
+    *     start ASC — longest final piece wins); expected counts =
+    *     Σ word_cnt over the chosen path's pieces. Hard-EM: the
+    *     argmax segmentation carries the full count, the deterministic
+    *     specialization of SentencePiece's forward-backward.
+    *  4. M-STEP + PRUNE — re-estimate em_score_q = em_cnt·2^20 DIV
+    *     Σ em_cnt, drop multi-char pieces the E-step never used
+    *     (singles stay — coverage), emit the top `k` under
+    *     (em_cnt DESC, piece ASC).
+    *
+    * Output: `(piece, seed_cnt, em_cnt, em_score_q)`.
+    *
+    * Scale shape (100 TB): ONE corpus scan (the word-count collapse,
+    * map-side combined — the same standing frame the BPE family
+    * keeps); seeding explodes ≤ maxWordLen·maxPieceLen substrings per
+    * VOCAB row. The piece-cost table is seedSize+alphabet-bounded —
+    * SentencePiece holds exactly this table in memory on every worker
+    * — so it collapses into ONE map column (`map_from_entries`, built
+    * distributed, never collected) broadcast onto the word frame, and
+    * the entire Viterbi DP + backtrace evaluates as a single map-side
+    * higher-order-function expression per DISTINCT word: no per-
+    * position joins, no iteration state off the executor. (An earlier
+    * formulation ran maxWordLen relational DP rounds — vocab-sized
+    * frames, but ~2·maxWordLen checkpointed jobs of pure scheduling
+    * overhead; measured 34 s → ~3 s at sf0.1.) Corpus rows never move
+    * after the first combine — per-round cost is bounded by
+    * vocabulary size, not corpus size, the property that makes EM
+    * iteration affordable at all. */
+  def unigramLmRound(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      seedSize: Int = 512, k: Int = 200): DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= 1 && seedSize >= 0 && k >= 1,
+      s"bad parameters ($maxPieceLen, $maxWordLen, $seedSize, $k)")
+    import org.apache.spark.sql.expressions.Window
+    val words = Dedup.materialize(
+      docs.filter(col(textCol).isNotNull)
+        .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w0"))
+        .filter(length(col("w0")) >= 1)
+        .select(substring(col("w0"), 1, maxWordLen).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("len", length(col("w"))))
+
+    // 1. seed: occurrence-weighted substring census, vocab-local
+    val seed = words
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> transform(sequence(1, least($maxPieceLen, length(w) - i + 1)),
+           |    l -> substring(w, i, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("seed_cnt"))
+    val vocab0 = seed.filter(length(col("piece")) === 1).unionByName(
+      seed.filter(length(col("piece")) >= 2)
+        .orderBy(col("seed_cnt").desc, col("piece")).limit(seedSize))
+
+    // 2. integer-log costs from quantized scores
+    val vocab = Dedup.materialize(vocab0
+      .withColumn("score_q", expr(s"CAST((seed_cnt * $Q) DIV sum(seed_cnt) OVER " +
+        "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"))
+      .withColumn("piece_cost", lit(22L) - length(bin(col("score_q") + 1)).cast("long")))
+
+    // 3. Viterbi DP + backtrace, ONE map-side expression per distinct
+    //    word against the broadcast piece-cost map. Candidate for a
+    //    length-l piece ending at position i: prev cost at index
+    //    i−l+1, piece = substring(w, i−l+1, l), start = i−l; argmin by
+    //    array_sort over (cost, strt, piece) structs — field order IS
+    //    the (cost ASC, start ASC) tie-break. Missing map keys / out-
+    //    of-range l yield NULL-cost candidates, filtered before the
+    //    sort; the all-singles vocab guarantees l = 1 always survives.
+    val cmap = vocab.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("piece_cost")))).as("cmap"))
+    val cands = (1 to maxPieceLen).map { l =>
+      val core = s"named_struct(" +
+        s"'cost', element_at(acc.costs, i - ${l - 1}) + " +
+        s"element_at(cmap, substring(w, i - ${l - 1}, $l)), " +
+        s"'strt', CAST(i - $l AS BIGINT), " +
+        s"'piece', substring(w, i - ${l - 1}, $l))"
+      if (l == 1) core else s"IF(i >= $l, $core, NULL)"
+    }.mkString(",\n        ")
+    val dpExpr =
+      s"""aggregate(sequence(1, length(w)),
+         |  named_struct('costs', array(CAST(0 AS BIGINT)),
+         |    'preds', CAST(array() AS ARRAY<BIGINT>),
+         |    'pieces', CAST(array() AS ARRAY<STRING>)),
+         |  (acc, i) -> element_at(transform(array(
+         |      element_at(array_sort(filter(array(
+         |        $cands
+         |      ), c -> c.cost IS NOT NULL)), 1)
+         |    ), b -> named_struct(
+         |      'costs', concat(acc.costs, array(b.cost)),
+         |      'preds', concat(acc.preds, array(b.strt)),
+         |      'pieces', concat(acc.pieces, array(b.piece)))), 1))""".stripMargin
+    val btExpr =
+      s"""aggregate(sequence(1, length(w)),
+         |  named_struct('pos', CAST(length(w) AS BIGINT),
+         |    'out', CAST(array() AS ARRAY<STRING>)),
+         |  (acc, x) -> IF(acc.pos > 0, named_struct(
+         |      'pos', element_at(d.preds, CAST(acc.pos AS INT)),
+         |      'out', concat(acc.out, array(element_at(d.pieces, CAST(acc.pos AS INT))))),
+         |    acc),
+         |  acc -> acc.out)""".stripMargin
+    val em = words.crossJoin(broadcast(cmap))
+      .withColumn("d", expr(dpExpr))
+      .select(col("cnt"), explode(expr(btExpr)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("em_cnt"))
+
+    // 4. M-step + prune + deterministic top-k
+    vocab.select(col("piece"), col("seed_cnt"))
+      .join(em, Seq("piece"), "left")
+      .withColumn("em_cnt", coalesce(col("em_cnt"), lit(0L)))
+      .filter(length(col("piece")) === 1 || col("em_cnt") > 0)
+      .withColumn("em_score_q", expr(s"CAST((em_cnt * $Q) DIV sum(em_cnt) OVER " +
+        "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"))
+      .orderBy(col("em_cnt").desc, col("piece")).limit(k)
+      .select(col("piece"), col("seed_cnt"), col("em_cnt"), col("em_score_q"))
+  }
+
   def bpeFertilitySheet(docs: DataFrame, textCol: String,
       numMerges: Int = 8): DataFrame = {
     val enc = bpeEncode(docs, textCol, numMerges)

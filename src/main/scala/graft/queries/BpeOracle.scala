@@ -69,6 +69,93 @@ object BpeOracle {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
   }
 
+  /** q123 mirror of [[graft.operators.Phrases.unigramLmRound]] — the
+    * Viterbi hard-EM round replayed with two recursive CTEs:
+    *
+    *  - `dp` carries one row per distinct (truncated) word per
+    *    position, appending (cost, pred, piece) lists as it advances;
+    *    the per-position argmin is `list_sort` over candidate structs
+    *    ordered (cost, strt, piece) — field order IS the tie-break, so
+    *    it matches the Spark window (cost ASC, start ASC) exactly (strt
+    *    is unique per candidate; piece never decides);
+    *  - `bt` walks the pred pointers down from pos = len, emitting the
+    *    chosen piece at every visited position.
+    *
+    * Costs are the same integer-log surrogate
+    * `22 − length(bin(score_q + 1))`; every score is a BIGINT floor
+    * division, so the whole round oracles bitwise. */
+  def unigramSql(maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      seedSize: Int = 512, k: Int = 200): String = {
+    val Q = 1048576L
+    // candidate struct for piece length l ending at position d.pos+1:
+    // prev position = d.pos+1-l, costs list index = prev+1, substring
+    // start = prev+1 (1-based)
+    val cands = (1 to maxPieceLen).map { l =>
+      val guard = if (l == 1) "" else s"d.pos >= ${l - 1} AND "
+      s"""CASE WHEN ${guard}v$l.piece IS NOT NULL THEN
+         |  {'cost': d.costs[d.pos + ${2 - l}] + v$l.piece_cost,
+         |   'strt': CAST(d.pos + ${1 - l} AS BIGINT), 'piece': v$l.piece} END""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to maxPieceLen).map { l =>
+      val guard = if (l == 1) "" else s"d.pos >= ${l - 1} AND "
+      s"LEFT JOIN vc v$l ON ${guard}v$l.piece = substr(d.w, d.pos + ${2 - l}, $l)"
+    }.mkString("\n")
+    s"""WITH RECURSIVE
+       |toks AS MATERIALIZED (SELECT string_split_regex(lower(text), '\\s+') AS t
+       |        FROM documents WHERE text IS NOT NULL),
+       |words AS MATERIALIZED (SELECT substr(w, 1, $maxWordLen) AS w,
+       |          CAST(count(*) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(t) AS w FROM toks) WHERE length(w) >= 1 GROUP BY 1),
+       |occ AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS seed_cnt FROM (
+       |    SELECT cnt, unnest(flatten(list_transform(range(1, length(w) + 1),
+       |      i -> list_transform(
+       |        range(1, least($maxPieceLen, length(w) - CAST(i AS INTEGER) + 1) + 1),
+       |        l -> substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)))))) AS piece
+       |    FROM words) GROUP BY piece),
+       |vocab0 AS (SELECT piece, seed_cnt FROM occ WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, seed_cnt FROM (
+       |    SELECT piece, seed_cnt FROM occ WHERE length(piece) >= 2
+       |    ORDER BY seed_cnt DESC, piece LIMIT $seedSize)),
+       |vc AS MATERIALIZED (SELECT piece, seed_cnt,
+       |    CAST((seed_cnt * $Q) // (SELECT sum(seed_cnt) FROM vocab0) AS BIGINT) AS score_q,
+       |    22 - length(bin(CAST((seed_cnt * $Q) // (SELECT sum(seed_cnt) FROM vocab0)
+       |      AS BIGINT) + 1)) AS piece_cost
+       |  FROM vocab0),
+       |dp AS (
+       |  SELECT w, cnt, length(w) AS len, 0 AS pos,
+       |    [CAST(0 AS BIGINT)] AS costs,
+       |    CAST([] AS BIGINT[]) AS preds, CAST([] AS VARCHAR[]) AS pieces
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, cnt, len, pos,
+       |    list_append(costs, best.cost), list_append(preds, best.strt),
+       |    list_append(pieces, best.piece)
+       |  FROM (
+       |    SELECT d.w, d.cnt, d.len, d.pos + 1 AS pos, d.costs, d.preds, d.pieces,
+       |      (list_sort(list_filter([
+       |$cands
+       |      ], x -> x.piece IS NOT NULL)))[1] AS best
+       |    FROM dp d
+       |$joins
+       |    WHERE d.pos < d.len)),
+       |dpf AS MATERIALIZED (SELECT w, cnt, len, preds, pieces FROM dp WHERE pos = len),
+       |bt AS (
+       |  SELECT w, cnt, CAST(len AS BIGINT) AS pos FROM dpf
+       |  UNION ALL
+       |  SELECT b.w, b.cnt, f.preds[CAST(b.pos AS INTEGER)]
+       |  FROM bt b JOIN dpf f USING (w) WHERE b.pos > 0),
+       |em AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS em_cnt FROM (
+       |    SELECT b.cnt, f.pieces[CAST(b.pos AS INTEGER)] AS piece
+       |    FROM bt b JOIN dpf f USING (w) WHERE b.pos > 0) GROUP BY piece),
+       |pruned AS (SELECT v.piece, v.seed_cnt, coalesce(e.em_cnt, 0) AS em_cnt
+       |  FROM vc v LEFT JOIN em e USING (piece)
+       |  WHERE length(v.piece) = 1 OR coalesce(e.em_cnt, 0) > 0)
+       |SELECT piece, seed_cnt, CAST(em_cnt AS BIGINT) AS em_cnt,
+       |  CAST((em_cnt * $Q) // (SELECT sum(em_cnt) FROM pruned) AS BIGINT) AS em_score_q
+       |FROM pruned ORDER BY em_cnt DESC, piece LIMIT $k""".stripMargin
+  }
+
   /** q118 mirror of
     * [[graft.operators.Phrases.bpeFertilitySheet]]: the full
     * [[encodeSql]] chain as a subquery, aggregated onto

@@ -2783,7 +2783,26 @@ object ExtensionQueries {
         |exact arm is the documented audit-sized slice; everything else
         |is q28's audited plan.""".stripMargin,
       (s, d) => graft.operators.Dedup.minhashRecallAudit(Tables.documents(s, d)),
-      Some(MinhashOracle.recallAuditSql()))
+      Some(MinhashOracle.recallAuditSql())),
+
+    QuerySpec(
+      "q123_unigram_lm_round",
+      """Unigram-LM tokenizer round ([[graft.operators.Phrases
+        |.unigramLmRound]]) — the SECOND tokenizer family beside BPE
+        |(SentencePiece's model, Kudo 2018), as one deterministic
+        |Viterbi hard-EM round over the q106 word-count frame: seed
+        |substring census (singles + top-512 multis), q89-quantized
+        |scores with INTEGER-log costs (22 − length(bin(score_q+1)) —
+        |floor(log2) off the binary string, no libm), min-cost DP
+        |segmentation per distinct word (tie: cost ASC, start ASC),
+        |frequency-weighted expected counts, re-score + prune, top-200
+        |under (em_cnt DESC, piece). All-BIGINT, so the whole EM round
+        |oracles bitwise against a recursive-CTE replay. Scale shape:
+        |ONE corpus scan; DP and backtrace are maxWordLen vocab-sized
+        |hops — per-round cost bounded by vocabulary, not corpus.""".stripMargin,
+      (s, d) => graft.operators.Phrases.unigramLmRound(
+        Tables.documents(s, d), "text"),
+      Some(BpeOracle.unigramSql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -53,4 +53,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   test("minhash recall audit is partition-invariant") {
     invariant(Dedup.minhashRecallAudit(_))
   }
+
+  test("unigram-LM round is partition-invariant") {
+    invariant(Phrases.unigramLmRound(_, "text"))
+  }
 }

@@ -176,4 +176,47 @@ class PhrasesSpec extends AnyFunSuite {
     assert(row.getLong(2) == 1L && row.getLong(3) == 0L &&
       row.isNullAt(6) && row.isNullAt(7))
   }
+
+  test("unigramLmRound: hand-computed Viterbi-EM on a tiny corpus") {
+    // Corpus "aa aa b": words aa(cnt 2, len 2), b(1).
+    // Seed census (occurrence-weighted): a = 4, aa = 2, b = 1; total 7.
+    // score_q = cnt·2^20 // 7 → a 599186, aa 299593, b 149796;
+    // cost = 22 − bits(score_q+1)   → a 2,      aa 3,      b 4.
+    // DP "aa": pos2 candidates a+a = 4 vs aa = 3 → ["aa"]; "b" → ["b"].
+    // EM: aa = 2, b = 1, a = 0 (kept: single-char coverage); total 3.
+    // em_score_q: aa 2·2^20//3 = 699050, b 349525, a 0.
+    val d1 = Seq((1L, "aa aa b")).toDF("doc_id", "text")
+    val r1 = Phrases.unigramLmRound(d1, "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(r1 == Map(
+      "aa" -> ((2L, 2L, 699050L)),
+      "b" -> ((1L, 1L, 349525L)),
+      "a" -> ((4L, 0L, 0L))))
+
+    // Corpus "abab abab ab": words abab(2), ab(1). Seed: a 5, b 5,
+    // ab 5, ba 2, aba 2, bab 2, abab 2; total 23. Costs: 5-count
+    // pieces → 4, 2-count → 5. DP "abab": ab+ab = 8 vs aba|abab
+    // paths → abab wins at 5 (whole-word piece beats pairs);
+    // "ab" → ["ab"] (4 < a+b = 8). EM: abab 2, ab 1; singles pruned
+    // to em 0 but kept. em_total 3.
+    val d2 = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val r2 = Phrases.unigramLmRound(d2, "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(r2 == Map(
+      "abab" -> ((2L, 2L, 699050L)),
+      "ab" -> ((5L, 1L, 349525L)),
+      "a" -> ((5L, 0L, 0L)),
+      "b" -> ((5L, 0L, 0L))))
+    // unused multi-char seeds (ba, aba, bab) are pruned
+    assert(!r2.contains("ba") && !r2.contains("aba") && !r2.contains("bab"))
+
+    // null/empty text is total; words truncate at maxWordLen
+    val d3 = Seq((1L, Some("abcdefghij")), (2L, None))
+      .toDF("doc_id", "text")
+    val r3 = Phrases.unigramLmRound(d3, "text", maxWordLen = 4)
+      .collect().map(_.getString(0)).toSet
+    assert(r3.contains("abcd") && !r3.exists(_.length > 4))
+  }
 }
