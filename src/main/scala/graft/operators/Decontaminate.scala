@@ -187,6 +187,38 @@ object Decontaminate {
   private[graft] def bloomPositions(c: Column, mBits: Long): Column =
     array((0 until 4).map(bloomPosition(c, _, mBits)): _*)
 
+  /** The q116 Bloom filter as a ONE-ROW broadcastable frame — column
+    * `__bmask: map<bigint, bigint>` mapping each SET bit position of
+    * the eval split's capped shingles to 1. The static side of the
+    * streaming decontamination gate
+    * ([[graft.streaming.Curation.decontaminationGate]]): built once,
+    * batch-side, from the eval corpus (same split/shingle/df-cap
+    * definitions as [[bloomContaminationCandidates]], so the gate and
+    * the batch probe agree on the filter bit-for-bit), then broadcast
+    * onto the ingest stream where every probe is a map lookup — the
+    * filter is ≤ mBits entries (~262k at the default sizing, a few MB)
+    * regardless of corpus scale, and carries ZERO streaming state. */
+  def bloomEvalMask(
+      docs: DataFrame,
+      testPermille: Int = 100,
+      mBits: Long = 1L << 18,
+      maxTestDf: Long = 20L,
+      salt: String = "graft"): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille must be in [0,1000], got $testPermille")
+    require(mBits > 0, s"mBits must be positive, got $mBits")
+    val testSh = Sampling.withSplitBucket(docs, "doc_id", salt)
+      .filter(col("__bucket") < testPermille)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokenNgrams(
+          split(lower(col("text")), "\\s+"), 3))).as("sh"))
+    val rare = testSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTestDf).select(col("sh"))
+    testSh.join(rare, Seq("sh"), "left_semi")
+      .select(explode(bloomPositions(col("sh"), mBits)).as("bit")).distinct()
+      .agg(map_from_entries(collect_list(struct(col("bit"), lit(1L)))).as("__bmask"))
+  }
+
   /** Bloom-filter decontamination probe — the broadcast-sketch variant
     * of [[contaminationReport]], the shape production decontamination
     * takes when the training side is 100 TB: the EVAL split's shingles

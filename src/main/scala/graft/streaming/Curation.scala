@@ -78,6 +78,51 @@ object Curation {
       keepByQuality(stream, textCol, langCol, minTokens, lang, stopwordPct),
       eventTimeCol, delay, keys)
 
+  /** Streaming Bloom decontamination gate — q116's broadcast probe
+    * ([[graft.operators.Decontaminate.bloomContaminationCandidates]])
+    * composed at INGEST: the eval split's Bloom filter is STATIC and
+    * tiny (one row, ≤ mBits map entries — build it once with
+    * [[graft.operators.Decontaminate.bloomEvalMask]]), so the
+    * streaming side is a pure map-side probe with ZERO state: each
+    * arriving document computes its distinct 3-gram shingles, probes
+    * the 4 Bloom positions of every shingle against the broadcast bit
+    * map (a shingle is a contamination CANDIDATE iff all 4 bits are
+    * set — no false negatives, fill⁴ false-positive rate), and is
+    * flagged when ≥ `minOverlap` of its shingles are candidates.
+    * Append-mode friendly: no aggregation, no watermark, no join
+    * state — the one stream-static crossJoin broadcasts a single row.
+    *
+    * Emits the input columns plus `(n_shingles, n_candidates,
+    * contaminated)` — route flagged rows to quarantine/exact-recheck,
+    * let the rest land. Identical arithmetic to the batch probe: the
+    * same fixture streamed through this gate flags exactly q116's
+    * candidate set (StreamingDecontaminationSpec pins it). Null text
+    * is total: 0 shingles, 0 candidates, not contaminated. */
+  def decontaminationGate(stream: DataFrame, mask: DataFrame,
+      textCol: String = "text", mBits: Long = 1L << 18,
+      minOverlap: Long = 3L): DataFrame = {
+    require(mBits > 0, s"mBits must be positive, got $mBits")
+    val shs = array_distinct(TextFunctions.tokenNgrams(
+      split(lower(col(textCol)), "\\s+"), 3))
+    val isCandidate: Column => Column = sh =>
+      (0 until 4).map { j =>
+        element_at(col("__bmask"),
+          graft.operators.Decontaminate.bloomPosition(sh, j, mBits)).isNotNull
+      }.reduce(_ && _)
+    stream.crossJoin(broadcast(mask))
+      .withColumn("__shs", shs)
+      .withColumn("n_shingles",
+        coalesce(size(col("__shs")).cast("long"), lit(0L)))
+      .withColumn("n_candidates",
+        coalesce(size(filter(col("__shs"), isCandidate)).cast("long"), lit(0L)))
+      .withColumn("contaminated", col("n_candidates") >= minOverlap)
+      .drop("__shs", "__bmask")
+      // size(NULL array) is -1 under legacy sizeOfNull: clamp the
+      // null-text sentinel to the documented zeros
+      .withColumn("n_shingles", greatest(col("n_shingles"), lit(0L)))
+      .withColumn("n_candidates", greatest(col("n_candidates"), lit(0L)))
+  }
+
   /** Batch twin of the gate with REASON CODES (q81): same quality rules,
     * with the stream's arrival-order dedup pinned to a deterministic
     * rule — among quality-surviving rows of identical normalized
