@@ -400,8 +400,72 @@ object Phrases {
       seedSize: Int = 512, k: Int = 200): DataFrame = {
     require(maxPieceLen >= 1 && maxWordLen >= 1 && seedSize >= 0 && k >= 1,
       s"bad parameters ($maxPieceLen, $maxWordLen, $seedSize, $k)")
-    import org.apache.spark.sql.expressions.Window
-    val words = Dedup.materialize(
+    val words = unigramWords(docs, textCol, maxWordLen)
+    val vocab = unigramVocab(words, maxPieceLen, seedSize)
+    val em = unigramSegmented(words, vocab, maxPieceLen)
+      .select(col("cnt"), explode(col("seg")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("em_cnt"))
+
+    // M-step + prune + deterministic top-k
+    vocab.select(col("piece"), col("seed_cnt"))
+      .join(em, Seq("piece"), "left")
+      .withColumn("em_cnt", coalesce(col("em_cnt"), lit(0L)))
+      .filter(length(col("piece")) === 1 || col("em_cnt") > 0)
+      .withColumn("em_score_q", expr(s"CAST((em_cnt * $Q) DIV sum(em_cnt) OVER " +
+        "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"))
+      .orderBy(col("em_cnt").desc, col("piece")).limit(k)
+      .select(col("piece"), col("seed_cnt"), col("em_cnt"), col("em_score_q"))
+  }
+
+  /** Unigram-LM apply/encode — the APPLY member of the second tokenizer
+    * family, the q110 analog: segment every (maxWordLen-truncated)
+    * corpus word with the SEED-scored unigram vocabulary's min-cost
+    * Viterbi path (exactly [[unigramLmRound]]'s E-step segmentation)
+    * and report per document `(doc_id, n_words, n_chars, n_pieces)` —
+    * the budget sheet the BPE twin emits as q110. Counts are over the
+    * truncated forms (the model's domain); null-text docs report
+    * zeros.
+    *
+    * Scale shape (100 TB): the DP runs ONCE PER DISTINCT WORD
+    * (vocab-sized, the [[unigramSegmented]] map-side expression); the
+    * corpus-sized side collapses map-side onto (doc_id, word) count
+    * keys BEFORE touching the DP output, so the word-keyed join moves
+    * narrow count rows — never tokens, never text — and AQE picks
+    * broadcast vs shuffle from the vocab frame's true size. Per-doc
+    * sums combine map-side on the closing doc_id exchange. */
+  def unigramEncode(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      seedSize: Int = 512): DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= 1 && seedSize >= 0,
+      s"bad parameters ($maxPieceLen, $maxWordLen, $seedSize)")
+    val words = unigramWords(docs, textCol, maxWordLen)
+    val wp = unigramSegmented(words, unigramVocab(words, maxPieceLen, seedSize),
+        maxPieceLen)
+      .select(col("w"), size(col("seg")).cast("long").as("__np"))
+    val perDoc = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(col("doc_id"), substring(col("w0"), 1, maxWordLen).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("__occ"))
+      .join(wp, "w")
+      .groupBy(col("doc_id")).agg(
+        sum(col("__occ")).as("n_words"),
+        sum(col("__occ") * length(col("w")).cast("long")).as("n_chars"),
+        sum(col("__occ") * col("__np")).as("n_pieces"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
+  /** Truncated lower-cased word-frequency frame `(w, cnt, len)` — the
+    * ONE corpus collapse the unigram family shares (the [[wordCounts]]
+    * analog; materialized: both the seed census and the DP read it). */
+  private def unigramWords(docs: DataFrame, textCol: String,
+      maxWordLen: Int): DataFrame =
+    Dedup.materialize(
       docs.filter(col(textCol).isNotNull)
         .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w0"))
         .filter(length(col("w0")) >= 1)
@@ -409,7 +473,15 @@ object Phrases {
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         .withColumn("len", length(col("w"))))
 
-    // 1. seed: occurrence-weighted substring census, vocab-local
+  /** Seeded, scored unigram piece vocabulary
+    * `(piece, seed_cnt, score_q, piece_cost)`: occurrence-weighted
+    * substring census (vocab-local explode), ALL single chars + the
+    * top `seedSize` multis under (seed_cnt DESC, piece ASC), q89-
+    * quantized scores, and the INTEGER log cost
+    * `22 − length(bin(score_q + 1))` — floor(log2) read off the binary
+    * string, exact BIGINT arithmetic on both engines. */
+  private def unigramVocab(words: DataFrame, maxPieceLen: Int,
+      seedSize: Int): DataFrame = {
     val seed = words
       .select(col("cnt"), explode(expr(
         s"""flatten(transform(sequence(1, length(w)),
@@ -419,21 +491,27 @@ object Phrases {
     val vocab0 = seed.filter(length(col("piece")) === 1).unionByName(
       seed.filter(length(col("piece")) >= 2)
         .orderBy(col("seed_cnt").desc, col("piece")).limit(seedSize))
-
-    // 2. integer-log costs from quantized scores
-    val vocab = Dedup.materialize(vocab0
+    Dedup.materialize(vocab0
       .withColumn("score_q", expr(s"CAST((seed_cnt * $Q) DIV sum(seed_cnt) OVER " +
         "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"))
       .withColumn("piece_cost", lit(22L) - length(bin(col("score_q") + 1)).cast("long")))
+  }
 
-    // 3. Viterbi DP + backtrace, ONE map-side expression per distinct
-    //    word against the broadcast piece-cost map. Candidate for a
-    //    length-l piece ending at position i: prev cost at index
-    //    i−l+1, piece = substring(w, i−l+1, l), start = i−l; argmin by
-    //    array_sort over (cost, strt, piece) structs — field order IS
-    //    the (cost ASC, start ASC) tie-break. Missing map keys / out-
-    //    of-range l yield NULL-cost candidates, filtered before the
-    //    sort; the all-singles vocab guarantees l = 1 always survives.
+  /** The word frame plus `seg` — each word's min-cost Viterbi
+    * segmentation — computed as ONE map-side expression per distinct
+    * word against the broadcast piece-cost map (`map_from_entries`
+    * over the vocab, built distributed, never collected; seedSize +
+    * alphabet bounded — the table SentencePiece holds in memory on
+    * every worker). Candidate for a length-l piece ending at position
+    * i: prev cost at index i−l+1, piece = substring(w, i−l+1, l),
+    * start = i−l; argmin by array_sort over (cost, strt, piece)
+    * structs — field order IS the (cost ASC, start ASC) tie-break.
+    * Missing map keys / out-of-range l yield NULL-cost candidates,
+    * filtered before the sort; the all-singles vocab guarantees l = 1
+    * always survives. The backtrace walks the pred list down from
+    * pos = len inside a second fold. */
+  private def unigramSegmented(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
     val cmap = vocab.agg(map_from_entries(
       collect_list(struct(col("piece"), col("piece_cost")))).as("cmap"))
     val cands = (1 to maxPieceLen).map { l =>
@@ -466,20 +544,10 @@ object Phrases {
          |      'out', concat(acc.out, array(element_at(d.pieces, CAST(acc.pos AS INT))))),
          |    acc),
          |  acc -> acc.out)""".stripMargin
-    val em = words.crossJoin(broadcast(cmap))
+    words.crossJoin(broadcast(cmap))
       .withColumn("d", expr(dpExpr))
-      .select(col("cnt"), explode(expr(btExpr)).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("cnt")).as("em_cnt"))
-
-    // 4. M-step + prune + deterministic top-k
-    vocab.select(col("piece"), col("seed_cnt"))
-      .join(em, Seq("piece"), "left")
-      .withColumn("em_cnt", coalesce(col("em_cnt"), lit(0L)))
-      .filter(length(col("piece")) === 1 || col("em_cnt") > 0)
-      .withColumn("em_score_q", expr(s"CAST((em_cnt * $Q) DIV sum(em_cnt) OVER " +
-        "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"))
-      .orderBy(col("em_cnt").desc, col("piece")).limit(k)
-      .select(col("piece"), col("seed_cnt"), col("em_cnt"), col("em_score_q"))
+      .withColumn("seg", expr(btExpr))
+      .drop("d", "cmap")
   }
 
   def bpeFertilitySheet(docs: DataFrame, textCol: String,

@@ -87,6 +87,49 @@ object BpeOracle {
   def unigramSql(maxPieceLen: Int = 4, maxWordLen: Int = 12,
       seedSize: Int = 512, k: Int = 200): String = {
     val Q = 1048576L
+    s"""WITH RECURSIVE
+       |${unigramChain(maxPieceLen, maxWordLen, seedSize)},
+       |em AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS em_cnt FROM (
+       |    SELECT b.cnt, f.pieces[CAST(b.pos AS INTEGER)] AS piece
+       |    FROM bt b JOIN dpf f USING (w) WHERE b.pos > 0) GROUP BY piece),
+       |pruned AS (SELECT v.piece, v.seed_cnt, coalesce(e.em_cnt, 0) AS em_cnt
+       |  FROM vc v LEFT JOIN em e USING (piece)
+       |  WHERE length(v.piece) = 1 OR coalesce(e.em_cnt, 0) > 0)
+       |SELECT piece, seed_cnt, CAST(em_cnt AS BIGINT) AS em_cnt,
+       |  CAST((em_cnt * $Q) // (SELECT sum(em_cnt) FROM pruned) AS BIGINT) AS em_score_q
+       |FROM pruned ORDER BY em_cnt DESC, piece LIMIT $k""".stripMargin
+  }
+
+  /** q124 mirror of [[graft.operators.Phrases.unigramEncode]]: the
+    * same recursive chain, closed by per-word path lengths (`wp` —
+    * the count of backtrace-visited positions) joined onto the
+    * (doc, truncated word) token stream and rolled up per document.
+    * Null-text docs report zeros via the LEFT JOIN. */
+  def unigramEncodeSql(maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      seedSize: Int = 512): String =
+    s"""WITH RECURSIVE
+       |${unigramChain(maxPieceLen, maxWordLen, seedSize)},
+       |wp AS (SELECT w, CAST(count(*) AS BIGINT) AS np
+       |       FROM bt WHERE pos > 0 GROUP BY w),
+       |tokd AS (SELECT doc_id, substr(w, 1, $maxWordLen) AS w
+       |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) WHERE length(w) >= 1),
+       |per AS (SELECT td.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(sum(length(td.w)) AS BIGINT) AS n_chars,
+       |          CAST(sum(wp.np) AS BIGINT) AS n_pieces
+       |        FROM tokd td JOIN wp USING (w) GROUP BY td.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(per.n_chars, 0) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(per.n_pieces, 0) AS BIGINT) AS n_pieces
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
+  /** The shared unigram CTE chain (toks → words → seed/vocab `vc` →
+    * recursive DP `dp`/`dpf` → backtrace `bt`) both unigram oracles
+    * close over. See [[unigramSql]]'s scaladoc for the argmin
+    * tie-break contract. */
+  private def unigramChain(maxPieceLen: Int, maxWordLen: Int,
+      seedSize: Int): String = {
+    val Q = 1048576L
     // candidate struct for piece length l ending at position d.pos+1:
     // prev position = d.pos+1-l, costs list index = prev+1, substring
     // start = prev+1 (1-based)
@@ -100,8 +143,7 @@ object BpeOracle {
       val guard = if (l == 1) "" else s"d.pos >= ${l - 1} AND "
       s"LEFT JOIN vc v$l ON ${guard}v$l.piece = substr(d.w, d.pos + ${2 - l}, $l)"
     }.mkString("\n")
-    s"""WITH RECURSIVE
-       |toks AS MATERIALIZED (SELECT string_split_regex(lower(text), '\\s+') AS t
+    s"""toks AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
        |        FROM documents WHERE text IS NOT NULL),
        |words AS MATERIALIZED (SELECT substr(w, 1, $maxWordLen) AS w,
        |          CAST(count(*) AS BIGINT) AS cnt
@@ -144,16 +186,7 @@ object BpeOracle {
        |  SELECT w, cnt, CAST(len AS BIGINT) AS pos FROM dpf
        |  UNION ALL
        |  SELECT b.w, b.cnt, f.preds[CAST(b.pos AS INTEGER)]
-       |  FROM bt b JOIN dpf f USING (w) WHERE b.pos > 0),
-       |em AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS em_cnt FROM (
-       |    SELECT b.cnt, f.pieces[CAST(b.pos AS INTEGER)] AS piece
-       |    FROM bt b JOIN dpf f USING (w) WHERE b.pos > 0) GROUP BY piece),
-       |pruned AS (SELECT v.piece, v.seed_cnt, coalesce(e.em_cnt, 0) AS em_cnt
-       |  FROM vc v LEFT JOIN em e USING (piece)
-       |  WHERE length(v.piece) = 1 OR coalesce(e.em_cnt, 0) > 0)
-       |SELECT piece, seed_cnt, CAST(em_cnt AS BIGINT) AS em_cnt,
-       |  CAST((em_cnt * $Q) // (SELECT sum(em_cnt) FROM pruned) AS BIGINT) AS em_score_q
-       |FROM pruned ORDER BY em_cnt DESC, piece LIMIT $k""".stripMargin
+       |  FROM bt b JOIN dpf f USING (w) WHERE b.pos > 0)""".stripMargin
   }
 
   /** q118 mirror of

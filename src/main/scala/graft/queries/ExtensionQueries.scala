@@ -2802,7 +2802,28 @@ object ExtensionQueries {
         |hops — per-round cost bounded by vocabulary, not corpus.""".stripMargin,
       (s, d) => graft.operators.Phrases.unigramLmRound(
         Tables.documents(s, d), "text"),
-      Some(BpeOracle.unigramSql()))
+      Some(BpeOracle.unigramSql())),
+
+    QuerySpec(
+      "q124_unigram_encode",
+      """Unigram-LM apply/encode ([[graft.operators.Phrases
+        |.unigramEncode]]) — the APPLY member closing the second
+        |tokenizer family the way q110 closes BPE: segment every
+        |truncated corpus word with the seed-scored vocabulary's
+        |min-cost Viterbi path (q123's E-step segmentation, one shared
+        |kernel) and report per doc (doc_id, n_words, n_chars,
+        |n_pieces) — the budget sheet a tokenizer planner consumes,
+        |now comparable across both families. All-BIGINT; the oracle
+        |replays the same recursive DP chain and closes with per-word
+        |path lengths joined onto the (doc, word) stream. Scale shape:
+        |DP once per DISTINCT word (vocab-sized, map-side vs the
+        |broadcast cost map); the corpus side collapses onto
+        |(doc, word) count keys before the word-keyed join — narrow
+        |count rows move, never tokens or text; per-doc sums combine
+        |map-side.""".stripMargin,
+      (s, d) => graft.operators.Phrases.unigramEncode(
+        Tables.documents(s, d), "text"),
+      Some(BpeOracle.unigramEncodeSql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

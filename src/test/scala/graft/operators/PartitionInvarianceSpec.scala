@@ -57,4 +57,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   test("unigram-LM round is partition-invariant") {
     invariant(Phrases.unigramLmRound(_, "text"))
   }
+
+  test("unigram-LM encode is partition-invariant") {
+    invariant(Phrases.unigramEncode(_, "text"))
+  }
 }

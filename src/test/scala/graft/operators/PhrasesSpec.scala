@@ -219,4 +219,28 @@ class PhrasesSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(r3.contains("abcd") && !r3.exists(_.length > 4))
   }
+
+  test("unigramEncode: hand-computed per-doc piece budget") {
+    // Corpus doc1 "aa aa b", doc2 "aaaaa". Seed census: a=9, aa=6,
+    // aaa=3, aaaa=2, b=1; total 21. score_q = cnt·2^20//21 → costs
+    // 22−bits(+1): a 3, aa 3, aaa 4, aaaa 5, b 6.
+    // DP: "aa"→["aa"] (3 < a+a=6); "b"→["b"];
+    // "aaaaa": pos5 candidates (8,4,a) (7,3,aa) (7,2,aaa) (8,1,aaaa)
+    //   → min (7,2) → aaa, pred 2 → then pos2 → aa: ["aaa","aa"], 2
+    //   pieces (the tie at cost 7 exercises the start-ASC tie-break).
+    // doc1: 3 words, 5 chars, 3 pieces; doc2: 1 word, 5 chars, 2.
+    val d = Seq((1L, Some("aa aa b")), (2L, Some("aaaaa")), (3L, None))
+      .toDF("doc_id", "text")
+    val enc = Phrases.unigramEncode(d, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(enc(1L) == ((3L, 5L, 3L)))
+    assert(enc(2L) == ((1L, 5L, 2L)))
+    assert(enc(3L) == ((0L, 0L, 0L)), "null text reports zeros")
+
+    // encode counts the model's domain: words truncate at maxWordLen
+    val t = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val row = Phrases.unigramEncode(t, "text", maxWordLen = 4).collect().head
+    assert(row.getLong(1) == 1L && row.getLong(2) == 4L && row.getLong(3) == 1L)
+  }
 }
