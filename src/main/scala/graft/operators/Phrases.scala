@@ -460,6 +460,72 @@ object Phrases {
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
   }
 
+  /** CCNet-style LM-perplexity quality buckets (Wenzek et al. 2020 —
+    * the public CCNet method: score every document by a language
+    * model's perplexity and split the corpus into head/middle/tail
+    * thirds, keeping the head as the cleanest training data). The LM
+    * is the engine's own unigram piece model ([[unigramVocab]]): a
+    * document's score is its total Viterbi cost (the integer −log p
+    * surrogate, Σ over word occurrences of the word's min path cost),
+    * normalized per piece — `ppl_q = cost_q·2^20 DIV n_pieces` — so
+    * long documents aren't penalized for length, exactly CCNet's
+    * per-token normalization. Buckets split at the corpus-wide 33 %
+    * and 67 % exact discrete percentiles of ppl_q over non-empty
+    * docs (the [[Quantiles.multiQuantileDisc]] kernel): ppl ≤ p33 →
+    * 'head' (most predictable = cleanest under the corpus's own
+    * model), ≤ p67 → 'middle', else 'tail'; empty/null docs bucket
+    * 'empty'. Output: `(doc_id, n_pieces, cost_q, ppl_q, bucket)`.
+    *
+    * All-BIGINT scoring + discrete percentile SELECTION (no
+    * interpolation), so the whole sheet oracles bitwise.
+    *
+    * Scale shape: q124's audited encode shape (DP once per distinct
+    * word; narrow (doc, word) count rows to the join; map-side-combined
+    * per-doc sums) plus ONE global discrete-percentile pass over
+    * 16-byte (doc, ppl) rows — the q40 global-median shape, with
+    * approx_percentile as the documented fallback when doc count
+    * outgrows a single task's external sort (the q60 precedent); the
+    * two cut values then broadcast onto the disposition sheet. */
+  def lmQualityBuckets(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      seedSize: Int = 512): DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= 1 && seedSize >= 0,
+      s"bad parameters ($maxPieceLen, $maxWordLen, $seedSize)")
+    val words = unigramWords(docs, textCol, maxWordLen)
+    val wp = unigramSegmented(words, unigramVocab(words, maxPieceLen, seedSize),
+        maxPieceLen)
+      .select(col("w"), size(col("seg")).cast("long").as("__np"), col("w_cost"))
+    val perDoc = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(col("doc_id"), substring(col("w0"), 1, maxWordLen).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("__occ"))
+      .join(wp, "w")
+      .groupBy(col("doc_id")).agg(
+        sum(col("__occ") * col("__np")).as("n_pieces"),
+        sum(col("__occ") * col("w_cost")).as("cost_q"))
+    val scored = Dedup.materialize(
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+          coalesce(col("cost_q"), lit(0L)).as("cost_q"))
+        .withColumn("ppl_q", when(col("n_pieces") > 0L,
+          expr(s"CAST((cost_q * $Q) DIV n_pieces AS BIGINT)")).otherwise(lit(0L))))
+    // always ONE row, even over an all-empty corpus (NULL cuts then
+    // never match and every doc buckets 'empty' via the first branch)
+    val cuts = Quantiles.multiQuantileDisc(
+      scored.filter(col("n_pieces") > 0L).withColumn("__g", lit(0L)),
+      "__g", "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
+      .agg(max(col("p33")).as("p33"), max(col("p67")).as("p67"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_pieces"), col("cost_q"), col("ppl_q"),
+        when(col("n_pieces") === 0L, "empty")
+          .when(col("ppl_q") <= col("p33"), "head")
+          .when(col("ppl_q") <= col("p67"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Truncated lower-cased word-frequency frame `(w, cnt, len)` — the
     * ONE corpus collapse the unigram family shares (the [[wordCounts]]
     * analog; materialized: both the seed census and the DP read it). */
@@ -547,6 +613,9 @@ object Phrases {
     words.crossJoin(broadcast(cmap))
       .withColumn("d", expr(dpExpr))
       .withColumn("seg", expr(btExpr))
+      // the word's min total cost — the integer −log p surrogate the
+      // quality filter (q125) reads; final DP cell = costs[len + 1]
+      .withColumn("w_cost", expr("element_at(d.costs, CAST(length(w) AS INT) + 1)"))
       .drop("d", "cmap")
   }
 

@@ -123,6 +123,45 @@ object BpeOracle {
        |  CAST(coalesce(per.n_pieces, 0) AS BIGINT) AS n_pieces
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
 
+  /** q125 mirror of [[graft.operators.Phrases.lmQualityBuckets]]: the
+    * shared recursive chain, per-word (path length, final DP cost)
+    * sheets, per-doc sums over the (doc, word) stream, the quantized
+    * per-piece perplexity, exact discrete 33 %/67 % cuts
+    * (percentile_disc — the q60-pinned selection semantics), and the
+    * CASE bucketing. The empty-corpus degenerate mirrors the Spark
+    * side: an all-NULL cuts row buckets everything 'empty' via the
+    * first branch. */
+  def unigramQualitySql(maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      seedSize: Int = 512): String =
+    s"""WITH RECURSIVE
+       |${unigramChain(maxPieceLen, maxWordLen, seedSize)},
+       |wpc AS (SELECT w, CAST(count(*) AS BIGINT) AS np
+       |        FROM bt WHERE pos > 0 GROUP BY w),
+       |wcost AS (SELECT w, costs[CAST(len AS INTEGER) + 1] AS wcost FROM dpf),
+       |tokd AS (SELECT doc_id, substr(w, 1, $maxWordLen) AS w
+       |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) WHERE length(w) >= 1),
+       |per AS (SELECT td.doc_id, CAST(sum(wpc.np) AS BIGINT) AS n_pieces,
+       |          CAST(sum(wcost.wcost) AS BIGINT) AS cost_q
+       |        FROM tokd td JOIN wpc USING (w) JOIN wcost USING (w)
+       |        GROUP BY td.doc_id),
+       |scored AS (SELECT d.doc_id,
+       |    CAST(coalesce(per.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |    CAST(coalesce(per.cost_q, 0) AS BIGINT) AS cost_q,
+       |    CASE WHEN coalesce(per.n_pieces, 0) > 0
+       |      THEN CAST((per.cost_q * 1048576) // per.n_pieces AS BIGINT)
+       |      ELSE 0 END AS ppl_q
+       |  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+       |cuts AS (SELECT
+       |    percentile_disc(0.33) WITHIN GROUP (ORDER BY ppl_q) AS p33,
+       |    percentile_disc(0.67) WITHIN GROUP (ORDER BY ppl_q) AS p67
+       |  FROM scored WHERE n_pieces > 0)
+       |SELECT s.doc_id, s.n_pieces, s.cost_q, s.ppl_q,
+       |  CASE WHEN s.n_pieces = 0 THEN 'empty'
+       |       WHEN s.ppl_q <= c.p33 THEN 'head'
+       |       WHEN s.ppl_q <= c.p67 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored s, cuts c""".stripMargin
+
   /** The shared unigram CTE chain (toks → words → seed/vocab `vc` →
     * recursive DP `dp`/`dpf` → backtrace `bt`) both unigram oracles
     * close over. See [[unigramSql]]'s scaladoc for the argmin
@@ -181,7 +220,7 @@ object BpeOracle {
        |    FROM dp d
        |$joins
        |    WHERE d.pos < d.len)),
-       |dpf AS MATERIALIZED (SELECT w, cnt, len, preds, pieces FROM dp WHERE pos = len),
+       |dpf AS MATERIALIZED (SELECT w, cnt, len, costs, preds, pieces FROM dp WHERE pos = len),
        |bt AS (
        |  SELECT w, cnt, CAST(len AS BIGINT) AS pos FROM dpf
        |  UNION ALL

@@ -2823,7 +2823,28 @@ object ExtensionQueries {
         |map-side.""".stripMargin,
       (s, d) => graft.operators.Phrases.unigramEncode(
         Tables.documents(s, d), "text"),
-      Some(BpeOracle.unigramEncodeSql()))
+      Some(BpeOracle.unigramEncodeSql())),
+
+    QuerySpec(
+      "q125_lm_quality_buckets",
+      """CCNet-style LM-perplexity quality filter ([[graft.operators
+        |.Phrases.lmQualityBuckets]], Wenzek et al. 2020): score every
+        |document by the engine's OWN unigram piece model — per-doc
+        |total Viterbi cost (the integer −log p surrogate) normalized
+        |per piece, ppl_q = cost_q·2^20 DIV n_pieces — and split the
+        |corpus at the exact discrete 33 %/67 % percentiles into
+        |head/middle/tail (CCNet keeps the head as the cleanest
+        |slice); empty docs bucket 'empty'. Composes three shipped
+        |kernels (unigram vocab + Viterbi DP + the q60 percentile
+        |selection); all-BIGINT scoring + discrete selection, so the
+        |whole sheet oracles bitwise. Scale shape: q124's audited
+        |encode shape plus ONE global discrete-percentile pass over
+        |16-byte rows (the q40 global-median shape; approx_percentile
+        |is the documented outgrow path) and a two-value broadcast
+        |onto the disposition sheet.""".stripMargin,
+      (s, d) => graft.operators.Phrases.lmQualityBuckets(
+        Tables.documents(s, d), "text"),
+      Some(BpeOracle.unigramQualitySql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -61,4 +61,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   test("unigram-LM encode is partition-invariant") {
     invariant(Phrases.unigramEncode(_, "text"))
   }
+
+  test("LM quality buckets are partition-invariant") {
+    invariant(Phrases.lmQualityBuckets(_, "text"))
+  }
 }

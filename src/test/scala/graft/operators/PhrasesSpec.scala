@@ -243,4 +243,32 @@ class PhrasesSpec extends AnyFunSuite {
     val row = Phrases.unigramEncode(t, "text", maxWordLen = 4).collect().head
     assert(row.getLong(1) == 1L && row.getLong(2) == 4L && row.getLong(3) == 1L)
   }
+
+  test("lmQualityBuckets: hand-computed CCNet-style head/middle/tail split") {
+    // Corpus d1 "aa aa b", d2 "aaaaa", d3 "aa", d4 null. Seed census:
+    // a=11, aa=7, aaa=3, aaaa=2, b=1 (total 24) → costs a 3, aa 3,
+    // aaa 4, aaaa 5, b 6. Word paths: aa→[aa] cost 3; b→[b] 6;
+    // aaaaa→[aaa, aa] cost 7, 2 pieces.
+    // d1: cost 12, 3 pieces → ppl 12·2^20//3 = 4194304
+    // d2: cost 7, 2 pieces  → ppl 3670016
+    // d3: cost 3, 1 piece   → ppl 3145728
+    // cuts over {3145728, 3670016, 4194304}: p33 = rank ceil(.99)=1 →
+    // 3145728; p67 = rank ceil(2.01)=3 → 4194304. So d3 head, d2 and
+    // d1 middle (both ≤ p67), d4 empty — a p67 at the max exercises
+    // the ≤ boundary.
+    val d = Seq((1L, Some("aa aa b")), (2L, Some("aaaaa")),
+      (3L, Some("aa")), (4L, None)).toDF("doc_id", "text")
+    val r = Phrases.lmQualityBuckets(d, "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    assert(r(1L) == ((3L, 12L, 4194304L, "middle")))
+    assert(r(2L) == ((2L, 7L, 3670016L, "middle")))
+    assert(r(3L) == ((1L, 3L, 3145728L, "head")))
+    assert(r(4L) == ((0L, 0L, 0L, "empty")))
+
+    // all-empty corpus: one NULL cuts row, everything buckets 'empty'
+    val e = Seq((1L, None: Option[String]), (2L, None)).toDF("doc_id", "text")
+    val re = Phrases.lmQualityBuckets(e, "text").collect()
+    assert(re.length == 2 && re.forall(_.getString(4) == "empty"))
+  }
 }
