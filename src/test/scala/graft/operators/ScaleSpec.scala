@@ -743,4 +743,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(collectShuffles(pExec) <= 2,
       s"train side: candidate count + totals only, got ${collectShuffles(pExec)}")
   }
+
+  test("round-10 operators hold their documented plan shapes") {
+    val docs = Tables.documents(spark, sf001)
+
+    // q122: ONE materialized shingle frame feeds the exact arm, the
+    // banded arm, and the per-doc counts — the closing plan reads only
+    // checkpoints; a parquet scan here means an arm rebuilt its own
+    // shingles. The lone sort-merge join is the truePairs x cands hit
+    // join (both candidate-bounded); no cross products anywhere.
+    val audit = Dedup.minhashRecallAudit(docs)
+    assert(audit.count() > 0)
+    val aPlan = audit.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(aPlan).isEmpty,
+      "both audit arms must read the one materialized shingle frame")
+    assert(!aPlan.contains("CartesianProduct"))
+
+    // q123/q125: the Viterbi side reads the materialized word/vocab
+    // frames and the ONE-ROW broadcast cost map (a bounded
+    // BroadcastNestedLoopJoin build) — never the corpus.
+    val round = Phrases.unigramLmRound(docs, "text")
+    assert(round.count() > 0)
+    val rPlan = round.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(rPlan).isEmpty,
+      "the EM round closes over checkpointed vocab/word frames only")
+    assert(!rPlan.contains("CartesianProduct"))
+
+    val buckets = Phrases.lmQualityBuckets(docs, "text")
+    assert(buckets.count() > 0)
+    val bPlan = buckets.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(bPlan).isEmpty,
+      "bucketing reads the materialized scored frame + the 2-value cuts broadcast")
+    assert(!bPlan.contains("CartesianProduct"))
+
+    // q124: at most the two documented corpus reads (doc-id spine +
+    // token explode); the DP/vocab side arrives via checkpoints, and
+    // the per-doc sums combine map-side before the doc_id exchange.
+    val enc = Phrases.unigramEncode(docs, "text")
+    assert(enc.count() > 0)
+    val ePlan = enc.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(ePlan).size <= 2,
+      "encode reads the corpus at most twice — spine + token stream")
+    assert(!ePlan.contains("CartesianProduct"))
+    assert(ePlan.contains("partial_sum"),
+      "per-doc budget sums must combine map-side")
+  }
 }
