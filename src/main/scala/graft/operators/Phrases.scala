@@ -489,6 +489,26 @@ object Phrases {
   def lmQualityBuckets(docs: DataFrame, textCol: String,
       maxPieceLen: Int = 4, maxWordLen: Int = 12,
       seedSize: Int = 512): DataFrame = {
+    val scored = lmScored(docs, textCol, maxPieceLen, maxWordLen, seedSize)
+    // always ONE row, even over an all-empty corpus (NULL cuts then
+    // never match and every doc buckets 'empty' via the first branch)
+    val cuts = Quantiles.multiQuantileDisc(
+      scored.filter(col("n_pieces") > 0L).withColumn("__g", lit(0L)),
+      "__g", "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
+      .agg(max(col("p33")).as("p33"), max(col("p67")).as("p67"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_pieces"), col("cost_q"), col("ppl_q"),
+        when(col("n_pieces") === 0L, "empty")
+          .when(col("ppl_q") <= col("p33"), "head")
+          .when(col("ppl_q") <= col("p67"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** The per-doc scored frame under [[lmQualityBuckets]]:
+    * `(doc_id, n_pieces, cost_q, ppl_q)`, materialized (it feeds both
+    * the cut computation and the disposition select). */
+  private def lmScored(docs: DataFrame, textCol: String,
+      maxPieceLen: Int, maxWordLen: Int, seedSize: Int): DataFrame = {
     require(maxPieceLen >= 1 && maxWordLen >= 1 && seedSize >= 0,
       s"bad parameters ($maxPieceLen, $maxWordLen, $seedSize)")
     val words = unigramWords(docs, textCol, maxWordLen)
@@ -505,25 +525,13 @@ object Phrases {
       .groupBy(col("doc_id")).agg(
         sum(col("__occ") * col("__np")).as("n_pieces"),
         sum(col("__occ") * col("w_cost")).as("cost_q"))
-    val scored = Dedup.materialize(
+    Dedup.materialize(
       docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
           coalesce(col("cost_q"), lit(0L)).as("cost_q"))
         .withColumn("ppl_q", when(col("n_pieces") > 0L,
           expr(s"CAST((cost_q * $Q) DIV n_pieces AS BIGINT)")).otherwise(lit(0L))))
-    // always ONE row, even over an all-empty corpus (NULL cuts then
-    // never match and every doc buckets 'empty' via the first branch)
-    val cuts = Quantiles.multiQuantileDisc(
-      scored.filter(col("n_pieces") > 0L).withColumn("__g", lit(0L)),
-      "__g", "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
-      .agg(max(col("p33")).as("p33"), max(col("p67")).as("p67"))
-    scored.crossJoin(broadcast(cuts))
-      .select(col("doc_id"), col("n_pieces"), col("cost_q"), col("ppl_q"),
-        when(col("n_pieces") === 0L, "empty")
-          .when(col("ppl_q") <= col("p33"), "head")
-          .when(col("ppl_q") <= col("p67"), "middle")
-          .otherwise("tail").as("bucket"))
   }
 
   /** Truncated lower-cased word-frequency frame `(w, cnt, len)` — the
@@ -577,9 +585,33 @@ object Phrases {
     * always survives. The backtrace walks the pred list down from
     * pos = len inside a second fold. */
   private def unigramSegmented(words: DataFrame, vocab: DataFrame,
-      maxPieceLen: Int): DataFrame = {
-    val cmap = vocab.agg(map_from_entries(
+      maxPieceLen: Int): DataFrame =
+    words.crossJoin(broadcast(costMapRow(vocab)))
+      .withColumn("d", expr(dpExprStr(maxPieceLen)))
+      .withColumn("seg", expr(btExprStr))
+      // the word's min total cost — the integer −log p surrogate the
+      // quality filter (q125) reads; final DP cell = costs[len + 1]
+      .withColumn("w_cost", expr("element_at(d.costs, CAST(length(w) AS INT) + 1)"))
+      .drop("d", "cmap")
+
+  /** The scored vocabulary collapsed to ONE broadcastable map row
+    * (`cmap: map<string, bigint>` piece → Viterbi cost) — built with
+    * map_from_entries, never collected; seedSize + alphabet bounded. */
+  private def costMapRow(vocab: DataFrame): DataFrame =
+    vocab.agg(map_from_entries(
       collect_list(struct(col("piece"), col("piece_cost")))).as("cmap"))
+
+  /** The Viterbi DP fold as a SQL expression over a string named `w`
+    * and a cost map named `cmap` (both resolved from the enclosing
+    * scope — a column or a lambda variable alike). Result struct:
+    * (costs, preds, pieces) lists indexed 1 + position. Candidate for
+    * a length-l piece ending at position i: prev cost at index i−l+1,
+    * piece = substring(w, i−l+1, l), start = i−l; argmin by array_sort
+    * over (cost, strt, piece) structs — field order IS the (cost ASC,
+    * start ASC) tie-break. Missing map keys / out-of-range l yield
+    * NULL-cost candidates, filtered before the sort; the all-singles
+    * vocab guarantees l = 1 always survives. */
+  private[graft] def dpExprStr(maxPieceLen: Int): String = {
     val cands = (1 to maxPieceLen).map { l =>
       val core = s"named_struct(" +
         s"'cost', element_at(acc.costs, i - ${l - 1}) + " +
@@ -588,35 +620,68 @@ object Phrases {
         s"'piece', substring(w, i - ${l - 1}, $l))"
       if (l == 1) core else s"IF(i >= $l, $core, NULL)"
     }.mkString(",\n        ")
-    val dpExpr =
-      s"""aggregate(sequence(1, length(w)),
-         |  named_struct('costs', array(CAST(0 AS BIGINT)),
-         |    'preds', CAST(array() AS ARRAY<BIGINT>),
-         |    'pieces', CAST(array() AS ARRAY<STRING>)),
-         |  (acc, i) -> element_at(transform(array(
-         |      element_at(array_sort(filter(array(
-         |        $cands
-         |      ), c -> c.cost IS NOT NULL)), 1)
-         |    ), b -> named_struct(
-         |      'costs', concat(acc.costs, array(b.cost)),
-         |      'preds', concat(acc.preds, array(b.strt)),
-         |      'pieces', concat(acc.pieces, array(b.piece)))), 1))""".stripMargin
-    val btExpr =
-      s"""aggregate(sequence(1, length(w)),
-         |  named_struct('pos', CAST(length(w) AS BIGINT),
-         |    'out', CAST(array() AS ARRAY<STRING>)),
-         |  (acc, x) -> IF(acc.pos > 0, named_struct(
-         |      'pos', element_at(d.preds, CAST(acc.pos AS INT)),
-         |      'out', concat(acc.out, array(element_at(d.pieces, CAST(acc.pos AS INT))))),
-         |    acc),
-         |  acc -> acc.out)""".stripMargin
-    words.crossJoin(broadcast(cmap))
-      .withColumn("d", expr(dpExpr))
-      .withColumn("seg", expr(btExpr))
-      // the word's min total cost — the integer −log p surrogate the
-      // quality filter (q125) reads; final DP cell = costs[len + 1]
-      .withColumn("w_cost", expr("element_at(d.costs, CAST(length(w) AS INT) + 1)"))
-      .drop("d", "cmap")
+    s"""aggregate(sequence(1, length(w)),
+       |  named_struct('costs', array(CAST(0 AS BIGINT)),
+       |    'preds', CAST(array() AS ARRAY<BIGINT>),
+       |    'pieces', CAST(array() AS ARRAY<STRING>)),
+       |  (acc, i) -> element_at(transform(array(
+       |      element_at(array_sort(filter(array(
+       |        $cands
+       |      ), c -> c.cost IS NOT NULL)), 1)
+       |    ), b -> named_struct(
+       |      'costs', concat(acc.costs, array(b.cost)),
+       |      'preds', concat(acc.preds, array(b.strt)),
+       |      'pieces', concat(acc.pieces, array(b.piece)))), 1))""".stripMargin
+  }
+
+  /** The backtrace fold over a DP result named `d` and the word `w`:
+    * walks pred pointers down from pos = length(w), emitting the
+    * chosen piece at every visited position. */
+  private[graft] val btExprStr: String =
+    s"""aggregate(sequence(1, length(w)),
+       |  named_struct('pos', CAST(length(w) AS BIGINT),
+       |    'out', CAST(array() AS ARRAY<STRING>)),
+       |  (acc, x) -> IF(acc.pos > 0, named_struct(
+       |      'pos', element_at(d.preds, CAST(acc.pos AS INT)),
+       |      'out', concat(acc.out, array(element_at(d.pieces, CAST(acc.pos AS INT))))),
+       |    acc),
+       |  acc -> acc.out)""".stripMargin
+
+  /** Per-token (cost, np) budget structs over a token array named
+    * `__toks` against the cost map `cmap` — the whole unigram
+    * train-side arithmetic replayed per ROW, for the streaming gate
+    * ([[graft.streaming.Curation.lmQualityGate]]): each token binds
+    * `w`, runs the DP once (bound via a one-element transform so the
+    * backtrace does not re-evaluate it), and reports its final cost
+    * and path length. NULL on a NULL token array (null text). */
+  private[graft] def tokenBudgetExpr(maxPieceLen: Int): String =
+    s"""transform(__toks, w -> element_at(transform(array(${dpExprStr(maxPieceLen)}),
+       |  d -> named_struct(
+       |    'cost', element_at(d.costs, CAST(length(w) AS INT) + 1),
+       |    'np', CAST(size($btExprStr) AS BIGINT))), 1))""".stripMargin
+
+  /** The unigram model's broadcastable static state — the one-row cost
+    * map ([[costMapRow]]) of the corpus-trained piece vocabulary: what
+    * a production system persists beside its tokenizer and ships to
+    * every ingest worker. */
+  def unigramCostMap(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      seedSize: Int = 512): DataFrame =
+    costMapRow(unigramVocab(unigramWords(docs, textCol, maxWordLen),
+      maxPieceLen, seedSize))
+
+  /** The corpus-wide ppl_q cut values of [[lmQualityBuckets]] as a
+    * ONE-ROW frame `(p33, p67)` — the other half of the gate's static
+    * state (NULL cuts over an all-empty corpus; the gate then buckets
+    * everything 'empty'/'tail' deterministically). */
+  def lmQualityCuts(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      seedSize: Int = 512): DataFrame = {
+    val scored = lmScored(docs, textCol, maxPieceLen, maxWordLen, seedSize)
+    Quantiles.multiQuantileDisc(
+      scored.filter(col("n_pieces") > 0L).withColumn("__g", lit(0L)),
+      "__g", "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
+      .agg(max(col("p33")).as("p33"), max(col("p67")).as("p67"))
   }
 
   def bpeFertilitySheet(docs: DataFrame, textCol: String,

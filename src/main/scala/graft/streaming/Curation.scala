@@ -123,6 +123,50 @@ object Curation {
       .withColumn("n_candidates", greatest(col("n_candidates"), lit(0L)))
   }
 
+  /** Streaming LM-quality gate — q125's CCNet-style perplexity filter
+    * applied at INGEST, completing the quality family's streaming twin
+    * (the [[decontaminationGate]] pattern): the unigram model's cost
+    * map ([[graft.operators.Phrases.unigramCostMap]]) and the standing
+    * corpus's ppl cuts ([[graft.operators.Phrases.lmQualityCuts]]) are
+    * STATIC one-row frames — exactly what a production system persists
+    * beside its tokenizer — broadcast onto the stream; each arriving
+    * document tokenizes, runs the per-token Viterbi fold map-side
+    * (the same integer arithmetic as the batch sheet, so the buckets
+    * agree bitwise — StreamingLmQualitySpec pins it), and is labeled
+    * head/middle/tail/empty. ZERO streaming state; append-mode.
+    *
+    * Emits the input columns plus `(n_pieces, cost_q, ppl_q, bucket)`
+    * — route 'tail' to quarantine, keep 'head'/'middle', exactly the
+    * CCNet deployment shape. Null/empty text buckets 'empty'. */
+  def lmQualityGate(stream: DataFrame, model: DataFrame, cuts: DataFrame,
+      textCol: String = "text", maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= 1,
+      s"bad parameters ($maxPieceLen, $maxWordLen)")
+    val Q = 1048576L
+    stream.crossJoin(broadcast(model)).crossJoin(broadcast(cuts))
+      .withColumn("__toks", expr(
+        s"filter(transform(split(lower($textCol), '\\\\s+'), " +
+          s"t -> substring(t, 1, $maxWordLen)), w -> length(w) >= 1)"))
+      // no model (empty standing corpus → empty cost map) ⇒ nothing is
+      // segmentable: NULL budget, zeros, bucket 'empty' — guarded HERE
+      // so the shared DP kernel keeps its all-singles precondition
+      .withColumn("__b", when(size(col("cmap")) > 0,
+        expr(graft.operators.Phrases.tokenBudgetExpr(maxPieceLen))))
+      .withColumn("n_pieces", coalesce(
+        expr("aggregate(__b, CAST(0 AS BIGINT), (a, x) -> a + x.np)"), lit(0L)))
+      .withColumn("cost_q", coalesce(
+        expr("aggregate(__b, CAST(0 AS BIGINT), (a, x) -> a + x.cost)"), lit(0L)))
+      .withColumn("ppl_q", when(col("n_pieces") > 0L,
+        expr(s"CAST((cost_q * $Q) DIV n_pieces AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("bucket",
+        when(col("n_pieces") === 0L, "empty")
+          .when(col("ppl_q") <= col("p33"), "head")
+          .when(col("ppl_q") <= col("p67"), "middle")
+          .otherwise("tail"))
+      .drop("__toks", "__b", "cmap", "p33", "p67")
+  }
+
   /** Batch twin of the gate with REASON CODES (q81): same quality rules,
     * with the stream's arrival-order dedup pinned to a deterministic
     * rule — among quality-surviving rows of identical normalized
