@@ -202,4 +202,96 @@ object Mixing {
     per.select(col(groupCol), col("n_items"), col("n_size"),
       wProp.as("w_prop"), wTemp.as("w_temp"), (wTemp / wProp).as("boost"))
   }
+
+  /** Exact fixed-point log2 with 6 fractional bits over a positive
+    * BIGINT SQL expression: `log2q(x) = floor(64·log2 x)` computed by
+    * the classic squaring algorithm on a 2^20-scaled integer mantissa
+    * — normalize x to m ∈ [2^20, 2^21), then six times: square, take
+    * the defined truncation `m²DIV 2^20`, emit a fraction bit iff the
+    * result crossed 2^21 (halving it back). Every step is a BIGINT
+    * multiply/divide with a DEFINED truncation, so the value is
+    * bit-identical on any engine that replays the same steps — the
+    * libm-free log the q123 integer-log costs approximate at 0
+    * fractional bits, now at 1/64 granularity (|log2q/64 − log2 x| <
+    * 1/64 + quantization of the squaring truncations — property-pinned
+    * in MixingSpec). Overflow headroom: x < 2^43 (m² < 2^42 inside). */
+  private[graft] def log2qExpr(x: String): String =
+    s"""aggregate(sequence(1, 6),
+       |  named_struct(
+       |    'm', (($x) * 1048576) DIV shiftleft(CAST(1 AS BIGINT),
+       |           CAST(length(bin($x)) - 1 AS INT)),
+       |    'f', CAST(0 AS BIGINT)),
+       |  (acc, i) -> element_at(transform(array((acc.m * acc.m) DIV 1048576), q ->
+       |      named_struct('m', IF(q >= 2097152, q DIV 2, q),
+       |        'f', acc.f * 2 + IF(q >= 2097152, 1, 0))), 1),
+       |  acc -> CAST(length(bin($x)) - 1 AS BIGINT) * 64 + acc.f)""".stripMargin
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public): score every
+    * raw document by how much more likely its hashed-bigram features
+    * are under the TARGET distribution than under the raw corpus —
+    * `weight = Σ_occurrences [log p_target(b) − log p_raw(b)]` — the
+    * importance weight DSIR resamples by when assembling a
+    * target-flavored training mix from a generic crawl.
+    *
+    * Determinism design: features are md5-48 hashed bigrams mod
+    * `buckets` (the engine's one hash idiom); the target split is the
+    * q55 md5-bucket membership (targetPermille); counts are +1-smoothed
+    * BIGINTs; and every log is [[log2qExpr]] — fixed-point base-2 with
+    * 6 fractional bits, exact integer arithmetic end to end, so the
+    * whole sheet oracles bitwise (a libm `ln` would diverge — the
+    * q51/q84 precedent). Per-bucket
+    * `lr_q = log2q(ct+1) − log2q(cr+1) + log2q(Cr+1) − log2q(Ct+1)`
+    * (the normalized-ratio decomposition; the constant terms ride
+    * per-occurrence, folding the Ct/Cr normalizers in exactly), and
+    * `weight_q = Σ occ·lr_q` in 1/64-log2 units. Output: one row per
+    * doc `(doc_id, n_bigrams, weight_q)` — selection composes
+    * downstream (q10 top-k / q101 allocation), deliberately NOT a
+    * global sort here.
+    *
+    * Scale shape (100 TB): bigrams assemble MAP-SIDE (slice+arrays_zip
+    * — the q91 idiom) and collapse onto (doc, bucket) count keys
+    * before any join; the bucket sheet is `buckets`-sized (8192 rows)
+    * with totals from one unpartitioned window over it (the q89
+    * idiom), log-chained entirely within the sheet, and explicitly
+    * BROADCAST into the per-doc scoring join; per-doc sums combine
+    * map-side on the one doc_id exchange. Nothing corpus-sized moves
+    * except the (doc, bucket) count rows — 24 bytes each. */
+  def dsirWeights(docs: DataFrame, textCol: String = "text",
+      targetPermille: Int = 100, buckets: Int = 8192,
+      salt: String = "graft"): DataFrame = {
+    require(targetPermille >= 0 && targetPermille <= 1000,
+      s"targetPermille must be in [0,1000], got $targetPermille")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val base = Sampling.withSplitBucket(docs.filter(col(textCol).isNotNull), "doc_id", salt)
+      .select(col("doc_id"), (col("__bucket") < targetPermille).as("__t"),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
+      .select(col("doc_id"), col("__t"),
+        (Dedup.md5Base48Of(md5(concat(col("p.0"), lit(" "), col("p.1"))))
+          % buckets.toLong).as("b"))
+    val hb = Dedup.materialize(
+      base.groupBy(col("doc_id"), col("__t"), col("b")).agg(count(lit(1)).as("occ")))
+    // totals named tct/tcr, NOT Ct/Cr: withColumn resolves
+    // case-insensitively and "Ct" would silently REPLACE column ct
+    val sheet = hb.groupBy(col("b")).agg(
+        sum(when(col("__t"), col("occ")).otherwise(lit(0L))).as("ct"),
+        sum(col("occ")).as("cr"))
+      .withColumn("tct", sum(col("ct")).over(whole))
+      .withColumn("tcr", sum(col("cr")).over(whole))
+      .withColumn("lr_q",
+        expr(log2qExpr("ct + 1")) - expr(log2qExpr("cr + 1")) +
+          expr(log2qExpr("tcr + 1")) - expr(log2qExpr("tct + 1")))
+      .select(col("b"), col("lr_q"))
+    val perDoc = hb.join(broadcast(sheet), "b")
+      .groupBy(col("doc_id")).agg(
+        sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * col("lr_q")).as("weight_q"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("weight_q"), lit(0L)).as("weight_q"))
+  }
 }

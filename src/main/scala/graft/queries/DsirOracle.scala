@@ -1,0 +1,79 @@
+package graft.queries
+
+/** Generated DuckDB mirror of
+  * [[graft.operators.Mixing.dsirWeights]] — hashed-bigram DSIR
+  * importance weights with the exact fixed-point log2
+  * ([[graft.operators.Mixing.log2qExpr]]) replayed as six unrolled CTE
+  * steps over the bucket sheet: per tracked value, normalize to a
+  * 2^20-scaled mantissa, then six square/truncate/shift-out-a-bit
+  * rounds — every step a BIGINT multiply/divide with a defined
+  * truncation, bit-identical to the Spark fold. */
+object DsirOracle {
+
+  /** 48-bit md5 prefix of a hex column, digit by digit (the
+    * MinhashOracle idiom). */
+  private def md5b48(hexCol: String): String =
+    (0 until 12).map { j =>
+      s"(strpos('0123456789abcdef', substr($hexCol, ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+    }.mkString("\n    + ")
+
+  /** Six fixed-point log2 rounds over the named `vars`, whose inputs
+    * are columns `x_<v>` of CTE `l0`'s FROM source; emits CTEs l0..l6
+    * carrying (b, e_v, m_v, f_v per v). */
+  private def logChain(src: String, vars: Seq[(String, String)]): String = {
+    val init = vars.map { case (v, x) =>
+      s"""length(bin($x)) - 1 AS e_$v,
+         |    (($x) * 1048576) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)) AS m_$v,
+         |    CAST(0 AS BIGINT) AS f_$v""".stripMargin
+    }.mkString(",\n    ")
+    val steps = (1 to 6).map { i =>
+      val cols = vars.map { case (v, _) =>
+        s"""CASE WHEN (m_$v * m_$v) // 1048576 >= 2097152
+           |      THEN ((m_$v * m_$v) // 1048576) // 2
+           |      ELSE (m_$v * m_$v) // 1048576 END AS m_$v,
+           |    f_$v * 2 + CASE WHEN (m_$v * m_$v) // 1048576 >= 2097152
+           |      THEN 1 ELSE 0 END AS f_$v, e_$v""".stripMargin
+      }.mkString(",\n    ")
+      s"l$i AS (SELECT b,\n    $cols\n  FROM l${i - 1})"
+    }.mkString(",\n")
+    s"""l0 AS (SELECT b,
+       |    $init
+       |  FROM $src),
+       |$steps""".stripMargin
+  }
+
+  /** q126 mirror. */
+  def sql(targetPermille: Int = 100, buckets: Int = 8192,
+      salt: String = "graft"): String = {
+    val bucket = DecontaminateOracle.bucketExpr(salt)
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |        FROM documents WHERE text IS NOT NULL),
+       |mem AS (SELECT doc_id, (($bucket) % 1000 < $targetPermille) AS is_t
+       |        FROM documents WHERE doc_id IS NOT NULL),
+       |bg0 AS (SELECT doc_id,
+       |          md5(t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]) AS h
+       |        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |              FROM toks WHERE len(t) >= 2)),
+       |bg AS (SELECT doc_id, (${md5b48("h")}) % $buckets AS b FROM bg0),
+       |hb AS MATERIALIZED (SELECT bg.doc_id, mem.is_t, bg.b,
+       |          CAST(count(*) AS BIGINT) AS occ
+       |        FROM bg JOIN mem USING (doc_id) GROUP BY 1, 2, 3),
+       |sheet AS (SELECT b,
+       |    CAST(sum(CASE WHEN is_t THEN occ ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(occ) AS BIGINT) AS cr
+       |  FROM hb GROUP BY b),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tct,
+       |               CAST(sum(cr) AS BIGINT) AS tcr FROM sheet),
+       |${logChain("sheet, tot", Seq(
+           "a" -> "ct + 1", "c" -> "cr + 1", "d" -> "tcr + 1", "g" -> "tct + 1"))},
+       |lr AS (SELECT b, (e_a * 64 + f_a) - (e_c * 64 + f_c)
+       |              + (e_d * 64 + f_d) - (e_g * 64 + f_g) AS lr_q FROM l6),
+       |per AS (SELECT hb.doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       |          CAST(sum(occ * lr_q) AS BIGINT) AS weight_q
+       |        FROM hb JOIN lr USING (b) GROUP BY hb.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(per.weight_q, 0) AS BIGINT) AS weight_q
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+  }
+}

@@ -2844,7 +2844,28 @@ object ExtensionQueries {
         |onto the disposition sheet.""".stripMargin,
       (s, d) => graft.operators.Phrases.lmQualityBuckets(
         Tables.documents(s, d), "text"),
-      Some(BpeOracle.unigramQualitySql()))
+      Some(BpeOracle.unigramQualitySql())),
+
+    QuerySpec(
+      "q126_dsir_weights",
+      """DSIR importance weights ([[graft.operators.Mixing
+        |.dsirWeights]], Xie et al. 2023): score every raw document by
+        |Σ over its hashed-bigram occurrences of
+        |log p_target(b) − log p_raw(b) — the importance weight DSIR
+        |resamples by when assembling a target-flavored mix from a
+        |generic crawl. Target = the q55 md5-bucket split; features =
+        |md5-48 bigrams mod 8192; +1-smoothed BIGINT counts; every log
+        |is the exact fixed-point log2 (6 fractional bits via the
+        |squaring algorithm — defined BIGINT truncations, no libm), so
+        |the sheet oracles bitwise against a 6-step unrolled CTE
+        |replay. Output per doc: (doc_id, n_bigrams, weight_q) in
+        |1/64-log2 units; selection composes downstream (q10 top-k /
+        |q101 allocation). Scale shape: map-side bigram assembly onto
+        |(doc, bucket) count keys; the 8192-row sheet log-chains
+        |locally and BROADCASTS into the scoring join; per-doc sums
+        |combine map-side — only 24-byte count rows move.""".stripMargin,
+      (s, d) => graft.operators.Mixing.dsirWeights(Tables.documents(s, d)),
+      Some(DsirOracle.sql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

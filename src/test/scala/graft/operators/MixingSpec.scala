@@ -146,6 +146,51 @@ class MixingSpec extends AnyFunSuite {
       "downsampling path IS executeSqrtAllocation's keep-set")
   }
 
+  test("log2q is the exact fixed-point log2: within 1/32 of math.log over a wide range") {
+    import org.apache.spark.sql.functions.expr
+    val xs = (1L to 40L).map(i => (i * i * i) % 100000 + i) ++
+      Seq(1L, 2L, 3L, 1023L, 1024L, 1025L, 999999L, (1L << 40) - 1)
+    val got = xs.toDF("x").withColumn("l", expr(Mixing.log2qExpr("x")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val exact = math.log(x.toDouble) / math.log(2.0)
+      val approx = got(x).toDouble / 64.0
+      // floor semantics + one truncation per squaring round: the fold
+      // under-reads by < 1/64 + rounding slack; never over-reads
+      assert(approx <= exact + 1e-9, s"log2q over-read at $x: $approx > $exact")
+      assert(exact - approx < 1.0 / 32.0, s"log2q drift at $x: $approx vs $exact")
+    }
+    assert(got(1L) == 0L && got(2L) == 64L && got(1024L) == 640L)
+  }
+
+  test("dsirWeights scores target-flavored docs above off-target docs") {
+    // ids 1..60 at the default salt: the target split (bucket < 100)
+    // is {17, 21}, both odd. Odd docs share style-A bigrams with the
+    // target; even docs carry style-B bigrams the target never uses —
+    // so odd train docs must outweigh even ones under DSIR.
+    val styleA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val styleB = "one two three four five six seven eight nine ten"
+    val docs = (1L to 60L).map { i =>
+      (i, if (i % 2 == 1) s"$styleA $styleA" else s"$styleB $styleB")
+    }.toDF("doc_id", "text")
+    val w = Mixing.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val odd = (1L to 59L by 2).map(w(_)._2)
+    val even = (2L to 60L by 2).map(w(_)._2)
+    assert(odd.min > even.max,
+      s"every target-flavored doc must outweigh every off-target doc: " +
+        s"odd min ${odd.min} vs even max ${even.max}")
+    // identical text ⇒ identical weight (pure function of content)
+    assert(odd.toSet.size == 1 && even.toSet.size == 1)
+
+    // null text is total: zero bigrams, zero weight
+    val withNull = Seq((1L, Some("some words in here")), (2L, None))
+      .toDF("doc_id", "text")
+    val nw = Mixing.dsirWeights(withNull).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(nw(2L) == ((0L, 0L)))
+  }
+
   test("pow path matches the exact path at alpha=1/2 and proportion at alpha=1") {
     val exact = Mixing.sqrtTemperatureWeights(fixture, "source", "n_tokens")
       .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("w_temp")).toMap

@@ -65,4 +65,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   test("LM quality buckets are partition-invariant") {
     invariant(Phrases.lmQualityBuckets(_, "text"))
   }
+
+  test("DSIR weights are partition-invariant") {
+    invariant(Mixing.dsirWeights(_))
+  }
 }
