@@ -438,6 +438,94 @@ object Similarity {
         when(col("__drop").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /** Top principal component of the embedding corpus by COVARIANCE-FREE
+    * power iteration — the spectral audit/whitening primitive an ANN
+    * deployment runs before trusting cosine geometry (a dominant
+    * direction carrying most variance means anisotropic embeddings;
+    * projecting it out is the standard whitening fix). The d×d
+    * covariance never materializes: each iteration is two corpus
+    * passes over the centered (vec, pos, xc) rows —
+    * `c_vec = (x−μ)·v` then `w_pos = Σ_vec c_vec·xc_pos` — linear in
+    * corpus size at any d.
+    *
+    * Determinism design (the kmeansIterate idiom, applied at every
+    * corpus-order-dependent reduction): per-element/per-term values
+    * quantize to `floor(·2^20)` BIGINTs BEFORE each sum, so every
+    * accumulation is exact integer arithmetic regardless of partition
+    * or merge order; the only floating ops are divisions of exact
+    * quantities and one correctly-rounded sqrt per iteration — bitwise
+    * identical on both engines, which is how the oracle replays all
+    * `iters` rounds. v₀ = 1/√d on every dimension; the output sign is
+    * canonicalized (component at pos 0 non-negative — a principal
+    * direction is sign-symmetric).
+    *
+    * Output: one row per dimension `(pos, mu, pc)` plus the constant
+    * `eigval` column — the Rayleigh estimate Σc²/n from the final
+    * iteration, the explained variance the whitening decision reads.
+    *
+    * Scale shape (100 TB): ONE materialized centered frame of 24-byte
+    * rows feeds all iterations (the wide array column is exploded
+    * once); per iteration: a d-row broadcast join + a map-side-combined
+    * vec-keyed aggregate, then a vec-keyed co-partitioned join + a
+    * d-key aggregate. Nothing quadratic in d or n; the v/norm frames
+    * are dim-sized. */
+  def principalComponent(embs: DataFrame, iters: Int = 3,
+      dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d = if (dim > 0) dim else inferDim(embs)
+    if (d <= 0) return embs.sparkSession.emptyDataFrame
+      .select(lit(0).as("pos"), lit(0.0).as("mu"), lit(0.0).as("pc"),
+        lit(0.0).as("eigval"))
+      .limit(0)
+    val Q = 1048576.0 // 2^20 — the kmeansIterate quantum
+    val rows = Dedup.materialize(
+      embs.filter(col("embedding").isNotNull && size(col("embedding")) === d)
+        .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x"))))
+    val mu = Dedup.materialize(rows.groupBy(col("pos"))
+      .agg(sum(floor(col("x") * lit(Q)).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("pos"), (col("sq").cast("double") / (lit(Q) * col("n"))).as("mu"),
+        col("n")))
+    val centered = Dedup.materialize(
+      rows.join(broadcast(mu.select(col("pos"), col("mu"))), "pos")
+        .select(col("vec_id"), col("pos"), (col("x") - col("mu")).as("xc")))
+    var v: DataFrame = mu.select(col("pos"),
+      (lit(1.0) / sqrt(lit(d.toDouble))).as("v"))
+    var lastC: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cq = Dedup.materialize(
+        centered.join(broadcast(v), "pos")
+          .groupBy(col("vec_id"))
+          .agg(sum(floor(col("xc") * col("v") * lit(Q)).cast("long")).as("cq")))
+      lastC = cq
+      val w = centered.join(cq, "vec_id")
+        .groupBy(col("pos"))
+        .agg(sum(floor(col("xc") * (col("cq").cast("double") / lit(Q)) * lit(Q))
+          .cast("long")).as("wq"))
+        .select(col("pos"), (col("wq").cast("double") / lit(Q)).as("w"))
+      // exact-integer norm: quantize each square before the 64-row sum
+      val norm = w.agg(sum(floor(col("w") * col("w") * lit(Q)).cast("long")).as("nq"))
+        .select(sqrt(col("nq").cast("double") / lit(Q)).as("nrm"))
+      v = Dedup.materialize(w.crossJoin(broadcast(norm))
+        .select(col("pos"), (col("w") / col("nrm")).as("v")))
+    }
+    val eig = lastC
+      .agg(sum(floor((col("cq").cast("double") / lit(Q))
+        * (col("cq").cast("double") / lit(Q)) * lit(Q)).cast("long")).as("lq"),
+        count(lit(1)).as("nv"))
+      .select((col("lq").cast("double") / (lit(Q) * col("nv"))).as("eigval"))
+    // sign canonicalization: the pos-0 component decides for the whole
+    // vector (broadcast one value; a principal direction is ±-symmetric)
+    val sign = v.filter(col("pos") === 0)
+      .select(when(col("v") < 0.0, -1.0).otherwise(1.0).as("sg"))
+    mu.select(col("pos"), col("mu"))
+      .join(v, "pos")
+      .crossJoin(broadcast(sign)).crossJoin(broadcast(eig))
+      .select(col("pos"), col("mu"), (col("v") * col("sg")).as("pc"), col("eigval"))
+  }
+
   /** ANN recall audit — measure the approximate indexes BEFORE trusting
     * them: per query vector and ANN family (`ivf` = [[ivfTopK]] at the
     * q49 parameters, `lsh` = multi-probe [[annTopK]] at the q46

@@ -2865,7 +2865,27 @@ object ExtensionQueries {
         |locally and BROADCASTS into the scoring join; per-doc sums
         |combine map-side — only 24-byte count rows move.""".stripMargin,
       (s, d) => graft.operators.Mixing.dsirWeights(Tables.documents(s, d)),
-      Some(DsirOracle.sql()))
+      Some(DsirOracle.sql())),
+
+    QuerySpec(
+      "q127_embedding_pca",
+      """Top principal component of the embedding corpus
+        |([[graft.operators.Similarity.principalComponent]]) by
+        |covariance-free power iteration — the spectral audit/whitening
+        |primitive an ANN deployment runs before trusting cosine
+        |geometry (anisotropic embeddings concentrate variance in one
+        |direction; projecting it out is the standard fix). The d×d
+        |covariance never materializes: 3 rounds, each two linear
+        |passes over the centered 24-byte rows. Every
+        |corpus-order-dependent sum quantizes floor(·2^20) per term
+        |first (the q49 k-means idiom) — exact BIGINT accumulation, one
+        |division + one correctly-rounded sqrt per round — so all
+        |rounds, the Rayleigh eigenvalue, and the sign-canonicalized
+        |component oracle bitwise against the unrolled CTE replay.
+        |Output: (pos, mu, pc, eigval), one row per dimension.""".stripMargin,
+      (s, d) => graft.operators.Similarity.principalComponent(
+        Tables.embeddings(s, d), iters = 3, dim = 64),
+      Some(IvfOracle.pcaSql(iters = 3, dim = 64)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -191,4 +191,53 @@ object IvfOracle {
        |       THEN 1 ELSE 0 END AS BIGINT) AS refresh
        |FROM means""".stripMargin
   }
+
+  /** q127 mirror of
+    * [[graft.operators.Similarity.principalComponent]]: the
+    * covariance-free power iteration unrolled — per round, the
+    * per-vector projection `c` (quantized-term BIGINT sum), the
+    * un-normalized next direction `w` (same quantization), the
+    * exact-integer norm, and the normalized `v`; closing with the
+    * Rayleigh eigenvalue from the final round's projections and the
+    * pos-0 sign canonicalization. Every corpus-order-dependent sum
+    * accumulates `floor(·2^20)` BIGINTs, so all `iters` rounds match
+    * the Spark side bitwise. */
+  def pcaSql(iters: Int = 3, dim: Int = 64): String = {
+    val Q = 1048576L
+    val rounds = (1 to iters).map { t =>
+      s"""c$t AS MATERIALIZED (SELECT vec_id,
+         |    CAST(sum(CAST(floor(xc * v * $Q) AS BIGINT)) AS BIGINT) AS cq
+         |  FROM cent JOIN v${t - 1} USING (pos) GROUP BY vec_id),
+         |w$t AS (SELECT pos,
+         |    CAST(sum(CAST(floor(xc * (CAST(cq AS DOUBLE) / $Q) * $Q) AS BIGINT))
+         |      AS DOUBLE) / $Q AS w
+         |  FROM cent JOIN c$t USING (vec_id) GROUP BY pos),
+         |nrm$t AS (SELECT sqrt(CAST(sum(CAST(floor(w * w * $Q) AS BIGINT))
+         |      AS DOUBLE) / $Q) AS nrm FROM w$t),
+         |v$t AS (SELECT pos, w / nrm AS v FROM w$t, nrm$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rows0 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+       |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding, unnest(range(1, $dim + 1)) AS i
+       |        FROM embeddings
+       |        WHERE embedding IS NOT NULL AND len(embedding) = $dim)),
+       |mu AS MATERIALIZED (SELECT pos,
+       |    CAST(sum(CAST(floor(x * $Q) AS BIGINT)) AS DOUBLE)
+       |      / ($Q * count(*)) AS mu
+       |  FROM rows0 GROUP BY pos),
+       |cent AS MATERIALIZED (SELECT r.vec_id, r.pos, r.x - m.mu AS xc
+       |  FROM rows0 r JOIN mu m USING (pos)),
+       |v0 AS (SELECT pos, 1.0 / sqrt($dim) AS v FROM mu),
+       |$rounds,
+       |eig AS (SELECT
+       |    CAST(sum(CAST(floor((CAST(cq AS DOUBLE) / $Q)
+       |      * (CAST(cq AS DOUBLE) / $Q) * $Q) AS BIGINT)) AS DOUBLE)
+       |      / ($Q * count(*)) AS eigval
+       |  FROM c$iters),
+       |sg AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
+       |       FROM v$iters WHERE pos = 0)
+       |SELECT m.pos, m.mu, v.v * sg.sg AS pc, eig.eigval
+       |FROM mu m JOIN v$iters v USING (pos), sg, eig""".stripMargin
+  }
 }

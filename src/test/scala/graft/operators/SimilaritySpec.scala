@@ -257,4 +257,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(5L) == 0L, "a kept standing vector vetoes regardless of id order")
     assert(out(7L) == 1L, "a DROPPED standing vector must not veto")
   }
+
+  test("principalComponent recovers a planted dominant direction") {
+    // Planted anisotropy in dim 8: variance 4 along u = (e0+e1)/√2,
+    // tiny deterministic jitter elsewhere. The iteration must land on
+    // ±u (canonicalized +), with eigval ≈ the planted variance.
+    val d = 8
+    val n = 200
+    val rows = (0 until n).map { i =>
+      val a = if (i % 2 == 0) 2.0 else -2.0           // ±2 along u
+      val v = Array.tabulate(d) { j =>
+        val base = if (j == 0 || j == 1) a / math.sqrt(2.0) else 0.0
+        base + 0.01 * (((i * 7 + j * 13) % 11) - 5)   // deterministic jitter
+      }
+      (i.toLong, v)
+    }
+    val embs = rows.toDF("vec_id", "embedding")
+    val pc = Similarity.principalComponent(embs, iters = 3, dim = d)
+      .collect().sortBy(_.getInt(0))
+    assert(pc.length == d)
+    val v = pc.map(_.getDouble(2))
+    val u = Array.tabulate(d)(j => if (j < 2) 1.0 / math.sqrt(2.0) else 0.0)
+    val cos = v.zip(u).map { case (a, b) => a * b }.sum /
+      math.sqrt(v.map(x => x * x).sum)
+    assert(cos > 0.999, s"recovered direction off the planted axis: cos=$cos")
+    assert(v(0) >= 0.0, "sign canonicalization: pos-0 component non-negative")
+    val eig = pc.head.getDouble(3)
+    assert(eig > 3.5 && eig < 4.5, s"Rayleigh estimate off planted variance 4: $eig")
+    // unit-norm output
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6)
+
+    // partition invariance: the quantized sums are order-independent
+    val again = Similarity.principalComponent(embs.repartition(7), iters = 3, dim = d)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(again.toSeq == pc.map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq,
+      "pca must be bitwise partition-invariant")
+
+    // degenerate: empty corpus → empty frame, not a crash
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.principalComponent(empty, dim = 0).count() == 0)
+  }
 }
