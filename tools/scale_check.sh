@@ -24,10 +24,19 @@ spark.sparkContext.addSparkListener(new SparkListener {
 })
 graft.GraftSession.ensureConfs(spark)
 spark.range(1000000).selectExpr("sum(id)").collect()  // session warmup
-val names = Seq("q58_neardup_clusters", "q59_dedup_keepset",
+val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   "q71_corpus_build", "q108_release_bundle",
   "q115_boilerplate_scrub", "q116_bloom_decontaminate",
-  "q119_incremental_boilerplate")
+  "q119_incremental_boilerplate",
+  // round-10 families (documents + embeddings corpora both live in
+  // the same xK dirs): banded recall audit, unigram train/apply/
+  // quality, DSIR, power-iteration PCA
+  "q122_minhash_recall_audit", "q123_unigram_lm_round",
+  "q124_unigram_encode", "q125_lm_quality_buckets",
+  "q126_dsir_weights", "q127_embedding_pca")
+// SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
+// without re-paying the shingle/CC cells)
+val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
 for (scale <- Seq("x1", "x4", "x8"); name <- names) {
   val dir = s"/tmp/graft_scale/$scale"
   def once(): Double = {
