@@ -526,6 +526,46 @@ object Similarity {
       .select(col("pos"), col("mu"), (col("v") * col("sg")).as("pc"), col("eigval"))
   }
 
+  /** Whitening audit — the TRANSFORM-side reading of
+    * [[principalComponent]] (the detect→transform pairing of
+    * q83→q107 / q111→q112, applied to the spectral family): per
+    * vector, its projection onto the dominant direction and the
+    * centered energy split that projecting it out would leave —
+    * `(vec_id, proj, cnorm2, resid2 = cnorm2 − proj²)`. Σ proj²/Σ
+    * cnorm2 over the corpus is the anisotropy fraction the whitening
+    * decision reads; per-vector `resid2` is the whitened norm² a
+    * post-whitening re-normalization uses. Same determinism contract
+    * as the PCA itself: per-term floor(·2^20) quantization before the
+    * per-vector sums, so the sheet oracles bitwise.
+    *
+    * Scale shape: [[principalComponent]]'s audited passes plus ONE
+    * more linear pass (posexplode → d-row broadcast join →
+    * map-side-combined per-vector sums). */
+  def whitenAudit(embs: DataFrame, iters: Int = 3, dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else inferDim(embs)
+    if (d <= 0) return embs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("vec_id"), lit(0.0).as("proj"), lit(0.0).as("cnorm2"),
+        lit(0.0).as("resid2"))
+      .limit(0)
+    val Q = 1048576.0
+    val pcf = Dedup.materialize(principalComponent(embs, iters, d)
+      .select(col("pos"), col("mu"), col("pc")))
+    embs.filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .join(broadcast(pcf), "pos")
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(floor((col("x") - col("mu")) * col("pc") * lit(Q)).cast("long")).as("pq"),
+        sum(floor((col("x") - col("mu")) * (col("x") - col("mu")) * lit(Q))
+          .cast("long")).as("nq"))
+      .select(col("vec_id"),
+        (col("pq").cast("double") / lit(Q)).as("proj"),
+        (col("nq").cast("double") / lit(Q)).as("cnorm2"))
+      .withColumn("resid2", col("cnorm2") - col("proj") * col("proj"))
+  }
+
   /** ANN recall audit — measure the approximate indexes BEFORE trusting
     * them: per query vector and ANN family (`ivf` = [[ivfTopK]] at the
     * q49 parameters, `lsh` = multi-probe [[annTopK]] at the q46

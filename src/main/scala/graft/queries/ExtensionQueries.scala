@@ -2885,7 +2885,26 @@ object ExtensionQueries {
         |Output: (pos, mu, pc, eigval), one row per dimension.""".stripMargin,
       (s, d) => graft.operators.Similarity.principalComponent(
         Tables.embeddings(s, d), iters = 3, dim = 64),
-      Some(IvfOracle.pcaSql(iters = 3, dim = 64)))
+      Some(IvfOracle.pcaSql(iters = 3, dim = 64))),
+
+    QuerySpec(
+      "q128_embedding_whiten",
+      """Whitening audit ([[graft.operators.Similarity.whitenAudit]]) —
+        |the TRANSFORM-side reading of q127 (the q83→q107 / q111→q112
+        |detect→transform pairing applied to the spectral family): per
+        |vector, its projection onto the dominant direction and the
+        |centered-energy split projecting it out leaves —
+        |(vec_id, proj, cnorm2, resid2 = cnorm2 − proj²). Σproj²/Σcnorm2
+        |is the anisotropy fraction the whitening decision reads;
+        |resid2 is the whitened norm² a re-normalization uses. Same
+        |quantized-term exact-sum contract as q127, so every vector's
+        |row oracles bitwise against the shared power-iteration CTE
+        |chain plus one per-vector closing. Scale shape: q127's audited
+        |passes plus ONE extra linear pass (posexplode → d-row
+        |broadcast join → map-side-combined per-vector sums).""".stripMargin,
+      (s, d) => graft.operators.Similarity.whitenAudit(
+        Tables.embeddings(s, d), iters = 3, dim = 64),
+      Some(IvfOracle.whitenSql(iters = 3, dim = 64)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

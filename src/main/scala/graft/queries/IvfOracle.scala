@@ -204,6 +204,38 @@ object IvfOracle {
     * the Spark side bitwise. */
   def pcaSql(iters: Int = 3, dim: Int = 64): String = {
     val Q = 1048576L
+    s"""WITH ${pcaChain(iters, dim)},
+       |eig AS (SELECT
+       |    CAST(sum(CAST(floor((CAST(cq AS DOUBLE) / $Q)
+       |      * (CAST(cq AS DOUBLE) / $Q) * $Q) AS BIGINT)) AS DOUBLE)
+       |      / ($Q * count(*)) AS eigval
+       |  FROM c$iters)
+       |SELECT m.pos, m.mu, vv.pc, eig.eigval
+       |FROM mu m JOIN vv USING (pos), eig""".stripMargin
+  }
+
+  /** q128 mirror of [[graft.operators.Similarity.whitenAudit]]: the
+    * [[pcaChain]] plus per-vector quantized-term projections onto the
+    * canonicalized component and centered norms — the same floor(·2^20)
+    * BIGINT accumulation, so every vector's (proj, cnorm2, resid2)
+    * matches bitwise. */
+  def whitenSql(iters: Int = 3, dim: Int = 64): String = {
+    val Q = 1048576L
+    s"""WITH ${pcaChain(iters, dim)},
+       |per AS (SELECT c.vec_id,
+       |    CAST(sum(CAST(floor(c.xc * vv.pc * $Q) AS BIGINT)) AS DOUBLE) / $Q AS proj,
+       |    CAST(sum(CAST(floor(c.xc * c.xc * $Q) AS BIGINT)) AS DOUBLE) / $Q AS cnorm2
+       |  FROM cent c JOIN vv USING (pos) GROUP BY c.vec_id)
+       |SELECT vec_id, proj, cnorm2, cnorm2 - proj * proj AS resid2
+       |FROM per""".stripMargin
+  }
+
+  /** The shared power-iteration CTE chain: rows0 → mu → cent → v0 →
+    * `iters` (c/w/nrm/v) rounds → sign canonicalization, ending with
+    * `vv(pos, pc)` — the canonicalized component both pca closings
+    * read. */
+  private def pcaChain(iters: Int, dim: Int): String = {
+    val Q = 1048576L
     val rounds = (1 to iters).map { t =>
       s"""c$t AS MATERIALIZED (SELECT vec_id,
          |    CAST(sum(CAST(floor(xc * v * $Q) AS BIGINT)) AS BIGINT) AS cq
@@ -216,7 +248,7 @@ object IvfOracle {
          |      AS DOUBLE) / $Q) AS nrm FROM w$t),
          |v$t AS (SELECT pos, w / nrm AS v FROM w$t, nrm$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH rows0 AS MATERIALIZED (
+    s"""rows0 AS MATERIALIZED (
        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
        |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
        |  FROM (SELECT vec_id, embedding, unnest(range(1, $dim + 1)) AS i
@@ -230,14 +262,8 @@ object IvfOracle {
        |  FROM rows0 r JOIN mu m USING (pos)),
        |v0 AS (SELECT pos, 1.0 / sqrt($dim) AS v FROM mu),
        |$rounds,
-       |eig AS (SELECT
-       |    CAST(sum(CAST(floor((CAST(cq AS DOUBLE) / $Q)
-       |      * (CAST(cq AS DOUBLE) / $Q) * $Q) AS BIGINT)) AS DOUBLE)
-       |      / ($Q * count(*)) AS eigval
-       |  FROM c$iters),
        |sg AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
-       |       FROM v$iters WHERE pos = 0)
-       |SELECT m.pos, m.mu, v.v * sg.sg AS pc, eig.eigval
-       |FROM mu m JOIN v$iters v USING (pos), sg, eig""".stripMargin
+       |       FROM v$iters WHERE pos = 0),
+       |vv AS MATERIALIZED (SELECT pos, v * sg AS pc FROM v$iters, sg)""".stripMargin
   }
 }

@@ -296,5 +296,20 @@ class SimilaritySpec extends AnyFunSuite {
     // degenerate: empty corpus → empty frame, not a crash
     val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
     assert(Similarity.principalComponent(empty, dim = 0).count() == 0)
+
+    // whitening audit over the same planted corpus: nearly all centered
+    // energy lives along the planted axis, projections sit at ±2, and
+    // the residual is the jitter floor
+    val wa = Similarity.whitenAudit(embs, iters = 3, dim = d).collect()
+    assert(wa.length == n)
+    val anisotropy = wa.map(r => r.getDouble(1) * r.getDouble(1)).sum /
+      wa.map(_.getDouble(2)).sum
+    assert(anisotropy > 0.95, s"planted axis must dominate: $anisotropy")
+    wa.foreach { r =>
+      assert(math.abs(math.abs(r.getDouble(1)) - 2.0) < 0.1,
+        s"projection off the planted ±2: ${r.getDouble(1)}")
+      assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) < 0.1,
+        s"residual must be the small jitter energy: ${r.getDouble(3)}")
+    }
   }
 }
