@@ -601,4 +601,183 @@ object Similarity {
       .select(col("q_id"), col("method"), col("n_returned"), col("n_hits"),
         (col("n_hits") / lit(k.toDouble)).as("recall"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the COMPRESSION member of the ANN
+  // family (Jégou/Douze/Schmid 2011). At 100 TB the index cannot hold
+  // raw float vectors (64-dim float32 = 256 B/vector); PQ stores m
+  // small codes (m bytes at ksub ≤ 256) — 32–64× less index memory —
+  // and answers queries from per-query distance lookup tables (ADC)
+  // without ever touching the original vectors.
+  //
+  // Metric contract: vectors are L2-NORMALIZED first, so squared L2
+  // order ≡ cosine order (‖a−b‖² = 2−2·cos on the unit sphere) and the
+  // ADC ranking audits directly against the cosine exact arm
+  // ([[bruteForceTopK]]) — the FAISS inner-product-on-normalized-data
+  // convention.
+  //
+  // Determinism contract (the kmeansIterate idiom, pushed further):
+  // every DISTANCE is exact integer arithmetic — components quantize
+  // floor(x·2^14) to BIGINT once, a subspace distance is the integer
+  // sum of squared differences — so assignment argmins, ADC sums, and
+  // rankings have NO float fold-order dependence at all and the whole
+  // family oracles bitwise. Codebook means use the 2^20 quantized
+  // accumulation shared with [[kmeansIterate]].
+
+  /** Distance quantum: components quantize floor(x·2^14) before any
+    * distance; on unit vectors that is ~4 decimal digits — far below
+    * codebook geometry scales — while keeping every distance an exact
+    * BIGINT (max term (2·2^14)² · dim ≈ 2^37 at dim 64). */
+  private val PqQ = 16384.0 // 2^14
+
+  /** L2-normalized corpus slice: (vec_id, nv) with zero-norm, null and
+    * wrong-length vectors excluded (a zero vector has no direction; on
+    * the unit sphere everything downstream is well-defined). */
+  private def pqNormalized(embs: DataFrame, d: Int): DataFrame =
+    embs.filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .filter(col("n2") > 0.0)
+      .select(col("vec_id"),
+        transform(col("v"), x => x / sqrt(col("n2"))).as("nv"))
+
+  /** Long-form subvector frame (vec_id, s, sv): subspace s of m takes
+    * components [s·ds, (s+1)·ds). Long form (one row per subspace, not
+    * an m-wide struct) so ALL subspaces train/assign through one
+    * (s, code)-keyed plan — m never appears in the plan shape. */
+  private def pqSubvectors(norm: DataFrame, m: Int, ds: Int): DataFrame =
+    norm.select(col("vec_id"), explode(array((0 until m).map(s =>
+      struct(lit(s).as("s"), slice(col("nv"), s * ds + 1, ds).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+
+  /** Exact-integer squared L2 between two double arrays at the [[PqQ]]
+    * quantum: Σ (floor(a·2^14) − floor(b·2^14))² in BIGINT. */
+  private def pqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (floor(x * lit(PqQ)).cast("long") - floor(y * lit(PqQ)).cast("long"))),
+      lit(0L), (acc, dq) => acc + dq * dq)
+
+  /** Assign each (vec_id, s) subvector to its nearest codebook entry
+    * of the SAME subspace: (vec_id, s, code, dist_q), ties → lowest
+    * code. Map-side-combined argmin: the one exchange carries one row
+    * per (vector, subspace), never ksub candidates. */
+  private def pqAssign(sub: DataFrame, codebooks: DataFrame): DataFrame =
+    sub.join(broadcast(codebooks), "s")
+      .select(col("vec_id"), col("s"), col("code"),
+        pqDist(col("sv"), col("cv")).as("dist_q"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist_q"), col("code"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.code").as("code"),
+        col("m.dist_q").as("dist_q"))
+
+  /** Train PQ codebooks: per subspace, `iters` Lloyd rounds over the
+    * normalized subvectors. Seeds are the first `ksub` corpus vectors'
+    * subvector slices (code = vec_id — deterministic and replayable
+    * relationally, the [[ivfTopK]] seeding convention). Returns
+    * (s, code, cv). Requires dim % m == 0.
+    *
+    * Scale shape: ONE materialized subvector frame feeds all rounds;
+    * each round is a broadcast(m·ksub) join + map-side-combined argmin
+    * (one exchange row per (vector, subspace)) + a posexplode to
+    * (s, code, pos) partial sums — the codebook frame is m·ksub rows,
+    * always broadcastable. Cells that end a round empty drop out
+    * (Lloyd degeneracy; both engines drop them identically). */
+  def pqTrain(embs: DataFrame, m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else inferDim(embs)
+    require(d > 0 && d % m == 0, s"dim $d not divisible by m=$m")
+    val ds = d / m
+    val Q = 1048576.0 // 2^20 — the kmeansIterate mean quantum
+    val sub = Dedup.materialize(pqSubvectors(pqNormalized(embs, d), m, ds))
+    var cb = sub.filter(col("vec_id") < ksub)
+      .select(col("s"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+    for (_ <- 1 to iters) {
+      val asg = pqAssign(sub, cb)
+      cb = Dedup.materialize(
+        asg.join(sub, Seq("vec_id", "s"))
+          .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy(col("s"), col("code"), col("pos"))
+          .agg(sum(floor(col("x") * lit(Q)).cast("long")).as("sq"),
+            count(lit(1)).as("cnt"))
+          .withColumn("e", col("sq").cast("double") / (lit(Q) * col("cnt").cast("double")))
+          .groupBy(col("s"), col("code"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("e")))).as("pe"))
+          .select(col("s"), col("code"), expr("transform(pe, p -> p.e)").as("cv")))
+    }
+    cb
+  }
+
+  /** PQ-encode a corpus against trained codebooks: one row per
+    * (vector, subspace) — `(vec_id, s, code, dist_q)`, dist_q the
+    * exact-integer residual distance (the per-subspace quantization
+    * distortion an index-health audit reads; Σ over s is the vector's
+    * total reconstruction error). The m codes ARE the compressed
+    * index: m bytes per vector at ksub ≤ 256. */
+  def pqEncode(embs: DataFrame, codebooks: DataFrame, m: Int = 4,
+      dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else inferDim(embs)
+    require(d > 0 && d % m == 0, s"dim $d not divisible by m=$m")
+    pqAssign(pqSubvectors(pqNormalized(embs, d), m, d / m), codebooks)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    * an m×ksub lookup table of exact-integer subspace distances to
+    * every codebook entry, and a corpus vector's distance is the
+    * integer sum of m table lookups over its codes — the original
+    * vectors are never touched after encoding. Returns
+    * (q_id, n_id, adc_q, rank), ranked ascending (smaller quantized
+    * distance = nearer on the unit sphere), ties → lower n_id;
+    * self-matches excluded.
+    *
+    * Scale shape: codes are scanned once and joined to the BROADCAST
+    * lut (|q|·m·ksub rows); the per-(q, n) sum is map-side combined so
+    * the one exchange carries |q| rows per corpus vector. This is FLAT
+    * ADC — the audited baseline; a 100 TB deployment puts the q49 IVF
+    * in front (probe cells, then ADC inside the cell), which composes
+    * here as a pre-filter on `codes`. */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      k: Int, m: Int = 4, dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(queries.sparkSession)
+    val d = if (dim > 0) dim else inferDim(queries)
+    require(d > 0 && d % m == 0, s"dim $d not divisible by m=$m")
+    val lut = pqSubvectors(pqNormalized(queries, d), m, d / m)
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(codebooks), "s")
+      .select(col("q_id"), col("s"), col("code"),
+        pqDist(col("sv"), col("cv")).as("dq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_q").asc, col("n_id").asc)
+    codes.withColumnRenamed("vec_id", "n_id")
+      .join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("dq")).as("adc_q"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** PQ recall audit — the [[annRecallAudit]] reading for the
+    * compression family: per query, how many of the EXACT cosine top-k
+    * the ADC ranking recovered (`method` = 'pq'), the number an index
+    * deployment pins its (m, ksub) budget to. Same sheet shape as q117
+    * so the three approximate families (lsh / ivf / pq) audit against
+    * the same exact arm. */
+  def pqRecallAudit(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
+      k: Int, m: Int = 4, dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(queries.sparkSession)
+    val d = if (dim > 0) dim else inferDim(corpus)
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    val codes = pqEncode(corpus, codebooks, m, d)
+    pqAdcTopK(queries, codes, codebooks, k, m, d)
+      .select(col("q_id"), col("n_id"), lit("pq").as("method"))
+      .join(exact, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"), col("method"))
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .select(col("q_id"), col("method"), col("n_returned"), col("n_hits"),
+        (col("n_hits") / lit(k.toDouble)).as("recall"))
+  }
 }

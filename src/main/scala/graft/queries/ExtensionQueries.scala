@@ -2904,7 +2904,81 @@ object ExtensionQueries {
         |broadcast join → map-side-combined per-vector sums).""".stripMargin,
       (s, d) => graft.operators.Similarity.whitenAudit(
         Tables.embeddings(s, d), iters = 3, dim = 64),
-      Some(IvfOracle.whitenSql(iters = 3, dim = 64)))
+      Some(IvfOracle.whitenSql(iters = 3, dim = 64))),
+
+    QuerySpec(
+      "q129_pq_codes",
+      """Product-quantization code sheet ([[graft.operators.Similarity
+        |.pqTrain]] + `pqEncode`, Jégou et al. 2011) — the COMPRESSION
+        |member of the ANN family: vectors L2-normalize, split into
+        |m=4 subspaces of 16 dims, each subspace Lloyd-trains ksub=8
+        |sub-centroids (2 rounds, corpus-row seeds), and every vector
+        |compresses to m codes — 64-dim float32 (256 B) → 4 B of
+        |index. Every DISTANCE is exact integer arithmetic (components
+        |floor(·2^14) to BIGINT before the squared-difference sum), so
+        |assignment argmins carry no float fold-order dependence and
+        |the sheet — (vec_id, s, code, dist_q), dist_q the per-subspace
+        |quantization distortion an index-health audit reads — oracles
+        |bitwise against the unrolled train+encode CTE replay. Scale
+        |shape: ONE materialized long-form subvector frame feeds all
+        |rounds; per round a broadcast(m·ksub) join + map-side-combined
+        |argmin (one exchange row per (vector, subspace)); the codebook
+        |frame is m·ksub rows, always broadcastable.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Similarity.pqEncode(e,
+          graft.operators.Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64),
+          m = 4, dim = 64)
+      },
+      Some(PqOracle.codesSql(m = 4, ksub = 8, iters = 2, dim = 64))),
+
+    QuerySpec(
+      "q130_pq_adc_topk",
+      """Asymmetric-distance (ADC) top-k over PQ codes
+        |([[graft.operators.Similarity.pqAdcTopK]]): each query builds
+        |an m×ksub integer lookup table of subspace distances to every
+        |codebook entry; a corpus vector's distance is the BIGINT sum
+        |of m table lookups over its codes — the original vectors are
+        |never touched after encoding, which is the entire point at
+        |100 TB (the index holds 4-byte codes, not 256-byte vectors).
+        |Normalized-vector squared L2 orders identically to cosine, so
+        |this ranks the same geometry as q30/q46/q49. Integer distances
+        |end-to-end → (q_id, n_id, adc_q, rank) oracles bitwise. Scale
+        |shape: codes scanned once against the BROADCAST lut
+        |(|q|·m·ksub rows), per-(q, n) sum map-side combined; flat ADC
+        |is the audited baseline — a deployment puts the q49 IVF in
+        |front (probe cells, ADC inside), composing as a pre-filter on
+        |the codes frame.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cb = graft.operators.Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+        val codes = graft.operators.Similarity.pqEncode(e, cb, m = 4, dim = 64)
+        graft.operators.Similarity.pqAdcTopK(
+          e.filter(col("vec_id") < 8), codes, cb, k = 5, m = 4, dim = 64)
+      },
+      Some(PqOracle.adcTopKSql(m = 4, ksub = 8, iters = 2, k = 5, qBound = 8, dim = 64))),
+
+    QuerySpec(
+      "q131_pq_recall_audit",
+      """PQ recall audit ([[graft.operators.Similarity.pqRecallAudit]])
+        |— the q117 reading for the compression family: per query, how
+        |many of the EXACT cosine top-5 the ADC ranking recovered
+        |(method='pq', same sheet shape as q117, so lsh / ivf / pq all
+        |audit against the same exact arm). This is the number an
+        |index deployment pins its (m, ksub) memory budget to — the
+        |compression twin of the nprobe/bits tunings q117 audits.
+        |Scale shape: the exact arm is the documented O(|q|·corpus)
+        |audit slice (queries are a SAMPLE by construction); the ADC
+        |arm keeps q130's audited shape; the closing join is
+        |q·k-bounded.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Similarity.pqRecallAudit(
+          e.filter(col("vec_id") < 8), e,
+          graft.operators.Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64),
+          k = 5, m = 4, dim = 64)
+      },
+      Some(PqOracle.recallSql(m = 4, ksub = 8, iters = 2, k = 5, qBound = 8, dim = 64)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
