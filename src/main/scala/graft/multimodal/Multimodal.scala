@@ -43,16 +43,48 @@ object Multimodal {
     // Static toggle, safe to set from concurrent tasks (idempotent).
     javax.imageio.ImageIO.setUseCache(false)
 
+    /** Decompression-bomb ceiling: a hostile payload can be tiny on
+      * disk yet DECLARE an enormous raster (a 10⁵×10⁵ PNG header is a
+      * few hundred bytes; the decoded raster would be tens of GB),
+      * and the resulting OutOfMemoryError is an Error — it sails past
+      * any exception handler and kills the executor, violating the
+      * "corrupt frame degrades, never kills the job" posture. So the
+      * guard must run BEFORE allocation: dimensions are read from the
+      * image HEADER (ImageReader.getWidth/getHeight decode no pixels)
+      * and oversize frames fall back to the stub. 2^26 px ≈ 67 MP —
+      * generous for real corpus frames (a 8K video still is 33 MP),
+      * ~256 MB of ARGB raster worst-case, bounded per decode slot. */
+    val DefaultMaxPixels: Long = 1L << 26
+
     /** Decode image bytes → (width, height, channels, mean_intensity),
       * where channels is the raster band count (gray=1, RGB=3, RGBA=4)
       * and mean_intensity averages every sample of every band on the
       * decoded raster (0–255 scale for 8-bit images). None when no
-      * registered reader accepts the payload (caller falls back to the
-      * deterministic stub). */
-    def decode(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+      * registered reader accepts the payload OR the header declares
+      * more than `maxPixels` pixels (caller falls back to the
+      * deterministic stub — the payload is untrusted, and the full
+      * raster is never allocated for an over-cap frame). */
+    def decode(payload: Array[Byte],
+        maxPixels: Long = DefaultMaxPixels): Option[(Int, Int, Int, Double)] = {
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException | _: RuntimeException => null }
+        try {
+          val in = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(in)
+            if (!readers.hasNext) null
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(in, true, true)
+                // header-only dimension read — no pixel allocation yet
+                val (hw, hh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+                if (hw <= 0 || hh <= 0 || hw * hh > maxPixels) null
+                else reader.read(0)
+              } finally reader.dispose()
+            }
+          } finally in.close()
+        } catch { case _: java.io.IOException | _: RuntimeException => null }
       Option(img).map { im =>
         val raster = im.getRaster
         val (w, h, bands) = (im.getWidth, im.getHeight, raster.getNumBands)

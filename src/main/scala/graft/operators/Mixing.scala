@@ -214,12 +214,28 @@ object Mixing {
     * libm-free log the q123 integer-log costs approximate at 0
     * fractional bits, now at 1/64 granularity (|log2q/64 − log2 x| <
     * 1/64 + quantization of the squaring truncations — property-pinned
-    * in MixingSpec). Overflow headroom: x < 2^43 (m² < 2^42 inside). */
+    * in MixingSpec).
+    *
+    * Overflow headroom: the FULL positive BIGINT domain. The mantissa
+    * normalizes by shifting x itself — down when it has more than 21
+    * bits (`x DIV 2^(bitlen−21)`), up otherwise (`x · 2^(21−bitlen)`)
+    * — which equals the naive `(x·2^20) DIV 2^(bitlen−1)` exactly
+    * wherever the latter is defined (floor(x·2^a/2^c) = floor(x/
+    * 2^(c−a)) for c ≥ a) while never forming the x·2^20 product that
+    * silently wrapped to garbage at x ≥ 2^43. At 100 TB the
+    * corpus-wide totals [[dsirWeights]] feeds in exceed 2^43
+    * routinely (~8.8e12 bigram occurrences), so the guard is
+    * structural, not an assert: m stays in [2^20, 2^21), m² < 2^42 —
+    * no step can overflow for any x up to 2^63−1. Property-pinned at
+    * x near 2^62 in MixingSpec. */
   private[graft] def log2qExpr(x: String): String =
     s"""aggregate(sequence(1, 6),
        |  named_struct(
-       |    'm', (($x) * 1048576) DIV shiftleft(CAST(1 AS BIGINT),
-       |           CAST(length(bin($x)) - 1 AS INT)),
+       |    'm', IF(length(bin($x)) > 21,
+       |           ($x) DIV shiftleft(CAST(1 AS BIGINT),
+       |             CAST(length(bin($x)) - 21 AS INT)),
+       |           ($x) * shiftleft(CAST(1 AS BIGINT),
+       |             CAST(21 - length(bin($x)) AS INT))),
        |    'f', CAST(0 AS BIGINT)),
        |  (acc, i) -> element_at(transform(array((acc.m * acc.m) DIV 1048576), q ->
        |      named_struct('m', IF(q >= 2097152, q DIV 2, q),

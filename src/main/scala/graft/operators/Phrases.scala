@@ -601,6 +601,21 @@ object Phrases {
     vocab.agg(map_from_entries(
       collect_list(struct(col("piece"), col("piece_cost")))).as("cmap"))
 
+  /** OOV single-character fallback cost. The trained vocabulary always
+    * covers every single character OF ITS OWN CORPUS (the all-singles
+    * seed), but the streaming gate applies a STANDING model to new
+    * ingest data whose characters the standing corpus may never have
+    * seen — without a fallback the l = 1 candidate goes NULL there,
+    * every candidate filters out, and the DP's `element_at(…, 1)` on
+    * an empty array aborts the streaming query. 30 is strictly worse
+    * than any in-vocab piece cost (piece_cost = 22 − length(bin(
+    * score_q + 1)) ≤ 21), so an OOV character can never out-score a
+    * modeled one and OOV-heavy garbage lands in the 'tail' bucket —
+    * it cannot fake its way into 'head'. Batch paths never hit this
+    * branch (vocab and corpus coincide), so every oracle sheet is
+    * unchanged. */
+  private[graft] val UnkCost = 30L
+
   /** The Viterbi DP fold as a SQL expression over a string named `w`
     * and a cost map named `cmap` (both resolved from the enclosing
     * scope — a column or a lambda variable alike). Result struct:
@@ -609,13 +624,17 @@ object Phrases {
     * piece = substring(w, i−l+1, l), start = i−l; argmin by array_sort
     * over (cost, strt, piece) structs — field order IS the (cost ASC,
     * start ASC) tie-break. Missing map keys / out-of-range l yield
-    * NULL-cost candidates, filtered before the sort; the all-singles
-    * vocab guarantees l = 1 always survives. */
+    * NULL-cost candidates, filtered before the sort; the l = 1
+    * candidate coalesces missing keys to [[UnkCost]], so it ALWAYS
+    * survives — in-vocab via the all-singles seed on the training
+    * corpus, as the UNK fallback on out-of-vocabulary ingest — and
+    * the fold is total on any input string. */
   private[graft] def dpExprStr(maxPieceLen: Int): String = {
     val cands = (1 to maxPieceLen).map { l =>
+      val lookup = s"element_at(cmap, substring(w, i - ${l - 1}, $l))"
+      val cost = if (l == 1) s"coalesce($lookup, CAST($UnkCost AS BIGINT))" else lookup
       val core = s"named_struct(" +
-        s"'cost', element_at(acc.costs, i - ${l - 1}) + " +
-        s"element_at(cmap, substring(w, i - ${l - 1}, $l)), " +
+        s"'cost', element_at(acc.costs, i - ${l - 1}) + $cost, " +
         s"'strt', CAST(i - $l AS BIGINT), " +
         s"'piece', substring(w, i - ${l - 1}, $l))"
       if (l == 1) core else s"IF(i >= $l, $core, NULL)"

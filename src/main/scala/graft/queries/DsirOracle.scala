@@ -21,9 +21,15 @@ object DsirOracle {
     * are columns `x_<v>` of CTE `l0`'s FROM source; emits CTEs l0..l6
     * carrying (b, e_v, m_v, f_v per v). */
   private def logChain(src: String, vars: Seq[(String, String)]): String = {
+    // mantissa init mirrors Mixing.log2qExpr's full-BIGINT-domain form:
+    // shift x itself up/down to [2^20, 2^21) instead of forming the
+    // x*2^20 product (identical value wherever both are defined)
     val init = vars.map { case (v, x) =>
       s"""length(bin($x)) - 1 AS e_$v,
-         |    (($x) * 1048576) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)) AS m_$v,
+         |    CASE WHEN length(bin($x)) > 21
+         |      THEN ($x) // (CAST(1 AS BIGINT) << (length(bin($x)) - 21))
+         |      ELSE ($x) * (CAST(1 AS BIGINT) << (21 - length(bin($x))))
+         |    END AS m_$v,
          |    CAST(0 AS BIGINT) AS f_$v""".stripMargin
     }.mkString(",\n    ")
     val steps = (1 to 6).map { i =>

@@ -124,6 +124,49 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("decompression bomb: a tiny payload declaring a huge raster falls back, never allocates") {
+    // Hand-built PNG: valid signature + IHDR declaring 100000x100000
+    // (10^10 pixels ≈ 40 GB of ARGB raster) in a few hundred bytes —
+    // the classic decompression bomb. The header read must reject it
+    // BEFORE any raster allocation; the OutOfMemoryError a full
+    // ImageIO.read would throw is an Error no handler catches.
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+        ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      be(data.length) ++ tag.getBytes("US-ASCII") ++ data ++ be(crc.getValue.toInt)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    // IHDR: w, h, bit depth 8, color type 2 (RGB), compression/filter/interlace 0
+    val ihdr = chunk("IHDR", be(100000) ++ be(100000) ++ Array[Byte](8, 2, 0, 0, 0))
+    val bomb = sig ++ ihdr ++ chunk("IDAT", Array[Byte](0)) ++ chunk("IEND", Array.empty)
+    // the PNG reader parses the header (dimensions are really read)...
+    val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bomb))
+    val readers = javax.imageio.ImageIO.getImageReaders(in)
+    assert(readers.hasNext, "fixture must look like a real PNG to the reader")
+    val rdr = readers.next(); rdr.setInput(in, true, true)
+    assert(rdr.getWidth(0) == 100000 && rdr.getHeight(0) == 100000)
+    rdr.dispose(); in.close()
+    // ...and decode refuses it at the header, before allocation
+    assert(Multimodal.ImageCodec.decode(bomb).isEmpty,
+      "over-cap frame must fall back to the stub")
+    // a raised cap is honored for legitimately large-but-bounded frames
+    val small = new java.awt.image.BufferedImage(40, 30, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until 40; y <- 0 until 30) small.getRaster.setSample(x, y, 0, 7)
+    assert(Multimodal.ImageCodec.decode(pngBytes(small), maxPixels = 100L).isEmpty,
+      "a tightened cap rejects frames over it")
+    assert(Multimodal.ImageCodec.decode(pngBytes(small)).contains((40, 30, 1, 7.0)))
+    // end-to-end: the bomb flows through extractFeatures as a stub row
+    import spark.implicits._
+    val m = Seq((66L, bomb, Multimodal.MediaMeta("image/png", bomb.length.toLong, "bomb")))
+      .toDF("media_id", "payload", "meta")
+    val f = Multimodal.extractFeatures(m).collect().head
+    val (w, h, c, mean) = Multimodal.FakeCodec.decode(bomb)
+    assert((f.width, f.height, f.channels, f.mean_intensity) == (w, h, c, mean))
+  }
+
   test("resize emits the target byte count, composes, and is deterministic") {
     val m = Multimodal.toMediaTable(Tables.documents(spark, sf001)).limit(50)
     val r = Multimodal.resize(m, 128)

@@ -148,8 +148,13 @@ class MixingSpec extends AnyFunSuite {
 
   test("log2q is the exact fixed-point log2: within 1/32 of math.log over a wide range") {
     import org.apache.spark.sql.functions.expr
+    // range deliberately crosses the old x*2^20 wrap point (2^43):
+    // 100 TB corpus totals land there, and the shifted-mantissa form
+    // must stay exact through the top of the BIGINT domain
     val xs = (1L to 40L).map(i => (i * i * i) % 100000 + i) ++
-      Seq(1L, 2L, 3L, 1023L, 1024L, 1025L, 999999L, (1L << 40) - 1)
+      Seq(1L, 2L, 3L, 1023L, 1024L, 1025L, 999999L, (1L << 40) - 1,
+        (1L << 43) - 1, 1L << 43, (1L << 43) + 12345L, (1L << 50) + 999L,
+        (1L << 62) - 1, 1L << 62, Long.MaxValue)
     val got = xs.toDF("x").withColumn("l", expr(Mixing.log2qExpr("x")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     xs.foreach { x =>
