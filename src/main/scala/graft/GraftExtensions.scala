@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductD, MaxTokenRun, Md5Base48, Md5Bits64, RollingHash, TokenCount, UnicodeNormalize, WordNgrams}
+import graft.functions.{DotProductD, MaxTokenRun, Md5Base48, Md5Bits64, PqDistQ, RollingHash, TokenCount, UnicodeNormalize, WordNgrams}
 
 /** Spark extensions entry point: registers the engine's native
   * expressions at session build time, so a cluster deployment gets them
@@ -26,6 +26,13 @@ object GraftExtensions {
     require(exprs.length == 2,
       s"graft_dot expects exactly 2 arguments (array<double>, array<double>), got ${exprs.length}")
     DotProductD(exprs(0), exprs(1))
+  }
+
+  /** Builder for the PQ exact-integer squared-L2 kernel. */
+  def buildPqDist(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): PqDistQ = {
+    require(exprs.length == 2,
+      s"graft_pqdist expects exactly 2 arguments (array<double>, array<double>), got ${exprs.length}")
+    PqDistQ(exprs(0), exprs(1))
   }
 
   /** Builder for the Karp-Rabin rolling-hash fingerprint. */
@@ -99,6 +106,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.buildDot(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_pqdist"),
+      new ExpressionInfo(classOf[PqDistQ].getName, "graft_pqdist"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.buildPqDist(exprs)))
     e.injectFunction((
       new FunctionIdentifier("graft_kr"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_kr"),

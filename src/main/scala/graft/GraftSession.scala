@@ -53,6 +53,8 @@ object GraftSession {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
       reg.createOrReplaceTempFunction("graft_dot", GraftExtensions.buildDot, "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pqdist")))
+      reg.createOrReplaceTempFunction("graft_pqdist", GraftExtensions.buildPqDist, "built-in")
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kr")))
       reg.createOrReplaceTempFunction("graft_kr", GraftExtensions.buildKr, "built-in")
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5b48")))

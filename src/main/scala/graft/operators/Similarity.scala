@@ -651,8 +651,22 @@ object Similarity {
       .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
 
   /** Exact-integer squared L2 between two double arrays at the [[PqQ]]
-    * quantum: Σ (floor(a·2^14) − floor(b·2^14))² in BIGINT. */
-  private def pqDist(a: Column, b: Column): Column =
+    * quantum: Σ (floor(a·2^14) − floor(b·2^14))² in BIGINT — the native
+    * codegen'd [[graft.functions.PqDistQ]] expression (registered as
+    * `graft_pqdist`), bitwise identical to the interpreted
+    * [[pqDistHof]] formulation (property-pinned in SimilaritySpec) and
+    * ~10× faster: it is evaluated m·ksub times per vector in
+    * [[pqAssign]] and |q|·m·ksub times in the ADC lut, exactly the
+    * hot-loop shape that demanded `graft_dot`. */
+  private[graft] def pqDist(a: Column, b: Column): Column =
+    graft.functions.NativeColumn(graft.functions.PqDistQ(
+      graft.functions.NativeColumn.expr(a), graft.functions.NativeColumn.expr(b)))
+
+  /** The interpreted HOF twin of [[pqDist]] — kept as the semantic
+    * specification the native expression is property-pinned against
+    * (the graft_tokcount precedent): `aggregate(zip_with(...))` is the
+    * reference formulation both engines' oracles replay. Test-only. */
+  private[graft] def pqDistHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (floor(x * lit(PqQ)).cast("long") - floor(y * lit(PqQ)).cast("long"))),

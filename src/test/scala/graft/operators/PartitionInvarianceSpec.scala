@@ -69,4 +69,32 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   test("DSIR weights are partition-invariant") {
     invariant(Mixing.dsirWeights(_))
   }
+
+  /** The embeddings-table variant of [[invariant]] for the vector
+    * family: same three adversarial layouts over the corpus side. */
+  private def invariantEmb(f: DataFrame => DataFrame): Unit = {
+    val embs = Tables.embeddings(spark, sf001)
+    val base = rows(f(embs))
+    assert(base.nonEmpty)
+    assert(rows(f(embs.repartition(7))) == base, "7-way hash repartition")
+    assert(rows(f(embs.repartition(1))) == base, "single partition")
+    assert(rows(f(embs.orderBy(col("vec_id").desc))) == base, "reordered input")
+  }
+
+  test("PQ encode is partition-invariant") {
+    // codebooks retrain from the permuted corpus too: the WHOLE
+    // train→encode chain must be a pure function of the data
+    invariantEmb { e =>
+      Similarity.pqEncode(e,
+        Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64), m = 4, dim = 64)
+    }
+  }
+
+  test("PQ ADC top-k is partition-invariant") {
+    invariantEmb { e =>
+      val cb = Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+      val codes = Similarity.pqEncode(e, cb, m = 4, dim = 64)
+      Similarity.pqAdcTopK(e.filter(col("vec_id") < 8), codes, cb, k = 5, m = 4, dim = 64)
+    }
+  }
 }

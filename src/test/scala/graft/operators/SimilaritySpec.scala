@@ -258,6 +258,140 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(7L) == 1L, "a DROPPED standing vector must not veto")
   }
 
+  test("graft_pqdist native expression is bitwise identical to the HOF formulation") {
+    // the native kernel's semantic specification IS the interpreted
+    // aggregate(zip_with(...)) fold — pin them equal over adversarial
+    // values: negatives, exact halves, floor boundaries at the 2^-14
+    // quantum, huge magnitudes, zeros, and mismatched lengths
+    val rnd = new scala.util.Random(13)
+    val pairs: Seq[(Array[Double], Array[Double])] =
+      (0 until 200).map { _ =>
+        val n = 1 + rnd.nextInt(16)
+        (Array.fill(n)(rnd.nextGaussian() * math.pow(10.0, rnd.nextInt(7) - 3)),
+          Array.fill(n)(rnd.nextGaussian() * math.pow(10.0, rnd.nextInt(7) - 3)))
+      } ++ Seq(
+        (Array(0.5 / 16384.0, -0.5 / 16384.0), Array(1.0 / 16384.0, -1.0 / 16384.0)),
+        (Array(0.0, -0.0), Array(-0.0, 0.0)),
+        // magnitude ceiling of the pin: dq² must stay within BIGINT on
+        // the HOF side too (ANSI throws past 2^63; the real domain is
+        // unit-sphere components, 2^30-bounded per term)
+        (Array(1e4, -1e4), Array(-1e4, 1e4)),
+        (Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))   // mismatched → NULL both ways
+    val df = pairs.toDF("a", "b")
+      .select(Similarity.pqDist(col("a"), col("b")).as("native"),
+        Similarity.pqDistHof(col("a"), col("b")).as("hof"))
+    val rows = df.collect()
+    assert(rows.length == pairs.length)
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), s"value disagreement: $r")
+    }
+    assert(rows.last.isNullAt(0), "mismatched lengths must be NULL")
+    assert(rows.count(!_.isNullAt(0)) == pairs.length - 1)
+  }
+
+  test("PQ train/encode: planted subspace clusters, determinism, one row per (vector, subspace)") {
+    // dim 8, m=2 subspaces of 4, ksub=4: each subspace has 4 planted
+    // prototype directions; every vector is (protoA[i%4], protoB[(i/4)%4])
+    // plus tiny jitter. After training, near-copies of the same
+    // prototype pair must share their full code tuple.
+    val rnd = new scala.util.Random(23)
+    val protos = Array.fill(2, 4)(Array.fill(4)(rnd.nextGaussian() * 3.0))
+    def mk(i: Int): Array[Float] =
+      (protos(0)(i % 4) ++ protos(1)((i / 4) % 4))
+        .map(x => (x + 0.01 * rnd.nextGaussian()).toFloat)
+    val embs = (0 until 64).map(i => (i.toLong, mk(i))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(embs, m = 2, ksub = 4, iters = 2, dim = 8)
+    val cbRows = cb.collect()
+    assert(cbRows.map(_.getInt(0)).toSet == Set(0, 1), "one codebook per subspace")
+    assert(cbRows.forall(_.getSeq[Double](2).length == 4), "sub-centroids keep subspace dim")
+    // determinism: retrain on repartitioned input → bitwise same codebooks
+    val cb2 = Similarity.pqTrain(embs.repartition(7), m = 2, ksub = 4, iters = 2, dim = 8)
+    assert(cb.collect().map(_.toString).sorted.toSeq ==
+      cb2.collect().map(_.toString).sorted.toSeq, "codebooks must be partition-invariant")
+    val codes = Similarity.pqEncode(embs, cb, m = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size == 128, "one row per (vector, subspace)")
+    // same prototype pair (i, i+16 share protoA AND protoB when
+    // i%4 == (i+16)%4 and (i/4)%4 == ((i+16)/4)%4 — i.e. i and i+16
+    // share subspace-0 prototype; full-tuple twins are i and i+16 with
+    // equal (i%4, (i/4)%4): i vs i+16 differs in (i/4)%4. Use exact
+    // twins: i and i+32 share i%4; (i/4)%4 vs ((i+32)/4)%4 = +8%4 = same.
+    val twins = (0 until 32).map(i => (i.toLong, (i + 32).toLong))
+    val agree = twins.count { case (a, b) =>
+      codes((a, 0)) == codes((b, 0)) && codes((a, 1)) == codes((b, 1)) }
+    info(s"planted prototype twins sharing full code tuple: $agree/32")
+    assert(agree >= 29, s"near-identical prototype pairs must share codes: $agree/32")
+  }
+
+  test("PQ Lloyd drops empty cells; encode stays total; degenerate vectors are excluded") {
+    import spark.implicits._
+    // only 2 genuinely distinct prototypes per subspace but ksub=4
+    // seeds: Lloyd rounds must empty some cells and drop them, and
+    // encoding against the shrunken codebook stays total
+    val protoA = Array(3.0, 0.0, 0.0, 0.0); val protoB = Array(0.0, 3.0, 0.0, 0.0)
+    val embs = (0 until 40).map { i =>
+      val p = if (i % 2 == 0) protoA else protoB
+      (i.toLong, (p ++ p).map(x => (x + 0.001 * ((i * 31) % 7 - 3)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(embs, m = 2, ksub = 4, iters = 2, dim = 8)
+    val perSub = cb.collect().groupBy(_.getInt(0)).map { case (s, rs) => s -> rs.length }
+    info(s"surviving sub-centroids per subspace: $perSub")
+    assert(perSub.values.forall(n => n >= 1 && n <= 4))
+    val codes = Similarity.pqEncode(embs, cb, m = 2, dim = 8)
+    assert(codes.count() == 80, "every vector still encodes in every subspace")
+
+    // null / zero-norm / wrong-length vectors: excluded, never crash
+    val dirty = Seq(
+      (100L, Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)),
+      (101L, null.asInstanceOf[Array[Float]]),
+      (102L, Array.fill(8)(0f)),
+      (103L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    val dirtyCodes = Similarity.pqEncode(dirty, cb, m = 2, dim = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(dirtyCodes == Set(100L), s"only the valid vector encodes: $dirtyCodes")
+  }
+
+  test("PQ ADC finds planted high-similarity near-dups with recall >= 0.9") {
+    // the lsh/ivf planted fixture applied to the compression family: a
+    // perturbed copy shares (almost always) its base's full code tuple,
+    // so its ADC distance equals the query's own quantization floor —
+    // the regime PQ retrieval is built for
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 50L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val pert = base.map { case (i, v) => (i + 100L) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat) }
+    val all = (base ++ pert).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(all, m = 4, ksub = 8, iters = 2, dim = 64)
+    val codes = Similarity.pqEncode(all, cb, m = 4, dim = 64)
+    val top1 = Similarity.pqAdcTopK(all.filter(col("vec_id") < 50), codes, cb,
+      k = 1, m = 4, dim = 64).collect()
+    val recall = top1.count(r => r.getAs[Long]("n_id") == r.getAs[Long]("q_id") + 100L) / 50.0
+    info(f"PQ ADC planted near-dup recall@1 (m=4, ksub=8): $recall%.2f")
+    assert(recall >= 0.9, s"planted-dup ADC recall $recall < 0.9")
+  }
+
+  test("PQ recall audit clears a deterministic floor on the driver embeddings and matches a direct recompute") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.filter(col("vec_id") < 8)
+    val cb = Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+    val audit = Similarity.pqRecallAudit(q, e, cb, k = 5, m = 4, dim = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(audit.size == 8, "one pq row per query")
+    val mean = audit.values.map(_._3).sum / 8.0
+    info(f"PQ recall@5 on driver embeddings (m=4, ksub=8): mean=$mean%.2f")
+    assert(audit.values.forall { case (nRet, nHits, rec) =>
+      nRet == 5 && nHits <= nRet && rec == nHits / 5.0 })
+    // direct recompute of one query's hits
+    val exact = Similarity.bruteForceTopK(q, e, 5).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val codes = Similarity.pqEncode(e, cb, m = 4, dim = 64)
+    val adc = Similarity.pqAdcTopK(q, codes, cb, k = 5, m = 4, dim = 64)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    adc.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(audit(qid)._2 == rows.count(exact), s"q$qid hit count")
+    }
+  }
+
   test("principalComponent recovers a planted dominant direction") {
     // Planted anisotropy in dim 8: variance 4 along u = (e0+e1)/√2,
     // tiny deterministic jitter elsewhere. The iteration must land on
