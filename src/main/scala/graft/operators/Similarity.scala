@@ -702,9 +702,16 @@ object Similarity {
     graft.GraftSession.ensureConfs(embs.sparkSession)
     val d = if (dim > 0) dim else inferDim(embs)
     require(d > 0 && d % m == 0, s"dim $d not divisible by m=$m")
-    val ds = d / m
+    pqTrainSub(Dedup.materialize(pqSubvectors(pqNormalized(embs, d), m, d / m)),
+      ksub, iters)
+  }
+
+  /** The Lloyd loop over an already-materialized long-form subvector
+    * frame (vec_id, s, sv) — shared by [[pqTrain]] (normalized
+    * vectors) and [[pqResidualCodes]] (centroid residuals). Seeds are
+    * the frame's `vec_id < ksub` rows (code = vec_id). */
+  private def pqTrainSub(sub: DataFrame, ksub: Int, iters: Int): DataFrame = {
     val Q = 1048576.0 // 2^20 — the kmeansIterate mean quantum
-    val sub = Dedup.materialize(pqSubvectors(pqNormalized(embs, d), m, ds))
     var cb = sub.filter(col("vec_id") < ksub)
       .select(col("s"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
     for (_ <- 1 to iters) {
@@ -721,6 +728,50 @@ object Similarity {
           .select(col("s"), col("code"), expr("transform(pe, p -> p.e)").as("cv")))
     }
     cb
+  }
+
+  /** Residual-PQ code sheet — the classic IVFADC refinement (Jégou et
+    * al. 2011 §IV.A) of [[pqTrain]]/[[pqEncode]]: each vector encodes
+    * the RESIDUAL after its IVF centroid, `r = nv − ĉ(cell)` on the
+    * unit sphere (both sides normalized), with codebooks trained on the
+    * pooled residuals — the FAISS convention of one PQ shared across
+    * cells. Residual magnitudes are bounded by within-cell spread
+    * instead of the whole sphere, so the same (m, ksub) budget spends
+    * its codes on a far smaller volume and total reconstruction error
+    * drops strictly below flat PQ's on clustered data (spec-pinned on
+    * planted geometry) — distortion falls WITHOUT growing m, which at
+    * 100 TB is the difference between a useful 4-byte index and a
+    * useless one.
+    *
+    * Determinism: the residual components are two correctly-rounded
+    * divisions and one subtraction per element (IEEE-identical on both
+    * engines), then the q129 exact-integer train/assign chain applies
+    * unchanged. Output: (vec_id, s, code, dist_q) — the q129 sheet
+    * shape, so q129's and q133's `dist_q` columns compare directly.
+    *
+    * Scale shape: ONE assignment pass (map-side argmax), a broadcast
+    * nlist-row centroid join to form residuals map-side, then the
+    * audited [[pqTrainSub]]/[[pqAssign]] shapes over ONE materialized
+    * residual subvector frame. */
+  def pqResidualCodes(embs: DataFrame, centroids: DataFrame, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2, dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else inferDim(embs)
+    require(d > 0 && d % m == 0, s"dim $d not divisible by m=$m")
+    val cn = centroids
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+      .filter(col("cn2") > 0.0)
+      .select(col("c_id"), transform(col("cv"), x => x / sqrt(col("cn2"))).as("cnv"))
+    val asg = ivfAssign(embs, centroids, d).select(col("n_id"), col("c_id"))
+    val resid = pqNormalized(embs, d)
+      .join(asg, col("vec_id") === col("n_id"))
+      .join(broadcast(cn), "c_id")
+      .select(col("vec_id"),
+        zip_with(col("nv"), col("cnv"), (a, b) => a - b).as("nv"))
+    val sub = Dedup.materialize(pqSubvectors(resid, m, d / m))
+    pqAssign(sub, pqTrainSub(sub, ksub, iters))
   }
 
   /** PQ-encode a corpus against trained codebooks: one row per
@@ -772,21 +823,99 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVFADC top-k — the IVF∘PQ composition (Jégou et al. 2011 §IV),
+    * the actual 100 TB serving shape the flat-ADC baseline of
+    * [[pqAdcTopK]] audits: probe the query's `nprobe` highest-cosine
+    * IVF cells (the [[ivfTopK]] probe), then ADC-rank ONLY the codes
+    * of vectors living in the probed cells. Per-query work drops from
+    * |corpus| code rows to ~nprobe/nlist of them while the index still
+    * holds m-byte codes, never raw vectors.
+    *
+    * Inputs are the components a deployed index PERSISTS: `codes`
+    * ([[pqEncode]]'s sheet), `cells` (the (n_id, c_id) membership from
+    * [[ivfAssign]] — the posting lists), plus the static centroid and
+    * codebook frames. Zero-norm/invalid vectors hold no code rows, so
+    * the membership join excludes them identically to the flat path.
+    * Same exact-integer distance contract as [[pqAdcTopK]] (ranking
+    * carries no float fold-order dependence), same output shape
+    * (q_id, n_id, adc_q, rank).
+    *
+    * Scale shape: codes⋈cells is the id-keyed join an index stores
+    * pre-materialized (codes live IN their cell's posting list); the
+    * probe frame (|q|·nprobe rows) and lut (|q|·m·ksub rows) BROADCAST;
+    * the per-(q, n) sum is map-side combined, and only vectors in
+    * probed cells ever reach it. */
+  def ivfAdcTopK(queries: DataFrame, codes: DataFrame, cells: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, k: Int, nprobe: Int = 4,
+      m: Int = 4, dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(queries.sparkSession)
+    val d = if (dim > 0) dim else inferDim(queries)
+    require(d > 0 && d % m == 0, s"dim $d not divisible by m=$m")
+    val cent = centroids
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_v"))
+      .withColumn("c_n", sqrt(dot(col("c_v"), col("c_v"))))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("c_id").asc)
+    val probes = queries
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_v"))
+      .withColumn("q_n", sqrt(dot(col("q_v"), col("q_v"))))
+      .filter(col("q_n") > 0.0)
+      .crossJoin(broadcast(cent))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n"))).as("cos_c"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("c_id"))
+    val lut = pqSubvectors(pqNormalized(queries, d), m, d / m)
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(codebooks), "s")
+      .select(col("q_id"), col("s"), col("code"),
+        pqDist(col("sv"), col("cv")).as("dq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_q").asc, col("n_id").asc)
+    codes.select(col("vec_id").as("n_id"), col("s"), col("code"))
+      .join(cells.select(col("n_id"), col("c_id")), "n_id")
+      .join(broadcast(probes), "c_id")
+      .join(broadcast(lut), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("dq")).as("adc_q"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** PQ recall audit — the [[annRecallAudit]] reading for the
     * compression family: per query, how many of the EXACT cosine top-k
     * the ADC ranking recovered (`method` = 'pq'), the number an index
     * deployment pins its (m, ksub) budget to. Same sheet shape as q117
     * so the three approximate families (lsh / ivf / pq) audit against
-    * the same exact arm. */
+    * the same exact arm.
+    *
+    * With `centroids` supplied the sheet ALSO audits the deployed
+    * composition: a `method` = 'ivfadc' row per query measures
+    * [[ivfAdcTopK]] at `nprobe` against the same exact arm — flat ADC
+    * is the compression ceiling, ivfadc the serving reality; the gap
+    * between the two rows is exactly the probe-miss cost the nprobe
+    * knob buys back. */
   def pqRecallAudit(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
-      k: Int, m: Int = 4, dim: Int = 0): DataFrame = {
+      k: Int, m: Int = 4, dim: Int = 0,
+      centroids: Option[DataFrame] = None, nprobe: Int = 4): DataFrame = {
     graft.GraftSession.ensureConfs(queries.sparkSession)
     val d = if (dim > 0) dim else inferDim(corpus)
     val exact = bruteForceTopK(queries, corpus, k)
       .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
-    val codes = pqEncode(corpus, codebooks, m, d)
-    pqAdcTopK(queries, codes, codebooks, k, m, d)
+    val codes = Dedup.materialize(pqEncode(corpus, codebooks, m, d))
+    val flat = pqAdcTopK(queries, codes, codebooks, k, m, d)
       .select(col("q_id"), col("n_id"), lit("pq").as("method"))
+    val approx = centroids match {
+      case Some(cent) =>
+        val cells = ivfAssign(corpus, cent, d).select(col("n_id"), col("c_id"))
+        flat.unionByName(
+          ivfAdcTopK(queries, codes, cells, cent, codebooks, k, nprobe, m, d)
+            .select(col("q_id"), col("n_id"), lit("ivfadc").as("method")))
+      case None => flat
+    }
+    approx
       .join(exact, Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"), col("method"))
       .agg(count(lit(1)).as("n_returned"),

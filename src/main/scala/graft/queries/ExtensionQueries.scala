@@ -2961,24 +2961,88 @@ object ExtensionQueries {
     QuerySpec(
       "q131_pq_recall_audit",
       """PQ recall audit ([[graft.operators.Similarity.pqRecallAudit]])
-        |— the q117 reading for the compression family: per query, how
-        |many of the EXACT cosine top-5 the ADC ranking recovered
-        |(method='pq', same sheet shape as q117, so lsh / ivf / pq all
-        |audit against the same exact arm). This is the number an
-        |index deployment pins its (m, ksub) memory budget to — the
-        |compression twin of the nprobe/bits tunings q117 audits.
+        |— the q117 reading for the compression family: per query, a
+        |method='pq' row (flat ADC over ALL codes — the compression
+        |ceiling) and a method='ivfadc' row (the q132 IVF∘PQ serving
+        |composition at nprobe=4), both scoring how many of the EXACT
+        |cosine top-5 each ranking recovered (the q117 sheet shape, so
+        |lsh / ivf / pq / ivfadc all audit against the same exact arm).
+        |The pq row pins the (m, ksub) memory budget; the pq→ivfadc
+        |gap is exactly the probe-miss cost the nprobe knob buys back.
         |Scale shape: the exact arm is the documented O(|q|·corpus)
-        |audit slice (queries are a SAMPLE by construction); the ADC
-        |arm keeps q130's audited shape; the closing join is
-        |q·k-bounded.""".stripMargin,
+        |audit slice (queries are a SAMPLE by construction); the codes
+        |frame is materialized ONCE and feeds both arms; the closing
+        |join is q·k-bounded.""".stripMargin,
       (s, d) => {
         val e = Tables.embeddings(s, d)
         graft.operators.Similarity.pqRecallAudit(
           e.filter(col("vec_id") < 8), e,
           graft.operators.Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64),
-          k = 5, m = 4, dim = 64)
+          k = 5, m = 4, dim = 64,
+          centroids = Some(e.filter(col("vec_id") < 16)), nprobe = 4)
       },
-      Some(PqOracle.recallSql(m = 4, ksub = 8, iters = 2, k = 5, qBound = 8, dim = 64)))
+      Some(PqOracle.recallSql(m = 4, ksub = 8, iters = 2, k = 5, qBound = 8,
+        dim = 64, nlist = 16, nprobe = 4))),
+
+    QuerySpec(
+      "q132_ivfadc_topk",
+      """IVFADC top-k ([[graft.operators.Similarity.ivfAdcTopK]],
+        |Jégou et al. 2011 §IV) — the IVF∘PQ composition q130's
+        |flat-ADC scaladoc names as the deployment shape: probe the
+        |query's nprobe=4 highest-cosine IVF cells (the q49 probe),
+        |then ADC-rank ONLY the codes of vectors living in the probed
+        |cells. Per-query work drops from |corpus| code rows to
+        |~nprobe/nlist of them; the index still holds m-byte codes,
+        |never vectors — this is how a 100 TB corpus serves ANN from
+        |RAM. Inputs are what a deployed index persists: the code
+        |sheet, the (n_id, c_id) posting-list membership, centroids,
+        |codebooks. Exact-integer distances end to end (the q129
+        |contract) → (q_id, n_id, adc_q, rank) oracles bitwise. Scale
+        |shape: codes⋈cells is the id-keyed join the index stores
+        |pre-materialized; probes (|q|·nprobe) and luts (|q|·m·ksub)
+        |broadcast; the per-(q, n) sum is map-side combined over
+        |probed cells only.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cb = graft.operators.Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+        val codes = graft.operators.Similarity.pqEncode(e, cb, m = 4, dim = 64)
+        val cent = e.filter(col("vec_id") < 16)
+        val cells = graft.operators.Similarity.ivfAssign(e, cent, dim = 64)
+          .select(col("n_id"), col("c_id"))
+        graft.operators.Similarity.ivfAdcTopK(
+          e.filter(col("vec_id") < 8), codes, cells, cent, cb,
+          k = 5, nprobe = 4, m = 4, dim = 64)
+      },
+      Some(PqOracle.ivfAdcTopKSql(m = 4, ksub = 8, iters = 2, k = 5, qBound = 8,
+        dim = 64, nlist = 16, nprobe = 4))),
+
+    QuerySpec(
+      "q133_pq_residual_codes",
+      """Residual-PQ code sheet ([[graft.operators.Similarity
+        |.pqResidualCodes]], Jégou et al. 2011 §IV.A — the classic
+        |IVFADC refinement): each vector encodes the RESIDUAL after
+        |its IVF centroid (both on the unit sphere), with one PQ
+        |trained on the pooled residuals — the FAISS convention.
+        |Residual magnitudes are bounded by within-cell spread instead
+        |of the whole sphere, so the SAME (m=4, ksub=8) budget spends
+        |its codes on a far smaller volume: total reconstruction error
+        |drops strictly below q129's flat sheet on clustered data
+        |(spec-pinned on planted geometry) — distortion falls without
+        |growing m. Output is the q129 sheet shape
+        |(vec_id, s, code, dist_q), so the two dist_q columns compare
+        |directly. Residual components are two correctly-rounded
+        |divisions and a subtraction (IEEE-identical across engines);
+        |the q129 exact-integer train/assign chain then applies
+        |unchanged — bitwise oracle. Scale shape: ONE map-side argmax
+        |assignment + a broadcast nlist-row centroid join forms
+        |residuals map-side; then the audited q129 shapes over ONE
+        |materialized residual subvector frame.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Similarity.pqResidualCodes(
+          e, e.filter(col("vec_id") < 16), m = 4, ksub = 8, iters = 2, dim = 64)
+      },
+      Some(PqOracle.residCodesSql(m = 4, ksub = 8, iters = 2, dim = 64, nlist = 16)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -17,10 +17,12 @@ package graft.queries
   * correctly-rounded division — the kmeansIterate contract). */
 object PqOracle {
 
-  /** Shared CTE prefix: normalize → long-form subvectors → seed
-    * codebooks → `iters` unrolled Lloyd rounds, ending at CTE
-    * `cb{iters}` (s, code, cv). Caller appends the closing SELECT. */
-  private def prefix(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+  /** The train chain over a source CTE `$src` carrying (vec_id, nv):
+    * long-form subvectors → seed codebooks (`vec_id < ksub`) →
+    * `iters` unrolled Lloyd rounds, ending at CTE `cb{iters}`
+    * (s, code, cv). Shared by the normalized-vector family and the
+    * residual family (q133). */
+  private def trainCtes(src: String, m: Int, ksub: Int, iters: Int, dim: Int): String = {
     val ds = dim / m
     def q14(e: String) = s"CAST(floor($e * 16384.0) AS BIGINT)"
     val rounds = (1 to iters).map { i =>
@@ -48,19 +50,31 @@ object PqOracle {
          |                       ORDER BY pos) cv
          |  FROM sm$i GROUP BY s, code),""".stripMargin
     }.mkString("\n")
-    s"""WITH raw AS (
+    s"""sub AS (
+       |  SELECT vec_id, t.s, nv[t.s * $ds + 1 : (t.s + 1) * $ds] sv
+       |  FROM $src, range(0, $m) t(s)),
+       |cb0 AS (SELECT s, CAST(vec_id AS INT) code, sv cv FROM sub WHERE vec_id < $ksub),
+       |$rounds""".stripMargin
+  }
+
+  /** The normalized-corpus CTEs every family shares: `raw` (validity
+    * filter: non-null, right length, positive norm) and `corp`
+    * (vec_id, nv on the unit sphere). */
+  private val corpCtes: Int => String = dim =>
+    s"""raw AS (
        |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
        |  WHERE embedding IS NOT NULL AND len(embedding) = $dim
        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
        |corp AS (
        |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) nv
-       |  FROM raw),
-       |sub AS (
-       |  SELECT vec_id, t.s, nv[t.s * $ds + 1 : (t.s + 1) * $ds] sv
-       |  FROM corp, range(0, $m) t(s)),
-       |cb0 AS (SELECT s, CAST(vec_id AS INT) code, sv cv FROM sub WHERE vec_id < $ksub),
-       |$rounds""".stripMargin
-  }
+       |  FROM raw)""".stripMargin
+
+  /** Shared CTE prefix: normalize → long-form subvectors → seed
+    * codebooks → `iters` unrolled Lloyd rounds, ending at CTE
+    * `cb{iters}` (s, code, cv). Caller appends the closing SELECT. */
+  private def prefix(m: Int, ksub: Int, iters: Int, dim: Int): String =
+    s"""WITH ${corpCtes(dim)},
+       |${trainCtes("corp", m, ksub, iters, dim)}""".stripMargin
 
   /** Final-codebook assignment CTEs (`df` distances, `codes` argmin),
     * appended after [[prefix]] — the q129 surface and the ADC chain's
@@ -90,9 +104,11 @@ object PqOracle {
        |  CAST(dq AS BIGINT) AS dist_q
        |FROM codes""".stripMargin
 
-  /** ADC CTE chain (query luts + per-(q, n) integer sums), appended
-    * after [[codesCtes]]; ends at CTE `adc` (q_id, n_id, adc_q). */
-  private def adcCtes(m: Int, iters: Int, dim: Int, qBound: Long): String = {
+  /** Query-lut CTEs (normalized query subvectors + the m×ksub integer
+    * distance table per query), appended after [[codesCtes]]; ends at
+    * CTE `lut` (q_id, s, code, dq). Shared by the flat-ADC and IVFADC
+    * closings. */
+  private def lutCtes(m: Int, iters: Int, dim: Int, qBound: Long): String = {
     val ds = dim / m
     def q14(e: String) = s"CAST(floor($e * 16384.0) AS BIGINT)"
     s"""qsub AS (
@@ -103,13 +119,60 @@ object PqOracle {
        |    sum((${q14(s"qsub.sv[t.i]")} - ${q14(s"c.cv[t.i]")})
        |      * (${q14(s"qsub.sv[t.i]")} - ${q14(s"c.cv[t.i]")})) dq
        |  FROM qsub JOIN cb$iters c ON c.s = qsub.s, range(1, ${ds + 1}) t(i)
-       |  GROUP BY 1, 2, 3),
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** ADC CTE chain (query luts + per-(q, n) integer sums), appended
+    * after [[codesCtes]]; ends at CTE `adc` (q_id, n_id, adc_q). */
+  private def adcCtes(m: Int, iters: Int, dim: Int, qBound: Long): String =
+    s"""${lutCtes(m, iters, dim, qBound)},
        |adc AS (
        |  SELECT l.q_id, c.vec_id n_id, sum(l.dq) adc_q
        |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
        |  WHERE l.q_id <> c.vec_id
        |  GROUP BY 1, 2)""".stripMargin
-  }
+
+  /** IVF cell CTEs over the `raw` frame (seed centroids = corpus rows
+    * `vec_id < nlist`, the q49 convention): `probe` (q_id, c_id — the
+    * query's nprobe highest-cosine cells) and `assign` (n_id, c_id —
+    * every vector's argmax cell). Cosine is scale-invariant, so raw
+    * vs normalized vectors assign identically; `raw` is used because
+    * it already carries the family's validity filter. */
+  private def ivfCtes(nlist: Int, nprobe: Int, qBound: Long): String =
+    s"""cent AS (SELECT vec_id c_id, v cv FROM raw WHERE vec_id < $nlist),
+       |probe AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT r.vec_id q_id, c.c_id, row_number() OVER (PARTITION BY r.vec_id
+       |      ORDER BY list_cosine_similarity(r.v, c.cv) DESC, c.c_id ASC) rk
+       |    FROM raw r, cent c WHERE r.vec_id < $qBound) t WHERE rk <= $nprobe),
+       |assign AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT r.vec_id n_id, c.c_id, row_number() OVER (PARTITION BY r.vec_id
+       |      ORDER BY list_cosine_similarity(r.v, c.cv) DESC, c.c_id ASC) rk
+       |    FROM raw r, cent c) t WHERE rk = 1),
+       |iadc AS (
+       |  SELECT l.q_id, c.vec_id n_id, sum(l.dq) adc_q
+       |  FROM codes c
+       |  JOIN assign a ON a.n_id = c.vec_id
+       |  JOIN probe p ON p.c_id = a.c_id
+       |  JOIN lut l ON l.q_id = p.q_id AND l.s = c.s AND l.code = c.code
+       |  WHERE l.q_id <> c.vec_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** q132: IVFADC top-k — probe nprobe cells, ADC-rank only the probed
+    * cells' codes; (q_id, n_id, adc_q, rank). */
+  def ivfAdcTopKSql(m: Int = 4, ksub: Int = 8, iters: Int = 2, k: Int = 5,
+      qBound: Long = 8, dim: Int = 64, nlist: Int = 16, nprobe: Int = 4): String =
+    s"""${prefix(m, ksub, iters, dim)}
+       |${codesCtes(m, iters, dim)},
+       |${lutCtes(m, iters, dim, qBound)},
+       |${ivfCtes(nlist, nprobe, qBound)}
+       |SELECT q_id, n_id, CAST(adc_q AS BIGINT) AS adc_q, rank FROM (
+       |  SELECT q_id, n_id, adc_q,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_q ASC, n_id ASC) AS BIGINT) AS rank
+       |  FROM iadc) t
+       |WHERE rank <= $k""".stripMargin
 
   /** q130: ADC top-k — (q_id, n_id, adc_q, rank), ascending quantized
     * distance, ties → lower n_id. */
@@ -125,21 +188,60 @@ object PqOracle {
        |  FROM adc) t
        |WHERE rank <= $k""".stripMargin
 
-  /** q131: the recall audit — (q_id, method='pq', n_returned, n_hits,
-    * recall) against the exact cosine arm (the q117 sheet shape, so
-    * lsh / ivf / pq all audit against the same exact top-k). */
+  /** q133: the residual-PQ code sheet (mirror of
+    * [[graft.operators.Similarity.pqResidualCodes]]) — normalize, IVF
+    * cell assignment (seed centroids `vec_id < nlist`), residual
+    * `nv − ĉ(cell)` with the centroid itself normalized, then the SAME
+    * train+encode chain as q129 FROM the residual frame. The residual
+    * components are two correctly-rounded divisions and a subtraction
+    * per element — IEEE-identical across engines — so the whole sheet
+    * oracles bitwise. */
+  def residCodesSql(m: Int = 4, ksub: Int = 8, iters: Int = 2, dim: Int = 64,
+      nlist: Int = 16): String =
+    s"""WITH ${corpCtes(dim)},
+       |rcent AS (
+       |  SELECT vec_id c_id,
+       |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) cnv,
+       |    v cv
+       |  FROM raw WHERE vec_id < $nlist),
+       |rassign AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT r.vec_id n_id, c.c_id, row_number() OVER (PARTITION BY r.vec_id
+       |      ORDER BY list_cosine_similarity(r.v, c.cv) DESC, c.c_id ASC) rk
+       |    FROM raw r, rcent c) t WHERE rk = 1),
+       |rcorp AS (
+       |  SELECT corp.vec_id,
+       |    list_transform(list_zip(corp.nv, cn.cnv), x -> x[1] - x[2]) nv
+       |  FROM corp JOIN rassign a ON a.n_id = corp.vec_id
+       |  JOIN rcent cn ON cn.c_id = a.c_id),
+       |${trainCtes("rcorp", m, ksub, iters, dim)}
+       |${codesCtes(m, iters, dim)}
+       |SELECT vec_id, CAST(s AS INT) AS s, CAST(code AS INT) AS code,
+       |  CAST(dq AS BIGINT) AS dist_q
+       |FROM codes""".stripMargin
+
+  /** q131: the recall audit — per query, a `method` = 'pq' row (flat
+    * ADC, the compression ceiling) AND a `method` = 'ivfadc' row (the
+    * deployed IVF∘PQ composition at nprobe), both against the same
+    * exact cosine arm (the q117 sheet shape, so lsh / ivf / pq /
+    * ivfadc all audit against the same exact top-k). */
   def recallSql(m: Int = 4, ksub: Int = 8, iters: Int = 2, k: Int = 5,
-      qBound: Long = 8, dim: Int = 64): String =
+      qBound: Long = 8, dim: Int = 64, nlist: Int = 16, nprobe: Int = 4): String =
     s"""WITH exact AS (SELECT q_id, n_id FROM (
        |${AnnRecallOracle.bruteForceSql(qBound, k)}
        |)),
-       |pq AS (SELECT q_id, n_id FROM (
+       |pqf AS (SELECT q_id, n_id FROM (
        |${adcTopKSql(m, ksub, iters, k, qBound, dim)}
-       |))
-       |SELECT p.q_id, 'pq' AS method,
+       |)),
+       |iv AS (SELECT q_id, n_id FROM (
+       |${ivfAdcTopKSql(m, ksub, iters, k, qBound, dim, nlist, nprobe)}
+       |)),
+       |u AS (SELECT q_id, 'pq' AS method, n_id FROM pqf
+       |      UNION ALL SELECT q_id, 'ivfadc', n_id FROM iv)
+       |SELECT u.q_id, u.method,
        |  CAST(count(*) AS BIGINT) AS n_returned,
        |  CAST(coalesce(sum(CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
        |  CAST(coalesce(sum(CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) / $k AS recall
-       |FROM pq p LEFT JOIN exact e ON e.q_id = p.q_id AND e.n_id = p.n_id
-       |GROUP BY p.q_id""".stripMargin
+       |FROM u LEFT JOIN exact e ON e.q_id = u.q_id AND e.n_id = u.n_id
+       |GROUP BY u.q_id, u.method""".stripMargin
 }

@@ -392,6 +392,88 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC finds planted high-similarity near-dups with recall >= 0.9 at a fraction of the codes") {
+    // the lsh/ivf/pq planted fixture applied to the COMPOSITION: the
+    // perturbed copy shares both its base's IVF cell (the ivf planted
+    // guarantee) and its code tuple (the pq planted guarantee), so
+    // probing nprobe=4 of 16 cells must still surface it — while the
+    // ADC arm touches only the probed cells' codes
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 50L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val pert = base.map { case (i, v) => (i + 100L) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat) }
+    val all = (base ++ pert).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(all, m = 4, ksub = 8, iters = 2, dim = 64)
+    val codes = Similarity.pqEncode(all, cb, m = 4, dim = 64)
+    val cent = all.filter(col("vec_id") < 16)
+    val cells = Similarity.ivfAssign(all, cent, dim = 64).select(col("n_id"), col("c_id"))
+    val top1 = Similarity.ivfAdcTopK(all.filter(col("vec_id") < 50), codes, cells,
+      cent, cb, k = 1, nprobe = 4, m = 4, dim = 64).collect()
+    val recall = top1.count(r => r.getAs[Long]("n_id") == r.getAs[Long]("q_id") + 100L) / 50.0
+    info(f"IVFADC planted near-dup recall@1 (nprobe=4/16, m=4, ksub=8): $recall%.2f")
+    assert(recall >= 0.9, s"planted-dup IVFADC recall $recall < 0.9")
+  }
+
+  test("two-method recall audit: ivfadc rows measure the probe-restricted arm against the same exact arm") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.filter(col("vec_id") < 8)
+    val cb = Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+    val cent = e.filter(col("vec_id") < 16)
+    val audit = Similarity.pqRecallAudit(q, e, cb, k = 5, m = 4, dim = 64,
+      centroids = Some(cent), nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(audit.size == 16, "8 queries x 2 methods")
+    assert(audit.keys.map(_._2).toSet == Set("pq", "ivfadc"))
+    // ivfadc recomputed directly must equal its audit rows
+    val exact = Similarity.bruteForceTopK(q, e, 5).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val codes = Similarity.pqEncode(e, cb, m = 4, dim = 64)
+    val cells = Similarity.ivfAssign(e, cent, dim = 64).select(col("n_id"), col("c_id"))
+    val iv = Similarity.ivfAdcTopK(q, codes, cells, cent, cb, k = 5,
+      nprobe = 4, m = 4, dim = 64)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    iv.groupBy(_._1).foreach { case (qid, rows) =>
+      val (nRet, nHits, _) = audit((qid, "ivfadc"))
+      assert(nRet == rows.length && nHits == rows.count(exact), s"q$qid ivfadc row")
+    }
+    val meanPq = audit.collect { case ((_, "pq"), v) => v._3 }.sum / 8.0
+    val meanIv = audit.collect { case ((_, "ivfadc"), v) => v._3 }.sum / 8.0
+    info(f"recall@5: flat pq=$meanPq%.2f ivfadc(nprobe=4/16)=$meanIv%.2f")
+  }
+
+  test("residual PQ cuts total reconstruction error strictly below flat PQ at equal (m, ksub)") {
+    // 12 well-separated direction clusters (the k-means fixture): flat
+    // PQ must spend its 8 sub-centroids per subspace covering the whole
+    // sphere, while residual PQ covers only within-cell jitter around
+    // each vector's IVF centroid — same budget, far smaller volume
+    val rnd = new scala.util.Random(11)
+    val nClusters = 12; val per = 40; val dim = 16
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian() * 5.0))
+    val pts = for (c <- 0 until nClusters; j <- 0 until per) yield
+      (j.toLong * nClusters + c,
+        centers(c).map(x => (x + 1.0 * rnd.nextGaussian()).toFloat))
+    val all = pts.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansIterate(all, all.filter(col("vec_id") < 16),
+      iters = 2, dim = dim)
+    def totalDistortion(sheet: org.apache.spark.sql.DataFrame): Long =
+      sheet.agg(sum(col("dist_q"))).head.getLong(0)
+    val flat = Similarity.pqEncode(all,
+      Similarity.pqTrain(all, m = 4, ksub = 8, iters = 2, dim = dim), m = 4, dim = dim)
+    val resid = Similarity.pqResidualCodes(all, cent, m = 4, ksub = 8,
+      iters = 2, dim = dim)
+    assert(resid.count() == flat.count(), "same (vector, subspace) coverage")
+    val (df0, dr) = (totalDistortion(flat), totalDistortion(resid))
+    info(f"total dist_q at (m=4, ksub=8): flat=$df0 residual=$dr (${dr.toDouble / df0}%.2f x)")
+    assert(dr < df0, s"residual encoding must cut total reconstruction error: $dr >= $df0")
+    assert(dr.toDouble / df0 < 0.75,
+      "on clustered geometry the cut should be substantial, not marginal")
+    // partition invariance of the residual chain
+    val again = Similarity.pqResidualCodes(all.repartition(7), cent, m = 4,
+      ksub = 8, iters = 2, dim = dim)
+    assert(again.collect().map(_.toString).sorted.toSeq ==
+      resid.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("principalComponent recovers a planted dominant direction") {
     // Planted anisotropy in dim 8: variance 4 along u = (e0+e1)/√2,
     // tiny deterministic jitter elsewhere. The iteration must land on
