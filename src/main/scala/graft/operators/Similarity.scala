@@ -823,6 +823,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** The ANN ingest gate's FIRST static frame: the centroid index
+    * collapsed to one broadcastable row —
+    * `cents: array<struct<c_id, cv, cn>>` sorted by c_id — what a
+    * production system ships to every ingest worker beside its
+    * tokenizer and Bloom filter (the [[graft.operators.Phrases
+    * .unigramCostMap]] convention applied to the vector family). The
+    * arriving row's argmax cell is then ONE map-side fold over this
+    * array — no per-row join, no stream-side aggregation. */
+  def annGateCentroids(centroids: DataFrame, dim: Int): DataFrame =
+    centroids
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cv"), col("cn"))))
+        .as("cents"))
+
+  /** The ANN ingest gate's SECOND static frame: the standing corpus's
+    * KEPT representatives grouped per cell, as one broadcastable row —
+    * `kmap: map<cell, array<struct<b_id, bv, bn>>>`. Kept-ness is the
+    * [[semanticDedup]] disposition at `threshold` (the q113 sheet a
+    * standing system already persists); dropped standing vectors are
+    * ABSENT by construction, encoding q114's frozen-decision rule —
+    * only kept standing vectors can veto an arrival. At 100 TB the
+    * per-cell arrays are the ε-net of each cell (one representative
+    * per ε-ball), orders of magnitude smaller than the corpus; a
+    * deployment that outgrows broadcast swaps the raw vectors for
+    * their q129 PQ codes, trading exactness for memory — the
+    * iterator-batch boundary stays identical. */
+  def annGateKeptIndex(standing: DataFrame, centroids: DataFrame,
+      threshold: Double, dim: Int): DataFrame = {
+    val keep = semanticDedup(standing, centroids, threshold, dim)
+      .filter(col("kept") === 1L).select(col("vec_id").as("__keep"))
+    ivfAssign(standing, centroids, dim)
+      .join(keep, col("n_id") === col("__keep"))
+      .groupBy(col("c_id"))
+      .agg(array_sort(collect_list(struct(col("n_id").as("b_id"),
+        col("n_v").as("bv"), col("n_n").as("bn")))).as("arr"))
+      .agg(map_from_entries(collect_list(struct(col("c_id").cast("long"), col("arr"))))
+        .as("kmap"))
+  }
+
   /** IVFADC top-k — the IVF∘PQ composition (Jégou et al. 2011 §IV),
     * the actual 100 TB serving shape the flat-ADC baseline of
     * [[pqAdcTopK]] audits: probe the query's `nprobe` highest-cosine

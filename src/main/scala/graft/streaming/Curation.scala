@@ -167,6 +167,68 @@ object Curation {
       .drop("__toks", "__b", "cmap", "p33", "p67")
   }
 
+  /** Streaming ANN near-dup gate — the semantic-dedup member of the
+    * streaming-twin family (the [[decontaminationGate]] /
+    * [[lmQualityGate]] pattern applied to the vector side): an
+    * arriving embedding is probed against the STANDING index — the
+    * broadcast centroid row ([[graft.operators.Similarity
+    * .annGateCentroids]]) and the per-cell kept-representative map
+    * ([[graft.operators.Similarity.annGateKeptIndex]]), both static
+    * one-row frames a production system persists — and vetoed at
+    * ingest when a kept standing vector in its argmax cell reaches
+    * `threshold` cosine. ZERO streaming state: the argmax cell is one
+    * map-side fold over the centroid array (the ivfAssign
+    * max(struct(cos, −c_id)) rule as an expression), the veto one
+    * `exists` over the cell's kept list; append-mode, no watermark.
+    *
+    * Emits the input columns plus `(cell, kept)` — exactly q113/q114's
+    * disposition vocabulary, and the SAME cosine arithmetic
+    * (graft_dot, unnormalized vectors, norm product), so a streamed
+    * batch's dispositions equal q114's frozen-decision output wherever
+    * q114's within-batch rule is idle (StreamingAnnGateSpec pins it).
+    * Within-STREAM near-dups are deliberately out of scope — a
+    * per-row gate cannot see batch-mates; compose with
+    * [[StreamingDedup.dedupWithinWatermark]] on an exact key, or run
+    * q114 over the landed table, for that half.
+    *
+    * Null / wrong-length / zero-norm arrivals pass with
+    * `(cell NULL, kept 1)` — nothing to compare against, and a gate
+    * must never crash the query on malformed input (the OOV-gate
+    * posture). An EMPTY standing index (no centroids) likewise keeps
+    * everything. */
+  def annDedupGate(stream: DataFrame, centroidRow: DataFrame, keptRow: DataFrame,
+      threshold: Double, dim: Int, embCol: String = "embedding"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val cosTo: (Column, Column, Column) => Column = (v, n, c) =>
+      graft.operators.Similarity.dot(v, c.getField("cv")) / (n * c.getField("cn"))
+    stream.crossJoin(broadcast(centroidRow)).crossJoin(broadcast(keptRow))
+      .withColumn("__v", col(embCol).cast("array<double>"))
+      .withColumn("__n",
+        when(col("__v").isNotNull && size(col("__v")) === dim,
+          sqrt(graft.operators.Similarity.dot(col("__v"), col("__v")))))
+      .withColumn("__best",
+        when(col("__n") > 0.0 && size(col("cents")) > 0,
+          aggregate(col("cents"),
+            struct(lit(-2.0).as("cos"), lit(Long.MinValue).as("neg")),
+            (acc, c) => {
+              val cos = cosTo(col("__v"), col("__n"), c)
+              val neg = -c.getField("c_id")
+              when(cos > acc.getField("cos") ||
+                (cos === acc.getField("cos") && neg > acc.getField("neg")),
+                struct(cos.as("cos"), neg.cast("long").as("neg")))
+                .otherwise(acc)
+            })))
+      .withColumn("cell", (-col("__best.neg")).cast("long"))
+      .withColumn("kept",
+        when(col("cell").isNull, 1L)
+          .when(exists(coalesce(element_at(col("kmap"), col("cell")),
+            array().cast("array<struct<b_id:bigint,bv:array<double>,bn:double>>")),
+            b => graft.operators.Similarity.dot(col("__v"), b.getField("bv")) /
+              (col("__n") * b.getField("bn")) >= threshold), 0L)
+          .otherwise(1L))
+      .drop("__v", "__n", "__best", "cents", "kmap")
+  }
+
   /** Batch twin of the gate with REASON CODES (q81): same quality rules,
     * with the stream's arrival-order dedup pinned to a deterministic
     * rule — among quality-surviving rows of identical normalized
