@@ -788,4 +788,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(ePlan.contains("partial_sum"),
       "per-doc budget sums must combine map-side")
   }
+
+  test("round-11 PQ family holds its documented plan shapes") {
+    val e = Tables.embeddings(spark, sf001)
+
+    // q133: the closing assign reads ONE materialized residual
+    // subvector frame against checkpointed codebooks — zero parquet in
+    // the final plan (a parquet scan here means the residual chain
+    // recomputed itself per round), argmin combined map-side so the
+    // one exchange carries one row per (vector, subspace).
+    val resid = Similarity.pqResidualCodes(e, e.filter(col("vec_id") < 16),
+      m = 4, ksub = 8, iters = 2, dim = 64)
+    assert(resid.count() > 0)
+    val rPlan = resid.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(rPlan).isEmpty,
+      "the closing assign reads the materialized residual frame, not the corpus")
+    assert(!rPlan.contains("CartesianProduct"))
+    assert(rPlan.contains("partial_min"),
+      "the code argmin must combine map-side")
+
+    // q132: no cartesian products anywhere (the centroid cross joins
+    // are nlist-bounded broadcasts), and the per-(q, n) ADC sum
+    // combines map-side before its exchange.
+    val cb = Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+    val codes = Similarity.pqEncode(e, cb, m = 4, dim = 64)
+    val cent = e.filter(col("vec_id") < 16)
+    val cells = Similarity.ivfAssign(e, cent, dim = 64).select(col("n_id"), col("c_id"))
+    val iv = Similarity.ivfAdcTopK(e.filter(col("vec_id") < 8), codes, cells,
+      cent, cb, k = 5, nprobe = 4, m = 4, dim = 64)
+    assert(iv.count() > 0)
+    val iPlan = iv.queryExecution.executedPlan.toString
+    assert(!iPlan.contains("CartesianProduct"))
+    assert(iPlan.contains("partial_sum"),
+      "the per-(q, n) ADC sum must combine map-side")
+  }
 }
