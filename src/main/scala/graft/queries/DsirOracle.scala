@@ -18,9 +18,14 @@ object DsirOracle {
     }.mkString("\n    + ")
 
   /** Six fixed-point log2 rounds over the named `vars`, whose inputs
-    * are columns `x_<v>` of CTE `l0`'s FROM source; emits CTEs l0..l6
-    * carrying (b, e_v, m_v, f_v per v). */
-  private def logChain(src: String, vars: Seq[(String, String)]): String = {
+    * are columns `x_<v>` of CTE `{prefix}0`'s FROM source; emits CTEs
+    * {prefix}0..{prefix}6 carrying (keyCols, e_v, m_v, f_v per v).
+    * Shared with [[Bm25Oracle]] (different key columns / prefixes) so
+    * the two families cannot drift from the one textual definition of
+    * the log2q replay. */
+  private[queries] def logChain(src: String, vars: Seq[(String, String)],
+      keyCols: Seq[String] = Seq("b"), prefix: String = "l"): String = {
+    val keys = if (keyCols.isEmpty) "" else keyCols.mkString(", ") + ","
     // mantissa init mirrors Mixing.log2qExpr's full-BIGINT-domain form:
     // shift x itself up/down to [2^20, 2^21) instead of forming the
     // x*2^20 product (identical value wherever both are defined)
@@ -40,9 +45,9 @@ object DsirOracle {
            |    f_$v * 2 + CASE WHEN (m_$v * m_$v) // 1048576 >= 2097152
            |      THEN 1 ELSE 0 END AS f_$v, e_$v""".stripMargin
       }.mkString(",\n    ")
-      s"l$i AS (SELECT b,\n    $cols\n  FROM l${i - 1})"
+      s"$prefix$i AS (SELECT $keys\n    $cols\n  FROM $prefix${i - 1})"
     }.mkString(",\n")
-    s"""l0 AS (SELECT b,
+    s"""${prefix}0 AS (SELECT $keys
        |    $init
        |  FROM $src),
        |$steps""".stripMargin

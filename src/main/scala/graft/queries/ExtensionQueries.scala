@@ -3042,7 +3042,28 @@ object ExtensionQueries {
         graft.operators.Similarity.pqResidualCodes(
           e, e.filter(col("vec_id") < 16), m = 4, ksub = 8, iters = 2, dim = 64)
       },
-      Some(PqOracle.residCodesSql(m = 4, ksub = 8, iters = 2, dim = 64, nlist = 16)))
+      Some(PqOracle.residCodesSql(m = 4, ksub = 8, iters = 2, dim = 64, nlist = 16))),
+
+    QuerySpec(
+      "q134_bm25_retrieval",
+      """BM25 ranked retrieval ([[graft.operators.Retrieval.bm25TopK]],
+        |Robertson & Zaragoza 2009) — the retrieval member of the text
+        |family: for each eval-split document (THE q55 md5-bucket
+        |membership), the top-5 training documents by BM25 over its
+        |distinct in-cap terms — what a RAG pipeline, an eval owner,
+        |or a contamination analyst asks of a landed corpus. Every
+        |score is an exact BIGINT: Lucene idf (2N+2)/(2df+1) under the
+        |q126 fixed-point log2 kernel, tf saturation as an integer
+        |quotient with avgdl = T DIV N (documented convention), ranks
+        |by (score DESC, id ASC) — bitwise oracle. Common-term pruning
+        |is contractual: terms with train-df > 100 never score (their
+        |idf ≈ 0 and their posting lists are the corpus), which bounds
+        |the scoring join at ≤ |terms|·dfCap rows per eval doc. Scale
+        |shape: ONE token pass with map-side combine; stats broadcast;
+        |one term-keyed shuffle with df-capped fan-out; per-pair sums
+        |combine map-side; the top-k window partitions by eval doc.""".stripMargin,
+      (s, d) => graft.operators.Retrieval.bm25TopK(Tables.documents(s, d)),
+      Some(Bm25Oracle.sql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -14,7 +14,8 @@ val picks = Seq("q01_agg_pricing_summary","q03_filter_pushdown","q04_join_revenu
   "q58_neardup_clusters","q60_multi_quantile","q61_unicode_normalize","q62_event_sequences","q63_session_cooccurrence","q64_rolling_features","q65_sequence_packing","q66_decontamination","q68_incremental_dedup","q71_corpus_build","q72_repetition_stats","q73_intra_doc_repetition","q74_filter_audit","q81_curation_gate","q82_ivf_drift","q83_repeated_spans","q85_funnel_analysis","q87_feature_correlation","q88_conversion_by_cohort","q89_mixing_weights","q90_event_anomaly","q91_bigram_phrases","q92_vocab_drift","q93_vocab_growth","q94_embedding_audit","q95_source_overlap","q96_source_curation","q97_doc_novelty","q98_sampling_allocation","q99_shard_manifest","q100_corpus_datasheet","q101_allocation_sample","q102_allocation_epochs","q103_snapshot_diff","q104_cluster_safe_split","q105_incremental_clusters","q106_bpe_pair_stats","q107_span_scrub","q108_release_bundle","q109_bpe_merge_delta","q110_bpe_encode","q111_paragraph_neardup","q112_paragraph_scrub","q113_semantic_dedup","q114_incremental_semantic_dedup",
   "q115_boilerplate_scrub","q116_bloom_decontaminate","q117_ann_recall_audit","q118_bpe_fertility","q119_incremental_boilerplate","q120_winnow_matches","q121_eval_contamination",
   "q122_minhash_recall_audit","q123_unigram_lm_round","q124_unigram_encode","q125_lm_quality_buckets","q126_dsir_weights","q127_embedding_pca",
-  "q128_embedding_whiten","q129_pq_codes","q130_pq_adc_topk","q131_pq_recall_audit","q132_ivfadc_topk","q133_pq_residual_codes")
+  "q128_embedding_whiten","q129_pq_codes","q130_pq_adc_topk","q131_pq_recall_audit","q132_ivfadc_topk","q133_pq_residual_codes",
+  "q134_bm25_retrieval")
 val sb = new StringBuilder
 sb ++= "# PLANS -- physical plans of headline queries (sf0.01, local[8])\n\n"
 sb ++= "Generated from `df.explain(\"formatted\")` via spark-shell; regenerate with tools/gen_plans.sh.\n"
