@@ -925,6 +925,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion over the engine's three ANN arms —
+    * Cormack/Clarke/Büttcher 2009 (public), the standard hybrid-
+    * retrieval combiner: each arm (multi-probe sign-bit LSH
+    * [[annTopK]], IVF-flat [[ivfTopK]], PQ ADC [[pqAdcTopK]])
+    * contributes `1/(rrfK + rank)` for every (query, candidate) pair
+    * it surfaces, and candidates found by SEVERAL cheap indexes
+    * outrank any single arm's tail — fusion recovers recall no single
+    * probe budget buys. Scores are exact BIGINTs
+    * (`2^20 DIV (rrfK + rank)` — integer division of integers, the
+    * engine's standing quantization contract), so per-pair sums are
+    * order-independent and the fused sheet oracles bitwise.
+    *
+    * Output: `(q_id, n_id, n_arms, rrf_q, rank)` — n_arms the number
+    * of indexes that surfaced the pair (the agreement signal RRF
+    * exploits), rank by (rrf_q DESC, n_id ASC) ≤ k.
+    *
+    * Scale shape: the three arms keep their own audited shapes
+    * (broadcast query/lut sides, one exchange row per candidate); the
+    * fusion itself touches only 3·k·|q| rank rows — query-bounded,
+    * corpus-independent. Each corpus vector is surfaced at most once
+    * per arm, so the union needs no dedup before the per-pair sum. */
+  def rrfFusionTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, k: Int, nprobe: Int = 4,
+      bits: Int = 4, seed: Long = 42L, m: Int = 4, rrfK: Int = 60,
+      dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(queries.sparkSession)
+    require(k >= 1 && rrfK >= 0, s"bad parameters (k=$k, rrfK=$rrfK)")
+    val d = if (dim > 0) dim else inferDim(corpus)
+    val lsh = annTopK(queries, corpus, k, bits, seed, multiProbe = true, dim = d)
+      .select(col("q_id"), col("n_id"), col("rank").as("r"))
+    val ivf = ivfTopK(queries, corpus, centroids, k, nprobe, d)
+      .select(col("q_id"), col("n_id"), col("rank").as("r"))
+    val codes = pqEncode(corpus, codebooks, m, d)
+    val pq = pqAdcTopK(queries, codes, codebooks, k, m, d)
+      .select(col("q_id"), col("n_id"), col("rank").as("r"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf_q").desc, col("n_id").asc)
+    lsh.unionByName(ivf).unionByName(pq)
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(count(lit(1)).as("n_arms"),
+        sum(expr(s"CAST(1048576 DIV ($rrfK + r) AS BIGINT)")).as("rrf_q"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** PQ recall audit — the [[annRecallAudit]] reading for the
     * compression family: per query, how many of the EXACT cosine top-k
     * the ADC ranking recovered (`method` = 'pq'), the number an index

@@ -46,4 +46,34 @@ object AnnRecallOracle {
        |  CAST(coalesce(sum(CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) / $k AS recall
        |FROM appr a LEFT JOIN exact e ON e.q_id = a.q_id AND e.n_id = a.n_id
        |GROUP BY a.q_id, a.method""".stripMargin
+
+  /** q135 mirror of [[graft.operators.Similarity.rrfFusionTopK]]:
+    * the three arm rankings replayed by their own generators (lsh /
+    * refined-IVF / PQ ADC at the shipped q46/q49/q130 parameters),
+    * fused by the exact-integer reciprocal-rank score
+    * `2^20 DIV (rrfK + rank)` summed per (query, candidate) — every
+    * value BIGINT, rank by (rrf_q DESC, n_id ASC). */
+  def rrfSql(nlist: Int = 16, nprobe: Int = 4, bits: Int = 4, k: Int = 5,
+      qBound: Long = 8, seed: Long = 42L, iters: Int = 2, dim: Int = 64,
+      m: Int = 4, ksub: Int = 8, pqIters: Int = 2, rrfK: Int = 60): String =
+    s"""WITH lshr AS (SELECT q_id, n_id, rank FROM (
+       |${AnnOracle.sql(bits, k, qBound, seed, dim)}
+       |)),
+       |ivfr AS (SELECT q_id, n_id, rank FROM (
+       |${IvfOracle.sql(nlist, nprobe, k, qBound, iters, dim)}
+       |)),
+       |pqr AS (SELECT q_id, n_id, rank FROM (
+       |${PqOracle.adcTopKSql(m, ksub, pqIters, k, qBound, dim)}
+       |)),
+       |u AS (SELECT * FROM lshr UNION ALL SELECT * FROM ivfr
+       |      UNION ALL SELECT * FROM pqr),
+       |f AS (SELECT q_id, n_id, CAST(count(*) AS BIGINT) AS n_arms,
+       |        CAST(sum(1048576 // ($rrfK + rank)) AS BIGINT) AS rrf_q
+       |      FROM u GROUP BY 1, 2)
+       |SELECT q_id, n_id, n_arms, rrf_q, rank FROM (
+       |  SELECT q_id, n_id, n_arms, rrf_q,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_q DESC, n_id ASC) AS BIGINT) AS rank
+       |  FROM f) t
+       |WHERE rank <= $k""".stripMargin
 }

@@ -3063,7 +3063,34 @@ object ExtensionQueries {
         |one term-keyed shuffle with df-capped fan-out; per-pair sums
         |combine map-side; the top-k window partitions by eval doc.""".stripMargin,
       (s, d) => graft.operators.Retrieval.bm25TopK(Tables.documents(s, d)),
-      Some(Bm25Oracle.sql()))
+      Some(Bm25Oracle.sql())),
+
+    QuerySpec(
+      "q135_rrf_fusion",
+      """Reciprocal-rank fusion over the three ANN arms
+        |([[graft.operators.Similarity.rrfFusionTopK]],
+        |Cormack/Clarke/Büttcher 2009) — the hybrid-retrieval combiner
+        |a deployment runs when no single probe budget buys the recall
+        |it needs: multi-probe LSH (q46), refined IVF (q49) and PQ ADC
+        |(q130) each contribute 2^20 DIV (60 + rank) per surfaced
+        |pair; candidates several cheap indexes agree on outrank any
+        |single arm's tail. n_arms is the agreement signal. Every
+        |score is integer division of integers summed in BIGINT —
+        |order-independent, bitwise oracle. Scale shape: the arms
+        |keep their own audited shapes; fusion touches only 3·k·|q|
+        |rank rows — query-bounded, corpus-independent.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val refined = graft.operators.Similarity.kmeansIterate(
+          e, e.filter(col("vec_id") < 16), iters = 2, dim = 64)
+        val cb = graft.operators.Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+        graft.operators.Similarity.rrfFusionTopK(
+          e.filter(col("vec_id") < 8), e, refined, cb,
+          k = 5, nprobe = 4, bits = 4, seed = 42L, m = 4, rrfK = 60, dim = 64)
+      },
+      Some(AnnRecallOracle.rrfSql(nlist = 16, nprobe = 4, bits = 4, k = 5,
+        qBound = 8, seed = 42L, iters = 2, dim = 64, m = 4, ksub = 8,
+        pqIters = 2, rrfK = 60)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

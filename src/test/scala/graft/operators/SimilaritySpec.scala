@@ -441,6 +441,50 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"recall@5: flat pq=$meanPq%.2f ivfadc(nprobe=4/16)=$meanIv%.2f")
   }
 
+  test("RRF fusion: scores recompute from the arm rankings; planted recall >= every single arm") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 50L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val pert = base.map { case (i, v) => (i + 100L) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat) }
+    val all = (base ++ pert).toDF("vec_id", "embedding")
+    val qs = all.filter(col("vec_id") < 50)
+    val refined = Similarity.kmeansIterate(all, all.filter(col("vec_id") < 16),
+      iters = 2, dim = 64)
+    val cb = Similarity.pqTrain(all, m = 4, ksub = 8, iters = 2, dim = 64)
+    val fused = Similarity.rrfFusionTopK(qs, all, refined, cb, k = 5,
+      nprobe = 4, bits = 4, seed = 42L, m = 4, rrfK = 60, dim = 64).collect()
+
+    // scores recompute exactly from the three arm rankings
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val arms = Seq(
+      ranksOf(Similarity.annTopK(qs, all, 5, bits = 4, seed = 42L, multiProbe = true, dim = 64)),
+      ranksOf(Similarity.ivfTopK(qs, all, refined, 5, nprobe = 4, dim = 64)),
+      ranksOf(Similarity.pqAdcTopK(qs,
+        Similarity.pqEncode(all, cb, m = 4, dim = 64), cb, 5, m = 4, dim = 64)))
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val contribs = arms.flatMap(_.get(key)).map(rk => 1048576L / (60L + rk))
+      assert(r.getLong(2) == contribs.length, s"n_arms mismatch at $key")
+      assert(r.getLong(3) == contribs.sum, s"rrf_q mismatch at $key")
+    }
+    // per-query: dense ranks, <= k rows
+    fused.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(4)).sorted.toSeq == (1L to rs.length))
+      assert(rs.length <= 5)
+    }
+    // planted recall@1: fusion must not lose to any single arm
+    def recall1(pairs: Map[(Long, Long), Long]): Double =
+      (0L until 50L).count(q => pairs.get((q, q + 100L)).contains(1L)) / 50.0
+    val fusedTop1 = fused.filter(_.getLong(4) == 1L)
+      .map(r => (r.getLong(0), r.getLong(1)) -> 1L).toMap
+    val rF = recall1(fusedTop1)
+    val singles = arms.map(a => recall1(a.filter(_._2 == 1L)))
+    info(f"planted recall@1: fused=$rF%.2f arms=${singles.map(s => f"$s%.2f").mkString("/")}")
+    assert(rF >= 0.9, s"fused planted recall $rF < 0.9")
+    assert(singles.forall(rF >= _), "fusion must not lose to any single arm on planted dups")
+  }
+
   test("residual PQ cuts total reconstruction error strictly below flat PQ at equal (m, ksub)") {
     // 12 well-separated direction clusters (the k-means fixture): flat
     // PQ must spend its 8 sub-centroids per subspace covering the whole
