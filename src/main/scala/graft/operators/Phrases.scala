@@ -703,6 +703,68 @@ object Phrases {
       .agg(max(col("p33")).as("p33"), max(col("p67")).as("p67"))
   }
 
+  /** OOV-rate audit — the operational readout behind the streaming
+    * gate's UNK fallback ([[UnkCost]]): for each INCOMING document
+    * (the q68/q114 md5-bucket split: `bucket < newPermille` is the
+    * batch, the rest is the standing corpus), how much of it the
+    * standing model cannot represent — `n_words` (token occurrences),
+    * `n_oov_words` (occurrences of words containing ≥ 1 character
+    * absent from the standing corpus's single-character vocabulary —
+    * exactly the words whose Viterbi path takes UNK pieces), and
+    * `oov_permille = 1000·n_oov DIV n_words`. A rising sheet means
+    * the standing tokenizer is aging off the ingest distribution and
+    * the q123 EM round should re-run — the vocabulary twin of the
+    * q82 IVF drift report. Null-text and empty batch docs report
+    * zeros (the q124 totality convention). All-BIGINT → bitwise
+    * oracle.
+    *
+    * Scale shape (100 TB): the standing side collapses to its
+    * CHARACTER census (alphabet-sized — broadcast as one row); the
+    * batch side collapses map-side onto (doc, word) count keys, the
+    * per-word check is one array_except against the broadcast
+    * alphabet, and per-doc sums combine map-side on the one doc_id
+    * exchange. Word text never crosses an exchange after the count
+    * collapse. */
+  def oovAudit(docs: DataFrame, textCol: String = "text",
+      newPermille: Int = 100, maxWordLen: Int = 12,
+      salt: String = "graft"): DataFrame = {
+    require(newPermille >= 0 && newPermille <= 1000,
+      s"newPermille must be in [0,1000], got $newPermille")
+    require(maxWordLen >= 1, s"maxWordLen must be >= 1, got $maxWordLen")
+    val flagged = Sampling.withSplitBucket(docs, "doc_id", salt)
+      .withColumn("__new", col("__bucket") < newPermille).drop("__bucket")
+    def words(df: DataFrame): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(col("doc_id"), substring(col("w0"), 1, maxWordLen).as("w"))
+    val vocabRow = words(flagged.filter(!col("__new")))
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("c"))
+      .distinct()
+      .agg(array_sort(collect_list(col("c"))).as("vocab"))
+    val perDoc = words(flagged.filter(col("__new")))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("occ"))
+      .crossJoin(broadcast(vocabRow))
+      .withColumn("is_oov",
+        size(array_except(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          coalesce(col("vocab"), array().cast("array<string>")))) > 0)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_words"),
+        sum(when(col("is_oov"), col("occ")).otherwise(0L)).as("n_oov_words"))
+    flagged.filter(col("__new")).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_oov_words"), lit(0L)).as("n_oov_words"))
+      .withColumn("oov_permille",
+        when(col("n_words") > 0L,
+          expr("CAST((1000 * n_oov_words) DIV n_words AS BIGINT)"))
+          .otherwise(0L))
+  }
+
   def bpeFertilitySheet(docs: DataFrame, textCol: String,
       numMerges: Int = 8): DataFrame = {
     val enc = bpeEncode(docs, textCol, numMerges)

@@ -233,6 +233,51 @@ object BpeOracle {
     * [[encodeSql]] chain as a subquery, aggregated onto
     * (source, lang) with the two IEEE ratio columns (nullif-guarded
     * like the Spark side). */
+  /** q136 mirror of [[graft.operators.Phrases.oovAudit]]: standing
+    * single-character census (the q55 md5-bucket split, standing =
+    * NOT new), per-(doc, word) occurrence collapse on the batch side,
+    * a word is OOV iff any of its characters misses the census —
+    * all-BIGINT counts and the 1000·x DIV y rate, bitwise. */
+  def oovAuditSql(newPermille: Int = 100, maxWordLen: Int = 12,
+      salt: String = "graft"): String = {
+    val bucket = DecontaminateOracle.bucketExpr(salt)
+    s"""WITH mem AS (SELECT doc_id, (($bucket) % 1000 < $newPermille) AS is_new
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |words AS (
+       |  SELECT w.doc_id, m.is_new, substring(w.t, 1, $maxWordLen) AS w
+       |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL) w
+       |  JOIN mem m USING (doc_id)
+       |  WHERE len(w.t) >= 1),
+       |vocab AS (
+       |  SELECT DISTINCT substring(w, CAST(i AS INT), 1) AS c FROM (
+       |    SELECT w, unnest(range(1, len(w) + 1)) AS i
+       |    FROM words WHERE NOT is_new)),
+       |nw AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ
+       |  FROM words WHERE is_new GROUP BY 1, 2),
+       |wf AS (
+       |  SELECT n.doc_id, n.w, n.occ,
+       |    max(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END) AS is_oov
+       |  FROM (SELECT doc_id, w, occ, substring(w, CAST(i AS INT), 1) AS c FROM (
+       |          SELECT doc_id, w, occ, unnest(range(1, len(w) + 1)) AS i
+       |          FROM nw)) n
+       |  LEFT JOIN vocab v USING (c)
+       |  GROUP BY 1, 2, 3),
+       |per AS (
+       |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_words,
+       |         CAST(sum(occ * is_oov) AS BIGINT) AS n_oov_words
+       |  FROM wf GROUP BY 1)
+       |SELECT m.doc_id,
+       |  CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(per.n_oov_words, 0) AS BIGINT) AS n_oov_words,
+       |  CAST(CASE WHEN coalesce(per.n_words, 0) > 0
+       |    THEN (1000 * per.n_oov_words) // per.n_words ELSE 0 END AS BIGINT)
+       |    AS oov_permille
+       |FROM mem m LEFT JOIN per ON per.doc_id = m.doc_id
+       |WHERE m.is_new""".stripMargin
+  }
+
   def fertilitySql(numMerges: Int): String =
     s"""SELECT d.source, d.lang,
        |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -3090,7 +3090,27 @@ object ExtensionQueries {
       },
       Some(AnnRecallOracle.rrfSql(nlist = 16, nprobe = 4, bits = 4, k = 5,
         qBound = 8, seed = 42L, iters = 2, dim = 64, m = 4, ksub = 8,
-        pqIters = 2, rrfK = 60)))
+        pqIters = 2, rrfK = 60))),
+
+    QuerySpec(
+      "q136_oov_audit",
+      """OOV-rate audit ([[graft.operators.Phrases.oovAudit]]) — the
+        |operational readout behind the streaming LM gate's UNK
+        |fallback: for each incoming document (the q68/q114 md5
+        |split), the occurrences of words the STANDING model cannot
+        |represent (≥ 1 character outside the standing single-char
+        |vocabulary — exactly the words whose Viterbi path takes UNK
+        |pieces) and the integer rate 1000·n_oov DIV n_words. A
+        |rising sheet = the standing tokenizer is aging off the
+        |ingest distribution; re-run the q123 EM round — the
+        |vocabulary twin of q82's IVF drift report. Null-text docs
+        |report zeros. Scale shape: the standing side collapses to
+        |its alphabet-sized character census (one broadcast row); the
+        |batch side to (doc, word) count keys map-side; per-word
+        |checks are one array_except against the broadcast alphabet;
+        |per-doc sums combine map-side.""".stripMargin,
+      (s, d) => graft.operators.Phrases.oovAudit(Tables.documents(s, d)),
+      Some(BpeOracle.oovAuditSql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -70,6 +70,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(Mixing.dsirWeights(_))
   }
 
+  test("BM25 retrieval is partition-invariant") {
+    invariant(Retrieval.bm25TopK(_))
+  }
+
+  test("OOV audit is partition-invariant") {
+    invariant(Phrases.oovAudit(_))
+  }
+
   /** The embeddings-table variant of [[invariant]] for the vector
     * family: same three adversarial layouts over the corpus side. */
   private def invariantEmb(f: DataFrame => DataFrame): Unit = {

@@ -271,4 +271,42 @@ class PhrasesSpec extends AnyFunSuite {
     val re = Phrases.lmQualityBuckets(e, "text").collect()
     assert(re.length == 2 && re.forall(_.getString(4) == "empty"))
   }
+
+  test("oovAudit: hand-computed OOV rates against a controlled standing alphabet") {
+    // split membership is md5-derived — discover it, then construct
+    // texts by role (the RetrievalSpec idiom)
+    val ids = (1L to 40L)
+    val buckets = Sampling.withSplitBucket(ids.toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (newIds, oldIds) = ids.partition(buckets(_) < 500)
+    assert(newIds.size >= 4 && oldIds.nonEmpty, s"fixture needs both splits")
+    val n = newIds.take(4)
+    // standing alphabet: exactly {a, b, c} (plus nothing else)
+    val docs = (
+      oldIds.map(i => (i, Some("abc cab ba"))) ++ Seq(
+        (n(0), Some("ab ba cab")),       // 3 words, 0 OOV
+        (n(1), Some("ab zz ba qq")),     // 4 words, 2 OOV (z, q unseen)
+        (n(2), Some("zzz")),             // 1 word, 1 OOV
+        (n(3), None)) ++                 // null text → zeros
+      newIds.drop(4).map(i => (i, Some("abc")))
+    ).toDF("doc_id", "text")
+    val out = Phrases.oovAudit(docs, newPermille = 500)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == newIds.toSet, "one row per NEW doc, standing docs absent")
+    assert(out(n(0)) == ((3L, 0L, 0L)))
+    assert(out(n(1)) == ((4L, 2L, 500L)))
+    assert(out(n(2)) == ((1L, 1L, 1000L)))
+    assert(out(n(3)) == ((0L, 0L, 0L)))
+    // the audit names exactly the words the UNK fallback would price:
+    // an all-in-vocab doc has oov_permille 0, a pure-OOV doc 1000
+    newIds.drop(4).foreach(i => assert(out(i) == ((1L, 0L, 0L))))
+
+    // empty standing corpus: everything is OOV (vocab is empty)
+    val allNew = Phrases.oovAudit(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id").isin(newIds: _*)),
+      newPermille = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(allNew(n(0)) == 1000L && allNew(n(3)) == 0L)
+  }
 }
