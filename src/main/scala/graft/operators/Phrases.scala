@@ -703,6 +703,76 @@ object Phrases {
       .agg(max(col("p33")).as("p33"), max(col("p67")).as("p67"))
   }
 
+  /** Bigram-LM quality buckets — the CONDITIONAL-probability upgrade
+    * of [[lmQualityBuckets]] (q125): where the unigram filter scores
+    * each piece in isolation, this scores every token by how
+    * predictable it is GIVEN its predecessor — the direction real
+    * CCNet travels (Wenzek 2020 uses a 5-gram KenLM; a bigram model
+    * is its first-order member, and scrambled-but-common-words text
+    * that fools q125 scores badly here). Model = the corpus's own
+    * add-1-smoothed bigram LM: cost of an occurrence of (w1, w2) is
+    * `log2q(c1(w1) + V) − log2q(c2(w1, w2) + 1)` in 1/64-log2 units
+    * (p = (c2+1)/(c1+V); c1 = w1's context count Σ_w c2(w1, w), V =
+    * distinct-token vocabulary) under the exact fixed-point log2
+    * kernel ([[Mixing.log2qExpr]]) — all-BIGINT, so the sheet
+    * oracles bitwise. Per doc: `(doc_id, n_bigrams, cost_q,
+    * ppl_q = cost·2^20 DIV n_bigrams, bucket)` with head/middle/tail
+    * at the exact discrete 33/67 cuts over non-empty docs (the q125
+    * closing); docs with < 2 tokens bucket 'empty'.
+    *
+    * Scale shape (100 TB): ONE token-array pass feeds model and
+    * scoring (materialized); bigram occurrences collapse map-side
+    * onto (doc, w1, w2) count keys BEFORE anything joins; the model
+    * sheet is (w1, w2)-keyed narrow count rows log-chained in place;
+    * the scoring join shuffles count rows on the bigram key once;
+    * per-doc sums combine map-side; the cuts are the q40 global
+    * discrete-percentile pass over 16-byte rows. Token text never
+    * crosses an exchange after the count collapse. */
+  def bigramLmQuality(docs: DataFrame, textCol: String = "text",
+      maxWordLen: Int = 12): DataFrame = {
+    require(maxWordLen >= 1, s"maxWordLen must be >= 1, got $maxWordLen")
+    val tk = Dedup.materialize(docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), expr(
+        s"filter(transform(split(lower($textCol), '\\\\s+'), " +
+          s"t -> substring(t, 1, $maxWordLen)), w -> length(w) >= 1)").as("tk")))
+    val pairs = Dedup.materialize(tk
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+        slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))))).as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("occ")))
+    val bg = Dedup.materialize(
+      pairs.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2")))
+    val ug = bg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vrow = tk.select(explode(col("tk")).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val sheet = bg.join(ug, "w1").crossJoin(broadcast(vrow))
+      .withColumn("bcost_q",
+        expr(Mixing.log2qExpr("c1 + v")) - expr(Mixing.log2qExpr("c2 + 1")))
+      .select(col("w1"), col("w2"), col("bcost_q"))
+    val perDoc = pairs.join(sheet, Seq("w1", "w2"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * col("bcost_q")).as("cost_q"))
+    val scored = Dedup.materialize(
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("cost_q"), lit(0L)).as("cost_q"))
+        .withColumn("ppl_q", when(col("n_bigrams") > 0L,
+          expr(s"CAST((cost_q * $Q) DIV n_bigrams AS BIGINT)")).otherwise(0L)))
+    val cuts = Quantiles.multiQuantileDisc(
+      scored.filter(col("n_bigrams") > 0L).withColumn("__g", lit(0L)),
+      "__g", "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
+      .agg(max(col("p33")).as("p33"), max(col("p67")).as("p67"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("cost_q"), col("ppl_q"),
+        when(col("n_bigrams") === 0L, "empty")
+          .when(col("ppl_q") <= col("p33"), "head")
+          .when(col("ppl_q") <= col("p67"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** OOV-rate audit — the operational readout behind the streaming
     * gate's UNK fallback ([[UnkCost]]): for each INCOMING document
     * (the q68/q114 md5-bucket split: `bucket < newPermille` is the

@@ -233,6 +233,63 @@ object BpeOracle {
     * [[encodeSql]] chain as a subquery, aggregated onto
     * (source, lang) with the two IEEE ratio columns (nullif-guarded
     * like the Spark side). */
+  /** q137 mirror of [[graft.operators.Phrases.bigramLmQuality]]:
+    * truncated token arrays → (doc, w1, w2) occurrence collapse →
+    * add-1-smoothed bigram costs `log2q(c1 + V) − log2q(c2 + 1)` via
+    * the shared six-round chain ([[DsirOracle.logChain]], keyed by
+    * context word resp. bigram) → per-doc BIGINT sums → the q125
+    * percentile_disc closing. */
+  def bigramLmQualitySql(maxWordLen: Int = 12): String = {
+    val Q = 1048576L
+    s"""WITH toksb AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split_regex(lower(text), '\\s+'),
+       |      t -> substring(t, 1, $maxWordLen)), w -> length(w) >= 1) AS tk
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+       |prs AS MATERIALIZED (
+       |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS occ FROM (
+       |    SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+       |    FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+       |          FROM toksb WHERE len(tk) >= 2))
+       |  GROUP BY 1, 2, 3),
+       |bg AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2
+       |       FROM prs GROUP BY 1, 2),
+       |ug AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+       |vq AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+       |       FROM (SELECT unnest(tk) AS w FROM toksb)),
+       |${DsirOracle.logChain("ug, vq", Seq("a" -> "c1 + v"),
+           keyCols = Seq("w1"), prefix = "ca")},
+       |${DsirOracle.logChain("bg", Seq("b" -> "c2 + 1"),
+           keyCols = Seq("w1", "w2"), prefix = "cb")},
+       |sheet AS (
+       |  SELECT cb6.w1, cb6.w2,
+       |    (ca6.e_a * 64 + ca6.f_a) - (cb6.e_b * 64 + cb6.f_b) AS bcost_q
+       |  FROM cb6 JOIN ca6 USING (w1)),
+       |per AS (
+       |  SELECT p.doc_id, CAST(sum(p.occ) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(p.occ * s.bcost_q) AS BIGINT) AS cost_q
+       |  FROM prs p JOIN sheet s ON s.w1 = p.w1 AND s.w2 = p.w2
+       |  GROUP BY p.doc_id),
+       |scored AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |    CAST(coalesce(per.cost_q, 0) AS BIGINT) AS cost_q,
+       |    CASE WHEN coalesce(per.n_bigrams, 0) > 0
+       |      THEN CAST((per.cost_q * $Q) // per.n_bigrams AS BIGINT)
+       |      ELSE 0 END AS ppl_q
+       |  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+       |cuts AS (SELECT
+       |    percentile_disc(0.33) WITHIN GROUP (ORDER BY ppl_q) AS p33,
+       |    percentile_disc(0.67) WITHIN GROUP (ORDER BY ppl_q) AS p67
+       |  FROM scored WHERE n_bigrams > 0)
+       |SELECT s.doc_id, s.n_bigrams, s.cost_q, s.ppl_q,
+       |  CASE WHEN s.n_bigrams = 0 THEN 'empty'
+       |       WHEN s.ppl_q <= c.p33 THEN 'head'
+       |       WHEN s.ppl_q <= c.p67 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored s, cuts c""".stripMargin
+  }
+
   /** q136 mirror of [[graft.operators.Phrases.oovAudit]]: standing
     * single-character census (the q55 md5-bucket split, standing =
     * NOT new), per-(doc, word) occurrence collapse on the batch side,

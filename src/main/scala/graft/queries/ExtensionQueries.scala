@@ -3110,7 +3110,27 @@ object ExtensionQueries {
         |checks are one array_except against the broadcast alphabet;
         |per-doc sums combine map-side.""".stripMargin,
       (s, d) => graft.operators.Phrases.oovAudit(Tables.documents(s, d)),
-      Some(BpeOracle.oovAuditSql()))
+      Some(BpeOracle.oovAuditSql())),
+
+    QuerySpec(
+      "q137_bigram_lm_quality",
+      """Bigram-LM quality buckets ([[graft.operators.Phrases
+        |.bigramLmQuality]]) — the conditional-probability upgrade of
+        |q125: every token scored by how predictable it is GIVEN its
+        |predecessor under the corpus's own add-1-smoothed bigram LM
+        |(the first-order member of CCNet's n-gram KenLM direction —
+        |scrambled-but-common-words text that fools a unigram filter
+        |scores badly here). Occurrence cost = log2q(c1+V) −
+        |log2q(c2+1) in 1/64-log2 units under the exact fixed-point
+        |kernel; per-doc ppl_q = cost·2^20 DIV n_bigrams;
+        |head/middle/tail at the exact discrete 33/67 cuts; < 2
+        |tokens → 'empty'. All-BIGINT → bitwise oracle. Scale shape:
+        |ONE materialized token pass; bigrams collapse map-side onto
+        |(doc, w1, w2) count keys; the model sheet log-chains in
+        |place and joins once on the bigram key; per-doc sums combine
+        |map-side; cuts are the q40 16-byte percentile pass.""".stripMargin,
+      (s, d) => graft.operators.Phrases.bigramLmQuality(Tables.documents(s, d)),
+      Some(BpeOracle.bigramLmQualitySql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -78,6 +78,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(Phrases.oovAudit(_))
   }
 
+  test("bigram-LM quality buckets are partition-invariant") {
+    invariant(Phrases.bigramLmQuality(_))
+  }
+
   /** The embeddings-table variant of [[invariant]] for the vector
     * family: same three adversarial layouts over the corpus side. */
   private def invariantEmb(f: DataFrame => DataFrame): Unit = {

@@ -272,6 +272,61 @@ class PhrasesSpec extends AnyFunSuite {
     assert(re.length == 2 && re.forall(_.getString(4) == "empty"))
   }
 
+  test("bigramLmQuality: word order matters — scrambled common words score worse than ordered ones") {
+    // 20 docs share one fixed phrase (its bigrams are common); 2 docs
+    // use the SAME WORDS scrambled (every bigram rare). A unigram
+    // filter cannot tell these apart — the bigram model must.
+    val ordered = "the quick brown fox jumps over the lazy dog"
+    val scrambled = Seq("dog the over fox lazy quick jumps brown the",
+      "lazy fox the dog brown jumps quick over the")
+    val docs = ((1L to 20L).map(i => (i, Some(ordered))) ++
+      scrambled.zipWithIndex.map { case (t, j) => (100L + j, Some(t)) } ++
+      Seq((200L, Some("single")), (201L, None))).toDF("doc_id", "text")
+    val out = Phrases.bigramLmQuality(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getString(4)))).toMap
+    assert(out.size == 24, "one row per doc")
+    assert(out(200L)._3 == "empty" && out(201L)._3 == "empty",
+      "sub-bigram and null docs bucket 'empty'")
+    val orderedPpl = out(1L)._2
+    assert((1L to 20L).forall(out(_)._2 == orderedPpl), "identical docs score identically")
+    Seq(100L, 101L).foreach { i =>
+      assert(out(i)._2 > orderedPpl,
+        s"scrambled doc $i must be less predictable: ${out(i)._2} vs $orderedPpl")
+      assert(out(i)._3 == "tail", s"scrambled doc $i: ${out(i)}")
+    }
+    assert(out(1L)._3 == "head", "the dominant ordered phrase is the corpus's cleanest text")
+    assert(out(1L)._1 == 8L, "n_bigrams = tokens - 1")
+
+    // per-doc costs recompute from hand counts under the plain-Scala
+    // log2q twin (the RetrievalSpec idiom): all 22 ordered-phrase
+    // bigram slots (8 per doc x 20 docs + scrambled contributions)
+    def log2q(x0: Long): Long = {
+      val bits = 64 - java.lang.Long.numberOfLeadingZeros(x0)
+      var m = if (bits > 21) x0 >> (bits - 21) else x0 << (21 - bits)
+      var f = 0L
+      for (_ <- 1 to 6) {
+        val q = (m * m) / 1048576L
+        if (q >= 2097152L) { m = q / 2; f = f * 2 + 1 } else { m = q; f = f * 2 }
+      }
+      (bits - 1).toLong * 64 + f
+    }
+    val allTexts = (1L to 20L).map(_ => ordered) ++ scrambled :+ "single"
+    val toks = allTexts.map(_.split(" ").toSeq)
+    val bigrams = toks.flatMap(ts => ts.zip(ts.tail))
+    val c2 = bigrams.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val c1 = bigrams.groupBy(_._1).map { case (w, xs) => w -> xs.size.toLong }
+    val v = toks.flatten.distinct.size.toLong
+    def docCost(ts: Seq[String]): Long =
+      ts.zip(ts.tail).map { case (a, b) => log2q(c1(a) + v) - log2q(c2((a, b)) + 1) }.sum
+    val expectedOrdered = docCost(ordered.split(" ").toSeq)
+    val got = Phrases.bigramLmQuality(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == expectedOrdered,
+      s"hand-computed cost mismatch: ${got(1L)} vs $expectedOrdered")
+    assert(got(100L) == docCost(scrambled.head.split(" ").toSeq))
+  }
+
   test("oovAudit: hand-computed OOV rates against a controlled standing alphabet") {
     // split membership is md5-derived — discover it, then construct
     // texts by role (the RetrievalSpec idiom)

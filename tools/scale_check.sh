@@ -35,8 +35,9 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   "q124_unigram_encode", "q125_lm_quality_buckets",
   "q126_dsir_weights", "q127_embedding_pca",
   // round-11: df-capped BM25 retrieval (documents), RRF fusion of the
-  // three ANN arms (embeddings)
-  "q134_bm25_retrieval", "q135_rrf_fusion")
+  // three ANN arms (embeddings), OOV audit + bigram LM (documents)
+  "q134_bm25_retrieval", "q135_rrf_fusion",
+  "q136_oov_audit", "q137_bigram_lm_quality")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
