@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Train/test contamination detection — the n-gram overlap audit every
@@ -295,5 +296,104 @@ object Decontaminate {
     totals.withColumnRenamed("doc_id", "train_id")
       .join(broadcast(flagged), "train_id")
       .select(col("train_id"), col("n_shingles"), col("n_candidates"))
+  }
+
+  /** Semantic eval-decontamination — the EMBEDDING-SPACE member of the
+    * contamination family (exact n-gram [[contaminationReport]],
+    * eval-side [[evalContaminationReport]], Bloom
+    * [[bloomContaminationCandidates]]): verbatim-overlap checks miss
+    * paraphrased or translated eval leakage, so the audit the
+    * benchmark literature actually calls for compares eval items to
+    * training docs in embedding space (Yang et al. 2023,
+    * "Rethinking Benchmark and Contamination for Language Models with
+    * Rephrased Samples", arXiv:2311.04850 — public). A brute-force
+    * eval × train sweep is the one shape that cannot ship at 100 TB;
+    * this routes the probe through the STANDING IVF index instead
+    * (the q49/q114 centroids — per-cell scan, nprobe/nlist of the
+    * corpus per eval item).
+    *
+    * Split is the [[Sampling.withSplitBucket]] md5 membership (eval ⇔
+    * bucket < `evalPermille` — the q68/q114 convention, one split
+    * definition across the pipeline). For each eval vector: probe its
+    * `nprobe` highest-cosine cells, compare against the train vectors
+    * assigned there, and flag pairs with cosine ≥ `threshold`. Output
+    * is the decontamination sheet a curation run consumes — one row
+    * per FLAGGED train vector:
+    * `(vec_id, n_evals, max_cos_q, top_eval_id)` with `n_evals` the
+    * count of eval items hitting it, `max_cos_q = floor(cos·2^20)` of
+    * the closest one (quantized per-pair BEFORE the max, so the sheet
+    * is integer-exact), and `top_eval_id` that closest eval item
+    * (ties → min eval id) — the evidence a reviewer inspects.
+    *
+    * Cross-cell misses are the documented IVF recall trade (q117's
+    * audit measures it); the probe direction is eval → train because
+    * the eval split is small by construction — exactly the side a
+    * production system can afford to fan out.
+    *
+    * Scale shape (100 TB): ONE assignment exchange row per train
+    * vector (the map-side-argmax [[Similarity.ivfAssign]] — and a real
+    * system reads the persisted index instead of recomputing);
+    * centroids broadcast (nlist rows); the benchmark-sized eval probe
+    * frame broadcasts into the per-cell join, so the wide train
+    * vectors NEVER shuffle for the comparison; the flagged-pair frame
+    * is tiny (contamination is the exception) and its window sorts
+    * only flagged pairs per train doc. */
+  def semanticContaminationReport(embs: DataFrame, centroids: DataFrame,
+      threshold: Double, nprobe: Int = 4, evalPermille: Int = 100,
+      dim: Int = 0, salt: String = "graft"): DataFrame = {
+    require(evalPermille >= 0 && evalPermille <= 1000,
+      s"evalPermille must be in [0,1000], got $evalPermille")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else Similarity.inferDim(embs)
+    if (d <= 0) return embs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("vec_id"), lit(0L).as("n_evals"),
+        lit(0L).as("max_cos_q"), lit(0L).as("top_eval_id"))
+      .limit(0)
+    val flagged = Sampling.withSplitBucket(embs, "vec_id", salt)
+      .withColumn("__eval", col("__bucket") < evalPermille).drop("__bucket")
+    val assigned = Dedup.materialize(
+      Similarity.ivfAssign(flagged.filter(!col("__eval")), centroids, d)
+        .select(col("n_id"), col("n_v"), col("n_n"), col("c_id")))
+    val cent = centroids
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("c_v"))
+      .withColumn("c_n", sqrt(Similarity.dot(col("c_v"), col("c_v"))))
+    // eval → nprobe highest-cosine cells (|eval| × nlist rows: the
+    // benchmark-sized side — a window is fine, the frame is tiny)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val probes = flagged.filter(col("__eval"))
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("q_v"))
+      .withColumn("q_n", sqrt(Similarity.dot(col("q_v"), col("q_v"))))
+      .crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_v"), col("q_n"), col("c_id"),
+        (Similarity.dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")))
+          .as("cos_c"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("q_n"), col("c_id"))
+    // a train vector lives in exactly ONE cell and probe cells are
+    // distinct per eval item → each (eval, train) pair scores at most
+    // once; count(1) IS the distinct-eval count
+    val pairs = Dedup.materialize(assigned.join(broadcast(probes), "c_id")
+      .select(col("n_id"), col("q_id"),
+        (Similarity.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("n_id"), col("q_id"),
+        floor(col("cos") * lit(1048576.0)).cast("long").as("cos_q")))
+    val wTop = Window.partitionBy(col("n_id"))
+      .orderBy(col("cos_q").desc, col("q_id").asc)
+    val top = pairs.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1).select(col("n_id"), col("q_id").as("top_eval_id"))
+    pairs.groupBy(col("n_id"))
+      .agg(count(lit(1)).as("n_evals"), max(col("cos_q")).as("max_cos_q"))
+      .join(top, "n_id")
+      .select(col("n_id").as("vec_id"), col("n_evals"),
+        col("max_cos_q"), col("top_eval_id"))
   }
 }

@@ -730,6 +730,55 @@ object Similarity {
     cb
   }
 
+  /** Scalar-quantization (SQ8) distortion audit — the OTHER standard
+    * embedding compression beside PQ (FAISS's `ScalarQuantizer`,
+    * Jégou et al. 2011 §III compare exactly these two): each dimension
+    * of the normalized corpus is mapped to an 8-bit code on its own
+    * corpus [min, max] range, `code = floor((x−mn)·255/(mx−mn))`,
+    * 64 B/vector at dim 64 where PQ m=4 spends 4 B. The audit answers
+    * the sizing question a deployment actually asks — what does 16×
+    * the bytes buy in reconstruction error? — as one row per vector:
+    * `(vec_id, dist_q, max_err_q)` with
+    * `dist_q = Σ_pos floor((x−recon)²·2^20)` the quantized squared
+    * reconstruction error (exact BIGINT sum — order-independent) and
+    * `max_err_q` the worst single dimension. Constant dimensions
+    * (mx = mn) encode 0 and reconstruct exactly.
+    *
+    * Determinism: per-dimension min/max are order-independent; every
+    * downstream value is a fixed IEEE expression per row quantized to
+    * BIGINT before the only corpus-order-dependent sum — bitwise on
+    * both engines.
+    *
+    * Scale shape (100 TB): ONE materialized (vec, pos, x) pass feeds
+    * stats and encoding; the d-row stats frame broadcasts; per-vector
+    * sums combine map-side — two linear exchanges of 24-byte rows,
+    * nothing quadratic in n or d. */
+  def sqAudit(embs: DataFrame, dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else inferDim(embs)
+    if (d <= 0) return embs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("vec_id"), lit(0L).as("dist_q"), lit(0L).as("max_err_q"))
+      .limit(0)
+    val rows = Dedup.materialize(pqNormalized(embs, d)
+      .select(col("vec_id"), posexplode(col("nv")).as(Seq("pos", "x"))))
+    val stats = rows.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    rows.join(broadcast(stats), "pos")
+      .withColumn("code", when(col("mx") > col("mn"),
+        least(greatest(
+          floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
+            .cast("double"), lit(0.0)), lit(255.0)))
+        .otherwise(lit(0.0)))
+      .withColumn("recon",
+        col("mn") + col("code") * (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("eq",
+        floor((col("x") - col("recon")) * (col("x") - col("recon"))
+          * lit(1048576.0)).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("eq")).as("dist_q"), max(col("eq")).as("max_err_q"))
+      .select(col("vec_id"), col("dist_q"), col("max_err_q"))
+  }
+
   /** Residual-PQ code sheet — the classic IVFADC refinement (Jégou et
     * al. 2011 §IV.A) of [[pqTrain]]/[[pqEncode]]: each vector encodes
     * the RESIDUAL after its IVF centroid, `r = nv − ĉ(cell)` on the

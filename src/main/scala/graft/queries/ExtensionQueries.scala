@@ -3130,7 +3130,57 @@ object ExtensionQueries {
         |place and joins once on the bigram key; per-doc sums combine
         |map-side; cuts are the q40 16-byte percentile pass.""".stripMargin,
       (s, d) => graft.operators.Phrases.bigramLmQuality(Tables.documents(s, d)),
-      Some(BpeOracle.bigramLmQualitySql()))
+      Some(BpeOracle.bigramLmQualitySql())),
+
+    QuerySpec(
+      "q138_semantic_contamination",
+      """Semantic eval-decontamination ([[graft.operators.Decontaminate
+        |.semanticContaminationReport]], Yang et al. 2023) — the
+        |embedding-space member of the contamination family (exact q66,
+        |eval-side q121, Bloom q116): verbatim n-gram checks miss
+        |paraphrased eval leakage, so each eval item (the q68/q114 md5
+        |split) probes its nprobe highest-cosine cells of the STANDING
+        |IVF index (centroids trained on the train side only — the q82
+        |standing-index convention) and flags train vectors at
+        |cosine ≥ 0.5. One row per flagged train vector: hit count,
+        |max cosine (quantized per-pair floor(·2^20) BEFORE the max —
+        |integer-exact sheet), and the closest eval item as reviewable
+        |evidence (ties → min id). Cross-cell misses are the measured
+        |q117 recall trade. Scale shape: one assignment exchange row
+        |per train vector (persisted index state in a real system);
+        |centroids and the benchmark-sized eval probe frame broadcast,
+        |so the wide train vectors never shuffle; the window sorts
+        |only flagged pairs.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val train = graft.operators.Sampling.withSplitBucket(e, "vec_id")
+          .filter(col("__bucket") >= 100).drop("__bucket")
+        val refined = Similarity.kmeansIterate(train,
+          train.filter(col("vec_id") < 16), iters = 2, dim = 64)
+        graft.operators.Decontaminate.semanticContaminationReport(
+          e, refined, threshold = 0.5, nprobe = 4, evalPermille = 100, dim = 64)
+      },
+      Some(IvfOracle.semanticContaminationSql(nlist = 16, iters = 2, dim = 64,
+        threshold = 0.5, nprobe = 4, evalPermille = 100))),
+
+    QuerySpec(
+      "q139_sq8_audit",
+      """Scalar-quantization (SQ8) distortion audit ([[graft.operators
+        |.Similarity.sqAudit]], the FAISS ScalarQuantizer member beside
+        |the PQ family — Jégou et al. 2011 §III compares exactly these
+        |two): each dimension of the normalized corpus maps to an 8-bit
+        |code on its own corpus [min, max] range — 64 B/vector where PQ
+        |m=4 spends 4 B — and the sheet answers the sizing question a
+        |deployment asks: what does 16× the bytes buy in
+        |reconstruction error? One row per vector: dist_q =
+        |Σ floor((x−recon)²·2^20) (exact BIGINT — order-independent)
+        |and the worst single dimension. Constant dimensions
+        |reconstruct exactly. Scale shape: ONE materialized
+        |(vec, pos, x) pass feeds stats and encoding; the d-row stats
+        |broadcast; per-vector sums combine map-side — two linear
+        |24-byte exchanges, nothing quadratic in n or d.""".stripMargin,
+      (s, d) => Similarity.sqAudit(Tables.embeddings(s, d), dim = 64),
+      Some(PqOracle.sqAuditSql(dim = 64)))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

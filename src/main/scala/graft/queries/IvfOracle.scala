@@ -146,6 +146,55 @@ object IvfOracle {
        |FROM newasg n LEFT JOIN drops d ON n.n_id = d.d""".stripMargin
   }
 
+  /** Mirror of
+    * [[graft.operators.Decontaminate.semanticContaminationReport]]
+    * (q138): the q114 split/train-side-centroid chain, then the q49
+    * probe chain driven by the EVAL side, then per-pair quantized
+    * cosines at `threshold` aggregated onto the flagged train vector
+    * (count, max, window-ranked top evidence — ties → min eval id). */
+  def semanticContaminationSql(nlist: Int = 16, iters: Int = 2, dim: Int = 64,
+      threshold: Double = 0.35, nprobe: Int = 4, evalPermille: Int = 100,
+      salt: String = "graft"): String = {
+    val refine = refineChain(iters, dim)
+    val cent = s"cent$iters"
+    val bucket = DecontaminateOracle.bucketExpr(salt, "vec_id")
+    s"""WITH mem AS (SELECT vec_id, (($bucket) % 1000 < $evalPermille) is_eval
+       |            FROM embeddings WHERE vec_id IS NOT NULL),
+       |alle AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings),
+       |corp AS (SELECT a.n_id, a.v FROM alle a JOIN mem ON mem.vec_id = a.n_id
+       |         WHERE NOT mem.is_eval),
+       |cent0 AS (SELECT n_id c_id, v cv FROM corp WHERE n_id < $nlist),
+       |$refine
+       |assign AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT n_id, c_id, row_number() OVER (PARTITION BY n_id
+       |      ORDER BY list_cosine_similarity(v, cv) DESC, c_id ASC) rk
+       |    FROM corp, $cent) t WHERE rk = 1),
+       |q AS (SELECT a.n_id q_id, a.v qv FROM alle a JOIN mem ON mem.vec_id = a.n_id
+       |      WHERE mem.is_eval),
+       |probe AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY list_cosine_similarity(qv, cv) DESC, c_id ASC) rk
+       |    FROM q, $cent) t WHERE rk <= $nprobe),
+       |pairs AS (
+       |  SELECT a.n_id, q.q_id,
+       |    CAST(floor(list_cosine_similarity(q.qv, c2.v) * 1048576.0) AS BIGINT) cos_q
+       |  FROM q
+       |  JOIN probe ON probe.q_id = q.q_id
+       |  JOIN assign a ON a.c_id = probe.c_id
+       |  JOIN alle c2 ON c2.n_id = a.n_id
+       |  WHERE list_cosine_similarity(q.qv, c2.v) >= $threshold),
+       |top AS (
+       |  SELECT n_id, q_id FROM (
+       |    SELECT n_id, q_id, row_number() OVER (PARTITION BY n_id
+       |      ORDER BY cos_q DESC, q_id ASC) rk FROM pairs) t WHERE rk = 1)
+       |SELECT p.n_id AS vec_id, CAST(count(*) AS BIGINT) AS n_evals,
+       |  max(p.cos_q) AS max_cos_q, CAST(min(t.q_id) AS BIGINT) AS top_eval_id
+       |FROM pairs p JOIN top t ON t.n_id = p.n_id
+       |GROUP BY p.n_id""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Similarity.ivfDrift]] over the q82
     * fixture: standing corpus = `vec_id % 8 <> 0`, incoming batch =
     * `vec_id % 8 = 0`, seeds = the standing corpus's `vec_id < nlist`

@@ -104,6 +104,33 @@ object PqOracle {
        |  CAST(dq AS BIGINT) AS dist_q
        |FROM codes""".stripMargin
 
+  /** q139 mirror of [[graft.operators.Similarity.sqAudit]] (SQ8):
+    * normalized corpus → long-form (vec, pos, x) → per-dimension
+    * [min, max] stats → 8-bit code / reconstruction / quantized
+    * squared error per element → per-vector BIGINT sum + max. Every
+    * expression is the identical IEEE chain the Spark side evaluates;
+    * the only corpus-order-dependent sum accumulates floor(·2^20)
+    * BIGINTs. */
+  def sqAuditSql(dim: Int = 64): String =
+    s"""WITH ${corpCtes(dim)},
+       |rows0 AS MATERIALIZED (
+       |  SELECT vec_id, t.i AS pos, nv[t.i] AS x
+       |  FROM corp, range(1, ${dim + 1}) t(i)),
+       |st AS (SELECT pos, min(x) mn, max(x) mx FROM rows0 GROUP BY pos),
+       |enc AS (
+       |  SELECT r.vec_id,
+       |    CAST(floor((r.x - (s.mn + (CASE WHEN s.mx > s.mn
+       |        THEN least(greatest(floor((r.x - s.mn) * 255.0 / (s.mx - s.mn)), 0.0), 255.0)
+       |        ELSE 0.0 END) * (s.mx - s.mn) / 255.0))
+       |      * (r.x - (s.mn + (CASE WHEN s.mx > s.mn
+       |        THEN least(greatest(floor((r.x - s.mn) * 255.0 / (s.mx - s.mn)), 0.0), 255.0)
+       |        ELSE 0.0 END) * (s.mx - s.mn) / 255.0))
+       |      * 1048576.0) AS BIGINT) AS eq
+       |  FROM rows0 r JOIN st s USING (pos))
+       |SELECT vec_id, CAST(sum(eq) AS BIGINT) AS dist_q,
+       |  CAST(max(eq) AS BIGINT) AS max_err_q
+       |FROM enc GROUP BY vec_id""".stripMargin
+
   /** Query-lut CTEs (normalized query subvectors + the m×ksub integer
     * distance table per query), appended after [[codesCtes]]; ends at
     * CTE `lut` (q_id, s, code, dq). Shared by the flat-ADC and IVFADC

@@ -112,6 +112,47 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(trainSide == Set(dirty, dirty2))
   }
 
+  test("semanticContaminationReport: planted paraphrase-leak geometry, exact evidence") {
+    // discover split membership with the operator's own primitive (the
+    // contaminationReport idiom above), then plant by role: two eval
+    // items share a direction with one train vector (the leak), one
+    // train vector is orthogonal to every eval item (clean), one
+    // eval-train pair sits at cos 0.6 — BELOW the 0.9 line
+    val split = testIds(1L to 300L)
+    val Seq(ev1, ev2, ev3) = split.toSeq.sorted.take(3)
+    val Seq(dirty, clean) = (1L to 300L).filterNot(split).take(2)
+    val u = Array(1.0, 0.0, 0.0, 0.0)
+    val dirtyV = Array(0.99, 0.01, 0.0, 0.0)
+    val cleanV = Array(0.0, 1.0, 0.0, 0.0)
+    val embs = Seq(
+      ev1 -> u, ev3 -> u,                      // two identical eval probes
+      ev2 -> Array(0.0, 0.6, 0.8, 0.0),        // cos(clean) = 0.6 < 0.9
+      dirty -> dirtyV, clean -> cleanV
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(0L -> u, 1L -> cleanV, 2L -> Array(0.0, 0.0, 1.0, 0.0))
+      .toDF("vec_id", "embedding")
+    // nprobe = nlist → exhaustive probing, no recall trade in the spec
+    val rep = Decontaminate.semanticContaminationReport(
+      embs, cents, threshold = 0.9, nprobe = 3, evalPermille = 100, dim = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rep.keySet == Set(dirty), s"only the leak is flagged: $rep")
+    val (nEvals, maxCosQ, topEval) = rep(dirty)
+    assert(nEvals == 2L, "both identical eval probes hit the leak")
+    assert(topEval == math.min(ev1, ev3), "cos tie breaks to the min eval id")
+    // the quantized evidence recomputes by hand: left-fold double dot,
+    // one division chain, floor(.2^20)
+    val dotUD = u.zip(dirtyV).map { case (a, b) => a * b }.sum
+    val cos = dotUD / (math.sqrt(1.0) * math.sqrt(dirtyV.map(x => x * x).sum))
+    assert(maxCosQ == math.floor(cos * 1048576.0).toLong)
+
+    // degenerate permilles: no eval side / no train side -> empty sheet
+    assert(Decontaminate.semanticContaminationReport(
+      embs, cents, 0.9, 3, evalPermille = 0, dim = 4).isEmpty)
+    assert(Decontaminate.semanticContaminationReport(
+      embs, cents, 0.9, 3, evalPermille = 1000, dim = 4).isEmpty)
+  }
+
   test("bloom probe positions are in range and the filter is test-split-bounded") {
     val d = Seq((1L, "alpha bravo charlie delta echo")).toDF("doc_id", "text")
     val m = 1L << 18

@@ -93,6 +93,27 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assert(rows(f(embs.orderBy(col("vec_id").desc))) == base, "reordered input")
   }
 
+  test("semantic contamination report is partition-invariant") {
+    // the q138 shape: centroids retrain from the permuted corpus too —
+    // the WHOLE split→train→probe→flag chain must be a pure function
+    // of the data
+    invariantEmb { e =>
+      val train = Sampling.withSplitBucket(e, "vec_id")
+        .filter(col("__bucket") >= 100).drop("__bucket")
+      val refined = Similarity.kmeansIterate(train,
+        train.filter(col("vec_id") < 16), iters = 2, dim = 64)
+      // 0.35 (the q114 near-dup line) rather than q138's 0.5: the
+      // sf0.001 fixture has no pairs at 0.5 and the pin needs a
+      // non-empty sheet to bite on
+      Decontaminate.semanticContaminationReport(e, refined,
+        threshold = 0.35, nprobe = 4, evalPermille = 100, dim = 64)
+    }
+  }
+
+  test("SQ8 audit is partition-invariant") {
+    invariantEmb(Similarity.sqAudit(_, dim = 64))
+  }
+
   test("PQ encode is partition-invariant") {
     // codebooks retrain from the permuted corpus too: the WHOLE
     // train→encode chain must be a pure function of the data

@@ -572,4 +572,52 @@ class SimilaritySpec extends AnyFunSuite {
         s"residual must be the small jitter energy: ${r.getDouble(3)}")
     }
   }
+
+  test("sqAudit: two-level dims reconstruct exactly; mid-range error is IEEE-exact") {
+    // the plain-Scala twin of the operator's per-element chain (the
+    // RetrievalSpec idiom): replicate the exact IEEE expression and
+    // assert bitwise equality, not tolerance
+    def eqOf(x: Double, mn: Double, mx: Double): Long = {
+      val code = if (mx > mn)
+        math.min(math.max(math.floor((x - mn) * 255.0 / (mx - mn)), 0.0), 255.0)
+      else 0.0
+      val recon = mn + code * (mx - mn) / 255.0
+      math.floor((x - recon) * (x - recon) * 1048576.0).toLong
+    }
+    // four unit basis vectors + one unit mid vector: every dimension's
+    // corpus range is [0, 1], basis components hit the range endpoints
+    // (exact reconstruction), the mid vector's 0.5 lands between codes
+    val embs = ((0L until 4L).map(i =>
+      i -> Array.tabulate(4)(j => if (j == i) 1.0 else 0.0)) :+
+      (9L -> Array.fill(4)(0.5))).toDF("vec_id", "embedding")
+    val out = Similarity.sqAudit(embs, dim = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 5)
+    (0L until 4L).foreach { i =>
+      assert(out(i) == ((0L, 0L)), s"endpoint components must round-trip: ${out(i)}")
+    }
+    val e05 = eqOf(0.5, 0.0, 1.0)
+    assert(e05 > 0L, "a mid-range component must carry quantization error")
+    assert(out(9L) == ((4L * e05, e05)), s"hand chain mismatch: ${out(9L)} vs ${4L * e05}")
+
+    // per-dimension error is bounded by one code step
+    val stepEq = math.floor((1.0 / 255.0) * (1.0 / 255.0) * 1048576.0).toLong
+    assert(e05 <= stepEq)
+
+    // degenerate: empty corpus → empty sheet, not a crash
+    assert(Similarity.sqAudit(Seq.empty[(Long, Array[Double])]
+      .toDF("vec_id", "embedding"), dim = 0).isEmpty)
+  }
+
+  test("sqAudit: 64 B/vector buys strictly lower distortion than PQ's 4 B (the size trade)") {
+    val e = Tables.embeddings(spark, sf001)
+    val sqErr = Similarity.sqAudit(e, dim = 64)
+      .agg(sum(col("dist_q"))).head.getLong(0) / 1048576.0
+    val cb = Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+    // PQ assignment distance IS its reconstruction error (code → centroid)
+    val pqErr = Similarity.pqEncode(e, cb, m = 4, dim = 64)
+      .agg(sum(col("dist_q"))).head.getLong(0) / (16384.0 * 16384.0)
+    assert(sqErr < pqErr / 10.0,
+      s"SQ8 at 16x the bytes must cut distortion by >10x: sq=$sqErr pq=$pqErr")
+  }
 }

@@ -50,6 +50,18 @@ def ops(dir: String): Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
     val e = emb(dir)
     Similarity.pqResidualCodes(e, e.filter(col("vec_id") < 16),
       m = 4, ksub = 8, iters = 2, dim = 64)
+  }),
+  // round-11 (2): SQ8 distortion audit and the semantic-contamination
+  // probe (shipped q138/q139 knobs)
+  ("sq8" -> { () => Similarity.sqAudit(emb(dir), dim = 64) }),
+  ("sem_contam" -> { () =>
+    val e = emb(dir)
+    val train = graft.operators.Sampling.withSplitBucket(e, "vec_id")
+      .filter(col("__bucket") >= 100).drop("__bucket")
+    val refined = Similarity.kmeansIterate(train,
+      train.filter(col("vec_id") < 16), iters = 2, dim = 64)
+    graft.operators.Decontaminate.semanticContaminationReport(
+      e, refined, threshold = 0.5, nprobe = 4, evalPermille = 100, dim = 64)
   }))
 
 for ((scale, _) <- Seq(("x1", 1), ("x4", 4), ("x8", 8))) {
