@@ -223,4 +223,41 @@ object ConnectedComponents {
     * shared-computation rule. */
   def keepCanonical(items: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     keepCanonicalFromComponents(items, idCol, components(pairs))
+
+  /** Quality-aware canonicalization — the production upgrade of the
+    * min-id keeper ([[keepCanonicalFromComponents]], q59): real
+    * curation pipelines keep the BEST copy of a near-dup family, not
+    * the lowest-id one (the common concrete rule: the most complete
+    * version — a truncated crawl of the same page should lose to the
+    * full one; cf. the keep-longest convention in C4/RefinedWeb-style
+    * dedup). Per cluster the winner maximizes `(score, −id)` — any
+    * integer quality score works (token count, the q74 rule rank, a
+    * q125 bucket index); ties break to the MIN id so the sheet stays
+    * a pure function of the data. Output: one row per pair-graph
+    * member, `(node_id, cluster_id, score, kept)` — the reviewable
+    * disposition q59's anti-join form doesn't expose.
+    *
+    * Scale shape (100 TB): `components` is pair-graph-node-sized (a
+    * vanishing corpus fraction under LSH banding); the score join is
+    * id-keyed on that small frame; the winner argmax is a map-side-
+    * combined `max(struct)` onto cluster keys; the disposition join
+    * is cluster-keyed on the same small frame. The corpus itself is
+    * touched only to produce `items`' (id, score) pairs — one
+    * map-side projection. */
+  def keepBestFromComponents(items: DataFrame, idCol: String,
+      scoreCol: String, components: DataFrame): DataFrame = {
+    val sc = items.select(col(idCol).cast("long").as("node_id"),
+      col(scoreCol).cast("long").as("__score"))
+    // same id space by construction (pairs come from items' ids); the
+    // coalesce only guards the degenerate caller
+    val labeled = Dedup.materialize(components.join(sc, Seq("node_id"), "left")
+      .select(col("node_id"), col("cluster_id"),
+        coalesce(col("__score"), lit(0L)).as("__score")))
+    val winners = labeled.groupBy(col("cluster_id"))
+      .agg(max(struct(col("__score"), (-col("node_id")).as("neg"))).as("m"))
+      .select(col("cluster_id"), (-col("m.neg")).as("__keep_id"))
+    labeled.join(winners, Seq("cluster_id"))
+      .select(col("node_id"), col("cluster_id"), col("__score").as("score"),
+        when(col("node_id") === col("__keep_id"), 1L).otherwise(0L).as("kept"))
+  }
 }

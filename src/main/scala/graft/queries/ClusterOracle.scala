@@ -99,6 +99,24 @@ SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM cl
                   WHERE cl.doc_id = d.doc_id AND cl.cluster_id <> d.doc_id)"""
 
+  /** q140 mirror of [[graft.operators.ConnectedComponents
+    * .keepBestFromComponents]] over token-count scores: the shared
+    * closure chain, every pair-graph member scored
+    * `len(string_split_regex(coalesce(text,''), '\s+'))` (the
+    * graft_tokcount twin), the per-cluster winner by
+    * (n_tokens DESC, doc_id ASC). */
+  def qualityKeepSql: String =
+    s"""WITH RECURSIVE $pairCtes,
+sc AS (SELECT cl.doc_id, cl.cluster_id,
+  CAST(len(string_split_regex(coalesce(d.text, ''), '\\s+')) AS BIGINT) AS n_tokens
+  FROM cl LEFT JOIN documents d ON d.doc_id = cl.doc_id),
+win AS (SELECT cluster_id, doc_id AS keep_id FROM (
+  SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id
+    ORDER BY n_tokens DESC, doc_id ASC) rk FROM sc) t WHERE rk = 1)
+SELECT sc.doc_id, sc.cluster_id, sc.n_tokens,
+  CAST(CASE WHEN sc.doc_id = w.keep_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM sc JOIN win w ON w.cluster_id = sc.cluster_id"""
+
   /** q108: the release-bundle capstone — the full closure chained with
     * the q104 cluster-keyed split bucket, the q101 Hamilton allocation
     * (population = the kept train side), and the q99 prefix-sum shard

@@ -3180,7 +3180,39 @@ object ExtensionQueries {
         |broadcast; per-vector sums combine map-side — two linear
         |24-byte exchanges, nothing quadratic in n or d.""".stripMargin,
       (s, d) => Similarity.sqAudit(Tables.embeddings(s, d), dim = 64),
-      Some(PqOracle.sqAuditSql(dim = 64)))
+      Some(PqOracle.sqAuditSql(dim = 64))),
+
+    QuerySpec(
+      "q140_quality_keepset",
+      """Quality-aware canonicalization ([[graft.operators
+        |.ConnectedComponents.keepBestFromComponents]]) — the
+        |production upgrade of q59's min-id keeper: per near-dup
+        |cluster (q58's components over the MinHash ∪ SimHash pair
+        |graph) keep the MOST COMPLETE copy — winner by
+        |(n_tokens DESC, doc_id ASC), the keep-longest rule a C4/
+        |RefinedWeb-style pipeline applies so a truncated crawl loses
+        |to the full page. Output is the reviewable per-member
+        |disposition (doc_id, cluster_id, n_tokens, kept) q59's
+        |anti-join form doesn't expose; n_tokens via the codegen
+        |graft_tokcount. Scale shape: the components frame is
+        |pair-graph-node-sized (vanishing under LSH banding); score
+        |join id-keyed on it; winner = map-side-combined max(struct)
+        |onto cluster keys; the corpus is touched once for the
+        |(id, n_tokens) projection.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
+          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+        val scored = docs.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens"))
+        graft.operators.ConnectedComponents.keepBestFromComponents(
+          scored, "doc_id", "n_tokens",
+          graft.operators.ConnectedComponents.components(pairs))
+          .select(col("node_id").as("doc_id"), col("cluster_id"),
+            col("score").as("n_tokens"), col("kept"))
+      },
+      Some(ClusterOracle.qualityKeepSql))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -169,4 +169,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(Set(1L, 7L, 15L).subsetOf(keptIds))
     assert(Set(2L, 3L, 9L, 16L, 17L, 18L).intersect(keptIds).isEmpty)
   }
+
+  test("keepBestFromComponents keeps the max-score member; ties break to the min id") {
+    // cluster {1,2,3}: 2 carries the highest score (the full crawl);
+    // cluster {10,11}: equal scores, the min id must win;
+    // cluster {20,21}: the HIGHER id wins on score — the rule that
+    // distinguishes this sheet from keepCanonical's min-id
+    val items = Seq(1L -> 5L, 2L -> 50L, 3L -> 7L, 10L -> 9L, 11L -> 9L,
+      20L -> 1L, 21L -> 100L).toDF("doc_id", "n_tokens")
+    val comps = ConnectedComponents.components(
+      pairsDF((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)))
+    val out = ConnectedComponents.keepBestFromComponents(
+      items, "doc_id", "n_tokens", comps)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 7, "one disposition row per pair-graph member")
+    assert(out.count(_._2._3 == 1L) == 3, "exactly one keeper per cluster")
+    assert(out(2L) == ((1L, 50L, 1L)), "max score wins within the min-1 cluster")
+    assert(out(1L)._3 == 0L && out(3L)._3 == 0L)
+    assert(out(10L)._3 == 1L && out(11L)._3 == 0L, "score tie -> min id")
+    assert(out(21L)._3 == 1L && out(20L)._3 == 0L,
+      "high-id winner: the exact case keepCanonical decides differently")
+    // every member carries its own score and its cluster's root label
+    assert(out(3L)._1 == 1L && out(3L)._2 == 7L)
+  }
 }

@@ -93,6 +93,18 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assert(rows(f(embs.orderBy(col("vec_id").desc))) == base, "reordered input")
   }
 
+  test("quality keep-set is partition-invariant") {
+    invariant { docs =>
+      val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
+        .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+      val scored = docs.filter(col("doc_id").isNotNull).select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(
+          coalesce(col("text"), lit(""))).as("n_tokens"))
+      ConnectedComponents.keepBestFromComponents(scored, "doc_id", "n_tokens",
+        ConnectedComponents.components(pairs))
+    }
+  }
+
   test("semantic contamination report is partition-invariant") {
     // the q138 shape: centroids retrain from the permuted corpus too —
     // the WHOLE split→train→probe→flag chain must be a pure function

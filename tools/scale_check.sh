@@ -37,7 +37,10 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // round-11: df-capped BM25 retrieval (documents), RRF fusion of the
   // three ANN arms (embeddings), OOV audit + bigram LM (documents)
   "q134_bm25_retrieval", "q135_rrf_fusion",
-  "q136_oov_audit", "q137_bigram_lm_quality")
+  "q136_oov_audit", "q137_bigram_lm_quality",
+  // round-11 (3): quality-aware keeper (documents; re-pays the q58
+  // cells — the claim is the keeper adds only cluster-keyed work)
+  "q140_quality_keepset")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
