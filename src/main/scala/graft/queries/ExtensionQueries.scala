@@ -29,6 +29,38 @@ object ExtensionQueries {
   private val ManifestPacksPerShard = 16L
 
   private val StopList = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** The quality-rule evidence CTE chain (mirror of
+    * [[graft.operators.QualityRules.flags]]' stat inputs, ending at
+    * CTE `j`) — ONE textual definition shared by the q74 audit and the
+    * q141 overlap matrix, so the two oracles cannot drift apart.
+    * Emitted WITHOUT a leading WITH. */
+  private lazy val qualityRuleCtes: String =
+    s"""toks AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t,
+       |  string_split_regex(lower(text), '\\s+') AS tl FROM documents),
+       |base AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(tl, x -> x IN ($StopList))) AS BIGINT) AS stop_cnt FROM toks),
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       |tok_stats AS (SELECT doc_id, max(c) AS top_token_n FROM tc GROUP BY 1),
+       |grams AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i + 1])) AS g FROM toks),
+       |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+       |gram_stats AS (SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams FROM gc GROUP BY 1),
+       |pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
+       |wp AS (SELECT doc_id, i, t[i] AS w FROM pos),
+       |runs AS (SELECT doc_id, w, i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp FROM wp),
+       |rl AS (SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, w, grp),
+       |max_run AS (SELECT doc_id, max(run_len) AS max_token_run FROM rl GROUP BY 1),
+       |g3 AS (SELECT doc_id,
+       |  list_transform(range(1, greatest(len(t) - 1, 1)), i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g FROM toks),
+       |g3s AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_3grams,
+       |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_3grams FROM g3),
+       |j AS (SELECT b.doc_id, b.lang, b.n_tokens, b.stop_cnt, ts.top_token_n,
+       |  coalesce(gs.top_bigram_n, 0) AS top_bigram_n, coalesce(gs.n_bigrams, 0) AS n_bigrams,
+       |  m.max_token_run, s.n_3grams, s.n_distinct_3grams
+       | FROM base b JOIN tok_stats ts USING (doc_id) LEFT JOIN gram_stats gs USING (doc_id)
+       | JOIN max_run m USING (doc_id) JOIN g3s s USING (doc_id))""".stripMargin
   private def markers(l: String) = TextFunctions.LangMarkers(l).map(s => s"'$s'").mkString(", ")
 
   val specs: Seq[QuerySpec] = Seq(
@@ -982,79 +1014,8 @@ object ExtensionQueries {
         |run/3-gram/stopword columns ride the same scan map-side, and
         |the reason CASE is a final projection — auditing costs no more
         |than the repetition stats it reuses.""".stripMargin,
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        // toks MUST be a materialized column before tokenNgrams sees it:
-        // inlining the split into the lambda would re-evaluate it per
-        // element (measured ~8× on this query)
-        val base = docs
-          .select(col("doc_id"), col("lang"),
-            TextFunctions.stopwordCount(col("text")).as("stop_cnt"),
-            TextFunctions.rawTokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("lang"), col("stop_cnt"),
-            size(col("toks")).cast("long").as("n_tokens"),
-            TextFunctions.maxTokenRun(col("toks")).as("max_token_run"),
-            TextFunctions.tokenNgrams(col("toks"), 3).as("g3"))
-          .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_cnt"),
-            col("max_token_run"),
-            size(col("g3")).cast("long").as("n_3grams"),
-            size(array_distinct(col("g3"))).cast("long").as("n_distinct_3grams"))
-        val toks = docs.select(
-          col("doc_id"), TextFunctions.rawTokens(col("text")).as("toks"))
-        val topTok = toks
-          .select(col("doc_id"), explode(col("toks")).as("w"))
-          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id")).agg(max(col("c")).as("top_token_n"))
-        val gramStats = toks
-          .select(col("doc_id"),
-            explode(TextFunctions.tokenNgrams(col("toks"), 2)).as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id")).agg(
-            max(col("c")).as("top_bigram_n"),
-            sum(col("c")).as("n_bigrams"))
-        val reason =
-          when(col("n_tokens") < 20, "too_short")
-            .when(col("lang") =!= "en", "non_english")
-            .when(
-              lit(50) * coalesce(col("top_bigram_n"), lit(0L)) >
-                lit(9) * coalesce(col("n_bigrams"), lit(0L)) ||
-              lit(5) * col("top_token_n") > col("n_tokens") ||
-              col("max_token_run") >= 4 ||
-              lit(10) * (col("n_3grams") - col("n_distinct_3grams")) >
-                lit(3) * col("n_3grams"), "repetitive")
-            .when(lit(50) * col("stop_cnt") < col("n_tokens"), "low_stopword")
-            .otherwise("kept")
-        base.join(topTok, Seq("doc_id"))
-          .join(gramStats, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"), reason.as("reason"))
-          .select(col("doc_id"), col("n_tokens"), col("reason"),
-            when(col("reason") === "kept", 1L).otherwise(0L).as("kept"))
-      },
-      Some(s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t,
-             |  string_split_regex(lower(text), '\\s+') AS tl FROM documents),
-             |base AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
-             |  CAST(len(list_filter(tl, x -> x IN ($StopList))) AS BIGINT) AS stop_cnt FROM toks),
-             |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
-             |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
-             |tok_stats AS (SELECT doc_id, max(c) AS top_token_n FROM tc GROUP BY 1),
-             |grams AS (SELECT doc_id,
-             |  unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i + 1])) AS g FROM toks),
-             |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
-             |gram_stats AS (SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams FROM gc GROUP BY 1),
-             |pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
-             |wp AS (SELECT doc_id, i, t[i] AS w FROM pos),
-             |runs AS (SELECT doc_id, w, i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp FROM wp),
-             |rl AS (SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, w, grp),
-             |max_run AS (SELECT doc_id, max(run_len) AS max_token_run FROM rl GROUP BY 1),
-             |g3 AS (SELECT doc_id,
-             |  list_transform(range(1, greatest(len(t) - 1, 1)), i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g FROM toks),
-             |g3s AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_3grams,
-             |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_3grams FROM g3),
-             |j AS (SELECT b.doc_id, b.lang, b.n_tokens, b.stop_cnt, ts.top_token_n,
-             |  coalesce(gs.top_bigram_n, 0) AS top_bigram_n, coalesce(gs.n_bigrams, 0) AS n_bigrams,
-             |  m.max_token_run, s.n_3grams, s.n_distinct_3grams
-             | FROM base b JOIN tok_stats ts USING (doc_id) LEFT JOIN gram_stats gs USING (doc_id)
-             | JOIN max_run m USING (doc_id) JOIN g3s s USING (doc_id)),
+      (s, d) => graft.operators.QualityRules.audit(Tables.documents(s, d)),
+      Some(s"""WITH $qualityRuleCtes,
              |audit AS (SELECT doc_id, n_tokens,
              |  CASE WHEN n_tokens < 20 THEN 'too_short'
              |       WHEN lang <> 'en' THEN 'non_english'
@@ -3212,7 +3173,41 @@ object ExtensionQueries {
           .select(col("node_id").as("doc_id"), col("cluster_id"),
             col("score").as("n_tokens"), col("kept"))
       },
-      Some(ClusterOracle.qualityKeepSql))
+      Some(ClusterOracle.qualityKeepSql)),
+
+    QuerySpec(
+      "q141_filter_overlap",
+      """Quality-rule co-fire matrix ([[graft.operators.QualityRules
+        |.overlapMatrix]]) — the report that tunes a filter cascade:
+        |q74's precedence audit hides overlap (a doc dying too_short
+        |never shows its repetition), so this evaluates the SAME four
+        |rules independently (one shared flags kernel — the Spark code
+        |and the oracle CTE chain are both single-sourced with q74)
+        |and counts, per unordered rule pair, the documents BOTH kill:
+        |a rule whose kills are a subset of an earlier rule's is dead
+        |weight; a near-zero off-diagonal means independent failure
+        |modes. 10 rows at 4 rules, diagonal = independent kill
+        |counts. Scale shape: the q74 evidence shape plus ONE global
+        |aggregate of 10 boolean-pair sums collapsed map-side (a
+        |single row crosses the exchange), exploded driver-free into
+        |the long sheet.""".stripMargin,
+      (s, d) => graft.operators.QualityRules.overlapMatrix(Tables.documents(s, d)),
+      Some {
+        val conds = Map(
+          "too_short" -> "n_tokens < 20",
+          "non_english" -> "lang <> 'en'",
+          "repetitive" -> ("(50 * top_bigram_n > 9 * n_bigrams OR 5 * top_token_n > n_tokens" +
+            " OR max_token_run >= 4 OR 10 * (n_3grams - n_distinct_3grams) > 3 * n_3grams)"),
+          "low_stopword" -> "50 * stop_cnt < n_tokens")
+        val names = graft.operators.QualityRules.RuleNames
+        val rows = for { i <- names.indices; jj <- i until names.size } yield {
+          val (a, b) = (names(i), names(jj))
+          s"""SELECT '$a' AS rule_a, '$b' AS rule_b,
+             |  CAST(sum(CASE WHEN (${conds(a)}) AND (${conds(b)}) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+             |FROM j""".stripMargin
+        }
+        s"WITH $qualityRuleCtes\n" + rows.mkString("\nUNION ALL\n")
+      })
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

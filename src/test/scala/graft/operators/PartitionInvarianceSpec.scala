@@ -93,6 +93,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assert(rows(f(embs.orderBy(col("vec_id").desc))) == base, "reordered input")
   }
 
+  test("quality-rule overlap matrix is partition-invariant") {
+    invariant(QualityRules.overlapMatrix(_))
+  }
+
   test("quality keep-set is partition-invariant") {
     invariant { docs =>
       val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
