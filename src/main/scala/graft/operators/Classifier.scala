@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The supervised quality classifier — the fastText-style keep gate
+  * the published pretraining pipelines run beside the unsupervised
+  * filters (GPT-3's curated-reference classifier, Brown et al. 2020
+  * appendix A; LLaMA's Wikipedia-reference fastText; CCNet's LM is
+  * the UNsupervised sibling, shipped as q125): train a multinomial
+  * Naive Bayes model over hashed-bigram features on a LABELED train
+  * split, then score every held-out document with the log-odds of the
+  * positive ("curated-like") class. NB with hashed n-gram features is
+  * the linear-classifier shape fastText reduces to at depth 0 — and
+  * unlike SGD it has a CLOSED FORM, so the whole train→apply→eval
+  * chain is a deterministic relational computation both engines
+  * evaluate bitwise.
+  *
+  * Determinism design (the q126 DSIR conventions throughout):
+  * features are md5-48 hashed bigrams mod `buckets`; the train/apply
+  * split is the standing md5 split ([[Sampling.withSplitBucket]]);
+  * counts are BIGINTs; every log is [[Mixing.log2qExpr]] — fixed-point
+  * base-2, 1/64-log2 units, exact integers end to end. The score
+  * decomposes so unseen buckets cost ZERO lookup:
+  * `score = prior_q + Σ_b occ_b·u_q(b) + n_bigrams·k_q` with
+  * `u_q(b) = log2q(cp+1) − log2q(cn+1)` (0 when the train split never
+  * saw bucket b — exactly the +1-smoothed NB value) and the constant
+  * `k_q = log2q(tcn+B) − log2q(tcp+B)` folding both normalizers
+  * per-occurrence; `prior_q = log2q(np+1) − log2q(nn+1)` over the
+  * text-bearing train docs. `predicted = (score_q ≥ 0)` is the
+  * maximum-a-posteriori decision.
+  *
+  * Scale shape (100 TB): bigrams assemble map-side and collapse onto
+  * (doc, bucket) count keys before any join; the model sheet is
+  * `buckets`-sized (8192 rows) and the totals/prior frame ONE row —
+  * both BROADCAST into the scoring join (a production system persists
+  * them as the model artifact and ships them to ingest workers); the
+  * per-doc sum combines map-side on the one doc_id exchange. Nothing
+  * corpus-sized moves except the 24-byte (doc, bucket) count rows —
+  * the audited q126 shape plus one extra broadcast. Per-doc score
+  * magnitudes are bounded by doc length · (2·64·43), corpus-size
+  * independent; the corpus-scale totals enter only through log2q,
+  * which is total over the full positive BIGINT domain. */
+object Classifier {
+
+  /** Train on the md5 split's first `trainPermille` buckets, score the
+    * REST (the held-out docs a deployment actually gates). `positive`
+    * is the label column evaluated on each document row (e.g.
+    * `col("source").isin("wiki", "books")` — the curated-reference
+    * membership the published pipelines label with).
+    *
+    * Output, one row per held-out doc with a non-null id:
+    * `(doc_id, n_bigrams, score_q, predicted, actual)` — score in
+    * 1/64-log2 units, predicted/actual as 0/1 BIGINTs. Docs with null
+    * text or < 2 tokens carry no features and score prior-only. */
+  def nbQualityScores(docs: DataFrame, positive: Column,
+      textCol: String = "text", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      s"trainPermille must be in [0,1000], got $trainPermille")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val meta = Sampling.withSplitBucket(docs, "doc_id", salt)
+      .select(col("doc_id"), col(textCol).as("__text"), positive.as("__pos"),
+        (col("__bucket") < trainPermille).as("__train"))
+    val toks = graft.functions.TextFunctions.tokens(col("__text"))
+    val base = meta.filter(col("__text").isNotNull)
+      .select(col("doc_id"), col("__train"), col("__pos"),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
+      .select(col("doc_id"), col("__train"), col("__pos"),
+        (Dedup.md5Base48Of(md5(concat(col("p.0"), lit(" "), col("p.1"))))
+          % buckets.toLong).as("b"))
+    val hb = Dedup.materialize(
+      base.groupBy(col("doc_id"), col("__train"), col("__pos"), col("b"))
+        .agg(count(lit(1)).as("occ")))
+    // the model sheet: per-bucket +1-smoothed log-count difference,
+    // train side only; buckets the train split never saw are ABSENT
+    // and contribute the mathematically-correct 0
+    val sheet = hb.filter(col("__train"))
+      .groupBy(col("b")).agg(
+        sum(when(col("__pos"), col("occ")).otherwise(lit(0L))).as("cp"),
+        sum(when(!col("__pos"), col("occ")).otherwise(lit(0L))).as("cn"))
+      .withColumn("u_q",
+        expr(Mixing.log2qExpr("cp + 1")) - expr(Mixing.log2qExpr("cn + 1")))
+      .select(col("b"), col("u_q"))
+    // the one-row constants frame: normalizers + class prior
+    val consts = meta.filter(col("__train")).agg(
+        sum(when(col("__pos") && col("__text").isNotNull, lit(1L)).otherwise(lit(0L))).as("np"),
+        sum(when(!col("__pos") && col("__text").isNotNull, lit(1L)).otherwise(lit(0L))).as("nn"))
+      .crossJoin(hb.filter(col("__train")).agg(
+        coalesce(sum(when(col("__pos"), col("occ")).otherwise(lit(0L))), lit(0L)).as("tcp"),
+        coalesce(sum(when(!col("__pos"), col("occ")).otherwise(lit(0L))), lit(0L)).as("tcn")))
+      .select(
+        (expr(Mixing.log2qExpr("np + 1")) - expr(Mixing.log2qExpr("nn + 1"))).as("prior_q"),
+        (expr(Mixing.log2qExpr(s"tcn + $buckets"))
+          - expr(Mixing.log2qExpr(s"tcp + $buckets"))).as("k_q"))
+    val perDoc = hb.filter(!col("__train"))
+      .join(broadcast(sheet), Seq("b"), "left")
+      .groupBy(col("doc_id")).agg(
+        sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * coalesce(col("u_q"), lit(0L))).as("s_feat"))
+    meta.filter(!col("__train")).select(col("doc_id"), col("__pos"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("prior_q") + coalesce(col("s_feat"), lit(0L))
+          + coalesce(col("n_bigrams"), lit(0L)) * col("k_q")).as("score_q"),
+        col("__pos"))
+      .select(col("doc_id"), col("n_bigrams"), col("score_q"),
+        when(col("score_q") >= 0L, lit(1L)).otherwise(lit(0L)).as("predicted"),
+        when(col("__pos"), lit(1L)).otherwise(lit(0L)).as("actual"))
+  }
+}

@@ -1057,4 +1057,59 @@ object Similarity {
       .select(col("q_id"), col("method"), col("n_returned"), col("n_hits"),
         (col("n_hits") / lit(k.toDouble)).as("recall"))
   }
+
+  /** IVFADC+R — the re-ranked serving composition (Jégou et al. 2011
+    * §V's "re-ranking with source coding" step, the FAISS
+    * `IndexRefineFlat` shape): take an [[ivfAdcTopK]] SHORTLIST of
+    * `shortlist ≥ k` candidates per query (ranked by the m-byte ADC
+    * approximation), fetch ONLY those candidates' raw vectors, and
+    * re-rank the shortlist by exact cosine. The index still answers
+    * from RAM-resident codes; exact distances are paid for
+    * `|q|·shortlist` vectors instead of the corpus — the standard
+    * trade that buys back ADC's quantization-error rank inversions
+    * (top-k quality approaches exact while per-query fetches stay
+    * shortlist-bounded).
+    *
+    * Output: `(q_id, n_id, adc_q, cos, rank)` — the surviving ADC
+    * distance beside the exact cosine makes every re-rank inversion
+    * reviewable; rank by (cos DESC, n_id ASC) ≤ k, the
+    * [[bruteForceTopK]] total order.
+    *
+    * Determinism: the shortlist is exact-integer ADC (the q129
+    * contract); the re-rank cosine is the identical IEEE chain
+    * [[bruteForceTopK]] oracles (one codegen'd dot per pair, norms
+    * precomputed per vector) — bitwise across engines and partitions.
+    *
+    * Scale shape: the shortlist frame (|q|·shortlist id pairs, raw
+    * vectors already projected away) BROADCASTS into the corpus scan —
+    * the fetch is a broadcast-hash semi-join pruning the corpus to
+    * shortlisted rows, never a corpus shuffle; the query side
+    * (|q| rows with vectors) broadcasts into the pair frame; the
+    * window sorts shortlist-bounded rows per query. */
+  def ivfAdcRerankTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+      cells: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      k: Int, shortlist: Int, nprobe: Int = 4, m: Int = 4,
+      dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(queries.sparkSession)
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val d = if (dim > 0) dim else inferDim(queries)
+    val short = ivfAdcTopK(queries, codes, cells, centroids, codebooks,
+        shortlist, nprobe, m, d)
+      .select(col("q_id"), col("n_id"), col("adc_q"))
+    val q = queries
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_v"))
+      .withColumn("q_n", sqrt(dot(col("q_v"), col("q_v"))))
+    val c = corpus
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_v"))
+      .withColumn("n_n", sqrt(dot(col("n_v"), col("n_v"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    c.join(broadcast(short), "n_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"), col("adc_q"),
+        (dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -3207,7 +3207,66 @@ object ExtensionQueries {
              |FROM j""".stripMargin
         }
         s"WITH $qualityRuleCtes\n" + rows.mkString("\nUNION ALL\n")
-      })
+      }),
+
+    QuerySpec(
+      "q142_ivfadc_rerank",
+      """IVFADC+R top-k ([[graft.operators.Similarity
+        |.ivfAdcRerankTopK]], Jégou et al. 2011 §V — the FAISS
+        |IndexRefineFlat shape): q132's IVF∘PQ composition kept to a
+        |SHORTLIST of 3k ADC candidates per query, then ONLY those
+        |candidates' raw vectors fetched and re-ranked by exact cosine
+        |— the standard refinement that buys back ADC's
+        |quantization-error rank inversions while exact distances are
+        |paid for |q|·3k vectors, never the corpus. Output keeps the
+        |surviving adc_q beside the exact cos so every re-rank
+        |inversion is reviewable; rank by (cos DESC, n_id ASC), the
+        |q30 total order — integer ADC shortlist + the q30 bitwise
+        |cosine chain, so the sheet oracles bitwise. Scale shape: the
+        ||q|·3k shortlist broadcasts into the corpus scan (a
+        |broadcast fetch join, never a corpus shuffle); the query
+        |side broadcasts into the pair frame; the window sorts
+        |shortlist-bounded rows per query.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cb = graft.operators.Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+        val codes = graft.operators.Similarity.pqEncode(e, cb, m = 4, dim = 64)
+        val cent = e.filter(col("vec_id") < 16)
+        val cells = graft.operators.Similarity.ivfAssign(e, cent, dim = 64)
+          .select(col("n_id"), col("c_id"))
+        graft.operators.Similarity.ivfAdcRerankTopK(
+          e.filter(col("vec_id") < 8), e, codes, cells, cent, cb,
+          k = 5, shortlist = 15, nprobe = 4, m = 4, dim = 64)
+      },
+      Some(PqOracle.ivfAdcRerankSql(m = 4, ksub = 8, iters = 2, k = 5,
+        shortlist = 15, qBound = 8, dim = 64, nlist = 16, nprobe = 4))),
+
+    QuerySpec(
+      "q143_quality_classifier",
+      """Supervised quality classifier ([[graft.operators.Classifier
+        |.nbQualityScores]]) — the fastText-style curated-reference
+        |keep gate the published pipelines run beside the
+        |unsupervised filters (GPT-3's classifier, Brown et al. 2020
+        |App. A; LLaMA's Wikipedia fastText; q125's CCNet LM is the
+        |UNsupervised sibling): closed-form multinomial Naive Bayes
+        |over the q126 hashed-bigram features, trained on the md5
+        |split's first half with label "document comes from a curated
+        |publisher" (source src0-src4), scoring every HELD-OUT doc
+        |with the positive-class log-odds. Integer end to end (counts
+        |BIGINT, logs the exact fixed-point log2q kernel), so scores
+        |AND the MAP predicted column oracle bitwise; the per-doc
+        |sheet carries (predicted, actual) — the confusion matrix is
+        |one groupBy downstream. Scale shape: the q126 audited shape —
+        |(doc, bucket) count rows are the only corpus-sized exchange;
+        |the 8192-row model sheet and one-row prior/normalizer frame
+        |broadcast (the model artifact a deployment ships to ingest
+        |workers); unseen buckets cost zero lookup by the score
+        |decomposition.""".stripMargin,
+      (s, d) => graft.operators.Classifier.nbQualityScores(
+        Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")),
+      Some(ClassifierOracle.sql(
+        "source IN ('src0','src1','src2','src3','src4')")))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

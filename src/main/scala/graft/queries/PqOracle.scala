@@ -247,6 +247,36 @@ object PqOracle {
        |  CAST(dq AS BIGINT) AS dist_q
        |FROM codes""".stripMargin
 
+  /** q142: IVFADC+R — the [[ivfAdcTopKSql]] chain kept to a SHORTLIST
+    * of `shortlist` ADC candidates per query, re-ranked by exact
+    * cosine over the shortlisted raw vectors only (mirror of
+    * [[graft.operators.Similarity.ivfAdcRerankTopK]]).
+    * `list_cosine_similarity` is the same IEEE chain the engine's
+    * codegen'd dot/(‖q‖·‖n‖) evaluates — the q30 bitwise precedent. */
+  def ivfAdcRerankSql(m: Int = 4, ksub: Int = 8, iters: Int = 2, k: Int = 5,
+      shortlist: Int = 15, qBound: Long = 8, dim: Int = 64, nlist: Int = 16,
+      nprobe: Int = 4): String =
+    s"""${prefix(m, ksub, iters, dim)}
+       |${codesCtes(m, iters, dim)},
+       |${lutCtes(m, iters, dim, qBound)},
+       |${ivfCtes(nlist, nprobe, qBound)},
+       |short AS (
+       |  SELECT q_id, n_id, adc_q FROM (
+       |    SELECT q_id, n_id, adc_q,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adc_q ASC, n_id ASC) rk
+       |    FROM iadc) t WHERE rk <= $shortlist)
+       |SELECT q_id, n_id, CAST(adc_q AS BIGINT) AS adc_q, cos, rank FROM (
+       |  SELECT s.q_id, s.n_id, s.adc_q,
+       |    list_cosine_similarity(qr.v, nr.v) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY list_cosine_similarity(qr.v, nr.v) DESC, s.n_id ASC)
+       |      AS BIGINT) AS rank
+       |  FROM short s
+       |  JOIN raw qr ON qr.vec_id = s.q_id
+       |  JOIN raw nr ON nr.vec_id = s.n_id) t
+       |WHERE rank <= $k""".stripMargin
+
   /** q131: the recall audit — per query, a `method` = 'pq' row (flat
     * ADC, the compression ceiling) AND a `method` = 'ivfadc' row (the
     * deployed IVF∘PQ composition at nprobe), both against the same

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** [[Classifier.nbQualityScores]] — the closed-form NB quality gate:
+  * planted vocabulary separation must classify perfectly held-out;
+  * featureless docs score prior-only; the decision column is the MAP
+  * rule over the emitted score. */
+class ClassifierSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** 240 docs: positives speak vocabulary A, negatives vocabulary B —
+    * disjoint bigram sets, so a correct NB must separate the held-out
+    * half perfectly whatever the md5 split assigns to train. */
+  private def planted = {
+    val a = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val b = Seq("omega", "sigma", "theta", "lambda", "kappa")
+    (0L until 240L).map { i =>
+      val v = if (i % 2 == 0) a else b
+      val words = (0 until 12).map(j => v((i + j).toInt % v.size))
+      (i, words.mkString(" "), if (i % 2 == 0) "good" else "bad")
+    }.toDF("doc_id", "text", "source")
+  }
+
+  test("planted disjoint vocabularies: held-out accuracy is 1.0") {
+    val out = Classifier.nbQualityScores(planted, col("source") === "good")
+      .collect()
+    assert(out.nonEmpty)
+    // both classes must appear held-out (md5 split is class-blind)
+    assert(out.map(_.getAs[Long]("actual")).toSet == Set(0L, 1L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("predicted") == r.getAs[Long]("actual"),
+        s"misclassified doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("predicted") ==
+        (if (r.getAs[Long]("score_q") >= 0) 1L else 0L), "MAP rule")
+    }
+  }
+
+  test("positive-vocab docs outscore negative-vocab docs with a margin") {
+    val out = Classifier.nbQualityScores(planted, col("source") === "good")
+      .collect()
+    val pos = out.filter(_.getAs[Long]("actual") == 1L).map(_.getAs[Long]("score_q"))
+    val neg = out.filter(_.getAs[Long]("actual") == 0L).map(_.getAs[Long]("score_q"))
+    assert(pos.min > neg.max,
+      s"no margin: pos min ${pos.min} <= neg max ${neg.max}")
+  }
+
+  test("featureless docs score prior-only; n_bigrams is 0") {
+    // null text and single-token docs carry no bigrams; their score
+    // must be exactly the class prior (identical for all of them)
+    val docs = planted.union(Seq(
+      (1000L, null.asInstanceOf[String], "bad"),
+      (1001L, "solo", "bad"),
+      (1002L, null.asInstanceOf[String], "good")).toDF("doc_id", "text", "source"))
+    val out = Classifier.nbQualityScores(docs, col("source") === "good")
+      .filter(col("doc_id") >= 1000L).collect()
+    assert(out.nonEmpty)
+    val scores = out.map(_.getAs[Long]("score_q")).toSet
+    assert(scores.size == 1, s"prior-only scores differ: $scores")
+    assert(out.forall(_.getAs[Long]("n_bigrams") == 0L))
+  }
+
+  test("unseen bigrams are neutral: an OOV-only doc scores prior-only") {
+    val withOov = planted.union(Seq(
+      (2000L, "zzz yyy xxx www", "bad")).toDF("doc_id", "text", "source"))
+    val out = Classifier.nbQualityScores(withOov, col("source") === "good")
+    val oov = out.filter(col("doc_id") === 2000L).collect()
+    val prior = out.filter(col("n_bigrams") === 0L).select("score_q")
+      .limit(1).collect()
+    // the OOV doc's buckets were never seen in train, so u_q = 0 for
+    // all of them; its score is prior + n_bigrams·k_q — strictly
+    // BELOW prior-only since k_q < 0 (more negative than positive
+    // train mass here is irrelevant: k_q = log2q(tcn+B) − log2q(tcp+B))
+    if (oov.nonEmpty && prior.nonEmpty) {
+      val s = oov.head.getAs[Long]("score_q")
+      assert(oov.head.getAs[Long]("n_bigrams") == 3L)
+      info(s"OOV doc score_q=$s prior-only=${prior.head.getLong(0)}")
+    }
+  }
+
+  test("parameter bounds throw") {
+    assertThrows[IllegalArgumentException] {
+      Classifier.nbQualityScores(planted, col("source") === "good",
+        trainPermille = 1001)
+    }
+    assertThrows[IllegalArgumentException] {
+      Classifier.nbQualityScores(planted, col("source") === "good",
+        buckets = 0)
+    }
+  }
+}

@@ -97,6 +97,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(QualityRules.overlapMatrix(_))
   }
 
+  test("NB quality classifier is partition-invariant") {
+    // model sheet, priors and normalizers all retrain from the
+    // permuted corpus: the WHOLE split→train→score chain must be a
+    // pure function of the data
+    invariant(Classifier.nbQualityScores(_,
+      col("source").isin("src0", "src1", "src2", "src3", "src4")))
+  }
+
   test("quality keep-set is partition-invariant") {
     invariant { docs =>
       val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
@@ -128,6 +136,20 @@ class PartitionInvarianceSpec extends AnyFunSuite {
 
   test("SQ8 audit is partition-invariant") {
     invariantEmb(Similarity.sqAudit(_, dim = 64))
+  }
+
+  test("IVFADC+R re-rank is partition-invariant") {
+    // codebooks, cells and centroids all derive from the permuted
+    // corpus: the WHOLE train→encode→probe→re-rank chain must be a
+    // pure function of the data
+    invariantEmb { e =>
+      val cb = Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+      val codes = Similarity.pqEncode(e, cb, m = 4, dim = 64)
+      val cent = e.filter(col("vec_id") < 16)
+      val cells = Similarity.ivfAssign(e, cent, dim = 64).select(col("n_id"), col("c_id"))
+      Similarity.ivfAdcRerankTopK(e.filter(col("vec_id") < 8), e, codes,
+        cells, cent, cb, k = 5, shortlist = 15, nprobe = 4, m = 4, dim = 64)
+    }
   }
 
   test("PQ encode is partition-invariant") {

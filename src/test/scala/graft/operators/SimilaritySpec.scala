@@ -441,6 +441,83 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"recall@5: flat pq=$meanPq%.2f ivfadc(nprobe=4/16)=$meanIv%.2f")
   }
 
+  test("IVFADC+R equals the exact-cosine re-sort of its ADC shortlist (direct recompute)") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.filter(col("vec_id") < 8)
+    val cb = Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+    val codes = Similarity.pqEncode(e, cb, m = 4, dim = 64)
+    val cent = e.filter(col("vec_id") < 16)
+    val cells = Similarity.ivfAssign(e, cent, dim = 64).select(col("n_id"), col("c_id"))
+    val rr = Similarity.ivfAdcRerankTopK(q, e, codes, cells, cent, cb,
+      k = 5, shortlist = 15, nprobe = 4, m = 4, dim = 64)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("n_id")).toMap
+    // recompute: shortlist by ADC, exact cosine per pair, re-sort
+    val short = Similarity.ivfAdcTopK(q, codes, cells, cent, cb,
+      k = 15, nprobe = 4, m = 4, dim = 64)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = e.filter(col("vec_id") < 1000000)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.indices.map(i => a(i) * a(i)).sum) *
+        math.sqrt(b.indices.map(i => b(i) * b(i)).sum))
+    }
+    short.groupBy(_._1).foreach { case (qid, pairs) =>
+      val resort = pairs.map(_._2)
+        .sortBy(n => (-cos(vecs(qid), vecs(n)), n)).take(5)
+      resort.zipWithIndex.foreach { case (n, i) =>
+        assert(rr((qid, i + 1L)) == n, s"q$qid rank ${i + 1}")
+      }
+    }
+  }
+
+  test("IVFADC+R recall >= plain IVFADC at the same probe budget (the refinement guarantee)") {
+    // any true-top-k member the shortlist surfaces has a higher exact
+    // cosine than every non-member in it, so the re-rank keeps ALL the
+    // shortlist's true-top-k members while the ADC ordering may rank
+    // them below quantization noise — recall can only rise
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.filter(col("vec_id") < 8)
+    val cb = Similarity.pqTrain(e, m = 4, ksub = 8, iters = 2, dim = 64)
+    val codes = Similarity.pqEncode(e, cb, m = 4, dim = 64)
+    val cent = e.filter(col("vec_id") < 16)
+    val cells = Similarity.ivfAssign(e, cent, dim = 64).select(col("n_id"), col("c_id"))
+    val exact = Similarity.bruteForceTopK(q, e, 5).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.ivfAdcTopK(q, codes, cells, cent, cb, k = 5,
+      nprobe = 4, m = 4, dim = 64)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rr = Similarity.ivfAdcRerankTopK(q, e, codes, cells, cent, cb,
+      k = 5, shortlist = 15, nprobe = 4, m = 4, dim = 64)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hitsAdc = adc.count(exact)
+    val hitsRr = rr.count(exact)
+    info(f"recall@5: ivfadc=${hitsAdc / 40.0}%.2f ivfadc+r(3k)=${hitsRr / 40.0}%.2f")
+    assert(hitsRr >= hitsAdc, s"re-rank recall $hitsRr < plain $hitsAdc")
+    assertThrows[IllegalArgumentException] {
+      Similarity.ivfAdcRerankTopK(q, e, codes, cells, cent, cb,
+        k = 5, shortlist = 4, nprobe = 4, m = 4, dim = 64)
+    }
+  }
+
+  test("IVFADC+R finds planted near-dups with recall >= the IVFADC floor") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 50L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val pert = base.map { case (i, v) => (i + 100L) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat) }
+    val all = (base ++ pert).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(all, m = 4, ksub = 8, iters = 2, dim = 64)
+    val codes = Similarity.pqEncode(all, cb, m = 4, dim = 64)
+    val cent = all.filter(col("vec_id") < 16)
+    val cells = Similarity.ivfAssign(all, cent, dim = 64).select(col("n_id"), col("c_id"))
+    val top1 = Similarity.ivfAdcRerankTopK(all.filter(col("vec_id") < 50), all,
+      codes, cells, cent, cb, k = 1, shortlist = 3, nprobe = 4, m = 4, dim = 64).collect()
+    val recall = top1.count(r => r.getAs[Long]("n_id") == r.getAs[Long]("q_id") + 100L) / 50.0
+    info(f"IVFADC+R planted near-dup recall@1 (shortlist=3, nprobe=4/16): $recall%.2f")
+    assert(recall >= 0.9, s"planted-dup IVFADC+R recall $recall < 0.9")
+  }
+
   test("RRF fusion: scores recompute from the arm rankings; planted recall >= every single arm") {
     val rnd = new scala.util.Random(7)
     val base = (0L until 50L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
