@@ -68,4 +68,95 @@ object Drift {
           .when(col("cnt_a") * col("n_b") * den > col("cnt_b") * col("n_a") * num, lit(-1L))
           .otherwise(lit(0L)).as("drift_dir"))
   }
+
+  /** Population-stability-index monitor over document LENGTH — the
+    * distribution-level ingest guard beside [[termDrift]]'s per-term
+    * rates: bin the corpus by the STANDING slice's exact length
+    * deciles ([[Quantiles.multiQuantileDisc]] edges — the q125 cut
+    * kernel), compare the incoming batch's bin occupancy against the
+    * standing population, and report the per-bin PSI contributions
+    * plus the total and the classic alert verdict. PSI is THE
+    * production drift monitor (credit scoring's standard, applied
+    * here to the crawl pipeline): it fires when the incoming batch's
+    * length distribution no longer matches the corpus the filters
+    * were tuned on — truncated scrapes, a boilerplate injection, a
+    * changed extraction step — before any content-level signal moves.
+    *
+    * Determinism design: the incoming split is the q68 md5 membership
+    * (`is_new ⇔ bucket < newPermille`); bin rates are EXACT
+    * fixed-point `floor(cnt·2^20 / N)` computed in two 10-bit steps
+    * (`(cnt·2^10 div N)·2^10 + ((cnt·2^10 mod N)·2^10) div N` — exact
+    * BIGINT for any cnt ≤ N < 2^53, so corpus-scale counts never
+    * overflow the quantizer); logs are [[Mixing.log2qExpr]]. Each
+    * bin's `psi_q = (rs_q − rn_q)·(log2q(rs_q+1) − log2q(rn_q+1))`
+    * is ≥ 0 (both factors share a sign — the true PSI property), in
+    * 2^26-scaled log2 units; `alert = 1 ⇔ psi_total_q·10 > 3·2^26`
+    * (PSI > 0.3 log2 ≈ the classic 0.2 natural-log "significant
+    * shift" line). All integers end to end — the sheet oracles
+    * bitwise. An empty side reports zero rates rather than dividing
+    * by zero; with no standing docs every edge is NULL and all mass
+    * bins 0.
+    *
+    * Output: exactly `bins` rows —
+    * `(bin, n_std, n_new, rs_q, rn_q, psi_q, psi_total_q, alert)`.
+    *
+    * Scale shape (100 TB): ONE pass computes the per-doc length
+    * (codegen `graft_tokcount` — text never leaves the scan) onto a
+    * 16-byte (is_new, x) frame; the standing decile edges are one
+    * broadcast row; binning is a 9-comparison map-side expression; the
+    * bin counts collapse in one map-side-combined aggregation onto
+    * ≤ `bins` keys, and everything after the single exchange touches
+    * `bins` rows. The unpartitioned windows sort 10 rows. */
+  def lengthPsi(docs: DataFrame, textCol: String = "text",
+      newPermille: Int = 100, bins: Int = 10,
+      salt: String = "graft"): DataFrame = {
+    require(newPermille >= 0 && newPermille <= 1000,
+      s"newPermille must be in [0,1000], got $newPermille")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val qs = (1 until bins).map { i =>
+      val q = BigDecimal(i) / BigDecimal(bins)
+      s"e$i" -> q.toDouble
+    }
+    val base = Dedup.materialize(
+      Sampling.withSplitBucket(docs, "doc_id", salt)
+        .select((col("__bucket") < newPermille).as("is_new"),
+          graft.functions.TextFunctions.tokenCount(
+            coalesce(col(textCol), lit(""))).as("x")))
+    val edges = Quantiles.multiQuantileDisc(
+        base.filter(!col("is_new")).withColumn("__g", lit(0L)), "__g", "x", qs)
+      .agg(qs.map { case (n, _) => max(col(n)).as(n) }.head,
+        qs.map { case (n, _) => max(col(n)).as(n) }.tail: _*)
+    val binOf = qs.map { case (n, _) =>
+      when(col("x") > col(n), lit(1L)).otherwise(lit(0L)) }.reduce(_ + _)
+    val counts = base.crossJoin(broadcast(edges))
+      .select(col("is_new"), binOf.as("bin"))
+      .groupBy(col("bin")).agg(
+        sum(when(!col("is_new"), lit(1L)).otherwise(lit(0L))).as("n_std"),
+        sum(when(col("is_new"), lit(1L)).otherwise(lit(0L))).as("n_new"))
+    def rate(cnt: String, n: String) = expr(
+      s"""CASE WHEN $n = 0 THEN CAST(0 AS BIGINT)
+         |ELSE (($cnt * 1024) DIV $n) * 1024 + ((($cnt * 1024) % $n) * 1024) DIV $n
+         |END""".stripMargin)
+    docs.sparkSession.range(0, bins).toDF("bin")
+      .select(col("bin").cast("long").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_std"), lit(0L)).as("n_std"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("t_std", sum(col("n_std")).over(whole))
+      .withColumn("t_new", sum(col("n_new")).over(whole))
+      .withColumn("rs_q", rate("n_std", "t_std"))
+      .withColumn("rn_q", rate("n_new", "t_new"))
+      .withColumn("psi_q",
+        (col("rs_q") - col("rn_q")) *
+          (expr(Mixing.log2qExpr("rs_q + 1")) - expr(Mixing.log2qExpr("rn_q + 1"))))
+      .withColumn("psi_total_q", sum(col("psi_q")).over(whole))
+      .select(col("bin"), col("n_std"), col("n_new"), col("rs_q"), col("rn_q"),
+        col("psi_q"), col("psi_total_q"),
+        when(col("psi_total_q") * 10L > 3L * 67108864L, lit(1L))
+          .otherwise(lit(0L)).as("alert"))
+  }
 }

@@ -3266,7 +3266,33 @@ object ExtensionQueries {
         Tables.documents(s, d),
         col("source").isin("src0", "src1", "src2", "src3", "src4")),
       Some(ClassifierOracle.sql(
-        "source IN ('src0','src1','src2','src3','src4')")))
+        "source IN ('src0','src1','src2','src3','src4')"))),
+
+    QuerySpec(
+      "q144_length_psi",
+      """PSI ingest-drift monitor ([[graft.operators.Drift
+        |.lengthPsi]]) — the distribution-level guard beside q92's
+        |per-term rates: the population stability index (credit
+        |scoring's standard drift alarm, applied to the crawl
+        |pipeline) over document LENGTH, binned by the STANDING
+        |slice's exact decile edges (the q60-pinned percentile_disc
+        |kernel), incoming batch = the q68 md5 split. Fires when the
+        |batch's length distribution no longer matches the corpus the
+        |filters were tuned on — truncated scrapes, boilerplate
+        |injection, a changed extractor — before any content-level
+        |signal moves. Bin rates are EXACT fixed-point
+        |floor(cnt·2^20/N) in two 10-bit steps (no overflow for any
+        |corpus < 2^53 docs); per-bin psi_q = (rs_q−rn_q)·Δlog2q ≥ 0
+        |(the true PSI property); alert ⇔ total > 0.3 log2 units (≈
+        |the classic 0.2 nat line). All integers — the 10-row sheet
+        |and the verdict oracle bitwise. Scale shape: ONE corpus pass
+        |onto a 16-byte (is_new, length) frame (codegen
+        |graft_tokcount — text never leaves the scan); edges are one
+        |broadcast row; binning is a 9-comparison map-side
+        |expression; ONE map-side-combined aggregation onto ≤ 10
+        |keys; the windows sort 10 rows.""".stripMargin,
+      (s, d) => graft.operators.Drift.lengthPsi(Tables.documents(s, d)),
+      Some(PsiOracle.sql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -39,6 +39,77 @@ class DriftSpec extends AnyFunSuite {
     assert(!out.contains("fresh") && !out.contains("x"), "minTotal gates rare terms")
   }
 
+  test("lengthPsi: identical length distributions score exactly zero, no alert") {
+    // constant length -> all mass in bin 0 on BOTH sides -> every
+    // per-bin psi_q is exactly 0 and the verdict is quiet
+    val docs = (0L until 400L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    val out = Drift.lengthPsi(docs).collect()
+    assert(out.length == 10, "exactly bins rows")
+    assert(out.forall(_.getAs[Long]("psi_q") == 0L))
+    assert(out.forall(_.getAs[Long]("psi_total_q") == 0L))
+    assert(out.forall(_.getAs[Long]("alert") == 0L))
+    val b0 = out.find(_.getAs[Long]("bin") == 0L).get
+    assert(b0.getAs[Long]("rs_q") == 1048576L && b0.getAs[Long]("rn_q") == 1048576L,
+      "full mass rate = 2^20 exactly")
+  }
+
+  test("lengthPsi: a planted length shift in the incoming batch fires the alert") {
+    // the md5 split decides membership, so plant the shift THROUGH
+    // it: short standing docs, long incoming docs
+    val ids = (0L until 600L).toDF("doc_id")
+    val isNew = Sampling.withSplitBucket(ids, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("__bucket") < 100L)).toMap
+    val docs = (0L until 600L).map { i =>
+      (i, if (isNew(i)) Seq.fill(50)("w").mkString(" ") else "a b c d e")
+    }.toDF("doc_id", "text")
+    val out = Drift.lengthPsi(docs).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("psi_q") >= 0L), "per-bin PSI is non-negative")
+    assert(out.map(_.getAs[Long]("psi_q")).sum ==
+      out.head.getAs[Long]("psi_total_q"), "total = sum of contributions")
+    assert(out.forall(_.getAs[Long]("alert") == 1L), "disjoint distributions must alert")
+    // all standing mass in bin 0, all incoming mass in the top bin
+    val b0 = out.find(_.getAs[Long]("bin") == 0L).get
+    val b9 = out.find(_.getAs[Long]("bin") == 9L).get
+    assert(b0.getAs[Long]("n_new") == 0L && b9.getAs[Long]("n_std") == 0L)
+    assert(b9.getAs[Long]("rn_q") == 1048576L)
+  }
+
+  test("lengthPsi: a varied-but-split-independent distribution stays under the alert line") {
+    // lengths vary 7 ways but are a function of doc_id alone, never of
+    // the md5 bucket — only sampling noise separates the two sides, and
+    // at 2000 docs that noise sits well under the 0.3 log2 line (the
+    // operator's whole point: fire on SHIFT, tolerate sampling noise at
+    // adequate sample sizes)
+    val docs = (0L until 2000L).map { i =>
+      (i, Seq.fill(1 + (i % 7).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Drift.lengthPsi(docs).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("psi_q") >= 0L))
+    val totalStd = out.map(_.getAs[Long]("n_std")).sum
+    val totalNew = out.map(_.getAs[Long]("n_new")).sum
+    assert(totalStd > 0 && totalNew > 0 && totalStd + totalNew == 2000L)
+    assert(out.head.getAs[Long]("alert") == 0L,
+      s"stable split alerted: psi_total_q=${out.head.getAs[Long]("psi_total_q")}")
+  }
+
+  test("lengthPsi: driver corpus sheet is consistent (tiny-sample alert is legitimate)") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val out = Drift.lengthPsi(docs).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("psi_q") >= 0L))
+    assert(out.map(_.getAs[Long]("psi_q")).sum == out.head.getAs[Long]("psi_total_q"))
+    assert(out.map(_.getAs[Long]("n_std")).sum > 0)
+  }
+
+  test("lengthPsi: parameter bounds throw") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] { Drift.lengthPsi(docs, newPermille = 1001) }
+    assertThrows[IllegalArgumentException] { Drift.lengthPsi(docs, bins = 1) }
+  }
+
   test("rate ratio is slice-size-normalized; stable terms stay quiet") {
     // A has 3x the volume of B; "even" keeps the same RATE in both
     // (6/30 vs 2/10) -> ratio exactly 1<<20, no flag, even though raw

@@ -97,6 +97,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(QualityRules.overlapMatrix(_))
   }
 
+  test("length-PSI monitor is partition-invariant") {
+    invariant(Drift.lengthPsi(_))
+  }
+
   test("NB quality classifier is partition-invariant") {
     // model sheet, priors and normalizers all retrain from the
     // permuted corpus: the WHOLE split→train→score chain must be a
