@@ -56,6 +56,50 @@ object Classifier {
   def nbQualityScores(docs: DataFrame, positive: Column,
       textCol: String = "text", trainPermille: Int = 500,
       buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    val (meta, hb, sheet, consts) =
+      parts(docs, positive, textCol, trainPermille, buckets, salt)
+    val perDoc = hb.filter(!col("__train"))
+      .join(broadcast(sheet), Seq("b"), "left")
+      .groupBy(col("doc_id")).agg(
+        sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * coalesce(col("u_q"), lit(0L))).as("s_feat"))
+    meta.filter(!col("__train")).select(col("doc_id"), col("__pos"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("prior_q") + coalesce(col("s_feat"), lit(0L))
+          + coalesce(col("n_bigrams"), lit(0L)) * col("k_q")).as("score_q"),
+        col("__pos"))
+      .select(col("doc_id"), col("n_bigrams"), col("score_q"),
+        when(col("score_q") >= 0L, lit(1L)).otherwise(lit(0L)).as("predicted"),
+        when(col("__pos"), lit(1L)).otherwise(lit(0L)).as("actual"))
+  }
+
+  /** The trained model collapsed to ONE broadcastable row —
+    * `(bmap: map<bucket, u_q>, prior_q, k_q)` — what a production
+    * system persists as the classifier artifact and ships to every
+    * ingest worker beside its tokenizer and Bloom filter (the
+    * [[graft.operators.Phrases.unigramCostMap]] convention applied to
+    * the quality family). Single-sourced with [[nbQualityScores]]:
+    * both build from the same split/feature/sheet chain, so the
+    * streaming gate's scores are bitwise the batch sheet's. */
+  def nbModelRow(docs: DataFrame, positive: Column,
+      textCol: String = "text", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    val (_, _, sheet, consts) =
+      parts(docs, positive, textCol, trainPermille, buckets, salt)
+    sheet
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("b"), col("u_q"))))).as("bmap"))
+      .crossJoin(broadcast(consts))
+  }
+
+  /** The shared split → hashed-bigram → per-(doc, bucket) count →
+    * model-sheet chain: returns (meta, hb, sheet, consts). */
+  private def parts(docs: DataFrame, positive: Column, textCol: String,
+      trainPermille: Int, buckets: Int, salt: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(trainPermille >= 0 && trainPermille <= 1000,
       s"trainPermille must be in [0,1000], got $trainPermille")
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -96,21 +140,6 @@ object Classifier {
         (expr(Mixing.log2qExpr("np + 1")) - expr(Mixing.log2qExpr("nn + 1"))).as("prior_q"),
         (expr(Mixing.log2qExpr(s"tcn + $buckets"))
           - expr(Mixing.log2qExpr(s"tcp + $buckets"))).as("k_q"))
-    val perDoc = hb.filter(!col("__train"))
-      .join(broadcast(sheet), Seq("b"), "left")
-      .groupBy(col("doc_id")).agg(
-        sum(col("occ")).as("n_bigrams"),
-        sum(col("occ") * coalesce(col("u_q"), lit(0L))).as("s_feat"))
-    meta.filter(!col("__train")).select(col("doc_id"), col("__pos"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .crossJoin(broadcast(consts))
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        (col("prior_q") + coalesce(col("s_feat"), lit(0L))
-          + coalesce(col("n_bigrams"), lit(0L)) * col("k_q")).as("score_q"),
-        col("__pos"))
-      .select(col("doc_id"), col("n_bigrams"), col("score_q"),
-        when(col("score_q") >= 0L, lit(1L)).otherwise(lit(0L)).as("predicted"),
-        when(col("__pos"), lit(1L)).otherwise(lit(0L)).as("actual"))
+    (meta, hb, sheet, consts)
   }
 }

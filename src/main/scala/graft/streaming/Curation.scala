@@ -167,6 +167,51 @@ object Curation {
       .drop("__toks", "__b", "cmap", "p33", "p67")
   }
 
+  /** Streaming quality-classifier gate — q143's supervised NB keep
+    * gate applied at INGEST, completing the quality family's
+    * supervised streaming twin (the [[lmQualityGate]] pattern): the
+    * trained model is ONE static broadcast row
+    * ([[graft.operators.Classifier.nbModelRow]] —
+    * `(bmap, prior_q, k_q)`, the classifier artifact a production
+    * system persists), and each arriving document tokenizes, hashes
+    * its bigrams and folds the per-occurrence bucket weights entirely
+    * map-side: `score_q = prior_q + Σ coalesce(bmap[b], 0) +
+    * n_bigrams·k_q` — the identical integer arithmetic as the batch
+    * sheet (per-occurrence summation ≡ the batch's occ-grouped form),
+    * so scores and decisions agree bitwise
+    * (StreamingClassifierSpec pins it). ZERO streaming state;
+    * append-mode; no watermark.
+    *
+    * Emits the input columns plus `(n_bigrams, score_q, predicted)` —
+    * route predicted=0 to quarantine, exactly the GPT-3/LLaMA
+    * classifier-gate deployment shape. Null/short text scores
+    * prior-only (unseen buckets are 0 by the model decomposition, so
+    * OOV ingest can never crash or skew the gate — the OOV-gate
+    * posture). */
+  def classifierGate(stream: DataFrame, model: DataFrame,
+      textCol: String = "text", buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = TextFunctions.tokens(col(textCol))
+    stream.crossJoin(broadcast(model))
+      .withColumn("__t", toks)
+      .withColumn("__bgs", zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => graft.operators.Dedup.md5Base48Of(
+          md5(concat(a, lit(" "), b))) % buckets.toLong))
+      .withColumn("n_bigrams",
+        greatest(coalesce(size(col("__bgs")).cast("long"), lit(0L)), lit(0L)))
+      .withColumn("__sfeat", coalesce(
+        aggregate(col("__bgs"), lit(0L),
+          (acc, b) => acc + coalesce(element_at(col("bmap"), b), lit(0L))),
+        lit(0L)))
+      .withColumn("score_q",
+        col("prior_q") + col("__sfeat") + col("n_bigrams") * col("k_q"))
+      .withColumn("predicted",
+        when(col("score_q") >= 0L, lit(1L)).otherwise(lit(0L)))
+      .drop("__t", "__bgs", "__sfeat", "bmap", "prior_q", "k_q")
+  }
+
   /** Streaming ANN near-dup gate — the semantic-dedup member of the
     * streaming-twin family (the [[decontaminationGate]] /
     * [[lmQualityGate]] pattern applied to the vector side): an
