@@ -95,6 +95,62 @@ object Classifier {
       .crossJoin(broadcast(consts))
   }
 
+  /** The classifier's operating-point sheet — the threshold-picking
+    * report a deployment reads before wiring the gate: the held-out
+    * scores swept at their own exact DECILE thresholds (the
+    * q60-pinned [[Quantiles.multiQuantileDisc]] selection — data-
+    * driven cut candidates, not arbitrary constants), one row per
+    * distinct threshold with the integer confusion counts
+    * (`predict positive ⇔ score_q ≥ thr_q`) and precision/recall.
+    * GPT-3's appendix documents exactly this knob (they kept
+    * documents by a score-vs-Pareto-draw rule tuned on such a sweep);
+    * this sheet is how the cut gets chosen with evidence.
+    *
+    * Determinism: thresholds are SELECTED existing score values;
+    * counts are BIGINTs; precision/recall are single IEEE divisions
+    * of exact integers (−1.0 when undefined, the q90 idiom) — the
+    * whole sheet oracles bitwise.
+    *
+    * Scale shape: the held-out score frame (16-byte rows) is swept
+    * against ≤ 9 broadcast threshold rows — a 9× map-side row
+    * multiplication collapsing map-side onto ≤ 9 keys; the decile
+    * computation is one sort of the score frame (the q76 kernel). */
+  def operatingPoints(docs: DataFrame, positive: Column,
+      textCol: String = "text", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    val scores = Dedup.materialize(
+      nbQualityScores(docs, positive, textCol, trainPermille, buckets, salt)
+        .select(col("score_q"), col("actual")))
+    val qs = (1 until 10).map { i =>
+      s"e$i" -> (BigDecimal(i) / BigDecimal(10)).toDouble
+    }
+    val cutsRow = Quantiles.multiQuantileDisc(
+        scores.withColumn("__g", lit(0L)), "__g", "score_q", qs)
+      .agg(qs.map { case (n, _) => max(col(n)).as(n) }.head,
+        qs.map { case (n, _) => max(col(n)).as(n) }.tail: _*)
+    val thr = cutsRow
+      .select(explode(array(qs.map { case (n, _) => col(n) }: _*)).as("thr_q"))
+      .filter(col("thr_q").isNotNull).distinct()
+    scores.crossJoin(broadcast(thr))
+      .groupBy(col("thr_q"))
+      .agg(
+        sum(when(col("actual") === 1L && col("score_q") >= col("thr_q"),
+          lit(1L)).otherwise(lit(0L))).as("tp"),
+        sum(when(col("actual") === 0L && col("score_q") >= col("thr_q"),
+          lit(1L)).otherwise(lit(0L))).as("fp"),
+        sum(when(col("actual") === 1L && col("score_q") < col("thr_q"),
+          lit(1L)).otherwise(lit(0L))).as("fn"),
+        sum(when(col("actual") === 0L && col("score_q") < col("thr_q"),
+          lit(1L)).otherwise(lit(0L))).as("tn"))
+      .select(col("thr_q"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, lit(-1.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0L, lit(-1.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn")))
+          .as("recall"))
+  }
+
   /** The shared split → hashed-bigram → per-(doc, bucket) count →
     * model-sheet chain: returns (meta, hb, sheet, consts). */
   private def parts(docs: DataFrame, positive: Column, textCol: String,

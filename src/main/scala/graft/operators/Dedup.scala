@@ -904,4 +904,46 @@ object Dedup {
       .withColumn("recall", col("n_hits").cast("double") / col("n_true"))
       .crossJoin(broadcast(candCount))
   }
+
+  /** Cross-source duplication matrix — the provenance report a
+    * curation team reads off the near-dup pair graph: per unordered
+    * SOURCE pair, how many near-dup pairs ([[nearDupPairs]], the q28
+    * banded kernel) connect a document of one source to a document of
+    * the other. The diagonal is each source's internal duplication
+    * mass (mirror/self-syndication); a heavy off-diagonal cell names
+    * the two feeds syndicating the same content — the signal that
+    * drops a redundant source BEFORE paying its processing cost, and
+    * the evidence sheet behind per-source dedup budgets (the
+    * RefinedWeb/C4 practice of auditing WHERE duplication comes from,
+    * not just how much).
+    *
+    * Output: one row per observed unordered source pair —
+    * `(src_a, src_b, n_pairs)`, src_a ≤ src_b lexicographically, null
+    * sources folded to '' (both engines agree on the fold; a null key
+    * would silently drop the row in the group-by). All counts BIGINT —
+    * oracles bitwise over the q28-pinned pair set.
+    *
+    * Scale shape (100 TB): the pair frame is LSH-band-bounded
+    * (candidate collisions only — nothing quadratic); the
+    * (doc_id, source) projection joins ID-KEYED onto it twice (the
+    * pair side is vanishingly small next to the corpus, so the join
+    * broadcasts it against the projection scan); the closing
+    * aggregation collapses map-side onto source-pair keys (sources²
+    * rows at most). The corpus text is touched only inside the audited
+    * q28 kernel. */
+  def sourceOverlapMatrix(docs: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val pairs = nearDupPairs(docs, numHashes, rowsPerBand, threshold)
+      .select(col("a_id"), col("b_id"))
+    val src = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("source"), lit("")).as("__src"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("__src").as("__sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("__src").as("__sb")), "b_id")
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -1058,6 +1058,60 @@ object Similarity {
         (col("n_hits") / lit(k.toDouble)).as("recall"))
   }
 
+  /** IVF index-balance audit — FAISS's `imbalance_factor` as a
+    * relational health sheet: per cell its vector count and exact
+    * fixed-point occupancy rate, plus the global diagnostics an index
+    * operator watches — cell count, EMPTY cell count (wasted nlist
+    * budget), and the imbalance factor `nlist·Σ p_i²` (1 = perfectly
+    * balanced; k = probe cost behaves like an index with nlist/k
+    * effective cells). IVF serving cost is driven by the LARGEST
+    * probed cells, so a drifting imbalance factor is the
+    * re-train/re-balance trigger (the q82 drift report says WHERE
+    * vectors moved; this says what the skew costs) — at 100 TB this
+    * sheet is the difference between nprobe cells of ~N/nlist vectors
+    * and nprobe cells hiding half the corpus.
+    *
+    * Determinism: occupancy rates are the exact two-step fixed-point
+    * `floor(cnt·2^20/N)` (the q144 kernel — no overflow below 2^53
+    * vectors); `imb_q = (n_cells · Σ r_q²) div 2^20` — Σ r_q² ≤ 2^40
+    * whatever nlist is (the rates sum to ≤ 2^20), so the product is
+    * safe for any nlist < 2^23. All integers — oracles bitwise.
+    *
+    * Output: one row per VALID centroid (empty cells included —
+    * that's the point): `(c_id, n_vecs, r_q, n_cells, n_empty,
+    * imb_q)`, the three globals repeated per row (nlist-sized frame).
+    *
+    * Scale shape: one [[ivfAssign]] pass (one exchange row per
+    * vector — persisted index state in a real system), a map-side-
+    * combined count onto nlist keys, and nlist-row windows. */
+  def ivfBalanceAudit(corpus: DataFrame, centroids: DataFrame,
+      dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(corpus.sparkSession)
+    val d = if (dim > 0) dim else inferDim(corpus)
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val cells = ivfAssign(corpus, centroids, d).select(col("n_id"), col("c_id"))
+    val cellIds = centroids
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("vec_id").as("c_id"))
+    cellIds
+      .join(cells.groupBy(col("c_id")).agg(count(lit(1)).as("n_vecs")),
+        Seq("c_id"), "left")
+      .select(col("c_id"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .withColumn("n_total", sum(col("n_vecs")).over(whole))
+      .withColumn("n_cells", count(lit(1)).over(whole))
+      .withColumn("n_empty",
+        sum(when(col("n_vecs") === 0L, lit(1L)).otherwise(lit(0L))).over(whole))
+      .withColumn("r_q", expr(
+        """CASE WHEN n_total = 0 THEN CAST(0 AS BIGINT)
+          |ELSE ((n_vecs * 1024) DIV n_total) * 1024
+          |  + (((n_vecs * 1024) % n_total) * 1024) DIV n_total
+          |END""".stripMargin))
+      .withColumn("__s2", sum(col("r_q") * col("r_q")).over(whole))
+      .withColumn("imb_q", expr("CAST((n_cells * __s2) DIV 1048576 AS BIGINT)"))
+      .select(col("c_id"), col("n_vecs"), col("r_q"), col("n_cells"),
+        col("n_empty"), col("imb_q"))
+  }
+
   /** IVFADC+R — the re-ranked serving composition (Jégou et al. 2011
     * §V's "re-ranking with source coding" step, the FAISS
     * `IndexRefineFlat` shape): take an [[ivfAdcTopK]] SHORTLIST of

@@ -67,4 +67,38 @@ object ClassifierOracle {
        |FROM mem m LEFT JOIN per ON per.doc_id = m.doc_id, consts c
        |WHERE NOT m.is_tr""".stripMargin
   }
+
+  /** q147 mirror of [[graft.operators.Classifier.operatingPoints]]:
+    * the [[sql]] sheet reduced to (score_q, actual), exact decile
+    * thresholds (percentile_disc ≡ multiQuantileDisc, the q60 pin),
+    * distinct non-null thresholds, integer confusion counts and the
+    * −1.0-guarded IEEE precision/recall divisions. */
+  def operatingPointsSql(positiveSql: String, trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): String = {
+    val edges = (1 until 10).map { i =>
+      val q = (BigDecimal(i) / BigDecimal(10)).toString
+      s"percentile_disc($q) WITHIN GROUP (ORDER BY score_q) AS e$i"
+    }.mkString(",\n       |    ")
+    val list = (1 until 10).map(i => s"e$i").mkString(", ")
+    s"""WITH s AS MATERIALIZED (SELECT score_q, actual FROM (
+       |${sql(positiveSql, trainPermille, buckets, salt)}
+       |) t),
+       |cut AS (SELECT $edges
+       |  FROM s),
+       |thr AS (SELECT DISTINCT u.thr_q
+       |  FROM (SELECT unnest([$list]) AS thr_q FROM cut) u
+       |  WHERE u.thr_q IS NOT NULL),
+       |agg AS (SELECT thr.thr_q,
+       |    CAST(sum(CASE WHEN actual = 1 AND score_q >= thr_q THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN actual = 0 AND score_q >= thr_q THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN actual = 1 AND score_q < thr_q THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN actual = 0 AND score_q < thr_q THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM s, thr GROUP BY thr.thr_q)
+       |SELECT thr_q, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp = 0 THEN -1.0
+       |    ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+       |  CASE WHEN tp + fn = 0 THEN -1.0
+       |    ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+       |FROM agg""".stripMargin
+  }
 }

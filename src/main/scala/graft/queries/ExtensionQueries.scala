@@ -3292,7 +3292,79 @@ object ExtensionQueries {
         |expression; ONE map-side-combined aggregation onto ≤ 10
         |keys; the windows sort 10 rows.""".stripMargin,
       (s, d) => graft.operators.Drift.lengthPsi(Tables.documents(s, d)),
-      Some(PsiOracle.sql()))
+      Some(PsiOracle.sql())),
+
+    QuerySpec(
+      "q145_source_overlap",
+      """Cross-source duplication matrix ([[graft.operators.Dedup
+        |.sourceOverlapMatrix]]) — the provenance report a curation
+        |team reads off the near-dup pair graph: per unordered SOURCE
+        |pair, how many q28 near-dup pairs connect a document of one
+        |source to one of the other. The diagonal is each source's
+        |internal duplication mass; a heavy off-diagonal cell names
+        |the two feeds syndicating the same content — the signal that
+        |drops a redundant source BEFORE paying its processing cost
+        |(the RefinedWeb/C4 practice of auditing WHERE duplication
+        |comes from, not just how much). Null sources fold to '' on
+        |both engines; BIGINT counts over the q28-pinned pair set →
+        |bitwise oracle. Scale shape: the pair frame is
+        |LSH-band-bounded; the (doc_id, source) projection joins
+        |id-keyed onto it twice; the closing aggregation collapses
+        |map-side onto ≤ sources² keys. Corpus text is touched only
+        |inside the audited q28 kernel.""".stripMargin,
+      (s, d) => graft.operators.Dedup.sourceOverlapMatrix(Tables.documents(s, d)),
+      Some(MinhashOracle.sourceOverlapSql())),
+
+    QuerySpec(
+      "q146_ivf_balance",
+      """IVF index-balance audit ([[graft.operators.Similarity
+        |.ivfBalanceAudit]]) — FAISS's imbalance_factor as a
+        |relational health sheet: per cell its vector count and exact
+        |fixed-point occupancy rate (the q144 two-step kernel), plus
+        |the globals an index operator watches — cell count, EMPTY
+        |cell count (wasted nlist budget), and imb_q = nlist·Σp_i²
+        |(1 = balanced; k means probe cost behaves like nlist/k
+        |effective cells). Serving cost is driven by the largest
+        |probed cells, so a drifting imbalance factor is the
+        |re-train/re-balance trigger — the q82 drift report says WHERE
+        |vectors moved; this says what the skew costs. Σr_q² ≤ 2^40
+        |whatever nlist is (rates sum to ≤ 2^20), so the integer
+        |factor is safe at any index size. All-BIGINT → bitwise
+        |oracle. Scale shape: one ivfAssign pass (one exchange row
+        |per vector — persisted index state in a real system), a
+        |map-side-combined count onto nlist keys, nlist-row
+        |windows.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Similarity.ivfBalanceAudit(
+          e, e.filter(col("vec_id") < 16), dim = 64)
+      },
+      Some(IvfOracle.balanceSql(nlist = 16, dim = 64))),
+
+    QuerySpec(
+      "q147_classifier_pr",
+      """Classifier operating-point sheet ([[graft.operators
+        |.Classifier.operatingPoints]]) — the threshold-picking report
+        |a deployment reads before wiring q143's gate: the held-out
+        |scores swept at their own exact DECILE thresholds (the
+        |q60-pinned percentile_disc kernel — data-driven cut
+        |candidates, not arbitrary constants), one row per distinct
+        |threshold with integer confusion counts (predict positive ⇔
+        |score_q ≥ thr_q) and precision/recall (−1.0 when undefined,
+        |the q90 idiom). GPT-3's appendix documents exactly this knob;
+        |this sheet is how the cut gets chosen with evidence.
+        |Thresholds are SELECTED score values, counts BIGINT,
+        |precision/recall single IEEE divisions of exact integers —
+        |bitwise oracle. Scale shape: the 16-byte held-out score
+        |frame sweeps against ≤ 9 broadcast threshold rows (map-side
+        |row multiplication, map-side-combined collapse onto ≤ 9
+        |keys); the decile pass is one sort of the score
+        |frame.""".stripMargin,
+      (s, d) => graft.operators.Classifier.operatingPoints(
+        Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")),
+      Some(ClassifierOracle.operatingPointsSql(
+        "source IN ('src0','src1','src2','src3','src4')")))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -41,6 +41,42 @@ object IvfOracle {
          |  FROM sum$i GROUP BY c_id),""".stripMargin
     }.mkString("\n")
 
+  /** q146 mirror of [[graft.operators.Similarity.ivfBalanceAudit]]:
+    * the engine's ivfAssign validity filters replayed explicitly
+    * (non-null, right-length vectors on both sides), argmax-cell
+    * assignment, per-cell counts over ALL valid centroids (empty
+    * cells kept), the q144 two-step fixed-point rates, and the
+    * integer imbalance factor. */
+  def balanceSql(nlist: Int = 16, dim: Int = 64): String =
+    s"""WITH corp AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |cent AS (SELECT vec_id c_id, embedding::DOUBLE[] cv FROM embeddings
+       |  WHERE vec_id < $nlist AND embedding IS NOT NULL AND len(embedding) = $dim),
+       |assign AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT n_id, c_id, row_number() OVER (PARTITION BY n_id
+       |      ORDER BY list_cosine_similarity(v, cv) DESC, c_id ASC) rk
+       |    FROM corp, cent) t WHERE rk = 1),
+       |cnt AS (SELECT c.c_id,
+       |    CAST(coalesce(a.n, 0) AS BIGINT) AS n_vecs
+       |  FROM cent c LEFT JOIN (
+       |    SELECT c_id, count(*) n FROM assign GROUP BY c_id) a USING (c_id)),
+       |tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+       |    CAST(count(*) AS BIGINT) AS n_cells,
+       |    CAST(sum(CASE WHEN n_vecs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+       |  FROM cnt),
+       |rb AS (SELECT c_id, n_vecs,
+       |    CAST(CASE WHEN n_total = 0 THEN 0
+       |      ELSE ((n_vecs * 1024) // n_total) * 1024
+       |        + (((n_vecs * 1024) % n_total) * 1024) // n_total
+       |      END AS BIGINT) AS r_q,
+       |    n_cells, n_empty
+       |  FROM cnt, tt),
+       |s2 AS (SELECT CAST(sum(r_q * r_q) AS BIGINT) AS s FROM rb)
+       |SELECT rb.c_id, rb.n_vecs, rb.r_q, rb.n_cells, rb.n_empty,
+       |  CAST((rb.n_cells * s2.s) // 1048576 AS BIGINT) AS imb_q
+       |FROM rb, s2""".stripMargin
+
   def sql(nlist: Int = 16, nprobe: Int = 4, k: Int = 5, qBound: Long = 8,
       iters: Int = 0, dim: Int = 64): String = {
     val refine = refineChain(iters, dim)

@@ -76,6 +76,22 @@ object MinhashOracle {
     s"""WITH ${chainFrom(DocsCte, numHashes, rowsPerBand)}
        |${jaccSelect(threshold)}""".stripMargin
 
+  /** q145 mirror of [[graft.operators.Dedup.sourceOverlapMatrix]]:
+    * the shared q28 pair chain closed by the unordered source-pair
+    * census (null sources folded to ''). */
+  def sourceOverlapSql(numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): String =
+    s"""WITH ${chainFrom(DocsCte, numHashes, rowsPerBand)},
+       |prs AS (
+       |${jaccSelect(threshold)})
+       |SELECT least(coalesce(da.source, ''), coalesce(db.source, '')) AS src_a,
+       |  greatest(coalesce(da.source, ''), coalesce(db.source, '')) AS src_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM prs
+       |JOIN documents da ON da.doc_id = prs.a_id
+       |JOIN documents db ON db.doc_id = prs.b_id
+       |GROUP BY 1, 2""".stripMargin
+
   /** Mirror of [[graft.operators.Dedup.paragraphNearDupPairs]]: the
     * shared chain over packed token-block units, unpacked to
     * (a_doc, a_para, b_doc, b_para, jacc), cross-document only. */

@@ -81,6 +81,34 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("operating points: perfect separation shows a perfect threshold; counts recompute") {
+    val out = Classifier.operatingPoints(planted, col("source") === "good")
+      .collect().map(r => (r.getAs[Long]("thr_q"),
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          r.getAs[Long]("tn"), r.getAs[Double]("precision"), r.getAs[Double]("recall"))))
+      .toMap
+    assert(out.nonEmpty && out.size <= 9)
+    // recompute every row from the score sheet directly
+    val sheet = Classifier.nbQualityScores(planted, col("source") === "good")
+      .select("score_q", "actual").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    out.foreach { case (t, (tp, fp, fn, tn, prec, rec)) =>
+      assert(tp == sheet.count(s => s._2 == 1 && s._1 >= t), s"tp at $t")
+      assert(fp == sheet.count(s => s._2 == 0 && s._1 >= t), s"fp at $t")
+      assert(fn == sheet.count(s => s._2 == 1 && s._1 < t), s"fn at $t")
+      assert(tn == sheet.count(s => s._2 == 0 && s._1 < t), s"tn at $t")
+      if (tp + fp > 0) assert(prec == tp.toDouble / (tp + fp))
+      if (tp + fn > 0) assert(rec == tp.toDouble / (tp + fn))
+    }
+    // disjoint vocabularies separate perfectly: some threshold sits
+    // between the classes (precision 1 at full recall)
+    assert(out.values.exists { case (_, _, _, _, p, r) => p == 1.0 && r == 1.0 },
+      s"no perfect operating point in $out")
+    // sweep monotonicity: tp never grows as the threshold rises
+    val byThr = out.toSeq.sortBy(_._1).map(_._2._1)
+    assert(byThr.zip(byThr.tail).forall { case (a, b) => b <= a })
+  }
+
   test("parameter bounds throw") {
     assertThrows[IllegalArgumentException] {
       Classifier.nbQualityScores(planted, col("source") === "good",

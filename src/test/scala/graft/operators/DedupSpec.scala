@@ -31,6 +31,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Double]("jacc") > 0.9)
   }
 
+  test("source overlap matrix attributes planted duplication to the right source pairs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val other = (100 to 160).map(i => s"word$i").mkString(" ")
+    val third = (200 to 260).map(i => s"text$i").mkString(" ")
+    // srcA↔srcB syndicate `base`; srcC self-duplicates `other`; a
+    // null-source doc duplicates `third` against srcC (null folds '')
+    val d = Seq(
+      (1L, base, "srcA"), (2L, base, "srcB"),
+      (3L, other, "srcC"), (4L, other, "srcC"),
+      (5L, third, null.asInstanceOf[String]), (6L, third, "srcC"),
+      (7L, (300 to 360).map(i => s"u$i").mkString(" "), "srcA"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlapMatrix(d).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(out == Map(("srcA", "srcB") -> 1L, ("srcC", "srcC") -> 1L,
+      ("", "srcC") -> 1L), s"got $out")
+  }
+
   test("minhash recall audit buckets planted pairs at graded jaccard and scores the bands") {
     // Pairs built by shared-prefix construction: n tokens → n−2 distinct
     // 3-gram shingles; sharing an m-token prefix shares m−2 shingles, so

@@ -101,6 +101,20 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(Drift.lengthPsi(_))
   }
 
+  test("source overlap matrix is partition-invariant") {
+    invariant(Dedup.sourceOverlapMatrix(_))
+  }
+
+  test("classifier operating points are partition-invariant") {
+    invariant(Classifier.operatingPoints(_,
+      col("source").isin("src0", "src1", "src2", "src3", "src4")))
+  }
+
+  test("IVF balance audit is partition-invariant") {
+    invariantEmb(e =>
+      Similarity.ivfBalanceAudit(e, e.filter(col("vec_id") < 16), dim = 64))
+  }
+
   test("NB quality classifier is partition-invariant") {
     // model sheet, priors and normalizers all retrain from the
     // permuted corpus: the WHOLE split→train→score chain must be a

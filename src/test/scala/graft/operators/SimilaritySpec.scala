@@ -441,6 +441,45 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"recall@5: flat pq=$meanPq%.2f ivfadc(nprobe=4/16)=$meanIv%.2f")
   }
 
+  test("IVF balance audit: hand geometry pins counts, empty cells and the imbalance factor") {
+    // 2 centroids on orthogonal axes; 8 extra corpus vectors hug
+    // axis 0 -> cell 0 holds 9 of 10 (its centroid + the 8), cell 1
+    // keeps only its own centroid vector: a 9-vs-1 skew whose exact
+    // rates and imbalance factor recompute below
+    def axis(i: Int, scale: Double) = Array.tabulate(4)(j => if (j == i) scale.toFloat else 0.01f)
+    val cents = Seq(0L -> axis(0, 1.0), 1L -> axis(1, 1.0))
+    val corpus = (cents ++ (10L until 18L).map(i => i -> axis(0, 2.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfBalanceAudit(corpus,
+      corpus.filter(col("vec_id") < 2), dim = 4).collect()
+      .map(r => r.getAs[Long]("c_id") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("r_q"), r.getAs[Long]("n_cells"),
+          r.getAs[Long]("n_empty"), r.getAs[Long]("imb_q")))).toMap
+    assert(out.size == 2)
+    // centroid 1's own vector is on axis 1 -> cell 1 keeps exactly it
+    val (n0, r0, c0, e0, i0) = out(0L)
+    val (n1, r1, _, _, _) = out(1L)
+    assert(n0 + n1 == 10L && c0 == 2L)
+    assert(n1 == 1L && e0 == 0L)
+    // recompute the exact two-step rates and the factor
+    def rate(c: Long, n: Long) = (c * 1024 / n) * 1024 + ((c * 1024 % n) * 1024) / n
+    assert(r0 == rate(n0, 10L) && r1 == rate(n1, 10L))
+    assert(i0 == 2L * (r0 * r0 + r1 * r1) / 1048576L)
+    info(s"imbalance factor = ${i0 / 1048576.0} (skewed 9-vs-1 over 2 cells)")
+  }
+
+  test("IVF balance audit: a balanced index reads factor ~1 and zero empty cells") {
+    val e = Tables.embeddings(spark, sf001)
+    val out = Similarity.ivfBalanceAudit(e, e.filter(col("vec_id") < 16), dim = 64)
+      .collect()
+    assert(out.length == 16)
+    val total = out.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == e.filter(col("embedding").isNotNull).count())
+    val imb = out.head.getAs[Long]("imb_q") / 1048576.0
+    info(f"driver-embedding imbalance factor at nlist=16: $imb%.2f")
+    assert(imb >= 1.0 - 1e-3, "factor is >= 1 by Cauchy-Schwarz")
+  }
+
   test("IVFADC+R equals the exact-cosine re-sort of its ADC shortlist (direct recompute)") {
     val e = Tables.embeddings(spark, sf001)
     val q = e.filter(col("vec_id") < 8)
