@@ -151,6 +151,84 @@ object Classifier {
           .as("recall"))
   }
 
+  /** The classifier's reliability (calibration) sheet — the
+    * rank-calibration readout a deployment reads BESIDE the
+    * [[operatingPoints]] sweep: held-out scores binned by their own
+    * exact decile edges (the q60-pinned [[Quantiles.multiQuantileDisc]]
+    * selection, the q144 binning kernel), and per bin the empirical
+    * positive rate. A threshold gate needs the score to be
+    * RANK-calibrated — higher score band ⇒ higher true-positive
+    * rate — and NB is notoriously over-confident in probability space
+    * (Niculescu-Mizil & Caruana 2005), so the per-band empirical rate,
+    * not the sigmoid of the score, is the evidence that score order
+    * can be trusted; the per-bin `mono` flag marks exactly the bands
+    * where the reliability curve inverts (DeGroot & Fienberg 1983's
+    * reliability diagram as a relational sheet).
+    *
+    * Determinism: bin edges are SELECTED existing score values;
+    * counts are BIGINTs; `rate_q` is the exact two-step fixed-point
+    * `floor(n_pos·2^20 / n)` (the q144 rate kernel — exact for any
+    * n_pos ≤ n < 2^53); `mono` compares each non-empty band's BIGINT
+    * rate against the LAST non-empty band below it. The whole sheet
+    * oracles bitwise. Empty bins (score ties collapsing a decile
+    * edge) report n = 0, NULL score bounds, rate −1 (the q90
+    * undefined idiom) and mono = 1 — an empty band can't invert the
+    * curve, and skipping it keeps the flag meaningful across the
+    * gap.
+    *
+    * Output: exactly `bins` rows —
+    * `(bin, n, n_pos, min_s, max_s, rate_q, mono)`.
+    *
+    * Scale shape (100 TB): the held-out score frame (16-byte rows)
+    * crosses ONE broadcast edge row; binning is a ≤ 9-comparison
+    * map-side expression; counts collapse map-side onto ≤ `bins`
+    * keys, and everything after the single exchange — including the
+    * two unpartitioned windows — touches `bins` rows. */
+  def calibrationSheet(docs: DataFrame, positive: Column,
+      textCol: String = "text", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft",
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val scores = Dedup.materialize(
+      nbQualityScores(docs, positive, textCol, trainPermille, buckets, salt)
+        .select(col("score_q"), col("actual")))
+    val qs = (1 until bins).map { i =>
+      s"e$i" -> (BigDecimal(i) / BigDecimal(bins)).toDouble
+    }
+    val edges = Quantiles.multiQuantileDisc(
+        scores.withColumn("__g", lit(0L)), "__g", "score_q", qs)
+      .agg(qs.map { case (n, _) => max(col(n)).as(n) }.head,
+        qs.map { case (n, _) => max(col(n)).as(n) }.tail: _*)
+    val binOf = qs.map { case (n, _) =>
+      when(col("score_q") > col(n), lit(1L)).otherwise(lit(0L)) }.reduce(_ + _)
+    val counts = scores.crossJoin(broadcast(edges))
+      .select(binOf.as("bin"), col("score_q"), col("actual"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(col("actual")).as("n_pos"),
+        min(col("score_q")).as("min_s"),
+        max(col("score_q")).as("max_s"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("bin"))
+    docs.sparkSession.range(0, bins).toDF("bin")
+      .select(col("bin").cast("long").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        col("min_s"), col("max_s"))
+      .withColumn("rate_q", expr(
+        """CASE WHEN n = 0 THEN CAST(-1 AS BIGINT)
+          |ELSE ((n_pos * 1024) DIV n) * 1024 + (((n_pos * 1024) % n) * 1024) DIV n
+          |END""".stripMargin))
+      .withColumn("__pr", last(when(col("n") > 0L, col("rate_q")), ignoreNulls = true)
+        .over(ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("mono",
+        when(col("n") === 0L || col("__pr").isNull
+          || col("__pr") <= col("rate_q"), lit(1L)).otherwise(lit(0L)))
+      .drop("__pr")
+  }
+
   /** The shared split → hashed-bigram → per-(doc, bucket) count →
     * model-sheet chain: returns (meta, hb, sheet, consts). */
   private def parts(docs: DataFrame, positive: Column, textCol: String,

@@ -602,6 +602,74 @@ object Similarity {
         (col("n_hits") / lit(k.toDouble)).as("recall"))
   }
 
+  /** Prefix-dimension (Matryoshka) recall audit — the
+    * dimension-TRUNCATION member of the audit family beside
+    * [[annRecallAudit]] (index approximation) and [[pqRecallAudit]]
+    * (code compression): per query vector and prefix length `dp`, how
+    * many of the EXACT full-dimension top-k survive when ranking by
+    * cosine over only the FIRST dp components. Matryoshka
+    * representation learning (Kusupati et al. 2022) trains embeddings
+    * whose prefixes are themselves usable — serving then truncates to
+    * dp dims for a dim/64-sized index and dp/64 of the scan cost —
+    * and THIS sheet is the evidence a given corpus's embeddings
+    * tolerate that: recall@k per candidate dp is exactly the number
+    * the serving-dimension decision pins to. The full-dimension arm
+    * (dp = dim) is included deliberately: its recall is 1.0 by
+    * construction (identical cosines, identical tiebreak), pinning
+    * the audit chain itself.
+    *
+    * Output `(q_id, method, n_returned, n_hits, recall)` — the q117
+    * sheet shape with method = "d<dp>"; recall = n_hits/k divides two
+    * identical integers by an identical literal, IEEE-identical on
+    * both engines. Zero-norm prefixes (a vector whose first dp
+    * components are all zero has no direction at that truncation) are
+    * excluded from that arm on both sides, mirrored by the oracle.
+    *
+    * Scale shape: the exact arm is the documented O(|q|·corpus) audit
+    * slice (|q| small by construction); each prefix arm re-ranks the
+    * same broadcast-query crossing with a dp-prefix dot — the corpus
+    * side explodes to |dims| 8·dp-byte prefix rows per vector, scanned
+    * once; the closing join touches q·k·|dims| rows. */
+  def prefixRecallAudit(queries: DataFrame, corpus: DataFrame, k: Int,
+      dims: Seq[Int] = Seq(8, 16, 32, 64), dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(queries.sparkSession)
+    require(k > 0, s"k must be positive, got $k")
+    require(dims.nonEmpty, "dims must be non-empty")
+    val d = if (dim > 0) dim else inferDim(corpus)
+    require(dims.forall(dp => dp > 0 && dp <= d),
+      s"every prefix length must be in [1, $d], got $dims")
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    def arms(df: DataFrame, idAs: String, vAs: String, nAs: String) =
+      df.filter(col("embedding").isNotNull && size(col("embedding")) === d)
+        .select(col("vec_id").as(idAs),
+          col("embedding").cast("array<double>").as("__v"))
+        .select(col(idAs), explode(array(dims.map(dp =>
+          struct(lit(dp.toLong).as("dp"),
+            slice(col("__v"), 1, dp).as("pv"))): _*)).as("e"))
+        .select(col(idAs), col("e.dp").as("dp"), col("e.pv").as(vAs))
+        .withColumn(nAs, sqrt(dot(col(vAs), col(vAs))))
+        .filter(col(nAs) > 0.0)
+    val q = arms(queries, "q_id", "q_v", "q_n")
+    val c = arms(corpus, "n_id", "n_v", "n_n")
+    val w = Window.partitionBy(col("q_id"), col("dp"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val pref = c.join(broadcast(q), "dp")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("dp"), col("n_id"),
+        (dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    pref.join(exact, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"), col("dp"))
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .select(col("q_id"),
+        concat(lit("d"), col("dp").cast("string")).as("method"),
+        col("n_returned"), col("n_hits"),
+        (col("n_hits") / lit(k.toDouble)).as("recall"))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ) — the COMPRESSION member of the ANN
   // family (Jégou/Douze/Schmid 2011). At 100 TB the index cannot hold

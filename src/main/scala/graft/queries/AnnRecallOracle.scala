@@ -47,6 +47,44 @@ object AnnRecallOracle {
        |FROM appr a LEFT JOIN exact e ON e.q_id = a.q_id AND e.n_id = a.n_id
        |GROUP BY a.q_id, a.method""".stripMargin
 
+  /** q149 mirror of [[graft.operators.Similarity.prefixRecallAudit]]:
+    * the exact arm shared with q30/q117, one prefix-ranked arm per
+    * truncation length (list slices `v[1:dp]`, the same
+    * `list_cosine_similarity` chain, zero-norm prefixes excluded on
+    * both sides), closed by the per-(query, method) hit count. */
+  def prefixSql(dims: Seq[Int] = Seq(8, 16, 32, 64), k: Int = 5,
+      qBound: Long = 8): String = {
+    val armCtes = dims.map { dp =>
+      s"""arm$dp AS (SELECT q_id, n_id, 'd$dp' AS method FROM (
+         |  SELECT q_id, n_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY list_cosine_similarity(qv, nv) DESC, n_id ASC) AS BIGINT) AS rank
+         |  FROM (SELECT q.q_id, c.n_id, q.v[1:$dp] AS qv, c.v[1:$dp] AS nv
+         |        FROM q, c WHERE q.q_id <> c.n_id
+         |          AND list_dot_product(q.v[1:$dp], q.v[1:$dp]) > 0
+         |          AND list_dot_product(c.v[1:$dp], c.v[1:$dp]) > 0) p
+         |  ) r WHERE rank <= $k)""".stripMargin
+    }.mkString(",\n")
+    val armUnion = dims.map(dp =>
+      s"SELECT q_id, n_id, method FROM arm$dp").mkString("\n         UNION ALL ")
+    s"""WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < $qBound),
+       |c AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings),
+       |exact AS (SELECT q_id, n_id FROM (
+       |  SELECT q.q_id, c.n_id,
+       |    CAST(row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.n_id ASC) AS BIGINT) AS rank
+       |  FROM q, c WHERE q.q_id <> c.n_id) t
+       |  WHERE rank <= $k),
+       |$armCtes,
+       |appr AS ($armUnion)
+       |SELECT a.q_id, a.method,
+       |  CAST(count(*) AS BIGINT) AS n_returned,
+       |  CAST(coalesce(sum(CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(sum(CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) / $k AS recall
+       |FROM appr a LEFT JOIN exact e ON e.q_id = a.q_id AND e.n_id = a.n_id
+       |GROUP BY a.q_id, a.method""".stripMargin
+  }
+
   /** q135 mirror of [[graft.operators.Similarity.rrfFusionTopK]]:
     * the three arm rankings replayed by their own generators (lsh /
     * refined-IVF / PQ ADC at the shipped q46/q49/q130 parameters),

@@ -68,6 +68,53 @@ object ClassifierOracle {
        |WHERE NOT m.is_tr""".stripMargin
   }
 
+  /** q148 mirror of [[graft.operators.Classifier.calibrationSheet]]:
+    * the [[sql]] sheet reduced to (score_q, actual), exact decile bin
+    * edges (percentile_disc ≡ multiQuantileDisc, the q60 pin), the
+    * ≤ 9-comparison bin expression, per-bin counts/bounds with empty
+    * bins ranged in (the q144 idiom), the exact two-step fixed-point
+    * positive rate, and the adjacent-rate `mono` flag. */
+  def calibrationSql(positiveSql: String, trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft",
+      bins: Int = 10): String = {
+    val edgeDefs = (1 until bins).map { i =>
+      val q = (BigDecimal(i) / BigDecimal(bins)).toString
+      s"percentile_disc($q) WITHIN GROUP (ORDER BY score_q) AS e$i"
+    }.mkString(",\n       |    ")
+    val binExpr = (1 until bins).map { i =>
+      s"CASE WHEN score_q > e$i THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH s AS MATERIALIZED (SELECT score_q, actual FROM (
+       |${sql(positiveSql, trainPermille, buckets, salt)}
+       |) t),
+       |cut AS (SELECT $edgeDefs
+       |  FROM s),
+       |bn AS (SELECT CAST($binExpr AS BIGINT) AS bin, score_q, actual
+       |  FROM s, cut),
+       |cnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(actual) AS BIGINT) AS n_pos,
+       |    CAST(min(score_q) AS BIGINT) AS min_s,
+       |    CAST(max(score_q) AS BIGINT) AS max_s
+       |  FROM bn GROUP BY bin),
+       |ab AS (SELECT CAST(t.i AS BIGINT) AS bin FROM range(0, $bins) t(i)),
+       |cc AS (SELECT ab.bin, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+       |    CAST(coalesce(cnt.n_pos, 0) AS BIGINT) AS n_pos,
+       |    cnt.min_s, cnt.max_s
+       |  FROM ab LEFT JOIN cnt USING (bin)),
+       |r AS (SELECT bin, n, n_pos, min_s, max_s,
+       |    CAST(CASE WHEN n = 0 THEN -1
+       |      ELSE ((n_pos * 1024) // n) * 1024 + (((n_pos * 1024) % n) * 1024) // n
+       |      END AS BIGINT) AS rate_q
+       |  FROM cc),
+       |pr AS (SELECT *, last_value(CASE WHEN n > 0 THEN rate_q END IGNORE NULLS)
+       |    OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_r
+       |  FROM r)
+       |SELECT bin, n, n_pos, min_s, max_s, rate_q,
+       |  CAST(CASE WHEN n = 0 OR prev_r IS NULL OR prev_r <= rate_q
+       |    THEN 1 ELSE 0 END AS BIGINT) AS mono
+       |FROM pr""".stripMargin
+  }
+
   /** q147 mirror of [[graft.operators.Classifier.operatingPoints]]:
     * the [[sql]] sheet reduced to (score_q, actual), exact decile
     * thresholds (percentile_disc ≡ multiQuantileDisc, the q60 pin),

@@ -3103,7 +3103,10 @@ object ExtensionQueries {
         |split) probes its nprobe highest-cosine cells of the STANDING
         |IVF index (centroids trained on the train side only — the q82
         |standing-index convention) and flags train vectors at
-        |cosine ≥ 0.5. One row per flagged train vector: hit count,
+        |cosine ≥ 0.35 (the threshold is caller-chosen; on the
+        |synthetic driver corpus 0.35 sits in the far tail of the
+        |cross-pair cosine distribution, so the report stays small
+        |and non-empty at every test SF). One row per flagged train vector: hit count,
         |max cosine (quantized per-pair floor(·2^20) BEFORE the max —
         |integer-exact sheet), and the closest eval item as reviewable
         |evidence (ties → min id). Cross-cell misses are the measured
@@ -3119,10 +3122,10 @@ object ExtensionQueries {
         val refined = Similarity.kmeansIterate(train,
           train.filter(col("vec_id") < 16), iters = 2, dim = 64)
         graft.operators.Decontaminate.semanticContaminationReport(
-          e, refined, threshold = 0.5, nprobe = 4, evalPermille = 100, dim = 64)
+          e, refined, threshold = 0.35, nprobe = 4, evalPermille = 100, dim = 64)
       },
       Some(IvfOracle.semanticContaminationSql(nlist = 16, iters = 2, dim = 64,
-        threshold = 0.5, nprobe = 4, evalPermille = 100))),
+        threshold = 0.35, nprobe = 4, evalPermille = 100))),
 
     QuerySpec(
       "q139_sq8_audit",
@@ -3364,7 +3367,60 @@ object ExtensionQueries {
         Tables.documents(s, d),
         col("source").isin("src0", "src1", "src2", "src3", "src4")),
       Some(ClassifierOracle.operatingPointsSql(
-        "source IN ('src0','src1','src2','src3','src4')")))
+        "source IN ('src0','src1','src2','src3','src4')"))),
+
+    QuerySpec(
+      "q148_classifier_calibration",
+      """Classifier reliability (calibration) sheet ([[graft.operators
+        |.Classifier.calibrationSheet]]) — the rank-calibration readout
+        |read beside q147's threshold sweep: held-out scores binned by
+        |their own exact decile edges (the q60-pinned percentile_disc
+        |kernel, the q144 binning expression), per bin the integer
+        |counts, observed score bounds and the EXACT fixed-point
+        |positive rate (the q144 two-step rate kernel), plus a `mono`
+        |flag marking where the reliability curve inverts. A threshold
+        |gate needs rank-calibration — higher score band ⇒ higher true
+        |positive rate — and NB is notoriously over-confident in
+        |probability space (Niculescu-Mizil & Caruana 2005), so the
+        |per-band EMPIRICAL rate is the evidence score order can be
+        |trusted (DeGroot & Fienberg 1983's reliability diagram as a
+        |relational sheet). All-BIGINT → bitwise oracle. Scale shape:
+        |the 16-byte held-out score frame crosses ONE broadcast edge
+        |row; binning is a ≤ 9-comparison map-side expression; counts
+        |collapse map-side onto ≤ bins keys; the windows after the
+        |single exchange sort `bins` rows.""".stripMargin,
+      (s, d) => graft.operators.Classifier.calibrationSheet(
+        Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")),
+      Some(ClassifierOracle.calibrationSql(
+        "source IN ('src0','src1','src2','src3','src4')"))),
+
+    QuerySpec(
+      "q149_prefix_recall",
+      """Prefix-dimension (Matryoshka) recall audit ([[graft.operators
+        |.Similarity.prefixRecallAudit]], Kusupati et al. 2022) — the
+        |dimension-TRUNCATION member of the audit family beside q117
+        |(index approximation) and q131 (code compression): per query
+        |and prefix length dp ∈ {8,16,32,64}, how many of the exact
+        |full-dimension top-k survive when ranking by cosine over only
+        |the FIRST dp components. MRL-style serving truncates the
+        |embedding for a dp/64-sized index and scan cost; this sheet
+        |is the evidence a corpus tolerates that, and the dp = 64 arm
+        |is the audit's own pin (recall 1.0 by construction —
+        |identical cosines, identical tiebreak). The q117 sheet shape
+        |(method = 'd<dp>'); recall divides two identical integers by
+        |an identical literal — IEEE-identical. Zero-norm prefixes are
+        |excluded from that arm on both sides. Scale shape: exact arm
+        |= the documented O(|q|·corpus) audit slice; prefix arms scan
+        ||dims| 8·dp-byte prefix rows per vector once against the
+        |broadcast query side; the closing join touches q·k·|dims|
+        |rows.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Similarity.prefixRecallAudit(
+          e.filter(col("vec_id") < 8), e, k = 5, dim = 64)
+      },
+      Some(AnnRecallOracle.prefixSql()))
   )
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -109,6 +109,63 @@ class ClassifierSpec extends AnyFunSuite {
     assert(byThr.zip(byThr.tail).forall { case (a, b) => b <= a })
   }
 
+  test("calibration sheet: planted separation is perfectly rank-calibrated; counts recompute") {
+    val out = Classifier.calibrationSheet(planted, col("source") === "good")
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(out.length == 10, s"expected 10 bins, got ${out.length}")
+    // recompute every bin from the score sheet directly
+    val sheet = Classifier.nbQualityScores(planted, col("source") === "good")
+      .select("score_q", "actual").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_.getAs[Long]("n")).sum == sheet.length, "total count")
+    assert(out.map(_.getAs[Long]("n_pos")).sum == sheet.count(_._2 == 1L), "total positives")
+    out.filter(_.getAs[Long]("n") > 0).foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("min_s"), r.getAs[Long]("max_s"))
+      val inBand = sheet.filter(s => s._1 >= lo && s._1 <= hi)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+      assert(lo <= hi)
+      // the exact two-step rate recomputes
+      val (np, n) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n"))
+      val expect = ((np * 1024L) / n) * 1024L + (((np * 1024L) % n) * 1024L) / n
+      assert(r.getAs[Long]("rate_q") == expect, s"rate at bin ${r.getAs[Long]("bin")}")
+      assert(inBand.nonEmpty)
+    }
+    // disjoint vocabularies separate perfectly: the negative-class
+    // bands read rate 0, the positive bands rate 2^20, empty bands
+    // (score ties collapse decile edges on this 10-distinct-text
+    // fixture) read the −1 undefined idiom, and the reliability
+    // curve never inverts (every mono flag is 1)
+    val rates = out.filter(_.getAs[Long]("n") > 0).map(_.getAs[Long]("rate_q"))
+    assert(rates.toSet == Set(0L, 1048576L), s"rates: ${rates.toSeq}")
+    assert(out.filter(_.getAs[Long]("n") == 0)
+      .forall(_.getAs[Long]("rate_q") == -1L), "empty bands read -1")
+    assert(out.forall(_.getAs[Long]("mono") == 1L),
+      s"reliability inversion: ${out.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("rate_q"))).toSeq}")
+  }
+
+  test("calibration sheet: spoofed top band trips the mono flag") {
+    // plant an inversion: a FEW "spoof" docs speak vocabulary A (so
+    // NB scores them HIGHEST — twice the positive-vocab bigram mass
+    // of a genuine good doc) but carry a NEGATIVE label. Few enough
+    // (16 of 240) that their train-side mass cannot flip the
+    // vocab-A buckets' sign, so they still top the score order; the
+    // top band then reads a LOWER empirical positive rate than the
+    // pure-good bands below it — exactly the reliability inversion
+    // the sheet exists to surface — and its mono flag must read 0.
+    val a = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val spoof = (3000L until 3016L).map { i =>
+      val words = (0 until 25).map(j => a((i + j).toInt % a.size))
+      (i, words.mkString(" "), "spoof")
+    }
+    val docs = planted.union(spoof.toDF("doc_id", "text", "source"))
+    val out = Classifier.calibrationSheet(docs, col("source") === "good")
+      .collect().sortBy(_.getAs[Long]("bin"))
+    val top = out.last
+    assert(top.getAs[Long]("n") > 0)
+    assert(out.exists(_.getAs[Long]("mono") == 0L),
+      s"no inversion flagged: ${out.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("rate_q"), r.getAs[Long]("mono"))).toSeq}")
+  }
+
   test("parameter bounds throw") {
     assertThrows[IllegalArgumentException] {
       Classifier.nbQualityScores(planted, col("source") === "good",

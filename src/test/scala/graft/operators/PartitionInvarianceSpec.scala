@@ -110,9 +110,19 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       col("source").isin("src0", "src1", "src2", "src3", "src4")))
   }
 
+  test("classifier calibration sheet is partition-invariant") {
+    invariant(Classifier.calibrationSheet(_,
+      col("source").isin("src0", "src1", "src2", "src3", "src4")))
+  }
+
   test("IVF balance audit is partition-invariant") {
     invariantEmb(e =>
       Similarity.ivfBalanceAudit(e, e.filter(col("vec_id") < 16), dim = 64))
+  }
+
+  test("prefix recall audit is partition-invariant") {
+    invariantEmb(e => Similarity.prefixRecallAudit(
+      e.filter(col("vec_id") < 8), e, k = 5, dim = 64))
   }
 
   test("NB quality classifier is partition-invariant") {

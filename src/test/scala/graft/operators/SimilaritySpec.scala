@@ -233,6 +233,74 @@ class SimilaritySpec extends AnyFunSuite {
       nHits <= nRet && rec >= 0.0 && rec <= 1.0 })
   }
 
+  test("prefix recall audit: full-dimension arm reads exactly 1.0; counts recompute") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.filter(col("vec_id") < 8)
+    val out = Similarity.prefixRecallAudit(q, e, k = 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keys.map(_._1).toSet.size == 8 && out.size == 32,
+      "8 queries x 4 prefix arms")
+    // the dp = 64 arm ranks by the identical cosine chain: recall 1.0
+    // by construction — this pins the audit plumbing itself
+    for (qid <- 0L until 8L) {
+      val (nRet, nHits, rec) = out((qid, "d64"))
+      assert(nRet == 5L && nHits == 5L && rec == 1.0, s"d64 arm of q$qid")
+    }
+    // recompute the d16 arm directly from a hand-sliced ranking
+    val exact = Similarity.bruteForceTopK(q, e, 5).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sliced = e.select(col("vec_id"),
+      slice(col("embedding").cast("array<double>"), 1, 16).cast("array<float>").as("embedding"))
+    val d16 = Similarity.bruteForceTopK(
+      sliced.filter(col("vec_id") < 8), sliced, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    for ((qid, rows) <- d16.groupBy(_._1)) {
+      val hits = rows.count(exact)
+      val (nRet, nHits, rec) = out((qid, "d16"))
+      assert(nRet == rows.length && nHits == hits && rec == hits / 5.0,
+        s"d16 audit row of q$qid")
+    }
+    val means = Seq("d8", "d16", "d32").map { m =>
+      val rs = out.collect { case ((_, mm), (_, _, rec)) if mm == m => rec }
+      m -> rs.sum / rs.size
+    }
+    info(s"driver-corpus mean recall@5 by prefix: ${means.map { case (m, v) => f"$m=$v%.2f" }.mkString(" ")}")
+  }
+
+  test("prefix recall audit: signal-in-prefix reads 1.0 everywhere; signal-past-the-prefix zeroes the short arm") {
+    val rnd = new scala.util.Random(11)
+    // geometry A: ALL signal in the first 8 dims, zero tail — every
+    // prefix arm sees the whole vector, so every recall is 1.0
+    val a = (0L until 60L).map(i => i ->
+      (Array.fill(8)(rnd.nextGaussian()) ++ Array.fill(56)(0.0)).map(_.toFloat))
+      .toDF("vec_id", "embedding")
+    val outA = Similarity.prefixRecallAudit(
+      a.filter(col("vec_id") < 6), a, k = 3, dim = 64).collect()
+    assert(outA.length == 24)
+    assert(outA.forall(_.getAs[Double]("recall") == 1.0),
+      "zero-tail geometry: truncation loses nothing at any dp >= 8")
+    // geometry B: a COMMON direction fills the first 8 dims and every
+    // distinguishing coordinate lives in the tail; each query's true
+    // top-1 is its planted partner at a HIGH id. The d8 arm sees all
+    // pairs at the identical cosine and falls back to the id
+    // tiebreak — its recall@1 must be exactly 0; d64 reads 1.0.
+    val common = Array.fill(8)(1.0)
+    val base = (0L until 30L).map(i => i ->
+      (common ++ Array.fill(56)(rnd.nextGaussian())).map(_.toFloat))
+    val pert = base.map { case (i, v) =>
+      (i + 100L) -> v.map(x => x + 0.01f * rnd.nextGaussian().toFloat) }
+    val b = (base ++ pert).toDF("vec_id", "embedding")
+    val outB = Similarity.prefixRecallAudit(
+      b.filter(col("vec_id") < 6), b, k = 1, dim = 64)
+      .collect().map(r => (r.getString(1), r.getAs[Double]("recall")))
+    val d8 = outB.collect { case ("d8", rec) => rec }
+    val d64 = outB.collect { case ("d64", rec) => rec }
+    assert(d64.forall(_ == 1.0), "full arm must find the planted partner")
+    assert(d8.forall(_ == 0.0),
+      s"common-prefix geometry: d8 must collapse to the tiebreak, got ${d8.toSeq}")
+  }
+
   test("incremental semantic dedup freezes standing decisions (hand-built geometry)") {
     // One cell (single centroid). Standing: 20=(1,0,0) keeps,
     // 21=(1,.3,0) drops standing (cos .958 to 20). New batch:
