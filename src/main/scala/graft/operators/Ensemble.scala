@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Agreement analysis across the three quality-gate FAMILIES the
+  * engine ships — the ensemble readout the published pipelines tune
+  * with (Dolma's rule cascade, CCNet's LM buckets, GPT-3's supervised
+  * classifier are run TOGETHER in practice; Longpre et al. 2023
+  * documents how their kill sets interact): per unordered pair of
+  * signals, the integer confusion of their kill decisions over the
+  * held-out slice where all three are defined. The q141 co-fire
+  * matrix answers this WITHIN the rule family; this sheet answers it
+  * ACROSS families — a signal whose kills are a subset of another's
+  * adds no information to the cascade, and a near-zero both-kill cell
+  * says the families catch independent garbage (the evidence for
+  * keeping both).
+  *
+  * Signals (each from its own audited kernel, single-sourced with its
+  * q-number so the sheets cannot drift):
+  *  - `rules` — [[QualityRules.audit]] (q74): any precedence rule
+  *    fired (reason ≠ 'kept');
+  *  - `lm` — [[Phrases.lmQualityBuckets]] (q125): bucket ∈ {tail,
+  *    empty} (the CCNet drop band; empty = < 2 tokens dies anyway);
+  *  - `nb` — [[Classifier.nbQualityScores]] (q143): MAP-negative
+  *    (predicted = 0). The sheet is restricted to the classifier's
+  *    held-out scoring domain — the only slice where all three
+  *    signals exist honestly (train docs would score themselves).
+  *
+  * Determinism: every kill flag is a deterministic integer/string
+  * comparison over its family's bitwise-oracled sheet; the counts are
+  * BIGINTs; `agree_q` is the exact two-step fixed-point
+  * `floor((n_both_kill + n_neither)·2^20 / n)` (the q144 rate
+  * kernel, −1 when the joined slice is empty — the q90 idiom).
+  *
+  * Scale shape (100 TB): the three family kernels keep their own
+  * audited shapes; the join keys their doc_id-sized decision frames
+  * (16-byte rows — text never re-shuffles); the closing is ONE global
+  * aggregate of 24 boolean-pair sums collapsed map-side (a single row
+  * crosses the exchange), exploded driver-free into the 6-row
+  * sheet. */
+object Ensemble {
+
+  /** The signal names in declaration order — the single list
+    * [[gateAgreement]] and its oracle index. */
+  val SignalNames: Seq[String] = Seq("rules", "lm", "nb")
+
+  /** One row per unordered signal pair (diagonal included):
+    * `(sig_a, sig_b, n_both_kill, n_a_only, n_b_only, n_neither,
+    * agree_q)` — 6 rows at 3 signals. Diagonal rows read their
+    * signal's own kill count with zero one-sided cells and
+    * agree_q = 2^20. */
+  def gateAgreement(docs: DataFrame, positive: Column,
+      textCol: String = "text", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val nb = Classifier.nbQualityScores(
+        docs, positive, textCol, trainPermille, buckets, salt)
+      .select(col("doc_id"), (col("predicted") === 0L).as("k_nb"))
+    val lm = Phrases.lmQualityBuckets(docs, textCol)
+      .select(col("doc_id"), col("bucket").isin("tail", "empty").as("k_lm"))
+    val rl = QualityRules.audit(docs)
+      .select(col("doc_id"), (col("reason") =!= "kept").as("k_rules"))
+    val j = nb.join(lm, Seq("doc_id")).join(rl, Seq("doc_id"))
+    val kcol = Map("rules" -> col("k_rules"), "lm" -> col("k_lm"),
+      "nb" -> col("k_nb"))
+    val pairs = for {
+      i <- SignalNames.indices
+      jx <- i until SignalNames.size
+    } yield (SignalNames(i), SignalNames(jx))
+    val aggs = pairs.flatMap { case (a, b) => Seq(
+      sum(when(kcol(a) && kcol(b), 1L).otherwise(0L)).as(s"__bk|$a|$b"),
+      sum(when(kcol(a) && !kcol(b), 1L).otherwise(0L)).as(s"__ao|$a|$b"),
+      sum(when(!kcol(a) && kcol(b), 1L).otherwise(0L)).as(s"__bo|$a|$b"),
+      sum(when(!kcol(a) && !kcol(b), 1L).otherwise(0L)).as(s"__nn|$a|$b"))
+    }
+    j.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(col("__n"), explode(array(pairs.map { case (a, b) =>
+          struct(lit(a).as("sig_a"), lit(b).as("sig_b"),
+            col(s"__bk|$a|$b").as("n_both_kill"),
+            col(s"__ao|$a|$b").as("n_a_only"),
+            col(s"__bo|$a|$b").as("n_b_only"),
+            col(s"__nn|$a|$b").as("n_neither"))
+        }: _*)).as("e"))
+      .select(col("e.sig_a").as("sig_a"), col("e.sig_b").as("sig_b"),
+        col("e.n_both_kill").as("n_both_kill"),
+        col("e.n_a_only").as("n_a_only"),
+        col("e.n_b_only").as("n_b_only"),
+        col("e.n_neither").as("n_neither"),
+        (col("e.n_both_kill") + col("e.n_neither")).as("__ag"), col("__n"))
+      .withColumn("agree_q", expr(
+        """CASE WHEN __n = 0 THEN CAST(-1 AS BIGINT)
+          |ELSE ((__ag * 1024) DIV __n) * 1024 + (((__ag * 1024) % __n) * 1024) DIV __n
+          |END""".stripMargin))
+      .drop("__ag", "__n")
+  }
+}

@@ -3420,8 +3420,92 @@ object ExtensionQueries {
         graft.operators.Similarity.prefixRecallAudit(
           e.filter(col("vec_id") < 8), e, k = 5, dim = 64)
       },
-      Some(AnnRecallOracle.prefixSql()))
+      Some(AnnRecallOracle.prefixSql())),
+
+    QuerySpec(
+      "q150_gate_agreement",
+      """Cross-family quality-gate agreement matrix ([[graft.operators
+        |.Ensemble.gateAgreement]]) — the ensemble readout the
+        |published pipelines tune with (rule cascades, CCNet LM
+        |buckets and supervised classifiers run TOGETHER in practice;
+        |Longpre et al. 2023): per unordered pair of the engine's
+        |three quality families — q74's rule verdict, q125's LM bucket
+        |(tail/empty = drop), q143's MAP-negative classifier — the
+        |integer kill-decision confusion over the held-out slice
+        |where all three are defined, plus the exact fixed-point
+        |agreement rate (the q144 two-step kernel). q141 answers this
+        |WITHIN the rule family; this sheet answers it ACROSS
+        |families: a signal whose kills subset another's adds nothing
+        |to the cascade; a near-zero both-kill cell is the evidence
+        |the families catch independent garbage. Every kill flag is a
+        |comparison over its family's bitwise-oracled sheet →
+        |all-BIGINT bitwise oracle. Scale shape: the three kernels
+        |keep their audited shapes; the join keys 16-byte decision
+        |frames (text never re-shuffles); the closing is ONE global
+        |24-sum aggregate collapsed map-side, exploded driver-free
+        |into 6 rows.""".stripMargin,
+      (s, d) => graft.operators.Ensemble.gateAgreement(
+        Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")),
+      Some(gateAgreementSql(
+        "source IN ('src0','src1','src2','src3','src4')")))
   )
+
+  /** q150 oracle: the three family mirrors embedded as nested-WITH
+    * subqueries (ClassifierOracle.sql / BpeOracle.unigramQualitySql /
+    * the shared qualityRuleCtes + q74 precedence CASE), joined on
+    * doc_id over the held-out slice, closed by one 24-sum aggregate
+    * and the 6-row pair union — the
+    * [[graft.operators.Ensemble.gateAgreement]] shape. */
+  private def gateAgreementSql(positiveSql: String): String = {
+    val sigs = graft.operators.Ensemble.SignalNames
+    val pairs = for {
+      i <- sigs.indices
+      j <- i until sigs.size
+    } yield (sigs(i), sigs(j))
+    val sumDefs = pairs.flatMap { case (a, b) => Seq(
+      s"CAST(sum(CASE WHEN k_$a AND k_$b THEN 1 ELSE 0 END) AS BIGINT) AS bk_${a}_$b",
+      s"CAST(sum(CASE WHEN k_$a AND NOT k_$b THEN 1 ELSE 0 END) AS BIGINT) AS ao_${a}_$b",
+      s"CAST(sum(CASE WHEN NOT k_$a AND k_$b THEN 1 ELSE 0 END) AS BIGINT) AS bo_${a}_$b",
+      s"CAST(sum(CASE WHEN NOT k_$a AND NOT k_$b THEN 1 ELSE 0 END) AS BIGINT) AS nn_${a}_$b")
+    }.mkString(",\n    ")
+    val rowSelects = pairs.map { case (a, b) =>
+      val ag = s"(bk_${a}_$b + nn_${a}_$b)"
+      s"""SELECT '$a' AS sig_a, '$b' AS sig_b,
+         |  bk_${a}_$b AS n_both_kill, ao_${a}_$b AS n_a_only,
+         |  bo_${a}_$b AS n_b_only, nn_${a}_$b AS n_neither,
+         |  CAST(CASE WHEN __n = 0 THEN -1
+         |    ELSE (($ag * 1024) // __n) * 1024 + ((($ag * 1024) % __n) * 1024) // __n
+         |    END AS BIGINT) AS agree_q
+         |FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH nbs AS (SELECT doc_id, predicted FROM (
+       |${ClassifierOracle.sql(positiveSql)}
+       |) t1),
+       |lms AS (SELECT doc_id, bucket FROM (
+       |${BpeOracle.unigramQualitySql()}
+       |) t2),
+       |rls AS (SELECT doc_id, reason FROM (
+       |WITH $qualityRuleCtes,
+       |audit AS (SELECT doc_id,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN lang <> 'en' THEN 'non_english'
+       |       WHEN 50 * top_bigram_n > 9 * n_bigrams OR 5 * top_token_n > n_tokens
+       |            OR max_token_run >= 4 OR 10 * (n_3grams - n_distinct_3grams) > 3 * n_3grams THEN 'repetitive'
+       |       WHEN 50 * stop_cnt < n_tokens THEN 'low_stopword'
+       |       ELSE 'kept' END AS reason
+       | FROM j)
+       |SELECT doc_id, reason FROM audit) t3),
+       |kf AS (SELECT nbs.doc_id,
+       |    (rls.reason <> 'kept') AS k_rules,
+       |    (lms.bucket IN ('tail', 'empty')) AS k_lm,
+       |    (nbs.predicted = 0) AS k_nb
+       |  FROM nbs JOIN lms USING (doc_id) JOIN rls USING (doc_id)),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS __n,
+       |    $sumDefs
+       |  FROM kf)
+       |$rowSelects""".stripMargin
+  }
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct
     * counts. Spec-bounded (ApproxDistinctSpec), not oracle-compared —

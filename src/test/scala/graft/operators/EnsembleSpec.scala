@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Tables
+
+/** [[Ensemble.gateAgreement]] — the cross-family quality-gate
+  * agreement matrix: every cell must recompute exactly from the three
+  * family sheets evaluated independently, and the diagonal must
+  * collapse to each signal's own kill census. */
+class EnsembleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val positive =
+    col("source").isin("src0", "src1", "src2", "src3", "src4")
+
+  test("cells recompute from the three family sheets; diagonals collapse") {
+    val docs = Tables.documents(spark, sf001)
+    val out = Ensemble.gateAgreement(docs, positive).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(out.size == 6, "3 signals -> 6 unordered pairs")
+
+    // rebuild the per-doc kill flags from the families directly
+    val nb = Classifier.nbQualityScores(docs, positive)
+      .select("doc_id", "predicted").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) == 0L)).toMap
+    val lm = Phrases.lmQualityBuckets(docs, "text")
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> Set("tail", "empty").contains(r.getString(1)))
+      .toMap
+    val rl = QualityRules.audit(docs)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> (r.getString(1) != "kept")).toMap
+    val ids = nb.keySet & lm.keySet & rl.keySet
+    assert(ids.nonEmpty && ids.size == nb.size,
+      "held-out docs must all carry lm + rules verdicts")
+    val k = Map("rules" -> rl, "lm" -> lm, "nb" -> nb)
+    val n = ids.size.toLong
+    for {
+      (a, b) <- out.keys
+    } {
+      val bk = ids.count(i => k(a)(i) && k(b)(i)).toLong
+      val ao = ids.count(i => k(a)(i) && !k(b)(i)).toLong
+      val bo = ids.count(i => !k(a)(i) && k(b)(i)).toLong
+      val nn = ids.count(i => !k(a)(i) && !k(b)(i)).toLong
+      val ag = bk + nn
+      val agq = ((ag * 1024L) / n) * 1024L + (((ag * 1024L) % n) * 1024L) / n
+      assert(out((a, b)) == ((bk, ao, bo, nn, agq)), s"cell ($a, $b)")
+    }
+    // diagonals: a signal always agrees with itself
+    for (s <- Ensemble.SignalNames) {
+      val (bk, ao, bo, nn, agq) = out((s, s))
+      assert(ao == 0L && bo == 0L, s"one-sided cells on diagonal $s")
+      assert(bk + nn == n, s"diagonal $s partitions the slice")
+      assert(agq == 1048576L, s"diagonal $s agree rate")
+    }
+    // every cell partitions the same slice
+    assert(out.values.forall { case (bk, ao, bo, nn, _) =>
+      bk + ao + bo + nn == n })
+    info(s"held-out slice $n docs; kill counts: " +
+      Ensemble.SignalNames.map(s => s"$s=${ids.count(k(s))}").mkString(" "))
+  }
+}

@@ -115,6 +115,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       col("source").isin("src0", "src1", "src2", "src3", "src4")))
   }
 
+  test("gate agreement matrix is partition-invariant") {
+    invariant(Ensemble.gateAgreement(_,
+      col("source").isin("src0", "src1", "src2", "src3", "src4")))
+  }
+
   test("IVF balance audit is partition-invariant") {
     invariantEmb(e =>
       Similarity.ivfBalanceAudit(e, e.filter(col("vec_id") < 16), dim = 64))
