@@ -112,41 +112,90 @@ object Drift {
       salt: String = "graft"): DataFrame = {
     require(newPermille >= 0 && newPermille <= 1000,
       s"newPermille must be in [0,1000], got $newPermille")
-    require(bins >= 2, s"bins must be >= 2, got $bins")
     graft.GraftSession.ensureConfs(docs.sparkSession)
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val qs = (1 until bins).map { i =>
-      val q = BigDecimal(i) / BigDecimal(bins)
-      s"e$i" -> q.toDouble
-    }
+    val flagged = Sampling.withSplitBucket(docs, "doc_id", salt)
+      .withColumn("__new", col("__bucket") < newPermille)
+    val model = lengthPsiModel(flagged.filter(!col("__new")), textCol, bins)
+    psiAgainstModel(flagged.filter(col("__new")), model, textCol, bins)
+  }
+
+  /** The PSI monitor's STANDING artifact — what a production system
+    * persists beside its tokenizer and Bloom filter and broadcasts to
+    * ingest (the [[graft.operators.Phrases.unigramCostMap]]
+    * convention applied to the drift family): ONE row holding the
+    * standing slice's exact decile edges (`e1..e{bins−1}`, the
+    * q60-pinned [[Quantiles.multiQuantileDisc]] selection), its
+    * per-bin occupancy as a `map<bin, count>` and the total count.
+    * Built once from the standing corpus; every arriving batch
+    * compares against it via [[psiAgainstModel]] without ever
+    * re-touching the standing data. An empty standing slice yields
+    * NULL edges and an empty map — every downstream bin then reads
+    * zero standing mass (the q144 totality rule). */
+  def lengthPsiModel(standing: DataFrame, textCol: String = "text",
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    graft.GraftSession.ensureConfs(standing.sparkSession)
+    val qs = psiEdgeNames(bins)
     val base = Dedup.materialize(
-      Sampling.withSplitBucket(docs, "doc_id", salt)
-        .select((col("__bucket") < newPermille).as("is_new"),
-          graft.functions.TextFunctions.tokenCount(
-            coalesce(col(textCol), lit(""))).as("x")))
+      standing.select(graft.functions.TextFunctions.tokenCount(
+        coalesce(col(textCol), lit(""))).as("x")))
     val edges = Quantiles.multiQuantileDisc(
-        base.filter(!col("is_new")).withColumn("__g", lit(0L)), "__g", "x", qs)
+        base.withColumn("__g", lit(0L)), "__g", "x", qs)
       .agg(qs.map { case (n, _) => max(col(n)).as(n) }.head,
         qs.map { case (n, _) => max(col(n)).as(n) }.tail: _*)
-    val binOf = qs.map { case (n, _) =>
-      when(col("x") > col(n), lit(1L)).otherwise(lit(0L)) }.reduce(_ + _)
     val counts = base.crossJoin(broadcast(edges))
-      .select(col("is_new"), binOf.as("bin"))
-      .groupBy(col("bin")).agg(
-        sum(when(!col("is_new"), lit(1L)).otherwise(lit(0L))).as("n_std"),
-        sum(when(col("is_new"), lit(1L)).otherwise(lit(0L))).as("n_new"))
+      .select(psiBinOf(qs).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val cm = standing.sparkSession.range(0, bins).toDF("bin")
+      .select(col("bin").cast("long").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+      .agg(
+        map_from_entries(array_sort(
+          collect_list(struct(col("bin"), col("n"))))).as("std_map"),
+        sum(col("n")).as("t_std"))
+    edges.crossJoin(cm)
+  }
+
+  /** One incoming batch scored against a standing [[lengthPsiModel]]
+    * row — the per-micro-batch kernel of the STREAMING drift monitor
+    * (apply inside `foreachBatch`, the model broadcast; zero
+    * streaming state — each batch is its own comparison unit, which
+    * is exactly PSI's semantics) and the closing half of the batch
+    * [[lengthPsi]] (q144), which single-sources through here so the
+    * streaming sheet and the batch sheet CANNOT disagree. Output
+    * schema and arithmetic are exactly q144's:
+    * `(bin, n_std, n_new, rs_q, rn_q, psi_q, psi_total_q, alert)`.
+    *
+    * Scale shape: the model is one broadcast row; binning is a
+    * ≤ 9-comparison map-side expression over the batch's 8-byte
+    * length frame; counts collapse map-side onto ≤ `bins` keys and
+    * everything after the single exchange touches `bins` rows. */
+  def psiAgainstModel(batch: DataFrame, model: DataFrame,
+      textCol: String = "text", bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    graft.GraftSession.ensureConfs(batch.sparkSession)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val qs = psiEdgeNames(bins)
+    val counts = batch
+      .select(graft.functions.TextFunctions.tokenCount(
+        coalesce(col(textCol), lit(""))).as("x"))
+      .crossJoin(broadcast(model))
+      .select(psiBinOf(qs).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("__nn"))
     def rate(cnt: String, n: String) = expr(
       s"""CASE WHEN $n = 0 THEN CAST(0 AS BIGINT)
          |ELSE (($cnt * 1024) DIV $n) * 1024 + ((($cnt * 1024) % $n) * 1024) DIV $n
          |END""".stripMargin)
-    docs.sparkSession.range(0, bins).toDF("bin")
+    batch.sparkSession.range(0, bins).toDF("bin")
       .select(col("bin").cast("long").as("bin"))
       .join(counts, Seq("bin"), "left")
+      .crossJoin(broadcast(model.select(col("std_map"), col("t_std"))))
       .select(col("bin"),
-        coalesce(col("n_std"), lit(0L)).as("n_std"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .withColumn("t_std", sum(col("n_std")).over(whole))
+        coalesce(element_at(col("std_map"), col("bin")), lit(0L)).as("n_std"),
+        coalesce(col("__nn"), lit(0L)).as("n_new"),
+        coalesce(col("t_std"), lit(0L)).as("t_std"))
       .withColumn("t_new", sum(col("n_new")).over(whole))
       .withColumn("rs_q", rate("n_std", "t_std"))
       .withColumn("rn_q", rate("n_new", "t_new"))
@@ -159,4 +208,18 @@ object Drift {
         when(col("psi_total_q") * 10L > 3L * 67108864L, lit(1L))
           .otherwise(lit(0L)).as("alert"))
   }
+
+  /** The named decile fractions `e1..e{bins−1}` shared by the model
+    * builder and the bin expression. */
+  private def psiEdgeNames(bins: Int): Seq[(String, Double)] =
+    (1 until bins).map { i =>
+      s"e$i" -> (BigDecimal(i) / BigDecimal(bins)).toDouble
+    }
+
+  /** The ≤ 9-comparison bin expression over a length column `x` and
+    * the model's edge columns. NULL edges (empty standing corpus)
+    * compare false, binning all mass at 0 — the q144 totality rule. */
+  private def psiBinOf(qs: Seq[(String, Double)]): Column =
+    qs.map { case (n, _) =>
+      when(col("x") > col(n), lit(1L)).otherwise(lit(0L)) }.reduce(_ + _)
 }
