@@ -40,7 +40,15 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   "q136_oov_audit", "q137_bigram_lm_quality",
   // round-11 (3): quality-aware keeper (documents; re-pays the q58
   // cells — the claim is the keeper adds only cluster-keyed work)
-  "q140_quality_keepset")
+  "q140_quality_keepset",
+  // round-11 close: supervised classifier + calibration (documents;
+  // the claim is hashed-bigram count rows are the only exchange),
+  // PSI monitor (one length exchange), the cross-family agreement
+  // composite (three kernels, doc_id-keyed decision joins), and the
+  // zipf fit (one term exchange + vocab sort)
+  "q143_quality_classifier", "q144_length_psi",
+  "q148_classifier_calibration", "q150_gate_agreement",
+  "q152_zipf_audit")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
