@@ -670,6 +670,77 @@ object Similarity {
         (col("n_hits") / lit(k.toDouble)).as("recall"))
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) distortion audit — the
+    * PROJECTION member of the compression-audit family beside q139's
+    * per-dimension SQ8 codes, q129's subspace PQ codes and q149's
+    * prefix truncation: project every vector onto `kDim` seeded
+    * Gaussian directions scaled 1/√kDim (the classic JL map;
+    * Dasgupta & Gupta 2003) and report, per audit query, how far
+    * pairwise SQUARED DISTANCES move — `ratio_q =
+    * floor(d_proj²/d_orig²·2^20)` per pair, min/max per query. The JL
+    * lemma guarantees ratios concentrate near 1 at kDim ≳ 8·ln n/ε²;
+    * THIS sheet measures the actual ε on the corpus, which is the
+    * evidence for serving ANN over 16 of 64 dims (4× scan cost cut)
+    * when the embeddings have no Matryoshka prefix structure for q149
+    * to exploit.
+    *
+    * Determinism: the projection directions are the seeded
+    * [[hyperplanes]] literals (the q46 convention — the oracle
+    * renders the identical doubles); every distance is the
+    * dot-product identity `‖a−b‖² = ‖a‖²+‖b‖²−2a·b` over the
+    * left-fold [[dot]] (≡ DuckDB `list_dot_product`, bitwise), so
+    * do2/dp2/ratio replay IEEE-identically. Coincident pairs
+    * (d_orig² = 0) are counted `n_degenerate` and excluded from the
+    * ratio bounds (−1-free: the bounds are over defined ratios only,
+    * NULL when every pair is degenerate).
+    *
+    * Output: one row per audit query —
+    * `(q_id, n_pairs, n_degenerate, min_ratio_q, max_ratio_q)`.
+    *
+    * Scale shape: projections are kDim map-side dots per vector (the
+    * shape a production system persists as its projected index); the
+    * audit pair stage is the documented O(|q|·corpus) slice with the
+    * query side broadcast — per pair TWO dots (dim + kDim) against
+    * precomputed norms; the closing aggregate collapses map-side onto
+    * |q| keys. */
+  def rpDistortionAudit(queries: DataFrame, corpus: DataFrame,
+      kDim: Int = 16, seed: Long = 42L, dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(queries.sparkSession)
+    require(kDim >= 1, s"kDim must be positive, got $kDim")
+    val d = if (dim > 0) dim else inferDim(corpus)
+    require(d > 0, "corpus has no usable vectors")
+    val planes = hyperplanes(d, kDim, seed)
+    val scale = math.sqrt(kDim.toDouble)
+    def proj(v: Column): Column = array(planes.toIndexedSeq.map { p =>
+      val pl = array(p.toIndexedSeq.map(lit): _*)
+      dot(v, pl) / lit(scale)
+    }: _*)
+    def prep(df: DataFrame, id: String, v: String, p: String) =
+      df.filter(col("embedding").isNotNull && size(col("embedding")) === d)
+        .select(col("vec_id").as(id),
+          col("embedding").cast("array<double>").as(v))
+        .withColumn(p, proj(col(v)))
+        .withColumn(s"${v}2", dot(col(v), col(v)))
+        .withColumn(s"${p}2", dot(col(p), col(p)))
+    val q = prep(queries, "q_id", "qv", "qp")
+    val c = prep(corpus, "n_id", "nv", "np")
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (col("qv2") + col("nv2") - lit(2.0) * dot(col("qv"), col("nv"))).as("do2"),
+        (col("qp2") + col("np2") - lit(2.0) * dot(col("qp"), col("np"))).as("dp2"))
+      .select(col("q_id"),
+        (col("do2") > 0.0).as("__def"),
+        when(col("do2") > 0.0,
+          floor(col("dp2") / col("do2") * lit(1048576.0)).cast("long"))
+          .as("ratio_q"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(!col("__def"), 1L).otherwise(0L)).as("n_degenerate"),
+        min(col("ratio_q")).as("min_ratio_q"),
+        max(col("ratio_q")).as("max_ratio_q"))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ) — the COMPRESSION member of the ANN
   // family (Jégou/Douze/Schmid 2011). At 100 TB the index cannot hold

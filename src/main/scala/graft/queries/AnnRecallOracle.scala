@@ -85,6 +85,41 @@ object AnnRecallOracle {
        |GROUP BY a.q_id, a.method""".stripMargin
   }
 
+  /** q151 mirror of [[graft.operators.Similarity.rpDistortionAudit]]:
+    * the seeded projection planes rendered as DOUBLE[] literals (the
+    * q46 convention), distances via the dot-product identity
+    * `‖a−b‖² = ‖a‖²+‖b‖²−2a·b` (`list_dot_product` ≡ `graft_dot`
+    * bitwise), the floor-quantized ratio and the per-query bounds. */
+  def rpDistortionSql(kDim: Int = 16, seed: Long = 42L, dim: Int = 64,
+      qBound: Long = 8): String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim, kDim, seed)
+    val scale = math.sqrt(kDim.toDouble)
+    def planeLit(p: Array[Double]): String =
+      p.mkString("[", ", ", "]::DOUBLE[]")
+    val projList = planes.map(p =>
+      s"list_dot_product(v, ${planeLit(p)}) / $scale")
+      .mkString("[\n      ", ",\n      ", "\n    ]::DOUBLE[]")
+    s"""WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] v, $projList AS p
+       |  FROM embeddings
+       |  WHERE vec_id < $qBound AND embedding IS NOT NULL AND len(embedding) = $dim),
+       |c AS (SELECT vec_id n_id, embedding::DOUBLE[] v, $projList AS p
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |pairs AS (SELECT q.q_id,
+       |    list_dot_product(q.v, q.v) + list_dot_product(c.v, c.v)
+       |      - 2.0 * list_dot_product(q.v, c.v) AS do2,
+       |    list_dot_product(q.p, q.p) + list_dot_product(c.p, c.p)
+       |      - 2.0 * list_dot_product(q.p, c.p) AS dp2
+       |  FROM q, c WHERE q.q_id <> c.n_id)
+       |SELECT q_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN do2 > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_degenerate,
+       |  CAST(min(CASE WHEN do2 > 0
+       |    THEN CAST(floor(dp2 / do2 * 1048576.0) AS BIGINT) END) AS BIGINT) AS min_ratio_q,
+       |  CAST(max(CASE WHEN do2 > 0
+       |    THEN CAST(floor(dp2 / do2 * 1048576.0) AS BIGINT) END) AS BIGINT) AS max_ratio_q
+       |FROM pairs GROUP BY q_id""".stripMargin
+  }
+
   /** q135 mirror of [[graft.operators.Similarity.rrfFusionTopK]]:
     * the three arm rankings replayed by their own generators (lsh /
     * refined-IVF / PQ ADC at the shipped q46/q49/q130 parameters),

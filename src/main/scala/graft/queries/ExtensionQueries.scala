@@ -3448,8 +3448,91 @@ object ExtensionQueries {
         Tables.documents(s, d),
         col("source").isin("src0", "src1", "src2", "src3", "src4")),
       Some(gateAgreementSql(
-        "source IN ('src0','src1','src2','src3','src4')")))
+        "source IN ('src0','src1','src2','src3','src4')"))),
+
+    QuerySpec(
+      "q151_rp_distortion",
+      """Random-projection (Johnson–Lindenstrauss) distortion audit
+        |([[graft.operators.Similarity.rpDistortionAudit]], Dasgupta &
+        |Gupta 2003) — the PROJECTION member of the compression-audit
+        |family beside q139's SQ8 codes, q129's PQ codes and q149's
+        |prefix truncation: every vector projected onto 16 seeded
+        |Gaussian directions scaled 1/√16, and per audit query the
+        |floor-quantized pairwise squared-distance ratio
+        |floor(d_proj²/d_orig²·2^20) with its min/max bounds. The JL
+        |lemma says ratios concentrate near 1; this sheet measures the
+        |ACTUAL ε on the corpus — the evidence for serving ANN over 16
+        |of 64 dims when embeddings lack Matryoshka prefix structure.
+        |Projection planes are seeded literals (the q46 convention);
+        |distances use the dot identity ‖a−b‖² = ‖a‖²+‖b‖²−2a·b over
+        |the bitwise-shared dot kernel, so the sheet oracles exactly.
+        |Coincident pairs count n_degenerate, excluded from bounds.
+        |Scale shape: projections are 16 map-side dots per vector (the
+        |persisted projected index); the audit pair stage is the
+        |documented O(|q|·corpus) slice with the query side broadcast
+        |and per-vector norms precomputed (2 dots per pair); the
+        |closing aggregate collapses map-side onto |q| keys.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Similarity.rpDistortionAudit(
+          e.filter(col("vec_id") < 8), e, kDim = 16, dim = 64)
+      },
+      Some(AnnRecallOracle.rpDistortionSql())),
+
+    QuerySpec(
+      "q152_zipf_audit",
+      """Zipf rank–frequency fit ([[graft.operators.Zipf
+        |.rankFrequencyFit]], Piantadosi 2014) — the corpus-health
+        |sheet beside the drift monitors: natural language reads slope
+        |≈ −1 in log–log rank–frequency; template/boilerplate
+        |injection flattens the head, dedup bugs steepen it, OCR noise
+        |fattens the tail. OLS over (log2q rank, log2q count) for the
+        |top 4096 vocabulary terms — the head is where Zipf is
+        |sharpest AND the cap bounds every integer sum below 2^56 for
+        |any corpus size (counts enter only through the total-domain
+        |log2q kernel). Slope ships as the exact integer pair
+        |(slope_num, slope_den) plus their single IEEE division (the
+        |q90 idiom) — bitwise oracle. Scale shape: ONE token explode
+        |collapsing map-side onto term keys (the q51 shape); one
+        |vocab-sized rank sort (vocab ≪ corpus, the q89 idiom); the
+        |fit touches 4096 24-byte rows and closes in a single-row
+        |aggregate.""".stripMargin,
+      (s, d) => graft.operators.Zipf.rankFrequencyFit(Tables.documents(s, d)),
+      Some(zipfSql(fitRanks = 4096)))
   )
+
+  /** q152 oracle: term counts → exact (cnt DESC, term ASC) ranks →
+    * the [[DsirOracle.logChain]] fixed-point log2 replay of rank and
+    * count over the top `fitRanks` rows → one-row OLS sums and the
+    * integer slope pair. */
+  private def zipfSql(fitRanks: Int): String =
+    s"""WITH tok AS (SELECT w FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |    FROM documents) WHERE length(w) >= 1),
+       |cnts AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_tokens FROM cnts),
+       |rk AS (SELECT w, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rank
+       |  FROM cnts),
+       |fit0 AS (SELECT rank, cnt FROM rk WHERE rank <= $fitRanks),
+       |${DsirOracle.logChain("fit0", Seq("r" -> "rank", "c" -> "cnt"),
+           keyCols = Seq("rank", "cnt"), prefix = "z")},
+       |xy AS (SELECT (e_r * 64 + f_r) AS x, (e_c * 64 + f_c) AS y FROM z6),
+       |sums AS (SELECT CAST(count(*) AS BIGINT) AS n_fit,
+       |    CAST(coalesce(sum(x), 0) AS BIGINT) AS sum_x,
+       |    CAST(coalesce(sum(y), 0) AS BIGINT) AS sum_y,
+       |    CAST(coalesce(sum(x * x), 0) AS BIGINT) AS sum_xx,
+       |    CAST(coalesce(sum(x * y), 0) AS BIGINT) AS sum_xy
+       |  FROM xy)
+       |SELECT t.n_terms, t.n_tokens, s.n_fit, s.sum_x, s.sum_y, s.sum_xx,
+       |  s.sum_xy,
+       |  CAST(s.n_fit * s.sum_xy - s.sum_x * s.sum_y AS BIGINT) AS slope_num,
+       |  CAST(s.n_fit * s.sum_xx - s.sum_x * s.sum_x AS BIGINT) AS slope_den,
+       |  CASE WHEN s.n_fit * s.sum_xx - s.sum_x * s.sum_x = 0 THEN -1.0
+       |    ELSE CAST(s.n_fit * s.sum_xy - s.sum_x * s.sum_y AS DOUBLE)
+       |      / (s.n_fit * s.sum_xx - s.sum_x * s.sum_x) END AS slope
+       |FROM tot t, sums s""".stripMargin
 
   /** q150 oracle: the three family mirrors embedded as nested-WITH
     * subqueries (ClassifierOracle.sql / BpeOracle.unigramQualitySql /

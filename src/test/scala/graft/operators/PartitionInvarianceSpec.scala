@@ -120,6 +120,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       col("source").isin("src0", "src1", "src2", "src3", "src4")))
   }
 
+  test("zipf rank-frequency fit is partition-invariant") {
+    invariant(Zipf.rankFrequencyFit(_))
+  }
+
   test("IVF balance audit is partition-invariant") {
     invariantEmb(e =>
       Similarity.ivfBalanceAudit(e, e.filter(col("vec_id") < 16), dim = 64))
@@ -128,6 +132,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   test("prefix recall audit is partition-invariant") {
     invariantEmb(e => Similarity.prefixRecallAudit(
       e.filter(col("vec_id") < 8), e, k = 5, dim = 64))
+  }
+
+  test("rp distortion audit is partition-invariant") {
+    invariantEmb(e => Similarity.rpDistortionAudit(
+      e.filter(col("vec_id") < 8), e, kDim = 16, dim = 64))
   }
 
   test("NB quality classifier is partition-invariant") {

@@ -301,6 +301,62 @@ class SimilaritySpec extends AnyFunSuite {
       s"common-prefix geometry: d8 must collapse to the tiebreak, got ${d8.toSeq}")
   }
 
+  test("rp distortion audit: ratios recompute by hand; JL bounds hold on the driver corpus") {
+    val e = Tables.embeddings(spark, sf001)
+    val out = Similarity.rpDistortionAudit(
+      e.filter(col("vec_id") < 8), e, kDim = 16, dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 8)
+    val total = e.filter(col("embedding").isNotNull && size(col("embedding")) === 64).count()
+    assert(out.values.forall { case (np, nd, _, _) => np == total - 1 && nd == 0L },
+      "every query pairs the full corpus minus itself; no coincident vectors")
+    // hand-recompute one query's bounds from collected vectors
+    val planes = Similarity.hyperplanes(64, 16, 42L)
+    val vecs = e.filter(col("vec_id") < 600)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def projA(v: Array[Double]): Array[Double] =
+      planes.map(p => dotA(v, p) / 4.0)
+    val qv = vecs(3L); val qp = projA(qv)
+    val ratios = vecs.collect { case (id, nv) if id != 3L =>
+      val np = projA(nv)
+      val do2 = dotA(qv, qv) + dotA(nv, nv) - 2.0 * dotA(qv, nv)
+      val dp2 = dotA(qp, qp) + dotA(np, np) - 2.0 * dotA(qp, np)
+      math.floor(dp2 / do2 * 1048576.0).toLong
+    }.toSeq
+    // the hand slice covers ids < 600; the audit covers the whole
+    // corpus — its bounds must CONTAIN or extend the slice's
+    val (_, _, lo, hi) = out(3L)
+    assert(lo <= ratios.min && hi >= ratios.max,
+      s"audit bounds [$lo, $hi] vs hand slice [${ratios.min}, ${ratios.max}]")
+    // JL at kDim=16 on 64-dim gaussian-ish data: broad deterministic
+    // band — ratios stay within [0.1, 4]x on this fixed seed
+    assert(out.values.forall { case (_, _, l, h) =>
+      l > 104857L && h < 4L * 1048576L },
+      s"ratio bounds escaped the JL band: $out")
+    info(s"kDim=16 ratio bounds per query: ${out.toSeq.sortBy(_._1).map { case (q, (_, _, l, h)) => f"q$q [${l / 1048576.0}%.2f, ${h / 1048576.0}%.2f]" }.mkString(" ")}")
+  }
+
+  test("rp distortion audit: a coincident pair counts degenerate and stays out of the bounds") {
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 40L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    // vector 100 is an exact copy of query 0: d_orig² = 0
+    val all = (base :+ (100L -> base.head._2)).toDF("vec_id", "embedding")
+    val out = Similarity.rpDistortionAudit(
+      all.filter(col("vec_id") < 1), all, kDim = 16, dim = 64)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") == 40L)
+    assert(r.getAs[Long]("n_degenerate") == 1L, "the planted copy is degenerate")
+    assert(r.getAs[Long]("min_ratio_q") > 0L, "bounds exclude the degenerate pair")
+  }
+
   test("incremental semantic dedup freezes standing decisions (hand-built geometry)") {
     // One cell (single centroid). Standing: 20=(1,0,0) keeps,
     // 21=(1,.3,0) drops standing (cos .958 to 20). New batch:
