@@ -45,14 +45,13 @@ object Ensemble {
     * [[gateAgreement]] and its oracle index. */
   val SignalNames: Seq[String] = Seq("rules", "lm", "nb")
 
-  /** One row per unordered signal pair (diagonal included):
-    * `(sig_a, sig_b, n_both_kill, n_a_only, n_b_only, n_neither,
-    * agree_q)` — 6 rows at 3 signals. Diagonal rows read their
-    * signal's own kill count with zero one-sided cells and
-    * agree_q = 2^20. */
-  def gateAgreement(docs: DataFrame, positive: Column,
-      textCol: String = "text", trainPermille: Int = 500,
-      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+  /** The shared held-out kill frame: one row per held-out doc with
+    * the three family decisions `(doc_id, k_rules, k_lm, k_nb)` —
+    * [[gateAgreement]] and [[gateRatesBySource]] both read it, so
+    * the two sheets cannot drift. */
+  private def killFrame(docs: DataFrame, positive: Column,
+      textCol: String, trainPermille: Int, buckets: Int,
+      salt: String): DataFrame = {
     graft.GraftSession.ensureConfs(docs.sparkSession)
     val nb = Classifier.nbQualityScores(
         docs, positive, textCol, trainPermille, buckets, salt)
@@ -61,7 +60,18 @@ object Ensemble {
       .select(col("doc_id"), col("bucket").isin("tail", "empty").as("k_lm"))
     val rl = QualityRules.audit(docs)
       .select(col("doc_id"), (col("reason") =!= "kept").as("k_rules"))
-    val j = nb.join(lm, Seq("doc_id")).join(rl, Seq("doc_id"))
+    nb.join(lm, Seq("doc_id")).join(rl, Seq("doc_id"))
+  }
+
+  /** One row per unordered signal pair (diagonal included):
+    * `(sig_a, sig_b, n_both_kill, n_a_only, n_b_only, n_neither,
+    * agree_q)` — 6 rows at 3 signals. Diagonal rows read their
+    * signal's own kill count with zero one-sided cells and
+    * agree_q = 2^20. */
+  def gateAgreement(docs: DataFrame, positive: Column,
+      textCol: String = "text", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    val j = killFrame(docs, positive, textCol, trainPermille, buckets, salt)
     val kcol = Map("rules" -> col("k_rules"), "lm" -> col("k_lm"),
       "nb" -> col("k_nb"))
     val pairs = for {
@@ -93,5 +103,48 @@ object Ensemble {
           |ELSE ((__ag * 1024) DIV __n) * 1024 + (((__ag * 1024) % __n) * 1024) DIV __n
           |END""".stripMargin))
       .drop("__ag", "__n")
+  }
+
+  /** Per-SOURCE gate kill rates — the acquisition-level ablation the
+    * published pipelines publish as their curation table (Dolma's
+    * per-source keep fractions; RefinedWeb's removal-rate waterfall):
+    * which feed fails which family, at what rate. q96 answers this
+    * for the streaming rule gate alone; this sheet reads all three
+    * families over the held-out slice (the [[gateAgreement]] kill
+    * frame — single-sourced, so the two sheets cannot disagree) and
+    * rolls them up per source. A source whose `nb` kill rate towers
+    * over its `rules` rate is machine-generated-looking but
+    * rule-clean — the classic laundered-spam signature; a source all
+    * three families kill is a feed to drop at acquisition, not
+    * filter at curation.
+    *
+    * Output: one row per source —
+    * `(source, n, n_rules, n_lm, n_nb, rate_rules_q, rate_lm_q,
+    * rate_nb_q)`; rates are the exact q144 two-step fixed point.
+    * NULL sources group as the literal 'unknown' (the q76 idiom).
+    *
+    * Scale shape: the kill frame's audited shape plus ONE
+    * map-side-combined rollup onto source keys (a sources-sized
+    * frame; the doc_id join to recover the source column is
+    * co-keyed with the kill frame's own exchanges). */
+  def gateRatesBySource(docs: DataFrame, positive: Column,
+      textCol: String = "text", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    val kf = killFrame(docs, positive, textCol, trainPermille, buckets, salt)
+    val src = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("source"), lit("unknown")).as("source"))
+    def rate(cnt: String) = expr(
+      s"""CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+         |ELSE (($cnt * 1024) DIV n) * 1024 + ((($cnt * 1024) % n) * 1024) DIV n
+         |END""".stripMargin)
+    kf.join(src, Seq("doc_id"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k_rules"), 1L).otherwise(0L)).as("n_rules"),
+        sum(when(col("k_lm"), 1L).otherwise(0L)).as("n_lm"),
+        sum(when(col("k_nb"), 1L).otherwise(0L)).as("n_nb"))
+      .withColumn("rate_rules_q", rate("n_rules"))
+      .withColumn("rate_lm_q", rate("n_lm"))
+      .withColumn("rate_nb_q", rate("n_nb"))
   }
 }

@@ -3498,7 +3498,31 @@ object ExtensionQueries {
         |fit touches 4096 24-byte rows and closes in a single-row
         |aggregate.""".stripMargin,
       (s, d) => graft.operators.Zipf.rankFrequencyFit(Tables.documents(s, d)),
-      Some(zipfSql(fitRanks = 4096)))
+      Some(zipfSql(fitRanks = 4096))),
+
+    QuerySpec(
+      "q153_gate_rates_by_source",
+      """Per-source gate kill rates ([[graft.operators.Ensemble
+        |.gateRatesBySource]]) — the acquisition-level ablation the
+        |published pipelines publish as their curation table (Dolma's
+        |per-source keep fractions; RefinedWeb's removal-rate
+        |waterfall): which feed fails which quality family, at what
+        |rate, over the held-out slice. Reads the SAME kill frame as
+        |q150 (single-sourced, so the global and per-source sheets
+        |cannot disagree) rolled up per source with exact two-step
+        |fixed-point rates. A source whose nb kill rate towers over
+        |its rules rate is machine-generated-looking but rule-clean —
+        |the laundered-spam signature; a source all three families
+        |kill is a feed to drop at acquisition. All-BIGINT → bitwise
+        |oracle. Scale shape: the kill frame's audited shape plus ONE
+        |map-side-combined rollup onto source keys; the doc_id join
+        |recovering the source column is co-keyed with the frame's
+        |own exchanges.""".stripMargin,
+      (s, d) => graft.operators.Ensemble.gateRatesBySource(
+        Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")),
+      Some(gateRatesBySourceSql(
+        "source IN ('src0','src1','src2','src3','src4')")))
   )
 
   /** q152 oracle: term counts → exact (cnt DESC, term ASC) ranks →
@@ -3534,10 +3558,37 @@ object ExtensionQueries {
        |      / (s.n_fit * s.sum_xx - s.sum_x * s.sum_x) END AS slope
        |FROM tot t, sums s""".stripMargin
 
-  /** q150 oracle: the three family mirrors embedded as nested-WITH
-    * subqueries (ClassifierOracle.sql / BpeOracle.unigramQualitySql /
-    * the shared qualityRuleCtes + q74 precedence CASE), joined on
-    * doc_id over the held-out slice, closed by one 24-sum aggregate
+  /** The shared q150/q153 oracle prefix: the three family mirrors
+    * embedded as nested-WITH subqueries (ClassifierOracle.sql /
+    * BpeOracle.unigramQualitySql / the shared qualityRuleCtes + q74
+    * precedence CASE), joined on doc_id into the held-out kill frame
+    * `kf(doc_id, k_rules, k_lm, k_nb)` — ONE textual definition, the
+    * [[graft.operators.Ensemble]] killFrame mirror. */
+  private def killFrameCtes(positiveSql: String): String =
+    s"""nbs AS (SELECT doc_id, predicted FROM (
+       |${ClassifierOracle.sql(positiveSql)}
+       |) t1),
+       |lms AS (SELECT doc_id, bucket FROM (
+       |${BpeOracle.unigramQualitySql()}
+       |) t2),
+       |rls AS (SELECT doc_id, reason FROM (
+       |WITH $qualityRuleCtes,
+       |audit AS (SELECT doc_id,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN lang <> 'en' THEN 'non_english'
+       |       WHEN 50 * top_bigram_n > 9 * n_bigrams OR 5 * top_token_n > n_tokens
+       |            OR max_token_run >= 4 OR 10 * (n_3grams - n_distinct_3grams) > 3 * n_3grams THEN 'repetitive'
+       |       WHEN 50 * stop_cnt < n_tokens THEN 'low_stopword'
+       |       ELSE 'kept' END AS reason
+       | FROM j)
+       |SELECT doc_id, reason FROM audit) t3),
+       |kf AS (SELECT nbs.doc_id,
+       |    (rls.reason <> 'kept') AS k_rules,
+       |    (lms.bucket IN ('tail', 'empty')) AS k_lm,
+       |    (nbs.predicted = 0) AS k_nb
+       |  FROM nbs JOIN lms USING (doc_id) JOIN rls USING (doc_id))""".stripMargin
+
+  /** q150 oracle: [[killFrameCtes]] closed by one 24-sum aggregate
     * and the 6-row pair union — the
     * [[graft.operators.Ensemble.gateAgreement]] shape. */
   private def gateAgreementSql(positiveSql: String): String = {
@@ -3562,32 +3613,36 @@ object ExtensionQueries {
          |    END AS BIGINT) AS agree_q
          |FROM s""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH nbs AS (SELECT doc_id, predicted FROM (
-       |${ClassifierOracle.sql(positiveSql)}
-       |) t1),
-       |lms AS (SELECT doc_id, bucket FROM (
-       |${BpeOracle.unigramQualitySql()}
-       |) t2),
-       |rls AS (SELECT doc_id, reason FROM (
-       |WITH $qualityRuleCtes,
-       |audit AS (SELECT doc_id,
-       |  CASE WHEN n_tokens < 20 THEN 'too_short'
-       |       WHEN lang <> 'en' THEN 'non_english'
-       |       WHEN 50 * top_bigram_n > 9 * n_bigrams OR 5 * top_token_n > n_tokens
-       |            OR max_token_run >= 4 OR 10 * (n_3grams - n_distinct_3grams) > 3 * n_3grams THEN 'repetitive'
-       |       WHEN 50 * stop_cnt < n_tokens THEN 'low_stopword'
-       |       ELSE 'kept' END AS reason
-       | FROM j)
-       |SELECT doc_id, reason FROM audit) t3),
-       |kf AS (SELECT nbs.doc_id,
-       |    (rls.reason <> 'kept') AS k_rules,
-       |    (lms.bucket IN ('tail', 'empty')) AS k_lm,
-       |    (nbs.predicted = 0) AS k_nb
-       |  FROM nbs JOIN lms USING (doc_id) JOIN rls USING (doc_id)),
+    s"""WITH ${killFrameCtes(positiveSql)},
        |s AS (SELECT CAST(count(*) AS BIGINT) AS __n,
        |    $sumDefs
        |  FROM kf)
        |$rowSelects""".stripMargin
+  }
+
+  /** q153 oracle: [[killFrameCtes]] joined back to the documents'
+    * source column and rolled up per source with the exact two-step
+    * rates — the [[graft.operators.Ensemble.gateRatesBySource]]
+    * shape. */
+  private def gateRatesBySourceSql(positiveSql: String): String = {
+    def rate(cnt: String) =
+      s"""CASE WHEN n = 0 THEN 0
+         |    ELSE (($cnt * 1024) // n) * 1024 + ((($cnt * 1024) % n) * 1024) // n
+         |    END""".stripMargin
+    s"""WITH ${killFrameCtes(positiveSql)},
+       |srcs AS (SELECT doc_id, coalesce(source, 'unknown') AS source
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |g AS (SELECT s.source,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN k_rules THEN 1 ELSE 0 END) AS BIGINT) AS n_rules,
+       |    CAST(sum(CASE WHEN k_lm THEN 1 ELSE 0 END) AS BIGINT) AS n_lm,
+       |    CAST(sum(CASE WHEN k_nb THEN 1 ELSE 0 END) AS BIGINT) AS n_nb
+       |  FROM kf JOIN srcs s USING (doc_id) GROUP BY s.source)
+       |SELECT source, n, n_rules, n_lm, n_nb,
+       |  CAST(${rate("n_rules")} AS BIGINT) AS rate_rules_q,
+       |  CAST(${rate("n_lm")} AS BIGINT) AS rate_lm_q,
+       |  CAST(${rate("n_nb")} AS BIGINT) AS rate_nb_q
+       |FROM g""".stripMargin
   }
 
   /** The HLL++ sketch sheet of q32: approximate beside exact distinct

@@ -63,4 +63,25 @@ class EnsembleSpec extends AnyFunSuite {
     info(s"held-out slice $n docs; kill counts: " +
       Ensemble.SignalNames.map(s => s"$s=${ids.count(k(s))}").mkString(" "))
   }
+
+  test("per-source rates recompute; totals tie out to the agreement diagonals") {
+    val docs = Tables.documents(spark, sf001)
+    val bySrc = Ensemble.gateRatesBySource(docs, positive).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(bySrc.nonEmpty)
+    // the per-source kill counts must sum to the q150 diagonals —
+    // same kill frame, two rollups
+    val diag = Ensemble.gateAgreement(docs, positive).collect()
+      .filter(r => r.getString(0) == r.getString(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(bySrc.values.map(_._2).sum == diag("rules"), "rules total")
+    assert(bySrc.values.map(_._3).sum == diag("lm"), "lm total")
+    assert(bySrc.values.map(_._4).sum == diag("nb"), "nb total")
+    // every rate recomputes from its own counts
+    for ((src, (n, nr, nl, nn, rr, rl, rn)) <- bySrc) {
+      def rq(c: Long) = ((c * 1024L) / n) * 1024L + (((c * 1024L) % n) * 1024L) / n
+      assert(n > 0 && rr == rq(nr) && rl == rq(nl) && rn == rq(nn), s"rates of $src")
+    }
+  }
 }

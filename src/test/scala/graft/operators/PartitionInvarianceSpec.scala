@@ -124,6 +124,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(Zipf.rankFrequencyFit(_))
   }
 
+  test("per-source gate rates are partition-invariant") {
+    invariant(Ensemble.gateRatesBySource(_,
+      col("source").isin("src0", "src1", "src2", "src3", "src4")))
+  }
+
   test("IVF balance audit is partition-invariant") {
     invariantEmb(e =>
       Similarity.ivfBalanceAudit(e, e.filter(col("vec_id") < 16), dim = 64))
