@@ -946,4 +946,54 @@ object Dedup {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Per-SOURCE near-dup census — the dedup-side twin of the q153
+    * gate-rate sheet: which feed is redundant, at what rate. A source
+    * whose dup rate dwarfs the corpus's is a mirror/scrape of content
+    * already held (pay for it at acquisition, not curation); a source
+    * whose DROPPED rate is far below its dup-member rate is the
+    * canonical home its mirrors collapse onto.
+    *
+    * Reads the q58 cluster layer (minhash q28 ∪ simhash q47 pair
+    * graphs → connected components) joined back to the documents'
+    * source column. Output: one row per source —
+    * `(source, n, n_dup, n_dropped, dup_rate_q, drop_rate_q)` where
+    * `n_dup` counts docs that are pair-graph members (every member's
+    * component has ≥ 2 docs by construction), `n_dropped` counts the
+    * non-canonical members (cluster_id ≠ doc_id — exactly the q59
+    * drop-set), and rates are the exact two-step fixed point
+    * (floor semantics, 2^20 scale). NULL sources group as the literal
+    * 'unknown' (the q76 idiom).
+    *
+    * Scale shape: the pair graph and closure are the audited q58
+    * shapes (banding keeps the graph a vanishing fraction of the
+    * corpus; O(log² n) star rounds); the components frame is
+    * graph-node-sized, so the left join back to the corpus broadcasts,
+    * and the rollup collapses map-side onto source keys (a
+    * sources-sized frame). The corpus text is touched only inside the
+    * audited q28/q47 kernels. */
+  def dupRatesBySource(docs: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxHamming: Int = 5): DataFrame = {
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val pairs = nearDupPairs(docs, numHashes, rowsPerBand, threshold)
+      .select(col("a_id"), col("b_id"))
+      .union(simhashNearDupPairs(docs, maxHamming).select(col("a_id"), col("b_id")))
+    val comp = ConnectedComponents.components(pairs)
+      .select(col("node_id").as("doc_id"), col("cluster_id"))
+    val base = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("source"), lit("unknown")).as("source"))
+    def rate(cnt: String) = expr(
+      s"""CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+         |ELSE (($cnt * 1024) DIV n) * 1024 + ((($cnt * 1024) % n) * 1024) DIV n
+         |END""".stripMargin)
+    base.join(comp, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 1L)
+          .otherwise(0L)).as("n_dropped"))
+      .withColumn("dup_rate_q", rate("n_dup"))
+      .withColumn("drop_rate_q", rate("n_dropped"))
+  }
 }

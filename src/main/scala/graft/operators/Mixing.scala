@@ -310,4 +310,81 @@ object Mixing {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("weight_q"), lit(0L)).as("weight_q"))
   }
+
+  /** Per-source KL-divergence fingerprint — for every feed, the exact
+    * add-1-smoothed KL(P_source ‖ P_corpus) over the engine's hashed
+    * bigram buckets (the [[dsirWeights]] feature space): how far a
+    * source's token distribution sits from the corpus it feeds. The
+    * acquisition-level reading the CCNet/DSIR line of work (Wenzek
+    * 2020; Xie 2023) applies per document, lifted to the source
+    * roll-up: a feed whose KL towers over its peers is
+    * machine-generated, non-linguistic, or mislabeled-language
+    * content wearing the corpus's clothes — flag it BEFORE paying to
+    * curate it.
+    *
+    * Determinism: features are md5-48 hashed bigrams mod `buckets`;
+    * all counts are BIGINTs; every log is [[log2qExpr]] (1/64-log2
+    * fixed point); the closing division truncates toward zero through
+    * an explicit sign CASE, so the whole sheet oracles bitwise.
+    * Per source over ALL `buckets` cells (zero cells included —
+    * smoothing makes them contribute):
+    * `Δ_b = log2q(c_sb+1) − log2q(t_s+B) − log2q(c_gb+1) + log2q(t_g+B)`
+    * and `kl_q = trunc(Σ_b (c_sb+1)·Δ_b / (t_s+B))` in 1/64-log2
+    * units. Output: one row per source —
+    * `(source, n_bigrams, n_buckets, kl_q)`; NULL sources group as
+    * the literal 'unknown' (the q76 idiom); a bigram-free source
+    * reads the uniform-vs-corpus divergence, not a crash.
+    *
+    * Scale shape (100 TB): bigrams assemble map-side and collapse
+    * onto (source, bucket) keys BEFORE any join — the only
+    * corpus-sized exchange carries 24-byte count rows, and sources ≪
+    * docs makes it lighter than q126's (doc, bucket) exchange. The
+    * scoring grid is sources × buckets (a sheet, never corpus-sized),
+    * built by exploding a literal bucket sequence (no cross join);
+    * the per-bucket global counts and the one-row corpus total
+    * broadcast into it; the closing rollup collapses map-side onto
+    * source keys. */
+  def sourceKlDivergence(docs: DataFrame, textCol: String = "text",
+      buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(coalesce(col("source"), lit("unknown")).as("source"),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
+      .select(col("source"),
+        (Dedup.md5Base48Of(md5(concat(col("p.0"), lit(" "), col("p.1"))))
+          % buckets.toLong).as("b"))
+    val sb = Dedup.materialize(
+      base.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c_sb")))
+    val gb = sb.groupBy(col("b")).agg(sum(col("c_sb")).as("c_gb"))
+    val ts = sb.groupBy(col("source")).agg(sum(col("c_sb")).as("t_s"))
+    val tg = sb.agg(coalesce(sum(col("c_sb")), lit(0L)).as("t_g"))
+    val srcs = docs.select(coalesce(col("source"), lit("unknown")).as("source"))
+      .distinct()
+    val grid = srcs.join(ts, Seq("source"), "left")
+      .select(col("source"), coalesce(col("t_s"), lit(0L)).as("t_s"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${buckets - 1} AS BIGINT))"))
+          .as("b"))
+      .join(sb, Seq("source", "b"), "left")
+      .join(gb, Seq("b"), "left")
+      .crossJoin(broadcast(tg))
+      .select(col("source"), col("t_s"),
+        coalesce(col("c_sb"), lit(0L)).as("c_sb"),
+        coalesce(col("c_gb"), lit(0L)).as("c_gb"), col("t_g"))
+    grid
+      .withColumn("dq",
+        expr(log2qExpr("c_sb + 1")) - expr(log2qExpr(s"t_s + $buckets")) -
+          expr(log2qExpr("c_gb + 1")) + expr(log2qExpr(s"t_g + $buckets")))
+      .groupBy(col("source"))
+      .agg(max(col("t_s")).as("n_bigrams"),
+        sum(when(col("c_sb") > 0L, 1L).otherwise(0L)).as("n_buckets"),
+        sum((col("c_sb") + 1L) * col("dq")).as("__num"))
+      .withColumn("kl_q", expr(
+        s"""CASE WHEN __num >= 0 THEN __num DIV (n_bigrams + $buckets)
+           |ELSE -((-__num) DIV (n_bigrams + $buckets)) END""".stripMargin))
+      .drop("__num")
+  }
 }

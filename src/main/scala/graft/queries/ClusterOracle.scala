@@ -99,6 +99,33 @@ SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM cl
                   WHERE cl.doc_id = d.doc_id AND cl.cluster_id <> d.doc_id)"""
 
+  /** q154: the per-source near-dup census — the shared closure chain
+    * joined back to the documents' source column, rolled up per source
+    * with exact two-step fixed-point rates (the
+    * [[graft.operators.Dedup.dupRatesBySource]] shape). Membership in
+    * `cl` IS pair-graph membership; `cluster_id <> doc_id` IS the q59
+    * drop-set predicate — both read the same CTE the q58/q59 oracles
+    * read, so the census cannot drift from them. */
+  def dupRatesBySourceSql: String = {
+    def rate(cnt: String) =
+      s"""CASE WHEN n = 0 THEN 0
+         |    ELSE (($cnt * 1024) // n) * 1024 + ((($cnt * 1024) % n) * 1024) // n
+         |    END""".stripMargin
+    s"""WITH RECURSIVE $pairCtes,
+srcs AS (SELECT doc_id, coalesce(source, 'unknown') AS source
+  FROM documents WHERE doc_id IS NOT NULL),
+g AS (SELECT s.source,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+    CAST(sum(CASE WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> s.doc_id
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+  FROM srcs s LEFT JOIN cl ON cl.doc_id = s.doc_id GROUP BY s.source)
+SELECT source, n, n_dup, n_dropped,
+  CAST(${rate("n_dup")} AS BIGINT) AS dup_rate_q,
+  CAST(${rate("n_dropped")} AS BIGINT) AS drop_rate_q
+FROM g"""
+  }
+
   /** q140 mirror of [[graft.operators.ConnectedComponents
     * .keepBestFromComponents]] over token-count scores: the shared
     * closure chain, every pair-graph member scored

@@ -87,4 +87,53 @@ object DsirOracle {
        |  CAST(coalesce(per.weight_q, 0) AS BIGINT) AS weight_q
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
   }
+
+  /** q155 mirror: the per-source add-1-smoothed KL fingerprint over
+    * the hashed-bigram buckets
+    * ([[graft.operators.Mixing.sourceKlDivergence]]) — the q126
+    * bigram/hash CTEs keyed by source instead of doc, a sources ×
+    * buckets grid (zero cells included), the shared [[logChain]]
+    * replay on its four operands, and a trunc-toward-zero closing
+    * division through the same explicit sign CASE the Spark side
+    * computes. */
+  def sourceKlSql(buckets: Int = 8192): String = {
+    s"""WITH toks AS MATERIALIZED (SELECT coalesce(source, 'unknown') AS source,
+       |        string_split_regex(lower(text), '\\s+') AS t
+       |      FROM documents WHERE text IS NOT NULL),
+       |bg0 AS (SELECT source, md5(t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]) AS h
+       |        FROM (SELECT source, t, unnest(range(1, len(t))) AS i
+       |              FROM toks WHERE len(t) >= 2)),
+       |sb AS MATERIALIZED (SELECT source, (${md5b48("h")}) % $buckets AS b,
+       |          CAST(count(*) AS BIGINT) AS c_sb
+       |        FROM bg0 GROUP BY 1, 2),
+       |gb AS (SELECT b, CAST(sum(c_sb) AS BIGINT) AS c_gb FROM sb GROUP BY b),
+       |tsrc AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS t_s FROM sb GROUP BY source),
+       |tots AS (SELECT CAST(coalesce(sum(c_sb), 0) AS BIGINT) AS t_g FROM sb),
+       |srcs AS (SELECT DISTINCT coalesce(source, 'unknown') AS source FROM documents),
+       |grid AS (SELECT s.source, gg.b,
+       |      CAST(coalesce(sb.c_sb, 0) AS BIGINT) AS c_sb,
+       |      CAST(coalesce(gb.c_gb, 0) AS BIGINT) AS c_gb,
+       |      CAST(coalesce(tsrc.t_s, 0) AS BIGINT) AS t_s, tots.t_g
+       |   FROM srcs s
+       |   CROSS JOIN (SELECT unnest(range(0, $buckets)) AS b) gg
+       |   LEFT JOIN sb ON sb.source = s.source AND sb.b = gg.b
+       |   LEFT JOIN gb ON gb.b = gg.b
+       |   LEFT JOIN tsrc ON tsrc.source = s.source, tots),
+       |${logChain("grid", Seq(
+           "a" -> "c_sb + 1", "c" -> s"t_s + $buckets",
+           "d" -> "c_gb + 1", "g" -> s"t_g + $buckets"),
+         keyCols = Seq("source", "c_sb", "t_s"))},
+       |lr AS (SELECT source, c_sb, t_s,
+       |    (e_a * 64 + f_a) - (e_c * 64 + f_c) - (e_d * 64 + f_d) + (e_g * 64 + f_g) AS dq
+       |  FROM l6),
+       |agg AS (SELECT source,
+       |    CAST(max(t_s) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CASE WHEN c_sb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets,
+       |    CAST(sum((c_sb + 1) * dq) AS BIGINT) AS num
+       |  FROM lr GROUP BY source)
+       |SELECT source, n_bigrams, n_buckets,
+       |  CAST(CASE WHEN num >= 0 THEN num // (n_bigrams + $buckets)
+       |       ELSE -((-num) // (n_bigrams + $buckets)) END AS BIGINT) AS kl_q
+       |FROM agg""".stripMargin
+  }
 }

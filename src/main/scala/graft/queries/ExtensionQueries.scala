@@ -3522,7 +3522,47 @@ object ExtensionQueries {
         Tables.documents(s, d),
         col("source").isin("src0", "src1", "src2", "src3", "src4")),
       Some(gateRatesBySourceSql(
-        "source IN ('src0','src1','src2','src3','src4')")))
+        "source IN ('src0','src1','src2','src3','src4')"))),
+
+    QuerySpec(
+      "q154_dup_rates_by_source",
+      """Per-source near-dup census ([[graft.operators.Dedup
+        |.dupRatesBySource]]) — the dedup-side twin of q153's
+        |gate-rate sheet: which feed is redundant, at what rate. The
+        |q58 cluster layer (minhash ∪ simhash pair graphs → connected
+        |components) joined back to the source column and rolled up
+        |per source: pair-graph membership count, q59 drop-set count,
+        |and exact two-step fixed-point rates. A source whose dup rate
+        |dwarfs the corpus's is a mirror/scrape to drop at
+        |acquisition; a dropped rate far below the member rate marks
+        |the canonical home its mirrors collapse onto. All-BIGINT →
+        |bitwise oracle (the oracle reads the SAME closure CTE as
+        |q58/q59, so the census cannot drift from them). Scale shape:
+        |the audited q58 shapes plus a broadcast-sized components
+        |frame joined back to the corpus and ONE map-side rollup onto
+        |source keys.""".stripMargin,
+      (s, d) => graft.operators.Dedup.dupRatesBySource(Tables.documents(s, d)),
+      Some(ClusterOracle.dupRatesBySourceSql)),
+
+    QuerySpec(
+      "q155_source_kl_fingerprint",
+      """Per-source KL-divergence fingerprint ([[graft.operators
+        |.Mixing.sourceKlDivergence]]) — exact add-1-smoothed
+        |KL(P_source ‖ P_corpus) over the engine's hashed-bigram
+        |buckets (the q126 DSIR feature space), rolled up per feed:
+        |how far each source's token distribution sits from the corpus
+        |it feeds. A feed whose KL towers over its peers is
+        |machine-generated, non-linguistic, or mislabeled content —
+        |flag it at acquisition, before paying to curate it. Every log
+        |is the shared 1/64-log2 fixed point (log2qExpr); the closing
+        |division truncates toward zero through an explicit sign CASE
+        |on both sides → bitwise oracle. Scale shape: bigrams collapse
+        |map-side onto (source, bucket) keys before any join (lighter
+        |than q126's per-doc exchange); the scoring grid is sources ×
+        |buckets — a sheet, never corpus-sized — with the global
+        |counts and one-row total broadcast in.""".stripMargin,
+      (s, d) => graft.operators.Mixing.sourceKlDivergence(Tables.documents(s, d)),
+      Some(DsirOracle.sourceKlSql()))
   )
 
   /** q152 oracle: term counts → exact (cnt DESC, term ASC) ranks →

@@ -417,4 +417,42 @@ class DedupSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Dedup.scrubBoilerplateUnits(d, blockTokens = 24, minDocs = 1L))
   }
+
+  test("per-source dup-rate census: planted mirror feed, clean feed, null source") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    def mut(k: Int) = (1 to 60).map(i => if (i == k) s"chg$k" else s"tok$i").mkString(" ")
+    val d = Seq(
+      // 'mirror': a 3-doc near-dup family — 1 canonical + 2 dropped
+      (1L, base, "mirror"), (2L, mut(30), "mirror"), (3L, mut(31), "mirror"),
+      // 'clean': two unrelated docs — zero pair-graph membership
+      (10L, (100 to 160).map(i => s"w$i").mkString(" "), "clean"),
+      (11L, (200 to 260).map(i => s"v$i").mkString(" "), "clean"),
+      // null source groups as the literal 'unknown'
+      (20L, (300 to 360).map(i => s"u$i").mkString(" "), null)
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dupRatesBySource(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    def rq(c: Long, n: Long) =
+      ((c * 1024L) / n) * 1024L + (((c * 1024L) % n) * 1024L) / n
+    assert(out.keySet == Set("mirror", "clean", "unknown"))
+    assert(out("mirror") == ((3L, 3L, 2L, rq(3, 3), rq(2, 3))),
+      "all three mirror docs are pair-graph members; two are non-canonical")
+    assert(out("mirror")._4 == 1048576L, "full membership reads exactly 2^20")
+    assert(out("clean") == ((2L, 0L, 0L, 0L, 0L)))
+    assert(out("unknown") == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("dup-rate census totals tie out to the q58 pair graph on sf0.001") {
+    val d = Tables.documents(spark, sf001)
+    val out = Dedup.dupRatesBySource(d).collect()
+    val pairs = Dedup.nearDupPairs(d).select("a_id", "b_id")
+      .union(Dedup.simhashNearDupPairs(d, maxHamming = 5).select("a_id", "b_id"))
+    val comp = ConnectedComponents.components(pairs)
+    assert(out.map(_.getLong(2)).sum == comp.count(), "n_dup == pair-graph nodes")
+    assert(out.map(_.getLong(3)).sum ==
+      comp.filter(col("node_id") =!= col("cluster_id")).count(),
+      "n_dropped == the q59 drop-set size")
+    assert(out.map(_.getLong(1)).sum == d.filter(col("doc_id").isNotNull).count())
+  }
 }

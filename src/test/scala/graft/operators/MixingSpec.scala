@@ -214,4 +214,50 @@ class MixingSpec extends AnyFunSuite {
       Mixing.temperatureWeights(fixture, "source", "n_tokens", 0.0)
     }
   }
+
+  test("sourceKlDivergence: a single-source corpus reads exactly zero") {
+    // one source IS the corpus: c_sb = c_gb and t_s = t_g for every
+    // bucket, so every Δ_b is 0 BEFORE quantization — kl_q must be
+    // exactly 0, not merely small
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "only"),
+      (2L, "eta theta iota kappa lambda mu", "only")
+    ).toDF("doc_id", "text", "source")
+    val out = Mixing.sourceKlDivergence(d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "only")
+    assert(r.getLong(1) == 10L, "5 bigrams per 6-token doc x 2 docs")
+    assert(r.getLong(3) == 0L, "P_s == P_g must read kl_q == 0 exactly")
+  }
+
+  test("sourceKlDivergence: a disjoint-vocabulary feed towers over a corpus-like one") {
+    // 'bulk' dominates the corpus (so P_g ~ P_bulk: small KL);
+    // 'alien' is disjoint vocabulary (P_alien far from P_g: large KL)
+    val bulk = (1 to 40).map { i =>
+      (i.toLong, (1 to 30).map(j => s"w${(i * 7 + j) % 50}").mkString(" "), "bulk")
+    }
+    val alien = Seq((100L, (1 to 30).map(j => s"zz$j").mkString(" "), "alien"))
+    val d = (bulk ++ alien).toDF("doc_id", "text", "source")
+    val out = Mixing.sourceKlDivergence(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("bulk", "alien"))
+    assert(out("alien")._3 > out("bulk")._3,
+      s"disjoint vocab must diverge more: $out")
+    assert(out("alien")._3 > 0L)
+    // n_buckets never exceeds the distinct-bigram count
+    assert(out("alien")._2 <= 29L, "29 bigrams can hit at most 29 buckets")
+  }
+
+  test("sourceKlDivergence: null sources group as 'unknown'; text-free sources total") {
+    val d = Seq(
+      (1L, "a b c d e f g h", null),
+      (2L, null, "silent")
+    ).toDF("doc_id", "text", "source")
+    val out = Mixing.sourceKlDivergence(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set("unknown", "silent"))
+    assert(out("unknown")._1 == 7L)
+    assert(out("silent") == ((0L, 0L)), "a bigram-free source still gets a row")
+  }
 }

@@ -129,6 +129,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       col("source").isin("src0", "src1", "src2", "src3", "src4")))
   }
 
+  test("per-source dup rates are partition-invariant") {
+    invariant(Dedup.dupRatesBySource(_))
+  }
+
+  test("per-source KL fingerprint is partition-invariant") {
+    invariant(Mixing.sourceKlDivergence(_))
+  }
+
   test("IVF balance audit is partition-invariant") {
     invariantEmb(e =>
       Similarity.ivfBalanceAudit(e, e.filter(col("vec_id") < 16), dim = 64))
