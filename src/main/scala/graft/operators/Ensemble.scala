@@ -133,6 +133,18 @@ object Ensemble {
     val kf = killFrame(docs, positive, textCol, trainPermille, buckets, salt)
     val src = docs.filter(col("doc_id").isNotNull)
       .select(col("doc_id"), coalesce(col("source"), lit("unknown")).as("source"))
+    ratesBySourceFromKillFrame(kf, src)
+  }
+
+  /** The shared per-source rollup: a kill frame
+    * `(doc_id, k_rules, k_lm, k_nb)` joined to its source column and
+    * collapsed onto source keys with exact two-step fixed-point rates
+    * — [[gateRatesBySource]] (the batch sheet, q153) and
+    * [[graft.streaming.Curation.gateRatesMonitor]] (the per-batch
+    * ingest monitor) both close through it, so the two sheets cannot
+    * drift. */
+  private[graft] def ratesBySourceFromKillFrame(kf: DataFrame,
+      src: DataFrame): DataFrame = {
     def rate(cnt: String) = expr(
       s"""CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
          |ELSE (($cnt * 1024) DIV n) * 1024 + ((($cnt * 1024) % n) * 1024) DIV n

@@ -274,6 +274,49 @@ object Curation {
       .drop("__v", "__n", "__best", "cents", "kmap")
   }
 
+  /** Per-batch gate-rate monitor — q153's sheet applied at INGEST,
+    * the monitoring twin of the per-source ablation (the
+    * [[graft.operators.Drift.psiAgainstModel]] pattern): each
+    * micro-batch is scored against the STANDING models and rolled up
+    * per source, so a feed that suddenly fails a family at 3× its
+    * norm is visible the batch it happens, not at the next corpus
+    * audit. Call inside `foreachBatch`; each batch is its own
+    * comparison unit (rate semantics — no cross-batch state).
+    *
+    * The three family decisions are the existing stateless kernels:
+    * the q74 rule audit (per-doc aggregations a batch frame computes
+    * locally), [[lmQualityGate]] against the broadcast cost map +
+    * cuts, and [[classifierGate]] against the broadcast NB model row
+    * — and the rollup is [[graft.operators.Ensemble
+    * .ratesBySourceFromKillFrame]], the SAME closing the batch sheet
+    * uses, so streamed rates cannot drift from q153's definition
+    * (StreamingGateRatesSpec pins a full held-out batch bitwise-equal
+    * to the batch sheet). Output: one row per source in the batch —
+    * `(source, n, n_rules, n_lm, n_nb, rate_rules_q, rate_lm_q,
+    * rate_nb_q)`.
+    *
+    * Scale shape: zero streaming state; the models are static
+    * broadcast one-row frames; the only batch-local exchanges are the
+    * rule audit's per-doc (doc_id, term) combines and the
+    * sources-sized rollup — all within the micro-batch. */
+  def gateRatesMonitor(batch: DataFrame, lmModel: DataFrame,
+      lmCuts: DataFrame, nbModel: DataFrame, textCol: String = "text",
+      buckets: Int = 8192): DataFrame = {
+    import graft.operators.{Ensemble, QualityRules}
+    val rl = QualityRules.audit(batch)
+      .select(col("doc_id"), (col("reason") =!= "kept").as("k_rules"))
+    val lm = lmQualityGate(batch.select(col("doc_id"), col(textCol)),
+        lmModel, lmCuts, textCol)
+      .select(col("doc_id"), col("bucket").isin("tail", "empty").as("k_lm"))
+    val nb = classifierGate(batch.select(col("doc_id"), col(textCol)),
+        nbModel, textCol, buckets)
+      .select(col("doc_id"), (col("predicted") === 0L).as("k_nb"))
+    val kf = nb.join(lm, Seq("doc_id")).join(rl, Seq("doc_id"))
+    val src = batch.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("source"), lit("unknown")).as("source"))
+    Ensemble.ratesBySourceFromKillFrame(kf, src)
+  }
+
   /** Batch twin of the gate with REASON CODES (q81): same quality rules,
     * with the stream's arrival-order dedup pinned to a deterministic
     * rule — among quality-surviving rows of identical normalized
