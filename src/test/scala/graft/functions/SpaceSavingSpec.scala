@@ -75,7 +75,12 @@ class SpaceSavingSpec extends AnyFunSuite {
       n / sec
     }
     run(64) // JIT warmup
-    val r64 = run(64); val r1024 = run(1024)
+    // best-of-3: a GC pause or a concurrent suite's spike inflates one
+    // trial, rarely all three — the max is the buffer's own speed (the
+    // 1-min loadavg gate below lags a freshly-ramped parallel suite,
+    // so it alone can't keep this from flaking mid-`sbt test`)
+    val r64 = (1 to 3).map(_ => run(64)).max
+    val r1024 = (1 to 3).map(_ => run(1024)).max
     info(f"reduce throughput: m=64 → ${r64 / 1e6}%.1f M rows/s, m=1024 → ${r1024 / 1e6}%.1f M rows/s")
     // Wall-clock floors only bind on a quiet machine: this repo's own
     // bench history shows ~13x inflation under load, which would turn
