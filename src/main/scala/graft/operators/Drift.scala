@@ -209,6 +209,80 @@ object Drift {
           .otherwise(lit(0L)).as("alert"))
   }
 
+  /** Per-SOURCE length PSI — the drift family's member of the
+    * acquisition-level ablation (q153 gates / q154 dedup / q155
+    * content): which feed's length PROFILE diverges from the corpus
+    * it feeds, the form-side complement of q155's content fingerprint
+    * (a scrape of tweets and a scrape of legal filings can share
+    * vocabulary yet bin nowhere near each other). Every source's docs
+    * are binned against the CORPUS-WIDE standing model
+    * ([[lengthPsiModel]] over all docs — one broadcast row) and
+    * scored with exactly q144's PSI arithmetic, rolled to one row per
+    * source: `(source, n_docs, psi_q, alert)`; `alert` fires at the
+    * same PSI > 0.3 industry line (psi_q·10 > 3·2^26). A dominant
+    * source whose docs span every corpus bin reads near-zero; note a
+    * bin the source has ZERO mass in while the corpus has plenty
+    * legitimately inflates its PSI (the classic zero-bin term — the
+    * smoothed log keeps it finite, not small), so a big feed CAN
+    * alarm when a concentrated foreign mass occupies a bin it never
+    * touches. NULL sources group as the literal 'unknown' (the q76
+    * idiom).
+    *
+    * Determinism: decile edges are the q60-pinned exact selection;
+    * rates are the two-step fixed point; logs are [[Mixing
+    * .log2qExpr]] — all-BIGINT, bitwise oracle.
+    *
+    * Scale shape (100 TB): ONE pass computes per-doc lengths
+    * (codegen `graft_tokcount`); binning is a ≤ 9-comparison map-side
+    * expression against the broadcast model row; counts collapse
+    * map-side onto (source, bin) keys — the only corpus-driven
+    * exchange; everything after touches a sources × bins grid built
+    * by exploding a literal bin sequence. */
+  def lengthPsiBySource(docs: DataFrame, textCol: String = "text",
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val qs = psiEdgeNames(bins)
+    val base = docs.filter(col("doc_id").isNotNull)
+    val model = lengthPsiModel(base, textCol, bins)
+    val counts = base
+      .select(coalesce(col("source"), lit("unknown")).as("source"),
+        graft.functions.TextFunctions.tokenCount(
+          coalesce(col(textCol), lit(""))).as("x"))
+      .crossJoin(broadcast(model))
+      .select(col("source"), psiBinOf(qs).as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("__nn"))
+    val srcs = base
+      .select(coalesce(col("source"), lit("unknown")).as("source")).distinct()
+    val wsrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).rowsBetween(Long.MinValue, Long.MaxValue)
+    def rate(cnt: String, n: String) = expr(
+      s"""CASE WHEN $n = 0 THEN CAST(0 AS BIGINT)
+         |ELSE (($cnt * 1024) DIV $n) * 1024 + ((($cnt * 1024) % $n) * 1024) DIV $n
+         |END""".stripMargin)
+    srcs
+      .select(col("source"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${bins - 1} AS BIGINT))"))
+          .as("bin"))
+      .join(counts, Seq("source", "bin"), "left")
+      .crossJoin(broadcast(model.select(col("std_map"), col("t_std"))))
+      .select(col("source"), col("bin"),
+        coalesce(element_at(col("std_map"), col("bin")), lit(0L)).as("n_std"),
+        coalesce(col("__nn"), lit(0L)).as("n_new"),
+        coalesce(col("t_std"), lit(0L)).as("t_std"))
+      .withColumn("t_new", sum(col("n_new")).over(wsrc))
+      .withColumn("rs_q", rate("n_std", "t_std"))
+      .withColumn("rn_q", rate("n_new", "t_new"))
+      .withColumn("__psi_bin_q",
+        (col("rs_q") - col("rn_q")) *
+          (expr(Mixing.log2qExpr("rs_q + 1")) - expr(Mixing.log2qExpr("rn_q + 1"))))
+      .groupBy(col("source"))
+      .agg(max(col("t_new")).as("n_docs"),
+        sum(col("__psi_bin_q")).as("psi_q"))
+      .withColumn("alert",
+        when(col("psi_q") * 10L > 3L * 67108864L, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** The named decile fractions `e1..e{bins−1}` shared by the model
     * builder and the bin expression. */
   private def psiEdgeNames(bins: Int): Seq[(String, Double)] =

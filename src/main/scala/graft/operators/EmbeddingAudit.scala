@@ -75,4 +75,92 @@ object EmbeddingAudit {
         when(col("n_finite") > 0, expr("CAST(sum_q DIV n_finite AS BIGINT)"))
           .otherwise(lit(-1L)).as("norm_mean_q"))
   }
+
+  /** Label-separation sheet — the supervised health audit a
+    * classifier-data pipeline runs before training on labeled
+    * embeddings (and the reading behind "are these labels worth
+    * learning"): per unordered label pair, the exact-integer dot of
+    * the two QUANTIZED class centroids and its cosine; per label
+    * (diagonal rows), the within-class scatter. Well-separated labels
+    * read low off-diagonal |cos| with small `within_q`; a pair at
+    * cos ≈ 1 is two names for one cluster (merge or relabel); a label
+    * whose `within_q` rivals its centroid energy is noise, not a
+    * class (the Fisher-discriminant reading, assembled from exact
+    * integer parts).
+    *
+    * Determinism design: per-row squared norms are `graft_dot` (the
+    * q30/q94 bitwise contract) floor-quantized ×2^20; per-dimension
+    * component sums quantize floor(·2^20) per TERM (the q127
+    * convention — exact BIGINTs, partition-invariant); the quantized
+    * centroid is a trunc-toward-zero division through an explicit
+    * sign CASE (Spark DIV truncates, DuckDB // floors — the CASE
+    * makes both engines compute the same value on negative sums);
+    * centroid dots are pure BIGINT sums; the closing cosine is one
+    * IEEE division over two correctly-rounded sqrts of exact BIGINTs
+    * (the q152 one-IEEE-op rule). Headroom: needs n·max|v|·2^20 <
+    * 2^63 per (label, dim) — at 2^40 vectors per label and |v| ≤ 4
+    * the sum sits at 2^62.
+    *
+    * Output: one row per unordered label pair (diagonal included) —
+    * `(lab_a, lab_b, n_a, n_b, dot_c_q, cos_c, within_q)`; `dot_c_q`
+    * in 2^40 units, `within_q` (diagonal only, −1 off-diagonal, the
+    * q90 idiom) = mean ‖v‖² − ‖μ_q‖² in 2^20 units, clamped at 0
+    * against quantization undershoot. Null / ragged / non-finite /
+    * unlabeled vectors are excluded (the [[healthSheet]] gate finds
+    * those).
+    *
+    * Scale shape (100 TB): ONE corpus pass; the only corpus-driven
+    * exchanges are the (label, dim)-keyed component sums and the
+    * label-keyed count/norm stats — both map-side combined, both
+    * collapsing to labels-sized frames; everything after (centroid
+    * division, the pair self-join on 64 dim keys, the closing
+    * cosine) touches labels × dim rows, broadcast throughout. */
+  def labelSeparationSheet(embs: DataFrame, dim: Int,
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val base = embs
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+        col(labelCol).isNotNull)
+      .select(col(labelCol).cast("long").as("label"), v.as("v"),
+        graft.operators.Similarity.dot(v, v).as("n2"))
+      .filter(!isnan(col("n2")) && abs(col("n2")) =!= Double.PositiveInfinity)
+    val stats = Dedup.materialize(base.groupBy(col("label")).agg(
+      count(lit(1)).as("n"),
+      sum(floor(col("n2") * Q).cast("long")).as("ssq_q")))
+    val sums = base
+      .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+      .select(col("label"), col("d"), floor(col("x") * Q).cast("long").as("xq"))
+      .groupBy(col("label"), col("d")).agg(sum(col("xq")).as("s"))
+    val ml = Dedup.materialize(sums
+      .join(broadcast(stats.select(col("label"), col("n"))), "label")
+      .select(col("label"), col("d"),
+        expr("CASE WHEN s >= 0 THEN s DIV n ELSE -((-s) DIV n) END").as("m")))
+    val pairs = ml.select(col("label").as("lab_a"), col("d"), col("m").as("ma"))
+      .join(ml.select(col("label").as("lab_b"), col("d"), col("m").as("mb")), "d")
+      .filter(col("lab_a") <= col("lab_b"))
+      .groupBy(col("lab_a"), col("lab_b"))
+      .agg(sum(col("ma") * col("mb")).as("dot_c_q"))
+    val selfdot = ml.groupBy(col("label")).agg(sum(col("m") * col("m")).as("selfq"))
+    pairs
+      .join(broadcast(stats.select(col("label").as("lab_a"),
+        col("n").as("n_a"), col("ssq_q").as("ssq_a"))), "lab_a")
+      .join(broadcast(stats.select(col("label").as("lab_b"),
+        col("n").as("n_b"))), "lab_b")
+      .join(broadcast(selfdot.select(col("label").as("lab_a"),
+        col("selfq").as("__aa"))), "lab_a")
+      .join(broadcast(selfdot.select(col("label").as("lab_b"),
+        col("selfq").as("__bb"))), "lab_b")
+      .select(col("lab_a"), col("lab_b"), col("n_a"), col("n_b"),
+        col("dot_c_q"),
+        when(col("__aa") > 0L && col("__bb") > 0L,
+          col("dot_c_q").cast("double") /
+            (sqrt(col("__aa").cast("double")) * sqrt(col("__bb").cast("double"))))
+          .otherwise(lit(0.0)).as("cos_c"),
+        when(col("lab_a") === col("lab_b"),
+          greatest(lit(0L), expr(
+            "CAST(ssq_a DIV n_a AS BIGINT) - CAST(__aa DIV 1048576 AS BIGINT)")))
+          .otherwise(lit(-1L)).as("within_q"))
+  }
 }

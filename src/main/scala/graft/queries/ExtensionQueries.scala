@@ -3562,8 +3562,92 @@ object ExtensionQueries {
         |buckets — a sheet, never corpus-sized — with the global
         |counts and one-row total broadcast in.""".stripMargin,
       (s, d) => graft.operators.Mixing.sourceKlDivergence(Tables.documents(s, d)),
-      Some(DsirOracle.sourceKlSql()))
+      Some(DsirOracle.sourceKlSql())),
+
+    QuerySpec(
+      "q156_source_length_psi",
+      """Per-source length-PSI sheet ([[graft.operators.Drift
+        |.lengthPsiBySource]]) — the drift family's member of the
+        |acquisition-level ablation: which feed's length PROFILE
+        |diverges from the corpus, the form-side complement of q155's
+        |content fingerprint (two feeds can share vocabulary yet bin
+        |nowhere near each other). Every source binned against the
+        |corpus-wide standing deciles (ONE broadcast model row, the
+        |q144 artifact) and scored with exactly q144's PSI arithmetic,
+        |one row per source with the industry 0.3 alert line. A
+        |dominant source reads near-zero by construction — the sheet
+        |ranks outlier feeds. All-BIGINT → bitwise oracle. Scale
+        |shape: one codegen token-count pass; map-side binning; ONE
+        |(source, bin)-keyed exchange; the closing grid is sources ×
+        |bins.""".stripMargin,
+      (s, d) => graft.operators.Drift.lengthPsiBySource(Tables.documents(s, d)),
+      Some(PsiOracle.bySourceSql())),
+
+    QuerySpec(
+      "q157_label_separation",
+      """Label-separation sheet ([[graft.operators.EmbeddingAudit
+        |.labelSeparationSheet]]) — the supervised embedding-health
+        |audit: per unordered label pair, the exact-integer dot of the
+        |two quantized class centroids and its cosine; per label
+        |(diagonal), the within-class scatter. Low off-diagonal |cos|
+        |with small within = labels worth learning; a pair at cos ≈ 1
+        |is two names for one cluster; a label whose scatter rivals
+        |its centroid energy is noise, not a class. Component sums
+        |quantize floor(·2^20) per term (q127 convention), centroids
+        |divide trunc-toward-zero through an explicit sign CASE, and
+        |the one closing IEEE division/sqrt follows the q152 rule →
+        |bitwise oracle including the DOUBLE cosine. Scale shape: ONE
+        |corpus pass; (label, dim)-keyed map-side-combined sums are
+        |the only corpus-driven exchange; everything downstream is
+        |labels × dim, broadcast throughout.""".stripMargin,
+      (s, d) => graft.operators.EmbeddingAudit.labelSeparationSheet(
+        Tables.embeddings(s, d), dim = 64),
+      Some(labelSeparationSql(dim = 64)))
   )
+
+  /** q157 oracle: the [[graft.operators.EmbeddingAudit
+    * .labelSeparationSheet]] mirror — per-row list_dot_product norms
+    * (the q30/q94 bitwise contract), floor-quantized per-dimension
+    * component sums over a literal dim range, the sign-CASE
+    * trunc-toward-zero centroid, pure-BIGINT pair dots, and the same
+    * single IEEE division over two sqrts. */
+  private def labelSeparationSql(dim: Int): String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |    AND label IS NOT NULL),
+       |fin AS (SELECT * FROM base WHERE NOT isnan(n2) AND NOT isinf(n2)),
+       |stats AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(floor(n2 * 1048576) AS BIGINT)) AS BIGINT) AS ssq_q
+       |  FROM fin GROUP BY label),
+       |sums AS (SELECT label, CAST(r.i AS BIGINT) AS d,
+       |    CAST(sum(CAST(floor(v[CAST(r.i AS INTEGER) + 1] * 1048576) AS BIGINT))
+       |      AS BIGINT) AS s
+       |  FROM fin, range(0, $dim) r(i) GROUP BY 1, 2),
+       |m AS (SELECT label, d,
+       |    CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS m
+       |  FROM sums JOIN stats USING (label)),
+       |pairs AS (SELECT a.label AS lab_a, b.label AS lab_b,
+       |    CAST(sum(a.m * b.m) AS BIGINT) AS dot_c_q
+       |  FROM m a JOIN m b ON a.d = b.d WHERE a.label <= b.label
+       |  GROUP BY 1, 2),
+       |sd AS (SELECT label, CAST(sum(m * m) AS BIGINT) AS selfq
+       |  FROM m GROUP BY label)
+       |SELECT p.lab_a, p.lab_b, sa.n AS n_a, sb.n AS n_b, p.dot_c_q,
+       |  CASE WHEN da.selfq > 0 AND db.selfq > 0
+       |    THEN CAST(p.dot_c_q AS DOUBLE)
+       |      / (sqrt(CAST(da.selfq AS DOUBLE)) * sqrt(CAST(db.selfq AS DOUBLE)))
+       |    ELSE 0.0 END AS cos_c,
+       |  CAST(CASE WHEN p.lab_a = p.lab_b
+       |    THEN greatest(0, (sa.ssq_q // sa.n) - (da.selfq // 1048576))
+       |    ELSE -1 END AS BIGINT) AS within_q
+       |FROM pairs p
+       |JOIN stats sa ON sa.label = p.lab_a
+       |JOIN stats sb ON sb.label = p.lab_b
+       |JOIN sd da ON da.label = p.lab_a
+       |JOIN sd db ON db.label = p.lab_b""".stripMargin
 
   /** q152 oracle: term counts → exact (cnt DESC, term ASC) ranks →
     * the [[DsirOracle.logChain]] fixed-point log2 replay of rank and

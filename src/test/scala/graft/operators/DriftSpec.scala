@@ -130,4 +130,54 @@ class DriftSpec extends AnyFunSuite {
       Drift.termDrift(docs.toDF("doc_id", "text"), "text", col("doc_id") < 2, num = 1L, den = 1L)
     }
   }
+
+  test("lengthPsiBySource: corpus-proportional sources read exactly zero") {
+    // sources A and B each hold ONE copy of the same length multiset:
+    // every per-bin rate equals the corpus rate as an identical
+    // RATIONAL (c/n == (c/2)/(n/2)), so the two-step fixed point
+    // agrees term by term and psi_q is exactly 0 — not merely small
+    val lens = Seq(1, 3, 7, 12, 20, 35, 60, 100, 200, 400)
+    val docs = lens.zipWithIndex.flatMap { case (l, i) =>
+      val text = (0 until l).map(j => s"t$j").mkString(" ")
+      Seq((i.toLong * 2, text, "A"), (i.toLong * 2 + 1, text, "B"))
+    }.toDF("doc_id", "text", "source")
+    val out = Drift.lengthPsiBySource(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out("A") == ((10L, 0L, 0L)), s"A must read exactly zero: $out")
+    assert(out("B") == ((10L, 0L, 0L)))
+  }
+
+  test("lengthPsiBySource: a shifted-length feed alarms, the dominant feed stays quiet") {
+    // 'bulk' spans the corpus deciles; 'outlier' is 3 docs of one
+    // extreme length — all its mass lands in the top bin, PSI blows
+    // past the 0.3 line. Kept SMALL deliberately: bulk (~96% of the
+    // corpus) keeps mass in every bin, so its own PSI stays under the
+    // line — a LARGE concentrated foreign mass would empty a bin for
+    // bulk and legitimately alarm the dominant feed too (PSI's
+    // zero-bin term; the smoothed log keeps it finite, not small)
+    val bulk = (1 to 90).map { i =>
+      (i.toLong, (0 until i).map(j => s"w$j").mkString(" "), "bulk")
+    }
+    val outlier = (100 to 102).map { i =>
+      (i.toLong, (0 until 500).map(j => s"x$j").mkString(" "), "outlier")
+    }
+    // a null source and a null doc_id: the first groups as 'unknown',
+    // the second is excluded entirely (the q144 base filter)
+    val docs = (bulk ++ outlier).toDF("doc_id", "text", "source")
+      .union(Seq((Some(200L), "a b c", Option.empty[String]),
+        (Option.empty[Long], "dropped doc", Option("ghost")))
+        .toDF("doc_id", "text", "source"))
+    val out = Drift.lengthPsiBySource(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set("bulk", "outlier", "unknown"), s"got ${out.keySet}")
+    assert(out("outlier")._1 == 3L && out("outlier")._3 == 1L,
+      s"a one-length feed against a broad corpus must alarm: $out")
+    assert(out("bulk")._1 == 90L && out("bulk")._3 == 0L,
+      s"the dominant feed spans every corpus bin — no alarm: $out")
+    assert(out("unknown")._1 == 1L)
+    assert(Drift.lengthPsiBySource(docs).count() == 3L, "null doc_id excluded")
+  }
 }

@@ -137,6 +137,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(Mixing.sourceKlDivergence(_))
   }
 
+  test("per-source length PSI is partition-invariant") {
+    invariant(Drift.lengthPsiBySource(_))
+  }
+
+  test("label-separation sheet is partition-invariant") {
+    invariantEmb(EmbeddingAudit.labelSeparationSheet(_, dim = 64))
+  }
+
   test("IVF balance audit is partition-invariant") {
     invariantEmb(e =>
       Similarity.ivfBalanceAudit(e, e.filter(col("vec_id") < 16), dim = 64))
