@@ -35,7 +35,14 @@ for k_factor in (1, 4, 8):
         SELECT vec_id + k * 100000000 AS vec_id,
                CASE WHEN embedding IS NULL THEN NULL ELSE
                  list_concat(embedding[(k % 64) + 1:],
-                             embedding[1:(k % 64)]) END AS embedding
+                             embedding[1:(k % 64)]) END AS embedding,
+               -- replica labels are DISTINCT (offset k*1000): each
+               -- replica's classes keep the base geometry under its own
+               -- shift, and the label POPULATION grows linearly — the
+               -- regime a per-label audit (q157) must be measured in
+               -- (sharing labels across shifted replicas would smear
+               -- every class across k rotations instead)
+               label + k * 1000 AS label
         FROM '{base}/embeddings.parquet', range(0, {k_factor}) r(k)
         ORDER BY vec_id
       ) TO '{out}/embeddings.parquet' (FORMAT parquet)

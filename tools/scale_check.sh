@@ -48,7 +48,14 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // zipf fit (one term exchange + vocab sort)
   "q143_quality_classifier", "q144_length_psi",
   "q148_classifier_calibration", "q150_gate_agreement",
-  "q152_zipf_audit")
+  "q152_zipf_audit",
+  // round-11 (4): the acquisition-level ablation family (documents;
+  // q153 re-pays the three quality kernels, q154 the q58 cells -- the
+  // claims are sources-sized rollups on top) and the vector-side
+  // label audit (embeddings; one (label, dim)-keyed exchange)
+  "q153_gate_rates_by_source", "q154_dup_rates_by_source",
+  "q155_source_kl_fingerprint", "q156_source_length_psi",
+  "q157_label_separation")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
