@@ -283,6 +283,124 @@ object Drift {
         when(col("psi_q") * 10L > 3L * 67108864L, lit(1L)).otherwise(lit(0L)))
   }
 
+  /** The content-drift monitor's STANDING artifact — the
+    * [[lengthPsiModel]] convention applied to WHAT the corpus says
+    * instead of how long it is: ONE row holding the standing slice's
+    * hashed-bigram bucket occupancy (the q126/q155 DSIR feature
+    * space) as a `map<bucket, count>` plus the total count. Built
+    * once, broadcast to ingest; an empty standing slice yields an
+    * empty map and t_g = 0 — every probe then reads the
+    * uniform-vs-uniform zero (totality, not a crash). */
+  def contentKlModel(standing: DataFrame, textCol: String = "text",
+      buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    graft.GraftSession.ensureConfs(standing.sparkSession)
+    bigramBuckets(standing, textCol, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .agg(
+        map_from_entries(array_sort(
+          collect_list(struct(col("b"), col("c"))))).as("bmap"),
+        coalesce(sum(col("c")), lit(0L)).as("t_g"))
+  }
+
+  /** One incoming batch scored against a standing [[contentKlModel]]
+    * row — the content-side sibling of [[psiAgainstModel]] (apply
+    * inside `foreachBatch`, the model broadcast, ZERO streaming
+    * state; each batch is its own comparison unit): the exact
+    * add-1-smoothed KL(P_batch ‖ P_standing) over the hashed-bigram
+    * buckets, q155's arithmetic with the batch in the source seat and
+    * the standing model in the corpus seat. Catches what length PSI
+    * can't — a feed whose bigram-distribution SHAPE changes at the
+    * same length: template injection and boilerplate storms
+    * (concentration spikes), frequency-skew flips (a language or
+    * encoder change upstream of a scraper). Two calibrated limits,
+    * both safe-side: hashed features see concentration, not identity
+    * — a 1-for-1 vocabulary substitution at matched frequencies
+    * hashes to the same near-uniform profile (pair with the q136 OOV
+    * audit for vocabulary novelty); and the +1 smoothing shrinks
+    * batches far smaller than `buckets` toward zero (a 100-doc probe
+    * batch cannot false-alarm; production micro-batches at ingest
+    * scale carry bigram mass ≫ 8192 and read true KL).
+    *
+    * Output: ONE row `(n_bigrams, n_buckets, kl_q, alert)`; `kl_q` in
+    * 1/64-log2 units (trunc-toward-zero through the explicit sign
+    * CASE), `alert` fires at `kl_q ≥ alertQ` (default 32 = 0.5 bits —
+    * a batch half a bit from the standing distribution per bigram is
+    * not the same feed). A batch whose bucket counts EQUAL the
+    * standing slice's reads EXACTLY zero — every Δ_b cancels before
+    * quantization (the +1 smoothing preserves equality, not
+    * proportionality). All-BIGINT → the batch twin (q158) oracles
+    * bitwise.
+    *
+    * Scale shape: bigrams collapse map-side onto `buckets` keys — the
+    * only batch-driven exchange; the scoring grid is `buckets` rows
+    * built by exploding a literal sequence against the ONE broadcast
+    * model row; the closing sum is a single-row aggregate. */
+  def klAgainstModel(batch: DataFrame, model: DataFrame,
+      textCol: String = "text", buckets: Int = 8192,
+      alertQ: Long = 32L): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    graft.GraftSession.ensureConfs(batch.sparkSession)
+    val counts = bigramBuckets(batch, textCol, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_bb"))
+    val tb = counts.agg(coalesce(sum(col("c_bb")), lit(0L)).as("t_b"))
+    batch.sparkSession.range(1).select(
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${buckets - 1} AS BIGINT))"))
+          .as("b"))
+      .join(counts, Seq("b"), "left")
+      .crossJoin(broadcast(model))
+      .crossJoin(broadcast(tb))
+      .select(col("b"),
+        coalesce(col("c_bb"), lit(0L)).as("c_bb"),
+        coalesce(element_at(col("bmap"), col("b")), lit(0L)).as("c_gb"),
+        col("t_b"), coalesce(col("t_g"), lit(0L)).as("t_g"))
+      .withColumn("__dq",
+        expr(Mixing.log2qExpr("c_bb + 1")) - expr(Mixing.log2qExpr(s"t_b + $buckets")) -
+          expr(Mixing.log2qExpr("c_gb + 1")) + expr(Mixing.log2qExpr(s"t_g + $buckets")))
+      .agg(max(col("t_b")).as("n_bigrams"),
+        sum(when(col("c_bb") > 0L, 1L).otherwise(0L)).as("n_buckets"),
+        sum((col("c_bb") + 1L) * col("__dq")).as("__num"))
+      .withColumn("kl_q", expr(
+        s"""CASE WHEN __num >= 0 THEN __num DIV (n_bigrams + $buckets)
+           |ELSE -((-__num) DIV (n_bigrams + $buckets)) END""".stripMargin))
+      .withColumn("alert",
+        when(col("kl_q") >= alertQ, lit(1L)).otherwise(lit(0L)))
+      .drop("__num")
+  }
+
+  /** The q158 batch twin: the corpus split on the q68 md5 bucket
+    * (`newPermille` per-mille as the incoming slice), the standing
+    * remainder folded into [[contentKlModel]], the incoming slice
+    * scored by [[klAgainstModel]] — single-sourced through the same
+    * two kernels as the streaming monitor, so the batch sheet and a
+    * streamed batch CANNOT disagree (StreamingContentDriftSpec pins
+    * it). */
+  def contentKlDrift(docs: DataFrame, textCol: String = "text",
+      newPermille: Int = 100, buckets: Int = 8192,
+      salt: String = "graft"): DataFrame = {
+    require(newPermille >= 0 && newPermille <= 1000,
+      s"newPermille must be in [0,1000], got $newPermille")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val flagged = Sampling.withSplitBucket(docs, "doc_id", salt)
+      .withColumn("__new", col("__bucket") < newPermille)
+    val model = contentKlModel(flagged.filter(!col("__new")), textCol, buckets)
+    klAgainstModel(flagged.filter(col("__new")), model, textCol, buckets)
+  }
+
+  /** The shared hashed-bigram feature rows `(b)` — one row per bigram
+    * OCCURRENCE, md5-48 mod `buckets` (the q126/q155 feature space,
+    * one textual definition for the model builder and the probe). */
+  private def bigramBuckets(docs: DataFrame, textCol: String,
+      buckets: Int): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
+      .select((Dedup.md5Base48Of(md5(concat(col("p.0"), lit(" "), col("p.1"))))
+        % buckets.toLong).as("b"))
+  }
+
   /** The named decile fractions `e1..e{bins−1}` shared by the model
     * builder and the bin expression. */
   private def psiEdgeNames(bins: Int): Seq[(String, Double)] =

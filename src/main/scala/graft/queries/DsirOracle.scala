@@ -136,4 +136,54 @@ object DsirOracle {
        |       ELSE -((-num) // (n_bigrams + $buckets)) END AS BIGINT) AS kl_q
        |FROM agg""".stripMargin
   }
+
+  /** q158 mirror: the content-KL drift monitor's batch twin
+    * ([[graft.operators.Drift.contentKlDrift]]) — the q68 md5 split,
+    * the q126 bigram/hash CTEs keyed by slice, the standing slice as
+    * the corpus seat and the incoming slice as the source seat of the
+    * q155 KL arithmetic, one closing row. */
+  def contentKlSql(newPermille: Int = 100, buckets: Int = 8192,
+      salt: String = "graft", alertQ: Long = 32L): String = {
+    val bucket = DecontaminateOracle.bucketExpr(salt)
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |        FROM documents WHERE text IS NOT NULL),
+       |mem AS (SELECT doc_id, (($bucket) % 1000 < $newPermille) AS is_new
+       |        FROM documents WHERE doc_id IS NOT NULL),
+       |bg0 AS (SELECT doc_id, md5(t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]) AS h
+       |        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |              FROM toks WHERE len(t) >= 2)),
+       |sl AS MATERIALIZED (SELECT (${md5b48("h")}) % $buckets AS b, mem.is_new
+       |        FROM bg0 JOIN mem USING (doc_id)),
+       |gc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_gb
+       |        FROM sl WHERE NOT is_new GROUP BY b),
+       |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_bb
+       |        FROM sl WHERE is_new GROUP BY b),
+       |tg AS (SELECT CAST(coalesce(sum(c_gb), 0) AS BIGINT) AS t_g FROM gc),
+       |tb AS (SELECT CAST(coalesce(sum(c_bb), 0) AS BIGINT) AS t_b FROM bc),
+       |grid AS (SELECT CAST(r.i AS BIGINT) AS b,
+       |      CAST(coalesce(bc.c_bb, 0) AS BIGINT) AS c_bb,
+       |      CAST(coalesce(gc.c_gb, 0) AS BIGINT) AS c_gb,
+       |      tb.t_b, tg.t_g
+       |   FROM range(0, $buckets) r(i)
+       |   LEFT JOIN bc ON bc.b = r.i
+       |   LEFT JOIN gc ON gc.b = r.i, tb, tg),
+       |${logChain("grid", Seq(
+           "a" -> "c_bb + 1", "c" -> s"t_b + $buckets",
+           "d" -> "c_gb + 1", "g" -> s"t_g + $buckets"),
+         keyCols = Seq("c_bb", "t_b"))},
+       |lr AS (SELECT c_bb, t_b,
+       |    (e_a * 64 + f_a) - (e_c * 64 + f_c) - (e_d * 64 + f_d) + (e_g * 64 + f_g) AS dq
+       |  FROM l6),
+       |agg AS (SELECT CAST(max(t_b) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CASE WHEN c_bb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets,
+       |    CAST(sum((c_bb + 1) * dq) AS BIGINT) AS num
+       |  FROM lr)
+       |SELECT n_bigrams, n_buckets,
+       |  CAST(CASE WHEN num >= 0 THEN num // (n_bigrams + $buckets)
+       |       ELSE -((-num) // (n_bigrams + $buckets)) END AS BIGINT) AS kl_q,
+       |  CAST(CASE WHEN (CASE WHEN num >= 0 THEN num // (n_bigrams + $buckets)
+       |       ELSE -((-num) // (n_bigrams + $buckets)) END) >= $alertQ
+       |       THEN 1 ELSE 0 END AS BIGINT) AS alert
+       |FROM agg""".stripMargin
+  }
 }

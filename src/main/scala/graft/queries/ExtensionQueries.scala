@@ -3602,7 +3602,29 @@ object ExtensionQueries {
         |labels × dim, broadcast throughout.""".stripMargin,
       (s, d) => graft.operators.EmbeddingAudit.labelSeparationSheet(
         Tables.embeddings(s, d), dim = 64),
-      Some(labelSeparationSql(dim = 64)))
+      Some(labelSeparationSql(dim = 64))),
+
+    QuerySpec(
+      "q158_content_kl_drift",
+      """Content-KL ingest-drift monitor, batch twin ([[graft
+        |.operators.Drift.contentKlDrift]]) — the content-side
+        |sibling of q144's length PSI: the incoming md5 split scored
+        |as exact add-1-smoothed KL(P_incoming ‖ P_standing) over the
+        |hashed-bigram buckets (q155's arithmetic with the batch in
+        |the source seat). Catches what length PSI can't — a feed
+        |that starts SAYING something different at the same length
+        |(template injection, language flip, upstream encoder
+        |change). One closing row (n_bigrams, n_buckets, kl_q,
+        |alert); alert at 0.5 bits (kl_q ≥ 32 in 1/64-log2 units).
+        |Single-sourced through contentKlModel + klAgainstModel — the
+        |streaming monitor's own kernels
+        |(StreamingContentDriftSpec pins a streamed batch bitwise).
+        |All-BIGINT → bitwise oracle. Scale shape: bigrams collapse
+        |map-side onto `buckets` keys (the only corpus-driven
+        |exchange); the model is ONE broadcast row; the scoring grid
+        |is `buckets` rows.""".stripMargin,
+      (s, d) => graft.operators.Drift.contentKlDrift(Tables.documents(s, d)),
+      Some(DsirOracle.contentKlSql()))
   )
 
   /** q157 oracle: the [[graft.operators.EmbeddingAudit

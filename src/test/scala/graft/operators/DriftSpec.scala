@@ -180,4 +180,47 @@ class DriftSpec extends AnyFunSuite {
     assert(out("unknown")._1 == 1L)
     assert(Drift.lengthPsiBySource(docs).count() == 3L, "null doc_id excluded")
   }
+
+  test("content KL: a batch equal to the standing slice reads exactly zero") {
+    val docs = (1L to 20L).map { i =>
+      (i, (0 until 15).map(j => s"alpha${(i + j) % 9} beta${j % 4}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val model = Drift.contentKlModel(docs)
+    val out = Drift.klAgainstModel(docs, model).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) > 0L, "bigrams counted")
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L,
+      s"equal bucket counts must cancel before quantization: $r")
+  }
+
+  test("content KL: a template-injection spike alarms; tiny probes and empty models are safe") {
+    val standing = (1L to 20L).map { i =>
+      (i, (0 until 15).map(j => s"alpha${(i + j) % 9} beta${j % 4}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val model = Drift.contentKlModel(standing)
+    // a boilerplate storm: ONE bigram carrying the whole batch's mass
+    // — the concentration spike hashed features exist to catch
+    val spike = Seq((100L, Seq.fill(2001)("spam").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Drift.klAgainstModel(spike, model).collect().head
+    assert(r.getLong(0) == 2000L && r.getLong(1) == 1L)
+    assert(r.getLong(2) >= 32L && r.getLong(3) == 1L,
+      s"an all-one-bucket batch must clear the 0.5-bit line: $r")
+    // a small disjoint-vocabulary batch: positive KL, but +1 smoothing
+    // keeps a B-dwarfed batch under the alarm — tiny probes are
+    // safe-side by construction
+    val flipped = (100L to 105L).map { i =>
+      (i, (0 until 15).map(j => s"zz${i}q$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val f = Drift.klAgainstModel(flipped, model).collect().head
+    assert(f.getLong(2) > 0L && f.getLong(3) == 0L,
+      s"84 bigrams against 8192 smoothed buckets cannot false-alarm: $f")
+    // empty standing model: t_g = 0, empty map — the probe still
+    // closes (KL vs uniform), never crashes
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = Drift.klAgainstModel(flipped, Drift.contentKlModel(empty))
+      .collect().head
+    assert(e.getLong(0) > 0L, "batch mass still counted against an empty model")
+  }
 }

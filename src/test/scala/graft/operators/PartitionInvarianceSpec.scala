@@ -145,6 +145,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariantEmb(EmbeddingAudit.labelSeparationSheet(_, dim = 64))
   }
 
+  test("content-KL drift sheet is partition-invariant") {
+    invariant(Drift.contentKlDrift(_))
+  }
+
   test("IVF balance audit is partition-invariant") {
     invariantEmb(e =>
       Similarity.ivfBalanceAudit(e, e.filter(col("vec_id") < 16), dim = 64))
