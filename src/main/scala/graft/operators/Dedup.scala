@@ -987,7 +987,11 @@ object Dedup {
       s"""CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
          |ELSE (($cnt * 1024) DIV n) * 1024 + ((($cnt * 1024) % n) * 1024) DIV n
          |END""".stripMargin)
-    base.join(comp, Seq("doc_id"), "left")
+    // explicit broadcast: the components frame is a materialized
+    // ExistingRDD (no stats), so without the hint Spark sort-merges a
+    // pair-graph-sized frame against the corpus — the q59 convention
+    // (|graph| is a vanishing fraction of the corpus) says broadcast
+    base.join(broadcast(comp), Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_dup"),

@@ -343,17 +343,21 @@ object Drift {
     graft.GraftSession.ensureConfs(batch.sparkSession)
     val counts = bigramBuckets(batch, textCol, buckets)
       .groupBy(col("b")).agg(count(lit(1)).as("c_bb"))
-    val tb = counts.agg(coalesce(sum(col("c_bb")), lit(0L)).as("t_b"))
+    // the batch total rides an unpartitioned window over the
+    // buckets-sized grid (the q144 t_new idiom) instead of a separate
+    // aggregate branch — one less scan of the batch
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     batch.sparkSession.range(1).select(
         explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${buckets - 1} AS BIGINT))"))
           .as("b"))
       .join(counts, Seq("b"), "left")
       .crossJoin(broadcast(model))
-      .crossJoin(broadcast(tb))
       .select(col("b"),
         coalesce(col("c_bb"), lit(0L)).as("c_bb"),
         coalesce(element_at(col("bmap"), col("b")), lit(0L)).as("c_gb"),
-        col("t_b"), coalesce(col("t_g"), lit(0L)).as("t_g"))
+        coalesce(col("t_g"), lit(0L)).as("t_g"))
+      .withColumn("t_b", sum(col("c_bb")).over(whole))
       .withColumn("__dq",
         expr(Mixing.log2qExpr("c_bb + 1")) - expr(Mixing.log2qExpr(s"t_b + $buckets")) -
           expr(Mixing.log2qExpr("c_gb + 1")) + expr(Mixing.log2qExpr(s"t_g + $buckets")))

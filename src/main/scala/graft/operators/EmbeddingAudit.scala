@@ -137,8 +137,11 @@ object EmbeddingAudit {
       .join(broadcast(stats.select(col("label"), col("n"))), "label")
       .select(col("label"), col("d"),
         expr("CASE WHEN s >= 0 THEN s DIV n ELSE -((-s) DIV n) END").as("m")))
+    // broadcast the self-join's build side: ml is labels × dim rows of
+    // an ExistingRDD (no stats) — unhinted, Spark sort-merges it
+    // against itself
     val pairs = ml.select(col("label").as("lab_a"), col("d"), col("m").as("ma"))
-      .join(ml.select(col("label").as("lab_b"), col("d"), col("m").as("mb")), "d")
+      .join(broadcast(ml.select(col("label").as("lab_b"), col("d"), col("m").as("mb"))), "d")
       .filter(col("lab_a") <= col("lab_b"))
       .groupBy(col("lab_a"), col("lab_b"))
       .agg(sum(col("ma") * col("mb")).as("dot_c_q"))
