@@ -136,6 +136,56 @@ object Ensemble {
     ratesBySourceFromKillFrame(kf, src)
   }
 
+  /** The feed-triage SCORECARD — the acquisition family's capstone:
+    * one row per source joining the four per-source sheets the family
+    * built, so the drop/keep/renegotiate decision about a feed reads
+    * off a single relation: the q153 gate kill rates (which quality
+    * family objects), the q154 dup census (how redundant the feed
+    * is), the q155 KL fingerprint (how alien its content is), and
+    * the q156 length PSI (how alien its shape is). The four members
+    * stay the single source of truth — this operator ADDS only
+    * column pruning and three full-outer joins on source keys
+    * (sources-sized frames; a source missing from the gate sheet —
+    * nothing held out — carries NULLs there, never drops).
+    *
+    * Output: `(source, n_docs, dup_rate_q, drop_rate_q, n_gated,
+    * rate_rules_q, rate_lm_q, rate_nb_q, kl_q, psi_q, psi_alert)`.
+    * Deliberately a composition, not a re-derivation: each column is
+    * bitwise its member sheet's value (EnsembleSpec ties them out),
+    * and the oracle composes the four member oracles the same way.
+    *
+    * Scale shape: the four audited member shapes; the joins touch
+    * sources-sized frames only. */
+  def sourceScorecard(docs: DataFrame, positive: Column,
+      textCol: String = "text", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    val dups = Dedup.dupRatesBySource(docs)
+      .select(col("source"), col("n").as("n_docs"),
+        col("dup_rate_q"), col("drop_rate_q"))
+    val gates = gateRatesBySource(docs, positive, textCol, trainPermille,
+        buckets, salt)
+      .select(col("source"), col("n").as("n_gated"),
+        col("rate_rules_q"), col("rate_lm_q"), col("rate_nb_q"))
+    val kl = Mixing.sourceKlDivergence(docs, textCol, buckets)
+      .select(col("source"), col("kl_q"))
+    val psi = Drift.lengthPsiBySource(docs, textCol)
+      .select(col("source"), col("psi_q"), col("alert").as("psi_alert"))
+    // row universe + broadcast LEFT joins instead of full-outer
+    // chaining: Spark cannot broadcast a full-outer join, so the
+    // chain would sort-merge sources-sized frames. Every member's
+    // sources are a subset of the all-docs universe (q154/q156
+    // exclude doc_id-null DOCS but not their sources' other rows;
+    // q153 covers the held-out slice), so the left joins produce
+    // exactly the full-outer result — with NULLs where a member has
+    // no row, never dropping a feed.
+    val srcs = docs
+      .select(coalesce(col("source"), lit("unknown")).as("source")).distinct()
+    srcs.join(broadcast(dups), Seq("source"), "left")
+      .join(broadcast(gates), Seq("source"), "left")
+      .join(broadcast(kl), Seq("source"), "left")
+      .join(broadcast(psi), Seq("source"), "left")
+  }
+
   /** The shared per-source rollup: a kill frame
     * `(doc_id, k_rules, k_lm, k_nb)` joined to its source column and
     * collapsed onto source keys with exact two-step fixed-point rates

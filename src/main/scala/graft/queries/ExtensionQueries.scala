@@ -3624,8 +3624,52 @@ object ExtensionQueries {
         |exchange); the model is ONE broadcast row; the scoring grid
         |is `buckets` rows.""".stripMargin,
       (s, d) => graft.operators.Drift.contentKlDrift(Tables.documents(s, d)),
-      Some(DsirOracle.contentKlSql()))
+      Some(DsirOracle.contentKlSql())),
+
+    QuerySpec(
+      "q159_source_scorecard",
+      """Feed-triage scorecard ([[graft.operators.Ensemble
+        |.sourceScorecard]]) — the acquisition family's capstone: one
+        |row per source joining the q153 gate kill rates, q154 dup
+        |census, q155 KL fingerprint and q156 length PSI, so the
+        |drop/keep/renegotiate decision about a feed reads off a
+        |single relation. Deliberately a composition, not a
+        |re-derivation: every column is bitwise its member sheet's
+        |value (spec-tied), the oracle composes the four member
+        |oracles with the same full-outer joins, and a source absent
+        |from the gate sheet carries NULLs, never drops. Scale shape:
+        |the four audited member shapes plus three joins on
+        |sources-sized frames.""".stripMargin,
+      (s, d) => graft.operators.Ensemble.sourceScorecard(
+        Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")),
+      Some(sourceScorecardSql(
+        "source IN ('src0','src1','src2','src3','src4')")))
   )
+
+  /** q159 oracle: the four member oracles (q153/q154/q155/q156)
+    * embedded verbatim as derived tables and full-outer joined on
+    * source — the [[graft.operators.Ensemble.sourceScorecard]]
+    * composition, so the scorecard cannot drift from its members. */
+  private def sourceScorecardSql(positiveSql: String): String =
+    s"""WITH d AS (SELECT source, n AS n_docs, dup_rate_q, drop_rate_q FROM (
+       |${ClusterOracle.dupRatesBySourceSql}
+       |) t1),
+       |g AS (SELECT source, n AS n_gated, rate_rules_q, rate_lm_q, rate_nb_q FROM (
+       |${gateRatesBySourceSql(positiveSql)}
+       |) t2),
+       |k AS (SELECT source, kl_q FROM (
+       |${DsirOracle.sourceKlSql()}
+       |) t3),
+       |p AS (SELECT source, psi_q, alert AS psi_alert FROM (
+       |${PsiOracle.bySourceSql()}
+       |) t4)
+       |SELECT source, n_docs, dup_rate_q, drop_rate_q, n_gated,
+       |  rate_rules_q, rate_lm_q, rate_nb_q, kl_q, psi_q, psi_alert
+       |FROM d
+       |FULL JOIN g USING (source)
+       |FULL JOIN k USING (source)
+       |FULL JOIN p USING (source)""".stripMargin
 
   /** q157 oracle: the [[graft.operators.EmbeddingAudit
     * .labelSeparationSheet]] mirror — per-row list_dot_product norms

@@ -64,6 +64,27 @@ class EnsembleSpec extends AnyFunSuite {
       Ensemble.SignalNames.map(s => s"$s=${ids.count(k(s))}").mkString(" "))
   }
 
+  test("scorecard columns are bitwise the member sheets'; no source drops") {
+    val docs = Tables.documents(spark, sf001)
+    val sc = Ensemble.sourceScorecard(docs, positive).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the dedup census is the row universe at sf0.001 (every source
+    // has docs); each member's columns must appear verbatim
+    val dups = Dedup.dupRatesBySource(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5)))).toMap
+    val psi = Drift.lengthPsiBySource(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val kl = Mixing.sourceKlDivergence(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(sc.keySet == dups.keySet && sc.keySet == psi.keySet,
+      "full-outer joins must preserve every source")
+    for ((s, r) <- sc) {
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == dups(s), s"dup cols of $s")
+      assert(r.getLong(8) == kl(s), s"kl col of $s")
+      assert((r.getLong(9), r.getLong(10)) == psi(s), s"psi cols of $s")
+    }
+  }
+
   test("per-source rates recompute; totals tie out to the agreement diagonals") {
     val docs = Tables.documents(spark, sf001)
     val bySrc = Ensemble.gateRatesBySource(docs, positive).collect()

@@ -149,6 +149,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(Drift.contentKlDrift(_))
   }
 
+  test("source scorecard is partition-invariant") {
+    invariant(Ensemble.sourceScorecard(_,
+      col("source").isin("src0", "src1", "src2", "src3", "src4")))
+  }
+
   test("IVF balance audit is partition-invariant") {
     invariantEmb(e =>
       Similarity.ivfBalanceAudit(e, e.filter(col("vec_id") < 16), dim = 64))

@@ -822,4 +822,57 @@ class ScaleSpec extends AnyFunSuite {
     assert(iPlan.contains("partial_sum"),
       "the per-(q, n) ADC sum must combine map-side")
   }
+
+  test("acquisition-family sheets hold their documented plan shapes") {
+    val docs = Tables.documents(spark, sf001)
+
+    // q154: the components frame joins back to the corpus BROADCAST
+    // (it is a materialized ExistingRDD — unhinted, Spark would
+    // sort-merge a pair-graph-sized frame against the corpus), and
+    // the source rollup combines map-side.
+    val dup = Dedup.dupRatesBySource(docs)
+    assert(dup.count() > 0)
+    val dPlan = dup.queryExecution.executedPlan.toString
+    assert(!dPlan.contains("SortMergeJoin"),
+      "the census adds only broadcast joins to the q58 cells")
+    assert(dPlan.contains("partial_count"),
+      "the source rollup must combine map-side")
+
+    // q155: the only corpus-driven exchange is the (source, bucket)
+    // count combine; the grid joins are all broadcast; the one
+    // nested-loop is the one-row total.
+    val kl = Mixing.sourceKlDivergence(docs)
+    assert(kl.count() > 0)
+    val kPlan = kl.queryExecution.executedPlan.toString
+    assert(!kPlan.contains("SortMergeJoin") && !kPlan.contains("CartesianProduct"))
+    // the (source, bucket) count combine happened at materialize time
+    // (sb is a checkpointed frame); the CLOSING rollup's own KL sum
+    // must still combine map-side
+    assert(kPlan.contains("partial_sum"),
+      "the per-source KL sum must combine map-side")
+
+    // q157: the closing plan reads ONLY materialized frames (zero
+    // parquet — the per-dim sums and stats are checkpointed), and the
+    // labels x dim self-join broadcasts.
+    val sep = EmbeddingAudit.labelSeparationSheet(
+      Tables.embeddings(spark, sf001), dim = 64)
+    assert(sep.count() > 0)
+    val sPlan = sep.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(sPlan).isEmpty,
+      "the closing sheet reads materialized frames, not the corpus")
+    assert(!sPlan.contains("SortMergeJoin"),
+      "the labels x dim self-join must broadcast")
+
+    // q158: against a MATERIALIZED standing model (the production
+    // shape — the artifact is persisted, not recomputed per batch),
+    // the probe kernel scans its batch exactly once — the batch total
+    // rides the grid window, not a second aggregate branch.
+    val model = Dedup.materialize(Drift.contentKlModel(docs))
+    val probe = Drift.klAgainstModel(docs.limit(50), model)
+    assert(probe.count() == 1)
+    val pPlan = probe.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(pPlan).size == 1,
+      "klAgainstModel must read the batch exactly once")
+    assert(!pPlan.contains("CartesianProduct"))
+  }
 }
