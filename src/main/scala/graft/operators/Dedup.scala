@@ -972,6 +972,49 @@ object Dedup {
     * and the rollup collapses map-side onto source keys (a
     * sources-sized frame). The corpus text is touched only inside the
     * audited q28/q47 kernels. */
+  /** Duplication PROFILE — the cluster-size histogram (Lee et al.
+    * 2021's corpus-health reading): per near-dup cluster size, how
+    * many clusters and how many documents. The SHAPE of duplication
+    * is the diagnosis — a few huge clusters are mirrors/scrapes
+    * (drop the feed, q154 names it); a long tail of size-2/3
+    * clusters is boilerplate and templates (scrub units, q115); and
+    * the size-1 row is the uniqueness mass the corpus actually
+    * contributes. Reads the q58 cluster layer (minhash ∪ simhash →
+    * connected components); singletons are docs off the pair graph.
+    *
+    * Output: one row per occurring size —
+    * `(cluster_size, n_clusters, n_docs)` with
+    * `n_docs = cluster_size · n_clusters`; all-BIGINT → bitwise
+    * oracle (the oracle reads the SAME closure CTE as q58/q59/q154).
+    *
+    * Scale shape: the audited q58 shapes; the histogram is two
+    * map-side-combined aggregations over the graph-node-sized
+    * components frame (cluster keys, then size keys) plus one
+    * corpus count — nothing beyond the q58 cells touches the
+    * corpus. */
+  def clusterSizeProfile(docs: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxHamming: Int = 5): DataFrame = {
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val pairs = nearDupPairs(docs, numHashes, rowsPerBand, threshold)
+      .select(col("a_id"), col("b_id"))
+      .union(simhashNearDupPairs(docs, maxHamming).select(col("a_id"), col("b_id")))
+    val comp = materialize(ConnectedComponents.components(pairs))
+    val sizes = comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val nDocs = docs.filter(col("doc_id").isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    val nNodes = comp.agg(count(lit(1)).as("__g"))
+    val singletons = nDocs.crossJoin(nNodes)
+      .select(lit(1L).as("cluster_size"),
+        (col("__n") - col("__g")).as("n_clusters"))
+      .filter(col("n_clusters") > 0L)
+    sizes.union(singletons)
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+  }
+
   def dupRatesBySource(docs: DataFrame, numHashes: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxHamming: Int = 5): DataFrame = {

@@ -126,6 +126,25 @@ SELECT source, n, n_dup, n_dropped,
 FROM g"""
   }
 
+  /** q160: the duplication profile — cluster-size histogram over the
+    * shared closure chain plus the singleton row (docs off the pair
+    * graph), the [[graft.operators.Dedup.clusterSizeProfile]]
+    * shape. */
+  def clusterSizeProfileSql: String =
+    s"""WITH RECURSIVE $pairCtes,
+szs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM cl GROUP BY cluster_id),
+hist AS (SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM szs GROUP BY sz),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id IS NOT NULL),
+gn AS (SELECT CAST(count(*) AS BIGINT) AS g FROM cl),
+uni AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+          CAST(tot.n - gn.g AS BIGINT) AS n_clusters
+        FROM tot, gn WHERE tot.n - gn.g > 0),
+allr AS (SELECT * FROM hist UNION ALL SELECT * FROM uni)
+SELECT cluster_size, n_clusters,
+  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+FROM allr"""
+
   /** q140 mirror of [[graft.operators.ConnectedComponents
     * .keepBestFromComponents]] over token-count scores: the shared
     * closure chain, every pair-graph member scored

@@ -3644,7 +3644,24 @@ object ExtensionQueries {
         Tables.documents(s, d),
         col("source").isin("src0", "src1", "src2", "src3", "src4")),
       Some(sourceScorecardSql(
-        "source IN ('src0','src1','src2','src3','src4')")))
+        "source IN ('src0','src1','src2','src3','src4')"))),
+
+    QuerySpec(
+      "q160_dup_profile",
+      """Duplication profile ([[graft.operators.Dedup
+        |.clusterSizeProfile]]) — the cluster-size histogram (Lee et
+        |al. 2021's corpus-health reading): per near-dup cluster
+        |size, how many clusters and documents, plus the singleton
+        |row. The SHAPE of duplication is the diagnosis: a few huge
+        |clusters are mirrors (drop the feed — q154 names it); a long
+        |size-2/3 tail is boilerplate (scrub units — q115); the
+        |size-1 row is the uniqueness mass. All-BIGINT → bitwise
+        |oracle reading the SAME closure CTE as q58/q59/q154. Scale
+        |shape: the audited q58 cells plus two map-side-combined
+        |aggregations over the graph-node-sized components frame and
+        |one corpus count.""".stripMargin,
+      (s, d) => graft.operators.Dedup.clusterSizeProfile(Tables.documents(s, d)),
+      Some(ClusterOracle.clusterSizeProfileSql))
   )
 
   /** q159 oracle: the four member oracles (q153/q154/q155/q156)

@@ -443,6 +443,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out("unknown") == ((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("duplication profile: planted 3-cluster, 2-cluster and singletons read exact rows") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    def mut(k: Int) = (1 to 60).map(i => if (i == k) s"chg$k" else s"tok$i").mkString(" ")
+    val alt = (100 to 160).map(i => s"w$i").mkString(" ")
+    def altMut(k: Int) = (100 to 160).map(i => if (i == k) s"x$k" else s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, base), (2L, mut(30)), (3L, mut(31)),   // a 3-doc family
+      (10L, alt), (11L, altMut(130)),             // a 2-doc family
+      (20L, (200 to 260).map(i => s"u$i").mkString(" ")),  // singleton
+      (21L, (300 to 360).map(i => s"v$i").mkString(" "))   // singleton
+    ).toDF("doc_id", "text")
+    val out = Dedup.clusterSizeProfile(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)), 1L -> ((2L, 2L))),
+      s"got $out")
+  }
+
   test("dup-rate census totals tie out to the q58 pair graph on sf0.001") {
     val d = Tables.documents(spark, sf001)
     val out = Dedup.dupRatesBySource(d).collect()

@@ -149,6 +149,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(Drift.contentKlDrift(_))
   }
 
+  test("duplication profile is partition-invariant") {
+    invariant(Dedup.clusterSizeProfile(_))
+  }
+
   test("source scorecard is partition-invariant") {
     invariant(Ensemble.sourceScorecard(_,
       col("source").isin("src0", "src1", "src2", "src3", "src4")))
