@@ -947,31 +947,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
-  /** Per-SOURCE near-dup census — the dedup-side twin of the q153
-    * gate-rate sheet: which feed is redundant, at what rate. A source
-    * whose dup rate dwarfs the corpus's is a mirror/scrape of content
-    * already held (pay for it at acquisition, not curation); a source
-    * whose DROPPED rate is far below its dup-member rate is the
-    * canonical home its mirrors collapse onto.
-    *
-    * Reads the q58 cluster layer (minhash q28 ∪ simhash q47 pair
-    * graphs → connected components) joined back to the documents'
-    * source column. Output: one row per source —
-    * `(source, n, n_dup, n_dropped, dup_rate_q, drop_rate_q)` where
-    * `n_dup` counts docs that are pair-graph members (every member's
-    * component has ≥ 2 docs by construction), `n_dropped` counts the
-    * non-canonical members (cluster_id ≠ doc_id — exactly the q59
-    * drop-set), and rates are the exact two-step fixed point
-    * (floor semantics, 2^20 scale). NULL sources group as the literal
-    * 'unknown' (the q76 idiom).
-    *
-    * Scale shape: the pair graph and closure are the audited q58
-    * shapes (banding keeps the graph a vanishing fraction of the
-    * corpus; O(log² n) star rounds); the components frame is
-    * graph-node-sized, so the left join back to the corpus broadcasts,
-    * and the rollup collapses map-side onto source keys (a
-    * sources-sized frame). The corpus text is touched only inside the
-    * audited q28/q47 kernels. */
   /** Duplication PROFILE — the cluster-size histogram (Lee et al.
     * 2021's corpus-health reading): per near-dup cluster size, how
     * many clusters and how many documents. The SHAPE of duplication
@@ -1015,6 +990,42 @@ object Dedup {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
   }
 
+  /** Per-SOURCE near-dup census — the dedup-side twin of the q153
+    * gate-rate sheet: which feed is redundant, at what rate. A source
+    * whose dup rate dwarfs the corpus's is a mirror/scrape of content
+    * already held (pay for it at acquisition, not curation); a source
+    * whose DROPPED rate is far below its dup-member rate is the
+    * canonical home its mirrors collapse onto.
+    *
+    * Reads the q58 cluster layer (minhash q28 ∪ simhash q47 pair
+    * graphs → connected components) joined back to the documents'
+    * source column. Output: one row per source —
+    * `(source, n, n_dup, n_dropped, dup_rate_q, drop_rate_q)` where
+    * `n_dup` counts docs that are pair-graph members (every member's
+    * component has ≥ 2 docs by construction), `n_dropped` counts the
+    * non-canonical members (cluster_id ≠ doc_id — exactly the q59
+    * drop-set), and rates are the exact two-step fixed point
+    * (floor semantics, 2^20 scale). NULL sources group as the literal
+    * 'unknown' (the q76 idiom).
+    *
+    * Scale shape: the pair graph and closure are the audited q58
+    * shapes (banding keeps the graph a vanishing fraction of the
+    * corpus; O(log² n) star rounds); the components frame is
+    * graph-node-sized, so the left join back to the corpus broadcasts,
+    * and the rollup collapses map-side onto source keys (a
+    * sources-sized frame). The corpus text is touched only inside the
+    * audited q28/q47 kernels.
+    *
+    * PRECONDITION (broadcast-size): the components frame — pair-graph
+    * MEMBERS, not pairs — must fit an executor broadcast. That is the
+    * q58/q59 operating envelope (banding keeps membership a vanishing
+    * fraction of the corpus). On a pathological corpus where most
+    * documents are mutual near-dups (membership ≈ corpus — the very
+    * mirror storm this census detects), the unconditional hint below
+    * would OOM rather than degrade to a shuffle join; run
+    * [[clusterSizeProfile]] first (its histogram is cluster-keyed,
+    * never corpus-broadcast) if membership scale is unknown, or drop
+    * the hint at the call site by pre-materializing with stats. */
   def dupRatesBySource(docs: DataFrame, numHashes: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxHamming: Int = 5): DataFrame = {

@@ -186,6 +186,76 @@ object Ensemble {
       .join(broadcast(psi), Seq("source"), "left")
   }
 
+  /** Feed POLICY — the apply member of the acquisition family,
+    * closing its detect→decide→act convention (the q140 pattern at
+    * feed granularity): thresholds over the q159 scorecard columns
+    * become one per-source verdict — 'drop' (a mirror or an alien
+    * feed: dup rate or content-KL past the drop line), 'downweight'
+    * (drifting form or rule-failing mass: PSI alert or rules-kill
+    * rate past the damp line), else 'keep'. The verdict column is
+    * BY CONSTRUCTION a CASE over the scorecard (the oracle composes
+    * the q159 CTE verbatim), so policy can never disagree with the
+    * evidence sheet a reviewer reads.
+    *
+    * NULL semantics (both engines identically): a source absent from
+    * a member sheet carries NULL metrics, NULL comparisons are never
+    * true, so an evidence-free source KEEPS — policy only acts on
+    * measured signals; review the scorecard's NULLs separately.
+    *
+    * Default lines: dup_rate_q ≥ 2^19 (half the feed is near-dup
+    * mass — a mirror), kl_q ≥ 192 (3 bits/bigram from the corpus —
+    * alien content), psi_alert (the industry 0.3 PSI line, q156),
+    * rate_rules_q ≥ 838861 (~0.8 — four in five docs fail the
+    * mechanical rules). All integer/fixed-point → bitwise oracle.
+    *
+    * Scale shape: exactly q159's audited composition plus one
+    * map-side CASE over the sources-sized sheet. */
+  def feedPolicy(docs: DataFrame, positive: Column,
+      dropDupQ: Long = 524288L, dropKlQ: Long = 192L,
+      downRulesQ: Long = 838861L, textCol: String = "text",
+      trainPermille: Int = 500, buckets: Int = 8192,
+      salt: String = "graft"): DataFrame =
+    sourceScorecard(docs, positive, textCol, trainPermille, buckets, salt)
+      .withColumn("verdict",
+        when(col("dup_rate_q") >= dropDupQ || col("kl_q") >= dropKlQ, "drop")
+          .when(col("psi_alert") === 1L || col("rate_rules_q") >= downRulesQ,
+            "downweight")
+          .otherwise("keep"))
+
+  /** ACT on a [[feedPolicy]] sheet: the filtered corpus a release
+    * build (q71/q108) consumes. 'drop' sources vanish; 'downweight'
+    * sources keep a deterministic `downweightPermille` md5-bucket
+    * slice of their docs (the q55 idiom under its own salt — stable
+    * under incremental loads, so a damped feed's kept docs never
+    * churn between builds); 'keep' sources pass whole. NULL doc_ids
+    * are never emitted (no stable identity to sample by — the q55
+    * contract). Returns the docs' original columns.
+    *
+    * Scale shape: the q159 composition runs once on the sources-sized
+    * evidence; the corpus-side act is ONE broadcast join of the
+    * verdict sheet plus a map-side bucket filter — no shuffle of the
+    * corpus at all. */
+  def applyFeedPolicy(docs: DataFrame, positive: Column,
+      downweightPermille: Int = 500, dropDupQ: Long = 524288L,
+      dropKlQ: Long = 192L, downRulesQ: Long = 838861L,
+      textCol: String = "text", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft",
+      downSalt: String = "downweight"): DataFrame = {
+    require(downweightPermille >= 0 && downweightPermille <= 1000,
+      s"downweightPermille must be in [0,1000], got $downweightPermille")
+    val verdicts = feedPolicy(docs, positive, dropDupQ, dropKlQ, downRulesQ,
+        textCol, trainPermille, buckets, salt)
+      .select(col("source").as("__vsrc"), col("verdict"))
+    val original = docs.columns.toSeq
+    Sampling.withSplitBucket(docs, "doc_id", downSalt)
+      .withColumn("__src", coalesce(col("source"), lit("unknown")))
+      .join(broadcast(verdicts), col("__src") === col("__vsrc"), "left")
+      .filter(col("verdict") === "keep" ||
+        (col("verdict") === "downweight" &&
+          col("__bucket") < downweightPermille))
+      .select(original.map(col): _*)
+  }
+
   /** The shared per-source rollup: a kill frame
     * `(doc_id, k_rules, k_lm, k_nb)` joined to its source column and
     * collapsed onto source keys with exact two-step fixed-point rates

@@ -344,6 +344,124 @@ object Mixing {
     * the per-bucket global counts and the one-row corpus total
     * broadcast into it; the closing rollup collapses map-side onto
     * source keys. */
+  /** DSIR importance RESAMPLING — the APPLY member of the mixing
+    * family, closing the engine's train→apply convention (BPE
+    * q106→q110, unigram LM q123→q124, NB scores q143→q147, and now
+    * DSIR q126→q161): consume [[dsirWeights]]' importance weights
+    * into the keep-set Xie et al. 2023 actually output — sample
+    * `budgetPermille` of the corpus WITHOUT replacement with per-doc
+    * probability proportional to 2^(weight_q/64) (the importance
+    * weight itself), via the Gumbel-top-k equivalence the paper uses
+    * (Kool et al. 2019): rank every doc by `log w + Gumbel(u)` and
+    * keep the top slice.
+    *
+    * Determinism design: the uniform draw is the q55 md5 bucket
+    * under `sampleSalt` — an INDEPENDENT salt from the target
+    * split's, so the noise never correlates with target membership —
+    * giving `u = (bucket+1)/1001 ∈ (0,1]`. The base-2 Gumbel
+    * `−log2(−log2 u)` evaluates in the shared [[log2qExpr]] fixed
+    * point: `eq = log2q(1001) − log2q(bucket+1)` (that is
+    * `−log2 u` in 1/64 units, ≥ 0) and
+    * `key_q = weight_q + 384 − log2q(eq + 1)` (384 = 6·64 rescales
+    * the 1/64 units of eq back out; the +1 keeps the domain
+    * positive). Base-2 logs are a positive affine transform of the
+    * natural-log Gumbel key, so the top-k SET is exactly the
+    * paper's. The budget cut is the exact discrete percentile
+    * ([[Quantiles.multiQuantileDisc]], the q60-pinned selection) at
+    * (1000−budgetPermille)/1000 over key_q; kept = key_q STRICTLY
+    * above the cut — floor(budget·n/1000) docs absent key ties,
+    * deterministically fewer when keys tie at the cut (ties drop; a
+    * thousand-bucket Gumbel quantizes, so ties are possible). Every
+    * step is BIGINT → the keep-set oracles bitwise. NULL doc_ids are
+    * never sampled (the q55 contract: no stable identity to hash).
+    *
+    * Output: the KEPT rows only —
+    * `(doc_id, source, n_bigrams, weight_q, key_q)`; source
+    * coalesces to 'unknown' (q76 idiom) so the q163 composition
+    * sheet reads straight off this relation.
+    *
+    * Scale shape (100 TB): the weights pipeline is q126's audited
+    * shape (map-side bigram assembly, broadcast 8192-row sheet); the
+    * bucket/Gumbel-key arithmetic is pure map-side expression; the
+    * scored frame MATERIALIZES once (16-byte id + three BIGINTs — it
+    * feeds both the cut and the filter; without this Spark re-plans
+    * the whole weights pipeline per consumer, the q125 precedent);
+    * the cut is ONE global discrete-percentile pass over those
+    * narrow rows (the q40 global-median shape — `approx_percentile`
+    * is the documented outgrow path when exactness stops mattering);
+    * the keep filter is map-side with the one-row cut broadcast. */
+  def dsirResample(docs: DataFrame, budgetPermille: Int,
+      textCol: String = "text", targetPermille: Int = 100,
+      buckets: Int = 8192, salt: String = "graft",
+      sampleSalt: String = "resample"): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      s"budgetPermille must be in [0,1000], got $budgetPermille")
+    require(salt != sampleSalt,
+      "sampleSalt must differ from the target-split salt: a shared salt " +
+        "correlates the Gumbel noise with target membership")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val w = dsirWeights(docs, textCol, targetPermille, buckets, salt)
+    val bk = Sampling.withSplitBucket(
+      docs.select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source")),
+      "doc_id", sampleSalt)
+    val scored = Dedup.materialize(
+      bk.join(w, "doc_id")
+        .withColumn("__eq",
+          expr(log2qExpr("1001")) - expr(log2qExpr("__bucket + 1")))
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          col("weight_q"),
+          (col("weight_q") + lit(384L) - expr(log2qExpr("__eq + 1")))
+            .as("key_q")))
+    if (budgetPermille == 1000) scored
+    else {
+      val q = BigDecimal(1000 - budgetPermille) / BigDecimal(1000)
+      // always ONE row even on an empty corpus (NULL cut keeps nothing
+      // — the q125 agg(max) idiom)
+      val cut = Quantiles.multiQuantileDisc(
+          scored.withColumn("__g", lit(0L)), "__g", "key_q",
+          Seq("cut" -> q.toDouble))
+        .agg(max(col("cut")).as("__cut"))
+      scored.crossJoin(broadcast(cut))
+        .filter(col("key_q") > col("__cut"))
+        .drop("__cut")
+    }
+  }
+
+  /** Per-source composition of the [[dsirResample]] keep-set — the
+    * q76 reading of the resampled mixture: for every feed, how many
+    * docs went in, how many the importance resample kept, the exact
+    * two-step fixed-point keep rate, and the kept importance-weight
+    * mass. The sheet an operator reviews before training on the mix:
+    * DSIR's whole point is that the kept SHARE shifts toward
+    * target-flavored feeds — this is where that shift is visible.
+    * All-BIGINT → bitwise oracle (q163).
+    *
+    * Scale shape: [[dsirResample]]'s audited shape plus one map-side
+    * rollup of the keep-set onto source keys and one of the corpus
+    * (both sources-sized), joined with the kept sheet broadcast. */
+  def resampleComposition(docs: DataFrame, budgetPermille: Int,
+      textCol: String = "text", targetPermille: Int = 100,
+      buckets: Int = 8192, salt: String = "graft",
+      sampleSalt: String = "resample"): DataFrame = {
+    val kept = dsirResample(docs, budgetPermille, textCol, targetPermille,
+        buckets, salt, sampleSalt)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"),
+        sum(col("weight_q")).as("w_kept_q"))
+    val raw = docs.filter(col("doc_id").isNotNull)
+      .groupBy(coalesce(col("source"), lit("unknown")).as("source"))
+      .agg(count(lit(1)).as("n_raw"))
+    raw.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("w_kept_q"), lit(0L)).as("w_kept_q"))
+      .withColumn("kept_rate_q", expr(
+        """CASE WHEN n_raw = 0 THEN CAST(0 AS BIGINT)
+          |ELSE ((n_kept * 1024) DIV n_raw) * 1024
+          |   + (((n_kept * 1024) % n_raw) * 1024) DIV n_raw
+          |END""".stripMargin))
+  }
+
   def sourceKlDivergence(docs: DataFrame, textCol: String = "text",
       buckets: Int = 8192): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")

@@ -137,6 +137,81 @@ object DsirOracle {
        |FROM agg""".stripMargin
   }
 
+  /** q161 mirror: the DSIR importance resample
+    * ([[graft.operators.Mixing.dsirResample]]) — the q126 weight
+    * chain embedded verbatim, the q55 md5 bucket under the SAMPLE
+    * salt, the base-2 Gumbel key through two more [[logChain]]
+    * replays (eq = log2q(1001) − log2q(bucket+1), then
+    * key_q = weight_q + 384 − log2q(eq+1)), and the budget cut as
+    * percentile_disc at (1000−budget)/1000 (≡ multiQuantileDisc, the
+    * q60 pin) with the STRICT > keep predicate. */
+  def resampleSql(budgetPermille: Int, targetPermille: Int = 100,
+      buckets: Int = 8192, salt: String = "graft",
+      sampleSalt: String = "resample"): String = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000)
+    val bucket = DecontaminateOracle.bucketExpr(sampleSalt, "doc_id")
+    val keys = Seq("doc_id", "source", "n_bigrams", "weight_q")
+    val closing =
+      if (budgetPermille == 1000)
+        "SELECT doc_id, source, n_bigrams, weight_q, key_q FROM scored"
+      else {
+        val q = (BigDecimal(1000 - budgetPermille) / BigDecimal(1000))
+          .underlying.stripTrailingZeros.toPlainString
+        s""",
+           |cut AS (SELECT percentile_disc($q) WITHIN GROUP (ORDER BY key_q) AS c
+           |  FROM scored)
+           |SELECT doc_id, source, n_bigrams, weight_q, key_q
+           |FROM scored, cut WHERE key_q > c""".stripMargin
+      }
+    s"""WITH w AS MATERIALIZED (SELECT * FROM (
+       |${sql(targetPermille, buckets, salt)}
+       |) t0),
+       |bk AS (SELECT doc_id, coalesce(source, 'unknown') AS source,
+       |    ($bucket) % 1000 AS bkt
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |j AS (SELECT bk.doc_id, bk.source, w.n_bigrams, w.weight_q, bk.bkt
+       |  FROM bk JOIN w USING (doc_id)),
+       |${logChain("j", Seq("u" -> "bkt + 1", "k" -> "1001"),
+         keyCols = keys, prefix = "r")},
+       |eqf AS (SELECT ${keys.mkString(", ")},
+       |    (e_k * 64 + f_k) - (e_u * 64 + f_u) AS eq FROM r6),
+       |${logChain("eqf", Seq("g" -> "eq + 1"),
+         keyCols = keys, prefix = "s")},
+       |scored AS (SELECT ${keys.mkString(", ")},
+       |    CAST(weight_q + 384 - (e_g * 64 + f_g) AS BIGINT) AS key_q FROM s6)
+       |$closing""".stripMargin
+  }
+
+  /** q163 mirror: the per-source composition of the q161 keep-set —
+    * the [[resampleSql]] chain embedded verbatim, rolled onto source
+    * keys beside the raw per-source counts, with the exact two-step
+    * fixed-point keep rate (the q154 rate idiom). */
+  def resampleCompositionSql(budgetPermille: Int, targetPermille: Int = 100,
+      buckets: Int = 8192, salt: String = "graft",
+      sampleSalt: String = "resample"): String = {
+    val rate =
+      """CASE WHEN n_raw = 0 THEN 0
+        |    ELSE ((n_kept * 1024) // n_raw) * 1024
+        |       + (((n_kept * 1024) % n_raw) * 1024) // n_raw
+        |    END""".stripMargin
+    s"""WITH ks AS (SELECT * FROM (
+       |${resampleSql(budgetPermille, targetPermille, buckets, salt, sampleSalt)}
+       |) t9),
+       |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |    CAST(sum(weight_q) AS BIGINT) AS w_kept_q
+       |  FROM ks GROUP BY source),
+       |raw AS (SELECT coalesce(source, 'unknown') AS source,
+       |    CAST(count(*) AS BIGINT) AS n_raw
+       |  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+       |sheet AS (SELECT raw.source, raw.n_raw,
+       |    CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |    CAST(coalesce(k.w_kept_q, 0) AS BIGINT) AS w_kept_q
+       |  FROM raw LEFT JOIN k USING (source))
+       |SELECT source, n_raw, n_kept, w_kept_q,
+       |  CAST($rate AS BIGINT) AS kept_rate_q
+       |FROM sheet""".stripMargin
+  }
+
   /** q158 mirror: the content-KL drift monitor's batch twin
     * ([[graft.operators.Drift.contentKlDrift]]) — the q68 md5 split,
     * the q126 bigram/hash CTEs keyed by slice, the standing slice as

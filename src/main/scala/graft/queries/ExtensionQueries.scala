@@ -3106,7 +3106,10 @@ object ExtensionQueries {
         |cosine ≥ 0.35 (the threshold is caller-chosen; on the
         |synthetic driver corpus 0.35 sits in the far tail of the
         |cross-pair cosine distribution, so the report stays small
-        |and non-empty at every test SF). One row per flagged train vector: hit count,
+        |and non-empty at every test SF. CHANGELOG: the shipped
+        |default was 0.5 through round 10 and is 0.35 since round 11,
+        |aligning with q50/q113/q114 — callers relying on the old 0.5
+        |default should pass it explicitly). One row per flagged train vector: hit count,
         |max cosine (quantized per-pair floor(·2^20) BEFORE the max —
         |integer-exact sheet), and the closest eval item as reviewable
         |evidence (ties → min id). Cross-cell misses are the measured
@@ -3661,7 +3664,77 @@ object ExtensionQueries {
         |aggregations over the graph-node-sized components frame and
         |one corpus count.""".stripMargin,
       (s, d) => graft.operators.Dedup.clusterSizeProfile(Tables.documents(s, d)),
-      Some(ClusterOracle.clusterSizeProfileSql))
+      Some(ClusterOracle.clusterSizeProfileSql)),
+
+    QuerySpec(
+      "q161_dsir_resample",
+      """DSIR importance RESAMPLING ([[graft.operators.Mixing
+        |.dsirResample]], Xie et al. 2023) — the APPLY member the
+        |weight sheet existed for, closing the mixing family's
+        |train→apply convention (q106→q110, q123→q124, q143→q147, now
+        |q126→q161): sample 25 % of the corpus without replacement
+        |with per-doc probability ∝ 2^(weight_q/64) via the
+        |Gumbel-top-k trick the paper itself uses (Kool et al. 2019).
+        |The uniform draw is the q55 md5 bucket under an INDEPENDENT
+        |'resample' salt; the base-2 Gumbel evaluates in the shared
+        |1/64-log2 fixed point (key_q = weight_q + 384 − log2q(eq+1),
+        |eq = log2q(1001) − log2q(bucket+1) — a positive affine
+        |transform of the natural-log Gumbel key, so the kept SET is
+        |exactly the paper's); the budget cut is the exact discrete
+        |percentile (q60 pin) with a STRICT > keep. All-BIGINT →
+        |bitwise oracle. MixingSpec proves the point of it: the kept
+        |mix's KL-to-target (the q158 kernel) drops strictly below
+        |the raw corpus's on a planted two-distribution fixture.
+        |Scale shape: q126's audited weight shape; Gumbel keys are
+        |map-side; the scored frame materializes ONCE (it feeds cut
+        |and filter); the cut is one global discrete-percentile pass
+        |over 32-byte rows (q40 shape; approx_percentile is the
+        |outgrow path); the keep filter broadcasts the one-row
+        |cut.""".stripMargin,
+      (s, d) => graft.operators.Mixing.dsirResample(
+        Tables.documents(s, d), budgetPermille = 250),
+      Some(DsirOracle.resampleSql(budgetPermille = 250))),
+
+    QuerySpec(
+      "q162_feed_policy",
+      """Feed-policy verdicts ([[graft.operators.Ensemble
+        |.feedPolicy]]) — the APPLY member of the acquisition family:
+        |thresholds over the q159 scorecard columns become one
+        |per-source keep / downweight / drop verdict, the decision the
+        |scorecard existed to inform. Drop lines: dup_rate_q ≥ 2^19 (a
+        |mirror) or kl_q ≥ 192 (3 bits/bigram — alien content); damp
+        |lines: the q156 PSI alert or rules-kill ≥ ~0.8. The verdict
+        |column is BY CONSTRUCTION a CASE over q159 (the oracle embeds
+        |the q159 composition verbatim), so policy and evidence cannot
+        |disagree; a source with NULL metrics keeps (NULL comparisons
+        |never fire — both engines identically). EnsembleSpec proves
+        |the ACT side end-to-end: a planted mirror feed drops from
+        |[[graft.operators.Ensemble.applyFeedPolicy]]'s filtered
+        |corpus. Scale shape: exactly q159's audited composition plus
+        |one map-side CASE on the sources-sized sheet.""".stripMargin,
+      (s, d) => graft.operators.Ensemble.feedPolicy(
+        Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")),
+      Some(feedPolicySql(
+        "source IN ('src0','src1','src2','src3','src4')"))),
+
+    QuerySpec(
+      "q163_resample_mix",
+      """Per-source composition of the q161 resampled mixture
+        |([[graft.operators.Mixing.resampleComposition]]) — the q76
+        |reading of DSIR's output: per feed, docs in, docs the
+        |importance resample kept, the exact two-step fixed-point
+        |keep rate, and the kept weight mass. DSIR's whole point is
+        |that the kept SHARE shifts toward target-flavored feeds —
+        |this sheet is where the shift is visible and reviewable
+        |before training on the mix. All-BIGINT → bitwise oracle (the
+        |oracle embeds the q161 chain verbatim, so the sheet cannot
+        |drift from the keep-set). Scale shape: q161's audited shape
+        |plus two sources-sized map-side rollups and one broadcast
+        |left join.""".stripMargin,
+      (s, d) => graft.operators.Mixing.resampleComposition(
+        Tables.documents(s, d), budgetPermille = 250),
+      Some(DsirOracle.resampleCompositionSql(budgetPermille = 250)))
   )
 
   /** q159 oracle: the four member oracles (q153/q154/q155/q156)
@@ -3687,6 +3760,25 @@ object ExtensionQueries {
        |FULL JOIN g USING (source)
        |FULL JOIN k USING (source)
        |FULL JOIN p USING (source)""".stripMargin
+
+  /** q162 oracle: the q159 composition embedded verbatim with the
+    * [[graft.operators.Ensemble.feedPolicy]] CASE on top — one
+    * textual definition of the evidence, so the verdict column is
+    * bitwise a function of the scorecard both engines agree on
+    * (NULL metrics fall through to 'keep' under identical
+    * three-valued logic). */
+  private def feedPolicySql(positiveSql: String,
+      dropDupQ: Long = 524288L, dropKlQ: Long = 192L,
+      downRulesQ: Long = 838861L): String =
+    s"""SELECT source, n_docs, dup_rate_q, drop_rate_q, n_gated,
+       |  rate_rules_q, rate_lm_q, rate_nb_q, kl_q, psi_q, psi_alert,
+       |  CASE WHEN dup_rate_q >= $dropDupQ OR kl_q >= $dropKlQ THEN 'drop'
+       |       WHEN psi_alert = 1 OR rate_rules_q >= $downRulesQ
+       |         THEN 'downweight'
+       |       ELSE 'keep' END AS verdict
+       |FROM (
+       |${sourceScorecardSql(positiveSql)}
+       |) sc""".stripMargin
 
   /** q157 oracle: the [[graft.operators.EmbeddingAudit
     * .labelSeparationSheet]] mirror — per-row list_dot_product norms

@@ -105,4 +105,50 @@ class EnsembleSpec extends AnyFunSuite {
       assert(n > 0 && rr == rq(nr) && rl == rq(nl) && rn == rq(nn), s"rates of $src")
     }
   }
+
+  // ---- feed policy (q162): the acquisition family's apply member ----
+
+  test("feedPolicy verdict is a pure CASE over the scorecard columns") {
+    val docs = Tables.documents(spark, sf001)
+    val rows = Ensemble.feedPolicy(docs, positive).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val get = (c: String) =>
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))
+      val expected =
+        if (get("dup_rate_q").exists(_ >= 524288L) || get("kl_q").exists(_ >= 192L)) "drop"
+        else if (get("psi_alert").contains(1L) || get("rate_rules_q").exists(_ >= 838861L)) "downweight"
+        else "keep"
+      assert(r.getString(r.fieldIndex("verdict")) == expected,
+        s"verdict CASE for ${r.getString(0)}")
+    }
+  }
+
+  test("a planted mirror feed drops end-to-end; the clean feed survives") {
+    import spark.implicits._
+    // 100 mutually-distinct clean docs; a 10-doc 'mirror' feed whose
+    // every doc verbatim-copies a clean doc — the feed q154/q162 exist
+    // to catch. Mirror ids are larger, so every mirror doc is the
+    // NON-canonical member of its 2-cluster.
+    def tokens(i: Long) = (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+    val clean = (1L to 100L).map(i => (i, "the and is of " + tokens(i), "en", "clean"))
+    val mirror = (1L to 10L).map(i => (1000L + i, "the and is of " + tokens(i), "en", "mirror"))
+    val docs = (clean ++ mirror).toDF("doc_id", "text", "lang", "source")
+    val pos = col("source") === "clean"
+
+    val verdicts = Ensemble.feedPolicy(docs, pos).collect()
+      .map(r => r.getString(0) -> r.getString(r.fieldIndex("verdict"))).toMap
+    assert(verdicts("mirror") == "drop",
+      s"an all-duplicates feed must drop: $verdicts")
+    assert(verdicts("clean") != "drop",
+      s"a 10%-dup clean feed must not drop: $verdicts")
+
+    val acted = Ensemble.applyFeedPolicy(docs, pos)
+    assert(acted.filter(col("source") === "mirror").count() == 0L,
+      "dropped feed's docs must vanish from the filtered corpus")
+    assert(acted.filter(col("source") === "clean").count() > 0L,
+      "the surviving feed keeps docs")
+    assert(acted.columns.toSeq == docs.columns.toSeq,
+      "the act returns the corpus's own columns")
+  }
 }

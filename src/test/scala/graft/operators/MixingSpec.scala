@@ -260,4 +260,84 @@ class MixingSpec extends AnyFunSuite {
     assert(out("unknown")._1 == 7L)
     assert(out("silent") == ((0L, 0L)), "a bigram-free source still gets a row")
   }
+
+  // ---- DSIR resample (q161/q163): the apply member ----
+
+  /** Planted two-distribution corpus where target membership (the q55
+    * md5 split, salt 'graft', permille 100) is known to the test:
+    * target docs speak vocabulary A; non-targets are 30 % A-speakers /
+    * 70 % B-speakers by a deterministic id rule. DSIR should upweight
+    * the A-speakers, so the resampled mix sits closer to the target
+    * distribution than the raw corpus does. */
+  private def plantedCorpus = {
+    import org.apache.spark.sql.functions._
+    val ids = (1L to 400L)
+    val mem = Sampling.withSplitBucket(ids.toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) < 100L)).toMap
+    def textA(i: Long) = (0 until 24).map(j => s"alpha${(i * 3 + j) % 12}").mkString(" ")
+    def textB(i: Long) = (0 until 24).map(j => s"beta${(i * 5 + j) % 12}").mkString(" ")
+    val rows = ids.map { i =>
+      val aish = mem(i) || i % 10 < 3
+      (i, if (aish) textA(i) else textB(i), if (aish) "aset" else "bset")
+    }
+    (rows.toDF("doc_id", "text", "source"),
+      rows.filter(r => mem(r._1)).toDF("doc_id", "text", "source"))
+  }
+
+  test("dsirResample: kept mix's KL-to-target drops strictly below the raw corpus's") {
+    import org.apache.spark.sql.functions._
+    val (docs, target) = plantedCorpus
+    val model = graft.operators.Drift.contentKlModel(target)
+    def klOf(batch: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Drift.klAgainstModel(batch, model)
+        .select("kl_q").head().getLong(0)
+    val kept = Mixing.dsirResample(docs, budgetPermille = 300)
+    val keptDocs = docs.join(kept.select("doc_id"), "doc_id")
+    val (klKept, klRaw) = (klOf(keptDocs), klOf(docs))
+    assert(klKept < klRaw,
+      s"resampling toward the target must reduce KL: kept=$klKept raw=$klRaw")
+    // and the kept mean importance weight exceeds the raw mean: the
+    // sample IS weight-driven, not uniform
+    val w = Mixing.dsirWeights(docs)
+    def meanW(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("weight_q"))).head().getDouble(0)
+    assert(meanW(kept) > meanW(w), "kept docs must carry above-average weight")
+  }
+
+  test("dsirResample: budget bound, determinism, and the degenerate budgets") {
+    import org.apache.spark.sql.functions._
+    val (docs, _) = plantedCorpus
+    val kept = Mixing.dsirResample(docs, budgetPermille = 300)
+    val n = kept.count()
+    assert(n > 0L && n <= 120L, s"floor-of-budget bound: got $n of <= 120")
+    assert(n >= 100L, s"ties can only SHRINK the keep-set slightly: got $n")
+    val again = Mixing.dsirResample(docs, budgetPermille = 300)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept.collect().map(_.getLong(0)).toSet, "bitwise re-run")
+    assert(Mixing.dsirResample(docs, budgetPermille = 1000).count() == 400L,
+      "budget 1000 keeps every non-null-id doc")
+    assert(Mixing.dsirResample(docs, budgetPermille = 0).count() == 0L,
+      "budget 0 keeps nothing")
+  }
+
+  test("resampleComposition: sheet ties bitwise to the keep-set; shares shift toward target feeds") {
+    import org.apache.spark.sql.functions._
+    val (docs, _) = plantedCorpus
+    val kept = Mixing.dsirResample(docs, budgetPermille = 300)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sheet = Mixing.resampleComposition(docs, budgetPermille = 300)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(sheet.keySet == Set("aset", "bset"))
+    for ((s, (nRaw, nKept, _, rateQ)) <- sheet) {
+      assert(nKept == kept.getOrElse(s, 0L), s"n_kept ties to the keep-set for $s")
+      val expected = ((nKept * 1024L) / nRaw) * 1024L + (((nKept * 1024L) % nRaw) * 1024L) / nRaw
+      assert(rateQ == expected, s"two-step fixed-point rate for $s")
+    }
+    // the A-flavored feed's keep RATE must exceed the B-flavored one's:
+    // the importance resample shifts share toward the target
+    assert(sheet("aset")._4 > sheet("bset")._4,
+      s"target-flavored feed must keep at a higher rate: $sheet")
+  }
 }

@@ -244,4 +244,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       Similarity.pqAdcTopK(e.filter(col("vec_id") < 8), codes, cb, k = 5, m = 4, dim = 64)
     }
   }
+
+  test("DSIR resample + composition are partition-invariant") {
+    invariant(Mixing.dsirResample(_, budgetPermille = 250))
+    invariant(Mixing.resampleComposition(_, budgetPermille = 250))
+  }
+
+  test("feed policy verdicts and the acted corpus are partition-invariant") {
+    val pos = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    invariant(Ensemble.feedPolicy(_, pos))
+    invariant(Ensemble.applyFeedPolicy(_, pos))
+  }
 }
