@@ -240,19 +240,40 @@ object Drift {
     * by exploding a literal bin sequence. */
   def lengthPsiBySource(docs: DataFrame, textCol: String = "text",
       bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"bins must be >= 2, got $bins")
     graft.GraftSession.ensureConfs(docs.sparkSession)
-    val qs = psiEdgeNames(bins)
     val base = docs.filter(col("doc_id").isNotNull)
-    val model = lengthPsiModel(base, textCol, bins)
-    val counts = base
+    psiBySourceAgainstModel(base, lengthPsiModel(base, textCol, bins),
+      textCol, bins)
+  }
+
+  /** One incoming batch scored PER SOURCE against a standing
+    * [[lengthPsiModel]] row — the q156 sheet with the standing corpus
+    * in the model seat (the [[psiAgainstModel]] relationship applied
+    * to the per-source member): apply inside `foreachBatch` with the
+    * model broadcast, zero streaming state. [[lengthPsiBySource]]
+    * single-sources through here (its model IS its own corpus's), so
+    * the streamed per-source sheet and the q156 batch sheet CANNOT
+    * disagree on the same input (StreamingScorecardSpec pins it).
+    * Output: one row per source in the batch —
+    * `(source, n_docs, psi_q, alert)`, q156's exact arithmetic.
+    *
+    * Scale shape: the model is one broadcast row; binning is a
+    * ≤ 9-comparison map-side expression; counts collapse map-side
+    * onto (source, bin) keys — the only batch-driven exchange; the
+    * closing grid is sources × bins. */
+  def psiBySourceAgainstModel(batch: DataFrame, model: DataFrame,
+      textCol: String = "text", bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    graft.GraftSession.ensureConfs(batch.sparkSession)
+    val qs = psiEdgeNames(bins)
+    val counts = batch
       .select(coalesce(col("source"), lit("unknown")).as("source"),
         graft.functions.TextFunctions.tokenCount(
           coalesce(col(textCol), lit(""))).as("x"))
       .crossJoin(broadcast(model))
       .select(col("source"), psiBinOf(qs).as("bin"))
       .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("__nn"))
-    val srcs = base
+    val srcs = batch
       .select(coalesce(col("source"), lit("unknown")).as("source")).distinct()
     val wsrc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).rowsBetween(Long.MinValue, Long.MaxValue)
@@ -370,6 +391,45 @@ object Drift {
       .withColumn("alert",
         when(col("kl_q") >= alertQ, lit(1L)).otherwise(lit(0L)))
       .drop("__num")
+  }
+
+  /** One incoming batch scored PER SOURCE against a standing
+    * [[contentKlModel]] row — the q155 fingerprint with a standing
+    * corpus in the model seat (the content-side sibling of
+    * [[psiBySourceAgainstModel]]): apply inside `foreachBatch` with
+    * the model broadcast, zero streaming state. Single-sourced with
+    * the q155 batch sheet through [[graft.operators.Mixing
+    * .sourceBigramBuckets]] (the feature rows) and [[graft.operators
+    * .Mixing.klPerSourceClose]] (the closing arithmetic) — when the
+    * model is the batch corpus's own [[contentKlModel]], the output
+    * is bitwise [[graft.operators.Mixing.sourceKlDivergence]]'s
+    * (StreamingScorecardSpec pins it). Output: one row per source in
+    * the batch — `(source, n_bigrams, n_buckets, kl_q)`.
+    *
+    * Scale shape: bigrams collapse map-side onto (source, bucket)
+    * keys — the only batch-driven exchange; the scoring grid is
+    * sources × buckets with the one model row broadcast in. */
+  def klBySourceAgainstModel(batch: DataFrame, model: DataFrame,
+      textCol: String = "text", buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    graft.GraftSession.ensureConfs(batch.sparkSession)
+    val sb = graft.operators.Dedup.materialize(
+      Mixing.sourceBigramBuckets(batch, textCol, buckets)
+        .groupBy(col("b"), col("source")).agg(count(lit(1)).as("c_sb")))
+    val ts = sb.groupBy(col("source")).agg(sum(col("c_sb")).as("t_s"))
+    val srcs = batch
+      .select(coalesce(col("source"), lit("unknown")).as("source")).distinct()
+    val grid = srcs.join(ts, Seq("source"), "left")
+      .select(col("source"), coalesce(col("t_s"), lit(0L)).as("t_s"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${buckets - 1} AS BIGINT))"))
+          .as("b"))
+      .join(sb, Seq("source", "b"), "left")
+      .crossJoin(broadcast(model))
+      .select(col("source"), col("t_s"),
+        coalesce(col("c_sb"), lit(0L)).as("c_sb"),
+        coalesce(element_at(col("bmap"), col("b")), lit(0L)).as("c_gb"),
+        coalesce(col("t_g"), lit(0L)).as("t_g"))
+    Mixing.klPerSourceClose(grid, buckets)
   }
 
   /** The q158 batch twin: the corpus split on the q68 md5 bucket

@@ -466,17 +466,9 @@ object Mixing {
       buckets: Int = 8192): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     graft.GraftSession.ensureConfs(docs.sparkSession)
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(coalesce(col("source"), lit("unknown")).as("source"),
-        explode(arrays_zip(
-          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
-      .select(col("source"),
-        (Dedup.md5Base48Of(md5(concat(col("p.0"), lit(" "), col("p.1"))))
-          % buckets.toLong).as("b"))
     val sb = Dedup.materialize(
-      base.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c_sb")))
+      sourceBigramBuckets(docs, textCol, buckets)
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c_sb")))
     val gb = sb.groupBy(col("b")).agg(sum(col("c_sb")).as("c_gb"))
     val ts = sb.groupBy(col("source")).agg(sum(col("c_sb")).as("t_s"))
     val tg = sb.agg(coalesce(sum(col("c_sb")), lit(0L)).as("t_g"))
@@ -492,6 +484,35 @@ object Mixing {
       .select(col("source"), col("t_s"),
         coalesce(col("c_sb"), lit(0L)).as("c_sb"),
         coalesce(col("c_gb"), lit(0L)).as("c_gb"), col("t_g"))
+    klPerSourceClose(grid, buckets)
+  }
+
+  /** The shared per-source hashed-bigram occurrence rows
+    * `(source, b)` — one textual definition for the q155 batch sheet
+    * and the streaming scorecard's KL member
+    * ([[graft.operators.Drift.klBySourceAgainstModel]]), so the two
+    * cannot drift. */
+  private[graft] def sourceBigramBuckets(docs: DataFrame, textCol: String,
+      buckets: Int): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    docs.filter(col(textCol).isNotNull)
+      .select(coalesce(col("source"), lit("unknown")).as("source"),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
+      .select(col("source"),
+        (Dedup.md5Base48Of(md5(concat(col("p.0"), lit(" "), col("p.1"))))
+          % buckets.toLong).as("b"))
+  }
+
+  /** The q155 closing arithmetic over a per-source scoring grid
+    * `(source, t_s, c_sb, c_gb, t_g)` — ONE definition shared by
+    * [[sourceKlDivergence]] (corpus seat = the batch's own totals)
+    * and [[graft.operators.Drift.klBySourceAgainstModel]] (corpus
+    * seat = a standing model), so the streamed per-source KL sheet
+    * is the batch sheet's arithmetic by construction. */
+  private[graft] def klPerSourceClose(grid: DataFrame,
+      buckets: Int): DataFrame =
     grid
       .withColumn("dq",
         expr(log2qExpr("c_sb + 1")) - expr(log2qExpr(s"t_s + $buckets")) -
@@ -504,5 +525,4 @@ object Mixing {
         s"""CASE WHEN __num >= 0 THEN __num DIV (n_bigrams + $buckets)
            |ELSE -((-__num) DIV (n_bigrams + $buckets)) END""".stripMargin))
       .drop("__num")
-  }
 }

@@ -317,6 +317,90 @@ object Curation {
     Ensemble.ratesBySourceFromKillFrame(kf, src)
   }
 
+  /** Per-source rollup of [[annDedupGate]] dispositions — the dup
+    * member of the [[scorecardMonitor]] composition: for every feed
+    * in the micro-batch, how much of its mass the standing ANN index
+    * already holds (kept = 0 — a vetoed near-dup of a kept standing
+    * vector). The streaming seat of what q154 measures at the corpus
+    * audit; rates are the exact two-step fixed point, so the sheet
+    * composes bitwise with the batch members. Output: one row per
+    * source — `(source, n, n_dup, dup_rate_q)`.
+    *
+    * Scale shape: the gate is a stateless map-side probe against two
+    * broadcast one-row frames; the rollup collapses map-side onto
+    * source keys. */
+  def annGateRatesBySource(batch: DataFrame, centroidRow: DataFrame,
+      keptRow: DataFrame, threshold: Double, dim: Int,
+      embCol: String = "embedding"): DataFrame = {
+    val gated = annDedupGate(batch, centroidRow, keptRow, threshold, dim, embCol)
+    def rate(cnt: String) = expr(
+      s"""CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+         |ELSE (($cnt * 1024) DIV n) * 1024 + ((($cnt * 1024) % n) * 1024) DIV n
+         |END""".stripMargin)
+    gated
+      .select(coalesce(col("source"), lit("unknown")).as("source"), col("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("kept") === 0L, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate_q", rate("n_dup"))
+  }
+
+  /** Per-batch SCORECARD monitor — q159's sheet shape at INGEST: each
+    * micro-batch scored against the FOUR standing model families and
+    * rolled to one row per source, so the drop/keep/renegotiate
+    * evidence about a feed is visible the batch it degrades, not at
+    * the next corpus audit. Apply inside `foreachBatch`; zero
+    * streaming state — every member is a stateless probe of broadcast
+    * standing artifacts, and each batch is its own comparison unit.
+    *
+    * Deliberately a composition, not a re-derivation (the q159
+    * contract): the gate columns close through [[gateRatesMonitor]]
+    * (itself bitwise q153's rollup), the dup column through
+    * [[annGateRatesBySource]] (the standing-index seat of the dup
+    * census), the KL column through [[graft.operators.Drift
+    * .klBySourceAgainstModel]] (bitwise q155's arithmetic), and the
+    * PSI columns through [[graft.operators.Drift
+    * .psiBySourceAgainstModel]] (bitwise q156's) —
+    * StreamingScorecardSpec pins a streamed batch's sheet bitwise to
+    * the members' batch sheets on the same fixture. The join layer is
+    * q159's own: a distinct source universe + broadcast LEFT joins
+    * (never full-outer — Spark cannot broadcast one), NULLs where a
+    * member has no row, no feed ever dropped. Output: one row per
+    * source — `(source, n_docs, dup_rate_q, n_gated, rate_rules_q,
+    * rate_lm_q, rate_nb_q, kl_q, psi_q, psi_alert)` (no drop_rate_q:
+    * canonicality is a corpus-audit notion — q154's — not a
+    * per-batch one).
+    *
+    * Scale shape: four stateless member probes of broadcast model
+    * rows; the only batch-driven exchanges are the members' audited
+    * ones; the closing joins touch sources-sized sheets only. */
+  def scorecardMonitor(batch: DataFrame, lmModel: DataFrame,
+      lmCuts: DataFrame, nbModel: DataFrame, psiModel: DataFrame,
+      klModel: DataFrame, centroidRow: DataFrame, keptRow: DataFrame,
+      annThreshold: Double, dim: Int, textCol: String = "text",
+      embCol: String = "embedding", buckets: Int = 8192,
+      bins: Int = 10): DataFrame = {
+    import graft.operators.Drift
+    val base = batch.filter(col("doc_id").isNotNull)
+    val dup = annGateRatesBySource(base, centroidRow, keptRow,
+        annThreshold, dim, embCol)
+      .select(col("source"), col("n").as("n_docs"), col("dup_rate_q"))
+    val gates = gateRatesMonitor(batch, lmModel, lmCuts, nbModel,
+        textCol, buckets)
+      .select(col("source"), col("n").as("n_gated"),
+        col("rate_rules_q"), col("rate_lm_q"), col("rate_nb_q"))
+    val kl = Drift.klBySourceAgainstModel(batch, klModel, textCol, buckets)
+      .select(col("source"), col("kl_q"))
+    val psi = Drift.psiBySourceAgainstModel(base, psiModel, textCol, bins)
+      .select(col("source"), col("psi_q"), col("alert").as("psi_alert"))
+    val srcs = batch
+      .select(coalesce(col("source"), lit("unknown")).as("source")).distinct()
+    srcs.join(broadcast(dup), Seq("source"), "left")
+      .join(broadcast(gates), Seq("source"), "left")
+      .join(broadcast(kl), Seq("source"), "left")
+      .join(broadcast(psi), Seq("source"), "left")
+  }
+
   /** Batch twin of the gate with REASON CODES (q81): same quality rules,
     * with the stream's arrival-order dedup pinned to a deterministic
     * rule — among quality-surviving rows of identical normalized

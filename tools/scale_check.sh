@@ -55,7 +55,16 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // label audit (embeddings; one (label, dim)-keyed exchange)
   "q153_gate_rates_by_source", "q154_dup_rates_by_source",
   "q155_source_kl_fingerprint", "q156_source_length_psi",
-  "q157_label_separation")
+  "q157_label_separation",
+  // round-12: the three round-11 capstones (q158 = one KL probe on the
+  // split; q159 re-pays its four members -- the claim is wall ~ their
+  // sum and shuffle ~ theirs, any excess = the broadcast-left-join
+  // layer leaking an exchange; q160 the q58 cells + two node-frame
+  // rollups) and the round-12 apply members (q161/q163 re-pay q126
+  // plus ONE narrow-row percentile pass; q162 re-pays q159 plus a
+  // map-side CASE)
+  "q158_content_kl_drift", "q159_source_scorecard", "q160_dup_profile",
+  "q161_dsir_resample", "q162_feed_policy", "q163_resample_mix")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
