@@ -241,17 +241,34 @@ object Ensemble {
       textCol: String = "text", trainPermille: Int = 500,
       buckets: Int = 8192, salt: String = "graft",
       downSalt: String = "downweight"): DataFrame = {
-    require(downweightPermille >= 0 && downweightPermille <= 1000,
-      s"downweightPermille must be in [0,1000], got $downweightPermille")
     val verdicts = feedPolicy(docs, positive, dropDupQ, dropKlQ, downRulesQ,
         textCol, trainPermille, buckets, salt)
-      .select(col("source").as("__vsrc"), col("verdict"))
+      .select(col("source"), col("verdict"))
+    actOnVerdicts(docs, verdicts, downweightPermille, downSalt)
+  }
+
+  /** The shared ACT kernel under [[applyFeedPolicy]] (where the
+    * verdict sheet covers every source by construction) and the
+    * streaming policy gate ([[graft.streaming.Curation
+    * .feedPolicyGate]], where an arrival can carry a feed the
+    * standing sheet has never seen): rows from a verdict-less source
+    * KEEP — the [[feedPolicy]] NULL rule applied to the act side
+    * (policy only acts on measured evidence). One broadcast join of
+    * the sources-sized sheet plus a map-side md5-bucket damp filter;
+    * the corpus/batch never shuffles. */
+  def actOnVerdicts(docs: DataFrame, verdicts: DataFrame,
+      downweightPermille: Int = 500,
+      downSalt: String = "downweight"): DataFrame = {
+    require(downweightPermille >= 0 && downweightPermille <= 1000,
+      s"downweightPermille must be in [0,1000], got $downweightPermille")
+    val v = verdicts.select(col("source").as("__vsrc"), col("verdict"))
     val original = docs.columns.toSeq
     Sampling.withSplitBucket(docs, "doc_id", downSalt)
       .withColumn("__src", coalesce(col("source"), lit("unknown")))
-      .join(broadcast(verdicts), col("__src") === col("__vsrc"), "left")
-      .filter(col("verdict") === "keep" ||
-        (col("verdict") === "downweight" &&
+      .join(broadcast(v), col("__src") === col("__vsrc"), "left")
+      .withColumn("__v", coalesce(col("verdict"), lit("keep")))
+      .filter(col("__v") === "keep" ||
+        (col("__v") === "downweight" &&
           col("__bucket") < downweightPermille))
       .select(original.map(col): _*)
   }

@@ -401,6 +401,28 @@ object Curation {
       .join(broadcast(psi), Seq("source"), "left")
   }
 
+  /** Feed-policy gate — the q162 ACT at INGEST: arrivals filtered
+    * against the STANDING verdict sheet (built by the batch
+    * [[graft.operators.Ensemble.feedPolicy]] at the last corpus
+    * audit, broadcast like every other standing model): 'drop' feeds
+    * vanish at the door, 'downweight' feeds keep their deterministic
+    * md5-bucket slice (stable across batches and retries — a damped
+    * feed's kept docs never churn), 'keep' and NEVER-SEEN feeds pass
+    * whole (policy only acts on measured evidence — the q162 NULL
+    * rule; an unseen feed is the next audit's problem, not a silent
+    * ingest drop). Single-sourced through [[graft.operators.Ensemble
+    * .actOnVerdicts]] — the same kernel the batch act closes through,
+    * so gate and act CANNOT drift (StreamingPolicyGateSpec pins a
+    * streamed batch bitwise to the batch act).
+    *
+    * Scale shape: zero streaming state; one broadcast join of the
+    * sources-sized sheet + a map-side bucket filter per batch. */
+  def feedPolicyGate(stream: DataFrame, verdicts: DataFrame,
+      downweightPermille: Int = 500,
+      downSalt: String = "downweight"): DataFrame =
+    graft.operators.Ensemble.actOnVerdicts(stream, verdicts,
+      downweightPermille, downSalt)
+
   /** Batch twin of the gate with REASON CODES (q81): same quality rules,
     * with the stream's arrival-order dedup pinned to a deterministic
     * rule — among quality-surviving rows of identical normalized
