@@ -3719,6 +3719,31 @@ object ExtensionQueries {
         "source IN ('src0','src1','src2','src3','src4')"))),
 
     QuerySpec(
+      "q164_policy_act",
+      """The ACTED corpus under the q162 feed policy ([[graft
+        |.operators.Ensemble.applyFeedPolicy]]) — the artifact a
+        |release build actually consumes, oracled doc-by-doc: 'drop'
+        |sources vanish, 'downweight' sources keep their deterministic
+        |md5-bucket half (the q55 idiom under the 'downweight' salt —
+        |stable under incremental loads), 'keep' sources pass whole,
+        |NULL doc_ids never emit (no identity to sample by). The
+        |oracle embeds the q162 verdict CTE verbatim and replays the
+        |bucket filter, so every per-doc keep decision — the CASE, the
+        |NULL-verdict keep rule, the damp sample — pins bitwise.
+        |[[graft.streaming.Curation.feedPolicyGate]] is this exact
+        |kernel at ingest (StreamingPolicyGateSpec). Scale shape:
+        |q162's audited composition once on the sources-sized
+        |evidence; the corpus-side act is ONE broadcast verdict join
+        |plus a map-side bucket filter — the corpus never
+        |shuffles.""".stripMargin,
+      (s, d) => graft.operators.Ensemble.applyFeedPolicy(
+        Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id"), col("source")),
+      Some(policyActSql(
+        "source IN ('src0','src1','src2','src3','src4')"))),
+
+    QuerySpec(
       "q163_resample_mix",
       """Per-source composition of the q161 resampled mixture
         |([[graft.operators.Mixing.resampleComposition]]) — the q76
@@ -3779,6 +3804,26 @@ object ExtensionQueries {
        |FROM (
        |${sourceScorecardSql(positiveSql)}
        |) sc""".stripMargin
+
+  /** q164 oracle: the q162 verdict CTE embedded verbatim, joined back
+    * to the corpus with the [[graft.operators.Ensemble.actOnVerdicts]]
+    * semantics — NULL-verdict rows keep, 'downweight' rows keep iff
+    * their md5 bucket under the 'downweight' salt falls in the damp
+    * permille, NULL doc_ids never emit. */
+  private def policyActSql(positiveSql: String,
+      downweightPermille: Int = 500): String = {
+    val bucket = DecontaminateOracle.bucketExpr("downweight", "d.doc_id")
+    s"""WITH v AS (SELECT source, verdict FROM (
+       |${feedPolicySql(positiveSql)}
+       |) t9)
+       |SELECT d.doc_id, d.source
+       |FROM documents d
+       |LEFT JOIN v ON coalesce(d.source, 'unknown') = v.source
+       |WHERE d.doc_id IS NOT NULL AND (
+       |  coalesce(v.verdict, 'keep') = 'keep' OR
+       |  (v.verdict = 'downweight'
+       |    AND ($bucket) % 1000 < $downweightPermille))""".stripMargin
+  }
 
   /** q157 oracle: the [[graft.operators.EmbeddingAudit
     * .labelSeparationSheet]] mirror — per-row list_dot_product norms

@@ -115,11 +115,15 @@ class StreamingOpsSpec extends AnyFunSuite {
     val rec = Observability.attach(spark)
     try {
       val stream = MemoryStream[Ev](spark)
+      // data must land BEFORE start: AvailableNow plans its batches
+      // from what is available at query start, so a post-start addData
+      // can race the trigger into terminating on zero batches — and an
+      // all-empty run reports no observed metrics at all
+      stream.addData(Ev(ts(0), 1, "a", 2.5), Ev(ts(1), 2, "b", 7.5))
       val observed = stream.toDF().observe("in_metrics",
         count(lit(1)).as("rows"), sum("value").as("value_sum"))
       val q = observed.writeStream.format("memory").queryName("obs")
         .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
-      stream.addData(Ev(ts(0), 1, "a", 2.5), Ev(ts(1), 2, "b", 7.5))
       q.awaitTermination()
       // generous bound: listener-bus delivery can lag far behind
       // processAllAvailable under box contention (observed >10s); the

@@ -64,7 +64,10 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // plus ONE narrow-row percentile pass; q162 re-pays q159 plus a
   // map-side CASE)
   "q158_content_kl_drift", "q159_source_scorecard", "q160_dup_profile",
-  "q161_dsir_resample", "q162_feed_policy", "q163_resample_mix")
+  "q161_dsir_resample", "q162_feed_policy", "q163_resample_mix",
+  // q164 re-pays q162 plus the corpus-side broadcast act (map-side
+  // bucket filter -- the claim is shuffle == q162's own)
+  "q164_policy_act")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
