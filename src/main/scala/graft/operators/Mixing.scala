@@ -400,19 +400,10 @@ object Mixing {
       "sampleSalt must differ from the target-split salt: a shared salt " +
         "correlates the Gumbel noise with target membership")
     graft.GraftSession.ensureConfs(docs.sparkSession)
-    val w = dsirWeights(docs, textCol, targetPermille, buckets, salt)
-    val bk = Sampling.withSplitBucket(
-      docs.select(col("doc_id"),
-        coalesce(col("source"), lit("unknown")).as("source")),
-      "doc_id", sampleSalt)
-    val scored = Dedup.materialize(
-      bk.join(w, "doc_id")
-        .withColumn("__eq",
-          expr(log2qExpr("1001")) - expr(log2qExpr("__bucket + 1")))
-        .select(col("doc_id"), col("source"), col("n_bigrams"),
-          col("weight_q"),
-          (col("weight_q") + lit(384L) - expr(log2qExpr("__eq + 1")))
-            .as("key_q")))
+    val scored = gumbelScored(docs, textCol, targetPermille, buckets,
+        salt, sampleSalt)
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        col("weight_q"), col("key_q"))
     if (budgetPermille == 1000) scored
     else {
       val q = BigDecimal(1000 - budgetPermille) / BigDecimal(1000)
@@ -426,6 +417,82 @@ object Mixing {
         .filter(col("key_q") > col("__cut"))
         .drop("__cut")
     }
+  }
+
+  /** TOKEN-budget DSIR resample — [[dsirResample]] with the budget in
+    * the unit the published pipelines actually allocate (Xie et al.
+    * 2023 and every mixture paper budget TOKENS, not documents — a
+    * doc-permille budget over-represents long documents' mass): rank
+    * every doc by the same deterministic Gumbel key and keep the
+    * LONGEST PREFIX of the ranking whose cumulative token count stays
+    * within `tokenBudgetPermille` of the corpus's total. Same
+    * importance semantics (selection ∝ 2^(weight_q/64), without
+    * replacement), different stopping rule — the cut is a cumulative
+    * cap, not a rank percentile, so a single over-long document past
+    * the cap drops even if its KEY ranks (the budget is a hard cap; a
+    * knapsack would not be deterministic-streaming-stable). Token
+    * counts are the q24/q144 codegen `graft_tokcount` over
+    * `coalesce(text,'')` (a NULL text counts 1 — the q144 split
+    * convention, oracled bitwise there); the keep test is the exact
+    * integer cross-multiplication `cum·1000 ≤ total·budget` (no
+    * division, no rounding ambiguity). Output: kept rows —
+    * `(doc_id, source, n_tokens, weight_q, key_q)`. All-BIGINT →
+    * bitwise oracle (q165).
+    *
+    * Scale shape: the q126-audited weight pipeline + map-side Gumbel
+    * keys, materialized once; the prefix selection is ONE
+    * unpartitioned ordered window over the narrow scored rows (the
+    * q40 global-sort shape — at true 100 TB, pre-bucket by key range
+    * or cut at an approx_percentile of key_q first and sort only the
+    * boundary bucket; documented outgrow path), with the corpus total
+    * riding an unpartitioned unordered window over the same sort
+    * (zero extra scans — the q144 t_new idiom). */
+  def dsirResampleTokens(docs: DataFrame, tokenBudgetPermille: Int,
+      textCol: String = "text", targetPermille: Int = 100,
+      buckets: Int = 8192, salt: String = "graft",
+      sampleSalt: String = "resample"): DataFrame = {
+    require(tokenBudgetPermille >= 0 && tokenBudgetPermille <= 1000,
+      s"tokenBudgetPermille must be in [0,1000], got $tokenBudgetPermille")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key_q").desc, col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    gumbelScored(docs, textCol, targetPermille, buckets, salt, sampleSalt)
+      .withColumn("__total", sum(col("n_tokens")).over(whole))
+      .withColumn("__cum", sum(col("n_tokens")).over(ord))
+      .filter(col("__cum") * lit(1000L) <=
+        col("__total") * lit(tokenBudgetPermille.toLong))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("weight_q"), col("key_q"))
+  }
+
+  /** The shared scored frame under [[dsirResample]] and
+    * [[dsirResampleTokens]] — one materialized pass holding, per
+    * non-null-id doc: its source ('unknown'-coalesced), its q126
+    * importance weight, its q144-convention token count, and the
+    * deterministic base-2 Gumbel key (see [[dsirResample]] for the
+    * arithmetic). Materialized because every consumer reads it at
+    * least twice (cut + filter, or total + prefix). */
+  private def gumbelScored(docs: DataFrame, textCol: String,
+      targetPermille: Int, buckets: Int, salt: String,
+      sampleSalt: String): DataFrame = {
+    val w = dsirWeights(docs, textCol, targetPermille, buckets, salt)
+    val bk = Sampling.withSplitBucket(
+      docs.select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"),
+        graft.functions.TextFunctions.tokenCount(
+          coalesce(col(textCol), lit(""))).as("n_tokens")),
+      "doc_id", sampleSalt)
+    Dedup.materialize(
+      bk.join(w, "doc_id")
+        .withColumn("__eq",
+          expr(log2qExpr("1001")) - expr(log2qExpr("__bucket + 1")))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("n_bigrams"), col("weight_q"),
+          (col("weight_q") + lit(384L) - expr(log2qExpr("__eq + 1")))
+            .as("key_q")))
   }
 
   /** Per-source composition of the [[dsirResample]] keep-set — the

@@ -149,8 +149,6 @@ object DsirOracle {
       buckets: Int = 8192, salt: String = "graft",
       sampleSalt: String = "resample"): String = {
     require(budgetPermille >= 0 && budgetPermille <= 1000)
-    val bucket = DecontaminateOracle.bucketExpr(sampleSalt, "doc_id")
-    val keys = Seq("doc_id", "source", "n_bigrams", "weight_q")
     val closing =
       if (budgetPermille == 1000)
         "SELECT doc_id, source, n_bigrams, weight_q, key_q FROM scored"
@@ -163,13 +161,50 @@ object DsirOracle {
            |SELECT doc_id, source, n_bigrams, weight_q, key_q
            |FROM scored, cut WHERE key_q > c""".stripMargin
       }
-    s"""WITH w AS MATERIALIZED (SELECT * FROM (
+    s"""WITH ${scoredCtes(targetPermille, buckets, salt, sampleSalt)}
+       |$closing""".stripMargin
+  }
+
+  /** q165 mirror: the shared Gumbel-scored chain closed by the
+    * token-budget prefix ([[graft.operators.Mixing
+    * .dsirResampleTokens]]) — the ROWS-framed cumulative token sum
+    * over the total (key_q DESC, doc_id) order (ROWS, not DuckDB's
+    * default RANGE: Spark's rowsBetween is ROWS) against the
+    * whole-frame total, kept by the exact integer
+    * cross-multiplication. */
+  def resampleTokensSql(tokenBudgetPermille: Int, targetPermille: Int = 100,
+      buckets: Int = 8192, salt: String = "graft",
+      sampleSalt: String = "resample"): String = {
+    require(tokenBudgetPermille >= 0 && tokenBudgetPermille <= 1000)
+    s"""WITH ${scoredCtes(targetPermille, buckets, salt, sampleSalt)},
+       |ranked AS (SELECT doc_id, source, n_tokens, weight_q, key_q,
+       |    CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+       |    CAST(sum(n_tokens) OVER (ORDER BY key_q DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM scored)
+       |SELECT doc_id, source, n_tokens, weight_q, key_q
+       |FROM ranked WHERE cum * 1000 <= tot * $tokenBudgetPermille""".stripMargin
+  }
+
+  /** The shared q161/q165 scored chain: the q126 weight CTEs embedded
+    * verbatim, the q55 md5 bucket under the SAMPLE salt, the
+    * q144-convention token count, and the base-2 Gumbel key through
+    * two [[logChain]] replays — ends at CTE `scored`
+    * `(doc_id, source, n_tokens, n_bigrams, weight_q, key_q)`. */
+  private def scoredCtes(targetPermille: Int, buckets: Int, salt: String,
+      sampleSalt: String): String = {
+    val bucket = DecontaminateOracle.bucketExpr(sampleSalt, "doc_id")
+    val keys = Seq("doc_id", "source", "n_tokens", "n_bigrams", "weight_q")
+    s"""w AS MATERIALIZED (SELECT * FROM (
        |${sql(targetPermille, buckets, salt)}
        |) t0),
        |bk AS (SELECT doc_id, coalesce(source, 'unknown') AS source,
+       |    CAST(len(string_split_regex(coalesce(text, ''), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
        |    ($bucket) % 1000 AS bkt
        |  FROM documents WHERE doc_id IS NOT NULL),
-       |j AS (SELECT bk.doc_id, bk.source, w.n_bigrams, w.weight_q, bk.bkt
+       |j AS (SELECT bk.doc_id, bk.source, bk.n_tokens, w.n_bigrams,
+       |    w.weight_q, bk.bkt
        |  FROM bk JOIN w USING (doc_id)),
        |${logChain("j", Seq("u" -> "bkt + 1", "k" -> "1001"),
          keyCols = keys, prefix = "r")},
@@ -178,8 +213,7 @@ object DsirOracle {
        |${logChain("eqf", Seq("g" -> "eq + 1"),
          keyCols = keys, prefix = "s")},
        |scored AS (SELECT ${keys.mkString(", ")},
-       |    CAST(weight_q + 384 - (e_g * 64 + f_g) AS BIGINT) AS key_q FROM s6)
-       |$closing""".stripMargin
+       |    CAST(weight_q + 384 - (e_g * 64 + f_g) AS BIGINT) AS key_q FROM s6)""".stripMargin
   }
 
   /** q163 mirror: the per-source composition of the q161 keep-set —

@@ -3759,7 +3759,30 @@ object ExtensionQueries {
         |left join.""".stripMargin,
       (s, d) => graft.operators.Mixing.resampleComposition(
         Tables.documents(s, d), budgetPermille = 250),
-      Some(DsirOracle.resampleCompositionSql(budgetPermille = 250)))
+      Some(DsirOracle.resampleCompositionSql(budgetPermille = 250))),
+
+    QuerySpec(
+      "q165_token_budget_resample",
+      """TOKEN-budget DSIR resample ([[graft.operators.Mixing
+        |.dsirResampleTokens]]) — q161 with the budget in the unit
+        |mixture papers actually allocate (tokens, not documents — a
+        |doc-count budget over-represents long documents' mass): rank
+        |by the same deterministic Gumbel key, keep the longest prefix
+        |whose cumulative q24/q144 token count stays within 25 % of
+        |the corpus total, tested by the exact integer
+        |cross-multiplication cum·1000 ≤ total·250 (no division, no
+        |rounding ambiguity; an over-long doc past the cap drops even
+        |if its key ranks — the budget is a hard cap). All-BIGINT →
+        |bitwise oracle (the q161 scored chain shared verbatim, the
+        |prefix a ROWS-framed window over the total order). Scale
+        |shape: the q126-audited weights + map-side keys materialized
+        |once; ONE unpartitioned ordered window over 40-byte scored
+        |rows with the total riding the same sort (q40 shape;
+        |approx_percentile pre-cut is the documented outgrow
+        |path).""".stripMargin,
+      (s, d) => graft.operators.Mixing.dsirResampleTokens(
+        Tables.documents(s, d), tokenBudgetPermille = 250),
+      Some(DsirOracle.resampleTokensSql(tokenBudgetPermille = 250)))
   )
 
   /** q159 oracle: the four member oracles (q153/q154/q155/q156)

@@ -340,4 +340,31 @@ class MixingSpec extends AnyFunSuite {
     assert(sheet("aset")._4 > sheet("bset")._4,
       s"target-flavored feed must keep at a higher rate: $sheet")
   }
+
+  test("dsirResampleTokens: budget cap, maximal prefix, degenerate budgets") {
+    import org.apache.spark.sql.functions._
+    val (docs, _) = plantedCorpus
+    val total = 400L * 24L  // every planted doc is exactly 24 tokens
+    val kept = Mixing.dsirResampleTokens(docs, tokenBudgetPermille = 250)
+      .collect()
+    val keptTokens = kept.map(_.getLong(2)).sum
+    assert(keptTokens * 1000L <= total * 250L,
+      s"cumulative kept tokens must respect the cap: $keptTokens of $total")
+    // maximality: one more 24-token doc would cross the cap
+    assert((keptTokens + 24L) * 1000L > total * 250L,
+      s"the prefix must be the LONGEST within budget: $keptTokens")
+    // uniform doc length makes the token budget coincide with the doc
+    // budget: exactly floor(400 * 0.25) = 100 docs
+    assert(kept.length == 100, s"uniform-length corpus: got ${kept.length}")
+    // the kept set is the TOP of the key ranking: min kept key >= max
+    // dropped key (with the doc_id tiebreak, strictly a prefix)
+    val keptIds = kept.map(_.getLong(0)).toSet
+    val allKeys = Mixing.dsirResample(docs, budgetPermille = 1000)
+      .select("doc_id", "key_q").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val ranked = allKeys.sortBy { case (id, k) => (-k, id) }.map(_._1)
+    assert(ranked.take(100).toSet == keptIds, "kept IS the ranking prefix")
+    assert(Mixing.dsirResampleTokens(docs, tokenBudgetPermille = 0).count() == 0L)
+    assert(Mixing.dsirResampleTokens(docs, tokenBudgetPermille = 1000).count() == 400L)
+  }
 }

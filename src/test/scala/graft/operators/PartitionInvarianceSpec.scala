@@ -255,4 +255,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(Ensemble.feedPolicy(_, pos))
     invariant(Ensemble.applyFeedPolicy(_, pos))
   }
+
+  test("token-budget resample is partition-invariant") {
+    invariant(Mixing.dsirResampleTokens(_, tokenBudgetPermille = 250))
+  }
 }

@@ -67,7 +67,10 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   "q161_dsir_resample", "q162_feed_policy", "q163_resample_mix",
   // q164 re-pays q162 plus the corpus-side broadcast act (map-side
   // bucket filter -- the claim is shuffle == q162's own)
-  "q164_policy_act")
+  "q164_policy_act",
+  // q165 re-pays q126 + the map-side keys; the prefix selection is ONE
+  // unpartitioned ordered window over narrow scored rows
+  "q165_token_budget_resample")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
