@@ -120,4 +120,42 @@ class EdgeCasesSpec extends AnyFunSuite {
     val fr = Phrases.bpeFertilitySheet(fNulls, "text", numMerges = 1).collect().head
     assert(fr.getLong(3) == 0L && fr.isNullAt(6) && fr.isNullAt(7))
   }
+
+  test("resample family is total on empty / null-text / single-doc corpora") {
+    val empty = Seq.empty[(Long, Option[String], String)]
+      .toDF("doc_id", "text", "source")
+    assert(Mixing.dsirResample(empty, budgetPermille = 250).count() == 0)
+    assert(Mixing.dsirResampleTokens(empty, tokenBudgetPermille = 250).count() == 0)
+    assert(Mixing.resampleComposition(empty, budgetPermille = 250).count() == 0)
+
+    // null texts carry zero bigrams (weight 0) but remain sampleable;
+    // a single doc at budget 1000 keeps itself
+    val nulls = Seq((1L, Option.empty[String], "a"),
+      (2L, Option.empty[String], "b")).toDF("doc_id", "text", "source")
+    assert(Mixing.dsirResample(nulls, budgetPermille = 1000).count() == 2)
+    val one = Seq((7L, Option("a few words here"), "solo"))
+      .toDF("doc_id", "text", "source")
+    assert(Mixing.dsirResample(one, budgetPermille = 1000)
+      .head().getLong(0) == 7L)
+    // budget 500 of ONE doc: ceil(0.5*1) = rank 1 = the doc itself is
+    // the cut, strict > keeps nothing — documented floor semantics
+    assert(Mixing.dsirResample(one, budgetPermille = 500).count() == 0)
+  }
+
+  test("policy act is total when the verdict sheet is empty or disjoint") {
+    val docs = Seq((1L, "some text", "feedx")).toDF("doc_id", "text", "source")
+    val emptyVerdicts = Seq.empty[(String, String)].toDF("source", "verdict")
+    // no verdicts at all: everything keeps (evidence-free rule)
+    assert(Ensemble.actOnVerdicts(docs, emptyVerdicts).count() == 1)
+    // a sheet about OTHER feeds: same
+    val other = Seq(("feedy", "drop")).toDF("source", "verdict")
+    assert(Ensemble.actOnVerdicts(docs, other).count() == 1)
+    // and a drop verdict for the feed removes it
+    val drop = Seq(("feedx", "drop")).toDF("source", "verdict")
+    assert(Ensemble.actOnVerdicts(docs, drop).count() == 0)
+    // null doc_ids never emit (no identity to damp-sample by)
+    val nullId = Seq((Option.empty[Long], "t", "feedx"))
+      .toDF("doc_id", "text", "source")
+    assert(Ensemble.actOnVerdicts(nullId, emptyVerdicts).count() == 0)
+  }
 }
