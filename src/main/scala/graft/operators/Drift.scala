@@ -254,17 +254,20 @@ object Drift {
     * single-sources through here (its model IS its own corpus's), so
     * the streamed per-source sheet and the q156 batch sheet CANNOT
     * disagree on the same input (StreamingScorecardSpec pins it).
-    * Output: one row per source in the batch —
+    * NULL-doc_id rows are excluded HERE (not left to the caller), the
+    * q156 contract — unlike the KL sibling, whose q155 contract never
+    * filters ids. Output: one row per source in the batch —
     * `(source, n_docs, psi_q, alert)`, q156's exact arithmetic.
     *
     * Scale shape: the model is one broadcast row; binning is a
     * ≤ 9-comparison map-side expression; counts collapse map-side
     * onto (source, bin) keys — the only batch-driven exchange; the
     * closing grid is sources × bins. */
-  def psiBySourceAgainstModel(batch: DataFrame, model: DataFrame,
+  def psiBySourceAgainstModel(batch0: DataFrame, model: DataFrame,
       textCol: String = "text", bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    graft.GraftSession.ensureConfs(batch.sparkSession)
+    graft.GraftSession.ensureConfs(batch0.sparkSession)
+    val batch = batch0.filter(col("doc_id").isNotNull)
     val qs = psiEdgeNames(bins)
     val counts = batch
       .select(coalesce(col("source"), lit("unknown")).as("source"),

@@ -453,6 +453,9 @@ object Mixing {
       sampleSalt: String = "resample"): DataFrame = {
     require(tokenBudgetPermille >= 0 && tokenBudgetPermille <= 1000,
       s"tokenBudgetPermille must be in [0,1000], got $tokenBudgetPermille")
+    require(salt != sampleSalt,
+      "sampleSalt must differ from the target-split salt: a shared salt " +
+        "correlates the Gumbel noise with target membership")
     graft.GraftSession.ensureConfs(docs.sparkSession)
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)

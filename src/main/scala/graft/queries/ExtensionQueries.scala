@@ -3719,6 +3719,24 @@ object ExtensionQueries {
         "source IN ('src0','src1','src2','src3','src4')"))),
 
     QuerySpec(
+      "q163_resample_mix",
+      """Per-source composition of the q161 resampled mixture
+        |([[graft.operators.Mixing.resampleComposition]]) — the q76
+        |reading of DSIR's output: per feed, docs in, docs the
+        |importance resample kept, the exact two-step fixed-point
+        |keep rate, and the kept weight mass. DSIR's whole point is
+        |that the kept SHARE shifts toward target-flavored feeds —
+        |this sheet is where the shift is visible and reviewable
+        |before training on the mix. All-BIGINT → bitwise oracle (the
+        |oracle embeds the q161 chain verbatim, so the sheet cannot
+        |drift from the keep-set). Scale shape: q161's audited shape
+        |plus two sources-sized map-side rollups and one broadcast
+        |left join.""".stripMargin,
+      (s, d) => graft.operators.Mixing.resampleComposition(
+        Tables.documents(s, d), budgetPermille = 250),
+      Some(DsirOracle.resampleCompositionSql(budgetPermille = 250))),
+
+    QuerySpec(
       "q164_policy_act",
       """The ACTED corpus under the q162 feed policy ([[graft
         |.operators.Ensemble.applyFeedPolicy]]) — the artifact a
@@ -3742,24 +3760,6 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source")),
       Some(policyActSql(
         "source IN ('src0','src1','src2','src3','src4')"))),
-
-    QuerySpec(
-      "q163_resample_mix",
-      """Per-source composition of the q161 resampled mixture
-        |([[graft.operators.Mixing.resampleComposition]]) — the q76
-        |reading of DSIR's output: per feed, docs in, docs the
-        |importance resample kept, the exact two-step fixed-point
-        |keep rate, and the kept weight mass. DSIR's whole point is
-        |that the kept SHARE shifts toward target-flavored feeds —
-        |this sheet is where the shift is visible and reviewable
-        |before training on the mix. All-BIGINT → bitwise oracle (the
-        |oracle embeds the q161 chain verbatim, so the sheet cannot
-        |drift from the keep-set). Scale shape: q161's audited shape
-        |plus two sources-sized map-side rollups and one broadcast
-        |left join.""".stripMargin,
-      (s, d) => graft.operators.Mixing.resampleComposition(
-        Tables.documents(s, d), budgetPermille = 250),
-      Some(DsirOracle.resampleCompositionSql(budgetPermille = 250))),
 
     QuerySpec(
       "q165_token_budget_resample",
