@@ -124,10 +124,9 @@ object Classifier {
     val qs = (1 until 10).map { i =>
       s"e$i" -> (BigDecimal(i) / BigDecimal(10)).toDouble
     }
-    val cutsRow = Quantiles.multiQuantileDisc(
-        scores.withColumn("__g", lit(0L)), "__g", "score_q", qs)
-      .agg(qs.map { case (n, _) => max(col(n)).as(n) }.head,
-        qs.map { case (n, _) => max(col(n)).as(n) }.tail: _*)
+    // distributed radix select (bitwise percentile_disc) — held-out
+    // scores are corpus-sized at scale; no single-task sort
+    val cutsRow = Quantiles.globalQuantileDisc(scores, "score_q", qs)
     val thr = cutsRow
       .select(explode(array(qs.map { case (n, _) => col(n) }: _*)).as("thr_q"))
       .filter(col("thr_q").isNotNull).distinct()
@@ -195,10 +194,9 @@ object Classifier {
     val qs = (1 until bins).map { i =>
       s"e$i" -> (BigDecimal(i) / BigDecimal(bins)).toDouble
     }
-    val edges = Quantiles.multiQuantileDisc(
-        scores.withColumn("__g", lit(0L)), "__g", "score_q", qs)
-      .agg(qs.map { case (n, _) => max(col(n)).as(n) }.head,
-        qs.map { case (n, _) => max(col(n)).as(n) }.tail: _*)
+    // distributed radix select (bitwise percentile_disc) — same
+    // no-single-task-sort rationale as [[operatingPoints]]
+    val edges = Quantiles.globalQuantileDisc(scores, "score_q", qs)
     val binOf = qs.map { case (n, _) =>
       when(col("score_q") > col(n), lit(1L)).otherwise(lit(0L)) }.reduce(_ + _)
     val counts = scores.crossJoin(broadcast(edges))

@@ -66,10 +66,12 @@ object Datasheet {
       .agg(countDistinct(col("term")).as("value"))
       .select(lit("n_distinct_terms").as("metric"), col("value"))
 
-    val median = Quantiles.multiQuantileDisc(
-        texts.select(lit(1).as("__g"),
-          graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_toks")),
-        "__g", "n_toks", Seq(("p50", 0.5)))
+    // distributed radix select (bitwise percentile_disc) over the
+    // corpus-sized token-count frame — no single-task sort
+    val median = Quantiles.globalQuantileDisc(
+        texts.select(graft.functions.TextFunctions
+          .tokenCount(col(textCol)).as("n_toks")),
+        "n_toks", Seq(("p50", 0.5)))
       .select(lit("p50_doc_tokens").as("metric"), col("p50").as("value"))
 
     val kept = graft.streaming.Curation

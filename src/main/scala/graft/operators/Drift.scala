@@ -139,10 +139,10 @@ object Drift {
     val base = Dedup.materialize(
       standing.select(graft.functions.TextFunctions.tokenCount(
         coalesce(col(textCol), lit(""))).as("x")))
-    val edges = Quantiles.multiQuantileDisc(
-        base.withColumn("__g", lit(0L)), "__g", "x", qs)
-      .agg(qs.map { case (n, _) => max(col(n)).as(n) }.head,
-        qs.map { case (n, _) => max(col(n)).as(n) }.tail: _*)
+    // distributed radix select (bitwise percentile_disc) — the
+    // standing frame is corpus-sized, so the constant-group
+    // multiQuantileDisc idiom would funnel it through one task
+    val edges = Quantiles.globalQuantileDisc(base, "x", qs)
     val counts = base.crossJoin(broadcast(edges))
       .select(psiBinOf(qs).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))

@@ -261,12 +261,33 @@ object Ensemble {
       downSalt: String = "downweight"): DataFrame = {
     require(downweightPermille >= 0 && downweightPermille <= 1000,
       s"downweightPermille must be in [0,1000], got $downweightPermille")
-    val v = verdicts.select(col("source").as("__vsrc"), col("verdict"))
+    // Hardened against caller-supplied sheets: the sheet's verdict is
+    // aliased to an internal name BEFORE the join (a corpus that
+    // itself carries a `verdict` column can no longer make the
+    // reference ambiguous); a NULL verdict IN the sheet reads 'keep'
+    // (the same evidence-free rule as a missing row); and duplicate
+    // rows per source collapse deterministically to the most severe
+    // verdict — drop > any unrecognized string (which kills its rows,
+    // so it outranks a damp) > downweight > keep, ties on severity
+    // breaking on the lexicographically smallest string. feedPolicy's
+    // own sheet is unique per source, so for the q162→q164 chain the
+    // collapse is the identity.
+    val v = verdicts
+      .select(col("source").as("__vsrc"),
+        coalesce(col("verdict"), lit("keep")).as("__vv"))
+      .withColumn("__sev",
+        when(col("__vv") === "drop", 0L)
+          .when(col("__vv") === "downweight", 2L)
+          .when(col("__vv") === "keep", 3L)
+          .otherwise(1L))
+      .groupBy(col("__vsrc"))
+      .agg(min(struct(col("__sev"), col("__vv"))).as("__m"))
+      .select(col("__vsrc"), col("__m.__vv").as("__verdict"))
     val original = docs.columns.toSeq
     Sampling.withSplitBucket(docs, "doc_id", downSalt)
       .withColumn("__src", coalesce(col("source"), lit("unknown")))
       .join(broadcast(v), col("__src") === col("__vsrc"), "left")
-      .withColumn("__v", coalesce(col("verdict"), lit("keep")))
+      .withColumn("__v", coalesce(col("__verdict"), lit("keep")))
       .filter(col("__v") === "keep" ||
         (col("__v") === "downweight" &&
           col("__bucket") < downweightPermille))

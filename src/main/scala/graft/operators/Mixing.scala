@@ -365,9 +365,15 @@ object Mixing {
     * `key_q = weight_q + 384 − log2q(eq + 1)` (384 = 6·64 rescales
     * the 1/64 units of eq back out; the +1 keeps the domain
     * positive). Base-2 logs are a positive affine transform of the
-    * natural-log Gumbel key, so the top-k SET is exactly the
-    * paper's. The budget cut is the exact discrete percentile
-    * ([[Quantiles.multiQuantileDisc]], the q60-pinned selection) at
+    * natural-log Gumbel key in STRUCTURE, so the kept set is a
+    * quantized approximation of the paper's Gumbel-top-k: the 1/64
+    * fixed-point floor of log2q plus the +1 shift draw the noise
+    * from 1000 fixed-point levels (the md5 bucket granularity) with
+    * a compressed right tail — same monotone selection-∝-weight
+    * shape, NOT an exact importance-sampling guarantee. The budget
+    * cut is the exact discrete percentile
+    * ([[Quantiles.globalQuantileDisc]] — bitwise percentile_disc via
+    * distributed radix select, the q60-pinned rank arithmetic) at
     * (1000−budgetPermille)/1000 over key_q; kept = key_q STRICTLY
     * above the cut — floor(budget·n/1000) docs absent key ties,
     * deterministically fewer when keys tie at the cut (ties drop; a
@@ -386,9 +392,10 @@ object Mixing {
     * scored frame MATERIALIZES once (16-byte id + three BIGINTs — it
     * feeds both the cut and the filter; without this Spark re-plans
     * the whole weights pipeline per consumer, the q125 precedent);
-    * the cut is ONE global discrete-percentile pass over those
-    * narrow rows (the q40 global-median shape — `approx_percentile`
-    * is the documented outgrow path when exactness stops mattering);
+    * the cut is [[Quantiles.globalQuantileDisc]]'s distributed radix
+    * select — four map-side-combinable histogram passes over the
+    * materialized narrow rows, every exchange sheet-sized, NO
+    * single-partition sort anywhere whatever the key distribution;
     * the keep filter is map-side with the one-row cut broadcast. */
   def dsirResample(docs: DataFrame, budgetPermille: Int,
       textCol: String = "text", targetPermille: Int = 100,
@@ -407,12 +414,11 @@ object Mixing {
     if (budgetPermille == 1000) scored
     else {
       val q = BigDecimal(1000 - budgetPermille) / BigDecimal(1000)
-      // always ONE row even on an empty corpus (NULL cut keeps nothing
-      // — the q125 agg(max) idiom)
-      val cut = Quantiles.multiQuantileDisc(
-          scored.withColumn("__g", lit(0L)), "__g", "key_q",
+      // globalQuantileDisc always yields ONE row, even on an empty
+      // corpus (NULL cut then keeps nothing — the q125 idiom)
+      val cut = Quantiles.globalQuantileDisc(scored, "key_q",
           Seq("cut" -> q.toDouble))
-        .agg(max(col("cut")).as("__cut"))
+        .select(col("cut").as("__cut"))
       scored.crossJoin(broadcast(cut))
         .filter(col("key_q") > col("__cut"))
         .drop("__cut")
@@ -439,14 +445,19 @@ object Mixing {
     * `(doc_id, source, n_tokens, weight_q, key_q)`. All-BIGINT →
     * bitwise oracle (q165).
     *
-    * Scale shape: the q126-audited weight pipeline + map-side Gumbel
-    * keys, materialized once; the prefix selection is ONE
-    * unpartitioned ordered window over the narrow scored rows (the
-    * q40 global-sort shape — at true 100 TB, pre-bucket by key range
-    * or cut at an approx_percentile of key_q first and sort only the
-    * boundary bucket; documented outgrow path), with the corpus total
-    * riding an unpartitioned unordered window over the same sort
-    * (zero extra scans — the q144 t_new idiom). */
+    * Scale shape (100 TB): the q126-audited weight pipeline +
+    * map-side Gumbel keys, materialized once; the prefix selection is
+    * DISTRIBUTED — [[Quantiles.radixLocate]] finds the boundary key
+    * (the first key, in (key_q DESC, doc_id) order, whose running
+    * token mass overflows the budget) in four map-side-combinable
+    * histogram passes with NO single-partition sort whatever the key
+    * distribution; rows strictly above the boundary key keep by one
+    * broadcast comparison, and only the boundary key's TIE GROUP
+    * (docs sharing that exact Gumbel key — a thousandth-granularity
+    * collision set, not a corpus slice) runs a doc_id-ordered window
+    * to split the residual budget. The corpus total is one map-side
+    * aggregate. The prior single-partition `Window.orderBy(key_q)`
+    * shape is gone. */
   def dsirResampleTokens(docs: DataFrame, tokenBudgetPermille: Int,
       textCol: String = "text", targetPermille: Int = 100,
       buckets: Int = 8192, salt: String = "graft",
@@ -457,18 +468,38 @@ object Mixing {
       "sampleSalt must differ from the target-split salt: a shared salt " +
         "correlates the Gumbel noise with target membership")
     graft.GraftSession.ensureConfs(docs.sparkSession)
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val ord = org.apache.spark.sql.expressions.Window
-      .orderBy(col("key_q").desc, col("doc_id"))
-      .rowsBetween(Long.MinValue, 0)
-    gumbelScored(docs, textCol, targetPermille, buckets, salt, sampleSalt)
-      .withColumn("__total", sum(col("n_tokens")).over(whole))
-      .withColumn("__cum", sum(col("n_tokens")).over(ord))
-      .filter(col("__cum") * lit(1000L) <=
-        col("__total") * lit(tokenBudgetPermille.toLong))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        col("weight_q"), col("key_q"))
+    val out = Seq("doc_id", "source", "n_tokens", "weight_q", "key_q")
+    // descending-key image: bitwise NOT (XOR −1) reverses signed
+    // BIGINT order exactly, so ascending __u IS (key_q DESC) — across
+    // the sign boundary too; the doc_id tiebreak stays entirely
+    // within one __u group
+    val scored = gumbelScored(docs, textCol, targetPermille, buckets,
+        salt, sampleSalt)
+      .withColumn("__u", col("key_q").bitwiseXOR(lit(-1L)))
+    // budget B = floor(total·permille/1000): cum·1000 ≤ total·permille
+    // over BIGINTs ⟺ cum ≤ B, so the boundary is the first row (in
+    // keep order) whose running mass reaches B+1
+    val target = scored
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__tot"))
+      .select(lit("b").as("qn"),
+        (expr(s"(__tot * ${tokenBudgetPermille.toLong}) DIV 1000") + 1L)
+          .as("rr"))
+    val loc = Quantiles.radixLocate(
+        scored.select(col("__u"), col("n_tokens").as("__w")), target)
+      .select(col("u").as("__bu"), (col("rr") - 1L).as("__brem"))
+    // NULL boundary = the whole corpus fits the budget: keep all
+    val above = scored.crossJoin(broadcast(loc))
+      .filter(col("__bu").isNull || col("__u") < col("__bu"))
+      .select(out.map(col): _*)
+    val boundary = scored.crossJoin(broadcast(loc))
+      .filter(col("__u") === col("__bu"))
+      .withColumn("__gcum", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__u")).orderBy(col("doc_id"))
+          .rowsBetween(Long.MinValue, 0)))
+      .filter(col("__gcum") <= col("__brem"))
+      .select(out.map(col): _*)
+    above.union(boundary)
   }
 
   /** The shared scored frame under [[dsirResample]] and

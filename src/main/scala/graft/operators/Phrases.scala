@@ -491,11 +491,11 @@ object Phrases {
       seedSize: Int = 512): DataFrame = {
     val scored = lmScored(docs, textCol, maxPieceLen, maxWordLen, seedSize)
     // always ONE row, even over an all-empty corpus (NULL cuts then
-    // never match and every doc buckets 'empty' via the first branch)
-    val cuts = Quantiles.multiQuantileDisc(
-      scored.filter(col("n_pieces") > 0L).withColumn("__g", lit(0L)),
-      "__g", "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
-      .agg(max(col("p33")).as("p33"), max(col("p67")).as("p67"))
+    // never match and every doc buckets 'empty' via the first branch);
+    // distributed radix select — no single-task sort of the corpus
+    val cuts = Quantiles.globalQuantileDisc(
+      scored.filter(col("n_pieces") > 0L),
+      "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
     scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("n_pieces"), col("cost_q"), col("ppl_q"),
         when(col("n_pieces") === 0L, "empty")
@@ -697,10 +697,9 @@ object Phrases {
       maxPieceLen: Int = 4, maxWordLen: Int = 12,
       seedSize: Int = 512): DataFrame = {
     val scored = lmScored(docs, textCol, maxPieceLen, maxWordLen, seedSize)
-    Quantiles.multiQuantileDisc(
-      scored.filter(col("n_pieces") > 0L).withColumn("__g", lit(0L)),
-      "__g", "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
-      .agg(max(col("p33")).as("p33"), max(col("p67")).as("p67"))
+    Quantiles.globalQuantileDisc(
+      scored.filter(col("n_pieces") > 0L),
+      "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
   }
 
   /** Bigram-LM quality buckets — the CONDITIONAL-probability upgrade
@@ -761,10 +760,10 @@ object Phrases {
           coalesce(col("cost_q"), lit(0L)).as("cost_q"))
         .withColumn("ppl_q", when(col("n_bigrams") > 0L,
           expr(s"CAST((cost_q * $Q) DIV n_bigrams AS BIGINT)")).otherwise(0L)))
-    val cuts = Quantiles.multiQuantileDisc(
-      scored.filter(col("n_bigrams") > 0L).withColumn("__g", lit(0L)),
-      "__g", "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
-      .agg(max(col("p33")).as("p33"), max(col("p67")).as("p67"))
+    // distributed radix select — no single-task sort of the corpus
+    val cuts = Quantiles.globalQuantileDisc(
+      scored.filter(col("n_bigrams") > 0L),
+      "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
     scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("n_bigrams"), col("cost_q"), col("ppl_q"),
         when(col("n_bigrams") === 0L, "empty")

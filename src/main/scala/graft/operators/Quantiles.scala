@@ -86,4 +86,144 @@ object Quantiles {
     ranked.groupBy(groupCols.map(col): _*)
       .agg(picks.head, picks.tail :+ max(col("__n")).as("n_rows"): _*)
   }
+
+  /** GLOBAL exact discrete quantiles over a BIGINT column with NO
+    * single-partition sort — the distributed replacement for the
+    * `multiQuantileDisc(df.withColumn("__g", lit(0)), …)` constant-
+    * group idiom, whose one "group" funnels the whole frame through a
+    * single task (fine for a per-flag TPC-H group, a scale-killer for
+    * a corpus-sized scored frame at 100 TB).
+    *
+    * Kernel: radix select ([[radixLocate]]). The value is located
+    * digit-by-digit over its unsigned-ordered 64-bit image in
+    * `64/digitBits` rounds; each round is one map-side-combinable
+    * histogram of at most 2^digitBits buckets per quantile (a
+    * sheet-sized frame whatever the data distribution — no range
+    * knob, no boundary-bucket sort, no skew failure mode). The whole
+    * chain is one lazy DAG: each round's located digits feed the next
+    * round's candidate filter through a broadcast of a ≤|qs|-row
+    * frame — no driver-side iteration, no collect.
+    *
+    * Result is bitwise `percentile_disc` (the value at 1-based rank
+    * `ceil(q·n)` of the ascending sort, the same decimal-exact rank
+    * arithmetic as [[multiQuantileDisc]] — QuantilesSpec pins the two
+    * kernels equal on planted ties/negatives/extremes). Returns
+    * exactly ONE row with one named BIGINT column per entry of `qs`
+    * (NULL on an empty/all-NULL input — the established "NULL cut
+    * keeps nothing" contract of its callers).
+    *
+    * Scale shape (100 TB): `64/digitBits` passes over an internally
+    * materialized 16-byte projection; every exchange carries either
+    * histogram cells (≤ |qs|·2^digitBits rows) or the ≤|qs|-row
+    * located frame; the only windows run per-quantile over histogram
+    * cells. Nothing anywhere serializes corpus rows through one
+    * task. */
+  def globalQuantileDisc(df: DataFrame, valCol: String,
+      qs: Seq[(String, Double)], digitBits: Int = 16): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
+      s"percentiles must be in (0, 1]: $qs")
+    require(qs.forall { case (_, q) => BigDecimal(q).scale <= 10 },
+      s"percentiles must be exact in 10 decimal places (got $qs); " +
+        "rank selection is decimal-exact and will not guess a rounding")
+    require(df.schema(valCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"globalQuantileDisc radix-selects over BIGINT; $valCol is " +
+        df.schema(valCol).dataType.simpleString)
+    // weight 1 per row makes the weighted locate a plain rank locate
+    val t = Dedup.materialize(
+      df.select(col(valCol).as("__u")).filter(col("__u").isNotNull)
+        .select(col("__u"), lit(1L).as("__w")))
+    val targets = t.agg(count(lit(1)).as("__n"))
+      .select(explode(array(qs.map { case (name, q) =>
+        val qExact = lit(BigDecimal(q).setScale(10).underlying())
+        // decimal-exact rank: the multiQuantileDisc ceil(q·n) contract
+        struct(lit(name).as("qn"),
+          when(col("__n") > 0L, ceil(qExact * col("__n")).cast("long"))
+            .as("rr"))
+      }: _*)).as("e"))
+      .select(col("e.qn").as("qn"), col("e.rr").as("rr"))
+    val located = radixLocate(t, targets, digitBits)
+    val picks = qs.map { case (name, _) =>
+      max(when(col("qn") === name, col("u"))).as(name)
+    }
+    located.agg(picks.head, picks.tail: _*)
+  }
+
+  /** Weighted radix LOCATE — the shared distributed-selection kernel
+    * under [[globalQuantileDisc]] (weights ≡ 1: rank select) and the
+    * token-budget resample boundary
+    * ([[graft.operators.Mixing.dsirResampleTokens]], weights = token
+    * counts: the first value whose running mass overflows the
+    * budget).
+    *
+    * Input `tw`: rows `(__u, __w)` — `__u` the BIGINT sort key in its
+    * ordinary SIGNED order (the kernel flips the sign bit internally
+    * for digit extraction and flips it back on output, so callers
+    * compare the returned `u` against their keys with plain signed
+    * `<`/`=`), `__w` a positive BIGINT weight. Input
+    * `targets`: rows `(qn, rr)` — per named target, the 1-based
+    * cumulative-weight rank to reach. Output: one row per target —
+    * `(qn, u, rr, before)` where `u` is the smallest `__u` at which
+    * the running Σ`__w` in ascending `__u` order first reaches `rr`
+    * (cum ≥ rr), `before` is the total mass STRICTLY below `u`, and
+    * the returned `rr` is the residual rank within `u`'s tie group
+    * (original rr − before). All three are NULL when `rr` is NULL or
+    * the total mass never reaches it — callers branch on that.
+    *
+    * Each of the `64/digitBits` rounds histograms the candidate rows
+    * (those matching the prefix located so far) by their next
+    * `digitBits`-wide digit — map-side combinable onto ≤ 2^digitBits
+    * cells per target — and picks the cell where the running mass
+    * crosses the residual rank. A cell's cum is computed by a window
+    * per target over HISTOGRAM CELLS (never input rows); prefixes
+    * travel as a broadcast ≤|targets|-row frame, so the chain is one
+    * lazy DAG with no driver iteration and no data-dependent knobs:
+    * adversarial distributions (all values equal, all distinct, any
+    * skew) change nothing about the per-round frame sizes. */
+  private[graft] def radixLocate(tw: DataFrame, targets: DataFrame,
+      digitBits: Int = 16): DataFrame = {
+    require(digitBits >= 1 && digitBits <= 21 && 64 % digitBits == 0,
+      s"digitBits must divide 64 and keep cells addressable: $digitBits")
+    val passes = 64 / digitBits
+    // unsigned-order image: XOR the sign bit so unsigned comparison of
+    // the digit prefixes == signed comparison of the original keys
+    val tm = tw.select(
+      col("__u").bitwiseXOR(lit(Long.MinValue)).as("__u"), col("__w"))
+    var locked = targets.select(col("qn"), lit(0L).as("u"), col("rr"),
+      lit(0L).as("before"))
+    for (p <- 1 to passes) {
+      val loShift = 64 - digitBits * p
+      // Java shifts count mod 64, so u >>> 64 would be a NO-OP, not 0:
+      // round 1 (every row a candidate) must skip the prefix test
+      val prefixMatch =
+        if (p == 1) lit(true)
+        else shiftrightunsigned(col("__u"), 64 - digitBits * (p - 1)) ===
+          col("u")
+      val hist = tm.crossJoin(broadcast(locked))
+        .filter(col("rr").isNotNull && prefixMatch)
+        .groupBy(col("qn"), col("rr"), col("before"),
+          shiftrightunsigned(col("__u"), loShift).as("nhi"))
+        .agg(sum(col("__w")).as("c"))
+      val wq = Window.partitionBy(col("qn")).orderBy(col("nhi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val loc = hist
+        .withColumn("cumc", sum(col("c")).over(wq))
+        .filter(col("cumc") >= col("rr"))
+        .groupBy(col("qn"))
+        .agg(min(struct(col("nhi"), col("rr"), col("before"),
+          col("cumc"), col("c"))).as("m"))
+        .select(col("qn"), col("m.nhi").as("u"),
+          (col("m.rr") - (col("m.cumc") - col("m.c"))).as("rr"),
+          (col("m.before") + (col("m.cumc") - col("m.c"))).as("before"))
+      // left join from the target list: a target whose mass never
+      // reaches rr (or whose rr is NULL) survives as an all-NULL row
+      // instead of vanishing
+      locked = locked.select(col("qn")).join(broadcast(loc), Seq("qn"), "left")
+    }
+    // the final pass's u is the FULL unsigned image — map it back to
+    // the caller's signed domain
+    locked.select(col("qn"),
+      col("u").bitwiseXOR(lit(Long.MinValue)).as("u"),
+      col("rr"), col("before"))
+  }
 }

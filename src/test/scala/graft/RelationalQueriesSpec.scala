@@ -39,9 +39,57 @@ class RelationalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     p +: kids.flatMap(allNodes)
   }
 
+  /** Per-row identity columns of the engine's data model: a frame
+    * carrying one of these has (at least) corpus-row granularity, so
+    * funneling it through a single-partition window is the q161/q165
+    * scale-killer shape this net exists to reject. Sheet frames
+    * (hash-bucket grids, sources, bins, vocab, centroid cells) never
+    * carry these names. */
+  private val IdentityCols = Set("doc_id", "key_q", "score_q", "ppl_q",
+    "__u", "a_id", "b_id", "train_id", "test_id", "user_id", "event_id",
+    "l_orderkey", "o_orderkey")
+
+  /** Single-partition WindowExec findings over an executed plan:
+    * windows whose partition spec is EMPTY or provably CONSTANT (every
+    * partition expression traces through descendant Project aliases to
+    * a literal — the `lit(0)` constant-group idiom that hash-partitions
+    * every row to one task while looking partitioned). Returns one
+    * `(description, identityCols, inputRows)` per finding; inputRows
+    * is the row count measured off the nearest descendant metric
+    * (−1 when no metric exists under the window). */
+  private def singlePartitionWindows(root: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[(String, Set[String], Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal}
+    val nodes = allNodes(root)
+    // exprId -> aliased child expression, from every Project in the plan
+    val aliasOf: Map[Long, Expression] = nodes.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec =>
+        p.projectList.collect { case a: Alias => a.exprId.id -> a.child }
+    }.flatten.toMap
+    def isConstant(e: Expression, depth: Int = 0): Boolean = e match {
+      case _ if depth > 8 => false
+      case _: Literal => true
+      case a: Attribute =>
+        aliasOf.get(a.exprId.id).exists(isConstant(_, depth + 1))
+      case a: Alias => isConstant(a.child, depth + 1)
+      case other => other.foldable
+    }
+    nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty || w.partitionSpec.forall(isConstant(_)) =>
+        val ids = w.child.output.map(_.name).toSet.intersect(IdentityCols)
+        val rows = allNodes(w.child)
+          .flatMap(n => n.metrics.get("numOutputRows").map(_.value))
+          .headOption.getOrElse(-1L)
+        (w.simpleString(10), ids, rows)
+    }
+  }
+
   test("every registered query runs on sf0.001 and returns rows") {
     var bnljSeen = 0
     var bcastRowsSeen = 0L
+    var spwSeen = 0
+    var spwMaxRows = -1L
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf001)
       // Execute THIS dataset's own QueryExecution: df.count() would
@@ -85,6 +133,28 @@ class RelationalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
             "a large relation reached a nested-loop build side; at scale this query cannot run")
         bcastRowsSeen += bcastRows.sum
       }
+      // Third net: single-partition windows (empty OR constant
+      // partition spec — the lit(0) constant-group idiom included)
+      // are only survivable over SHEETS. A per-row identity column
+      // in the window's input, or an input bigger than any
+      // deliberate sheet, means corpus rows are serializing through
+      // one task — the q161/q165 shape round 13 removed.
+      for ((desc, ids, rows) <- singlePartitionWindows(df.queryExecution.executedPlan)) {
+        spwSeen += 1
+        spwMaxRows = math.max(spwMaxRows, rows)
+        assert(ids.isEmpty,
+          s"$name: single-partition window over a per-row identity frame " +
+            s"(${ids.mkString(", ")}) — corpus rows through one task; " +
+            s"at scale this query cannot run: $desc")
+        // sheet-size backstop: the largest deliberate single-partition
+        // window inputs are the 8192-bucket sheets and the radix
+        // kernel's ≤ 2^16 histogram cells (r13 fleet max: 8192). A
+        // bigger input means a NEW frame class is serializing through
+        // one task — justify it or distribute it.
+        assert(rows <= 65536L,
+          s"$name: single-partition window reads $rows rows — larger " +
+            s"than any deliberate sheet: $desc")
+      }
     }
     // Metric-read non-vacuity: if the metrics were read off a plan that
     // never executed they'd all be 0 (the exact bug this guard once
@@ -100,6 +170,49 @@ class RelationalQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnljSeen >= 3,
       s"plan traversal found only $bnljSeen BroadcastNestedLoopJoins across the fleet — " +
         "the guard lost sight of the known broadcast cross joins")
+    // Non-vacuity for the window net: the engine deliberately rides
+    // totals/ranks on single-partition windows over SHEETS (the q144
+    // t_new idiom, Zipf ranks, histogram cums) — if the traversal
+    // stops finding any, the identity/size guard is checking nothing.
+    assert(spwMaxRows >= 0L, "no single-partition window metrics were read")
+    assert(spwSeen >= 5,
+      s"plan traversal found only $spwSeen single-partition windows across " +
+        "the fleet — the window net lost sight of the known sheet windows")
+  }
+
+  test("single-partition-window detector flags the constant-group and identity shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the pre-round-13 q165 shape: unpartitioned ordered window over a
+    // frame carrying doc_id. Built over spark.range, not a local Seq —
+    // a LocalTableScan folds `lit(0)` into the scan and leaves no
+    // Project alias for the constant trace (real queries read files,
+    // where the Project survives)
+    val docs = spark.range(1, 51).select(col("id").as("doc_id"),
+      (col("id") % 7).as("key_q"))
+    val w1 = docs.withColumn("cum",
+      sum(col("key_q")).over(Window.orderBy(col("key_q").desc, col("doc_id"))
+        .rowsBetween(Long.MinValue, 0)))
+    w1.queryExecution.toRdd.count()
+    val f1 = singlePartitionWindows(w1.queryExecution.executedPlan)
+    assert(f1.nonEmpty && f1.exists(_._2.contains("doc_id")),
+      s"detector missed the unpartitioned identity window: $f1")
+    // the pre-round-13 q161 shape: multiQuantileDisc over a constant
+    // __g group — partitioned in the PLAN, single-partition at runtime
+    val w2 = graft.operators.Quantiles.multiQuantileDisc(
+      docs.withColumn("__g", lit(0L)), "__g", "key_q", Seq("cut" -> 0.75))
+    w2.queryExecution.toRdd.count()
+    val f2 = singlePartitionWindows(w2.queryExecution.executedPlan)
+    assert(f2.nonEmpty && f2.exists(_._2.contains("key_q")),
+      s"detector missed the constant-group window: $f2")
+    // and the legitimate shapes stay invisible: a REAL group key
+    val w3 = docs.withColumn("rk",
+      sum(lit(1L)).over(Window.partitionBy(col("key_q")).orderBy(col("doc_id"))
+        .rowsBetween(Long.MinValue, 0)))
+    w3.queryExecution.toRdd.count()
+    assert(singlePartitionWindows(w3.queryExecution.executedPlan).isEmpty,
+      "detector must not flag genuinely partitioned windows")
   }
 
   test("filtered scans push their predicates into parquet (q01/q03/q06)") {

@@ -151,4 +151,36 @@ class EnsembleSpec extends AnyFunSuite {
     assert(acted.columns.toSeq == docs.columns.toSeq,
       "the act returns the corpus's own columns")
   }
+
+  test("actOnVerdicts survives a corpus verdict column and collapses duplicate sheet rows") {
+    import spark.implicits._
+    // the corpus itself carries a `verdict` column — the join must not
+    // throw an ambiguous-reference AnalysisException, and the corpus's
+    // own column must pass through untouched
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 20) "a" else "b", s"caller$i")).toDF("doc_id", "source", "verdict")
+    // duplicate, CONFLICTING sheet rows: severity must win (drop beats
+    // keep; an unrecognized string beats downweight), never silently
+    // duplicating kept docs
+    val sheet = Seq(("a", "keep"), ("a", "drop"), ("b", "downweight"),
+      ("b", "mystery"), ("b", "keep")).toDF("source", "verdict")
+    val acted = Ensemble.actOnVerdicts(docs, sheet)
+    val bySrc = acted.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("a"), s"drop must win the a-conflict: $bySrc")
+    assert(!bySrc.contains("b"),
+      s"the unrecognized verdict (which kills its rows) must outrank the damp: $bySrc")
+    assert(acted.count() == 0L)
+    // no duplication either: a sheet with N identical rows acts once
+    val dupKeep = Seq(("a", "keep"), ("a", "keep"), ("a", "keep"))
+      .toDF("source", "verdict")
+    val kept = Ensemble.actOnVerdicts(docs, dupKeep)
+    assert(kept.count() == 40L, "duplicate identical rows must not multiply docs")
+    assert(kept.columns.toSeq == docs.columns.toSeq &&
+      kept.filter(col("verdict").startsWith("caller")).count() == 40L,
+      "the corpus's own verdict column passes through untouched")
+    // NULL verdict in the sheet = evidence-free = keep
+    val nullSheet = Seq(("a", Option.empty[String])).toDF("source", "verdict")
+    assert(Ensemble.actOnVerdicts(docs, nullSheet).count() == 40L)
+  }
 }

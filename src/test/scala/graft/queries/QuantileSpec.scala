@@ -114,6 +114,78 @@ class QuantileSpec extends AnyFunSuite {
     assert(r(1).getAs[Double]("p50") == 2.0 && r(1).getAs[Long]("n_rows") == 3L)
   }
 
+  test("globalQuantileDisc is bitwise multiQuantileDisc on ties, negatives and 64-bit extremes") {
+    import spark.implicits._
+    // duplicate-heavy plateau values, negatives, zero, and the four
+    // corners of the BIGINT domain — the sign-bit XOR image and the
+    // per-digit carries must survive all of them
+    val base: Seq[Long] = (1 to 300).map(i => ((i * i) % 19 - 6).toLong) ++
+      Seq(Long.MinValue, Long.MinValue + 1, Long.MaxValue, Long.MaxValue - 1,
+        -1L, 0L, 1L, 1L << 62, -(1L << 62), 1L << 31, -(1L << 31))
+    val qs = Seq("p01" -> 0.01, "p25" -> 0.25, "p50" -> 0.50,
+      "p75" -> 0.75, "p95" -> 0.95, "p100" -> 1.0, "p07" -> 0.07)
+    // sweep prefix sizes so every ceil(q·n) boundary class is hit,
+    // including n = 1
+    Seq(1, 2, 3, 7, 100, base.size).foreach { n =>
+      val df = base.take(n).toDF("v")
+      val got = graft.operators.Quantiles.globalQuantileDisc(df, "v", qs)
+        .collect()
+      assert(got.length == 1, s"n=$n: must be exactly one row")
+      val want = graft.operators.Quantiles
+        .multiQuantileDisc(df.withColumn("__g", lit(0L)), "__g", "v", qs)
+        .collect()(0)
+      qs.map(_._1).foreach { c =>
+        assert(got(0).getAs[Long](c) == want.getAs[Long](c),
+          s"n=$n column $c: ${got(0).getAs[Long](c)} != ${want.getAs[Long](c)}")
+      }
+    }
+  }
+
+  test("globalQuantileDisc returns one all-NULL row on empty and all-NULL input") {
+    import spark.implicits._
+    val qs = Seq("p50" -> 0.5, "p95" -> 0.95)
+    Seq(Seq.empty[Option[Long]], Seq(None, None): Seq[Option[Long]]).foreach { data =>
+      val rows = graft.operators.Quantiles
+        .globalQuantileDisc(data.toDF("v"), "v", qs).collect()
+      assert(rows.length == 1 && rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    }
+  }
+
+  test("globalQuantileDisc rejects non-BIGINT value columns") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.globalQuantileDisc(
+        Seq(1.0).toDF("v"), "v", Seq("p50" -> 0.5))
+    }
+  }
+
+  test("radixLocate finds the weighted overflow boundary a local scan finds") {
+    import spark.implicits._
+    // weighted rows with deliberate ties in __u, spanning the sign
+    // boundary (the locate's digit order must agree with SIGNED key
+    // order); targets at every interesting budget: 0-ish, mid-group,
+    // group boundary, beyond-total
+    val rows: Seq[(Long, Long)] = Seq(
+      Long.MinValue -> 2L, -10L -> 3L, 10L -> 5L, 10L -> 3L, 20L -> 7L,
+      30L -> 1L, 30L -> 1L, 30L -> 4L, Long.MaxValue -> 2L)
+    val total = rows.map(_._2).sum // 29
+    val tw = rows.toDF("__u", "__w")
+    val targets = (1L to (total + 2)).map(rr => (s"t$rr", rr))
+    val tf = targets.toDF("qn", "rr")
+    val got = graft.operators.Quantiles.radixLocate(tw, tf)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2), r.getLong(3)))))
+      .toMap
+    // local oracle: ascending u, running mass; first u where cum >= rr
+    val byU = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    targets.foreach { case (qn, rr) =>
+      var cum = 0L
+      val hit = byU.find { case (_, w) => cum += w; cum >= rr }
+      val want = hit.map { case (u, w) => (u, rr - (cum - w), cum - w) }
+      assert(got(qn) == want, s"$qn rr=$rr: got ${got(qn)} want $want")
+    }
+  }
+
   test("approx_percentile rank error stays within the accuracy bound of the exact quantiles") {
     val targets = Seq(0.25, 0.50, 0.75, 0.95)
     Seq(sf001, sf01).foreach { sf =>
