@@ -126,7 +126,8 @@ object Classifier {
     }
     // distributed radix select (bitwise percentile_disc) — held-out
     // scores are corpus-sized at scale; no single-task sort
-    val cutsRow = Quantiles.globalQuantileDisc(scores, "score_q", qs)
+    val cutsRow = Quantiles.globalQuantileDisc(scores, "score_q", qs,
+      materializeInput = false) // scores is already materialized
     val thr = cutsRow
       .select(explode(array(qs.map { case (n, _) => col(n) }: _*)).as("thr_q"))
       .filter(col("thr_q").isNotNull).distinct()
@@ -196,7 +197,8 @@ object Classifier {
     }
     // distributed radix select (bitwise percentile_disc) — same
     // no-single-task-sort rationale as [[operatingPoints]]
-    val edges = Quantiles.globalQuantileDisc(scores, "score_q", qs)
+    val edges = Quantiles.globalQuantileDisc(scores, "score_q", qs,
+      materializeInput = false) // scores is already materialized
     val binOf = qs.map { case (n, _) =>
       when(col("score_q") > col(n), lit(1L)).otherwise(lit(0L)) }.reduce(_ + _)
     val counts = scores.crossJoin(broadcast(edges))

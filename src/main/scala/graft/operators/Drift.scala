@@ -142,7 +142,8 @@ object Drift {
     // distributed radix select (bitwise percentile_disc) — the
     // standing frame is corpus-sized, so the constant-group
     // multiQuantileDisc idiom would funnel it through one task
-    val edges = Quantiles.globalQuantileDisc(base, "x", qs)
+    val edges = Quantiles.globalQuantileDisc(base, "x", qs,
+      materializeInput = false) // base is already materialized
     val counts = base.crossJoin(broadcast(edges))
       .select(psiBinOf(qs).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))

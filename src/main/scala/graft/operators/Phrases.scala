@@ -495,7 +495,8 @@ object Phrases {
     // distributed radix select — no single-task sort of the corpus
     val cuts = Quantiles.globalQuantileDisc(
       scored.filter(col("n_pieces") > 0L),
-      "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
+      "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67),
+      materializeInput = false) // the scored frame is already materialized
     scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("n_pieces"), col("cost_q"), col("ppl_q"),
         when(col("n_pieces") === 0L, "empty")
@@ -699,7 +700,8 @@ object Phrases {
     val scored = lmScored(docs, textCol, maxPieceLen, maxWordLen, seedSize)
     Quantiles.globalQuantileDisc(
       scored.filter(col("n_pieces") > 0L),
-      "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
+      "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67),
+      materializeInput = false) // the scored frame is already materialized
   }
 
   /** Bigram-LM quality buckets — the CONDITIONAL-probability upgrade
@@ -763,7 +765,8 @@ object Phrases {
     // distributed radix select — no single-task sort of the corpus
     val cuts = Quantiles.globalQuantileDisc(
       scored.filter(col("n_bigrams") > 0L),
-      "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67))
+      "ppl_q", Seq("p33" -> 0.33, "p67" -> 0.67),
+      materializeInput = false) // the scored frame is already materialized
     scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("n_bigrams"), col("cost_q"), col("ppl_q"),
         when(col("n_bigrams") === 0L, "empty")

@@ -117,9 +117,16 @@ object Quantiles {
     * histogram cells (≤ |qs|·2^digitBits rows) or the ≤|qs|-row
     * located frame; the only windows run per-quantile over histogram
     * cells. Nothing anywhere serializes corpus rows through one
-    * task. */
+    * task.
+    *
+    * `materializeInput = false` skips the internal checkpoint of the
+    * 16-byte projection — pass it when `df` is ALREADY materialized
+    * (re-deriving a projection of a checkpoint is cheaper than a
+    * second checkpoint write; the kernel scans its input ~5 times
+    * either way). */
   def globalQuantileDisc(df: DataFrame, valCol: String,
-      qs: Seq[(String, Double)], digitBits: Int = 16): DataFrame = {
+      qs: Seq[(String, Double)], digitBits: Int = 16,
+      materializeInput: Boolean = true): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
       s"percentiles must be in (0, 1]: $qs")
     require(qs.forall { case (_, q) => BigDecimal(q).scale <= 10 },
@@ -130,9 +137,9 @@ object Quantiles {
       s"globalQuantileDisc radix-selects over BIGINT; $valCol is " +
         df.schema(valCol).dataType.simpleString)
     // weight 1 per row makes the weighted locate a plain rank locate
-    val t = Dedup.materialize(
-      df.select(col(valCol).as("__u")).filter(col("__u").isNotNull)
-        .select(col("__u"), lit(1L).as("__w")))
+    val proj = df.select(col(valCol).as("__u")).filter(col("__u").isNotNull)
+      .select(col("__u"), lit(1L).as("__w"))
+    val t = if (materializeInput) Dedup.materialize(proj) else proj
     val targets = t.agg(count(lit(1)).as("__n"))
       .select(explode(array(qs.map { case (name, q) =>
         val qExact = lit(BigDecimal(q).setScale(10).underlying())

@@ -487,16 +487,19 @@ class ScaleSpec extends AnyFunSuite {
       "the shard rollup combines map-side")
 
     // datasheet: the scalar branch computes its THREE distincts over
-    // one scan via Expand; five parquet passes total — scalars,
-    // vocab, median, and TWO for curation (batchAudit's keeper branch
-    // rescans rather than materializing corpus-sized stats, its
-    // documented trade) — not one per metric.
+    // one scan via Expand; FOUR parquet passes in the final plan —
+    // scalars, vocab, and TWO for curation (batchAudit's keeper
+    // branch rescans rather than materializing corpus-sized stats,
+    // its documented trade) — not one per metric. The median's scan
+    // no longer appears here: globalQuantileDisc materializes its
+    // 8-byte token-count projection once at construction (r13's
+    // radix select) and the final plan reads that checkpoint.
     val ds = graft.operators.Datasheet.summarize(docs)
     assert(ds.count() == 9)
     val dsPlan = ds.queryExecution.executedPlan.toString
     assert(dsPlan.contains("Expand"),
       "multi-distinct scalars share one scan through Expand")
-    assert("Scan parquet".r.findAllIn(dsPlan).size == 5,
+    assert("Scan parquet".r.findAllIn(dsPlan).size == 4,
       "one pass per grain plus curation's keeper rescan — nothing per-metric")
   }
 
