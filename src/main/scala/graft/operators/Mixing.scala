@@ -279,6 +279,22 @@ object Mixing {
     require(targetPermille >= 0 && targetPermille <= 1000,
       s"targetPermille must be in [0,1000], got $targetPermille")
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val hb = dsirHb(docs, textCol, targetPermille, buckets, salt)
+    val sheet = dsirSheetFrom(hb).select(col("b"), col("lr_q"))
+    val perDoc = hb.join(broadcast(sheet), "b")
+      .groupBy(col("doc_id")).agg(
+        sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * col("lr_q")).as("weight_q"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("weight_q"), lit(0L)).as("weight_q"))
+  }
+
+  /** The materialized per-(doc, bucket) occurrence counts under
+    * [[dsirWeights]] — one textual definition of the feature frame. */
+  private def dsirHb(docs: DataFrame, textCol: String,
+      targetPermille: Int, buckets: Int, salt: String): DataFrame = {
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
     val base = Sampling.withSplitBucket(docs.filter(col(textCol).isNotNull), "doc_id", salt)
       .select(col("doc_id"), (col("__bucket") < targetPermille).as("__t"),
@@ -288,11 +304,19 @@ object Mixing {
       .select(col("doc_id"), col("__t"),
         (Dedup.md5Base48Of(md5(concat(col("p.0"), lit(" "), col("p.1"))))
           % buckets.toLong).as("b"))
-    val hb = Dedup.materialize(
+    Dedup.materialize(
       base.groupBy(col("doc_id"), col("__t"), col("b")).agg(count(lit(1)).as("occ")))
+  }
+
+  /** The `buckets`-sized log-ratio sheet under [[dsirWeights]] —
+    * `(b, lr_q, lr0_q)` where `lr_q` is the per-bucket normalized
+    * log ratio and `lr0_q` the UNSEEN-bucket ratio (ct = cr = 0:
+    * only the normalizer terms survive) — what a streaming gate
+    * charges for a bucket the standing corpus never saw. */
+  private def dsirSheetFrom(hb: DataFrame): DataFrame =
     // totals named tct/tcr, NOT Ct/Cr: withColumn resolves
     // case-insensitively and "Ct" would silently REPLACE column ct
-    val sheet = hb.groupBy(col("b")).agg(
+    hb.groupBy(col("b")).agg(
         sum(when(col("__t"), col("occ")).otherwise(lit(0L))).as("ct"),
         sum(col("occ")).as("cr"))
       .withColumn("tct", sum(col("ct")).over(whole))
@@ -300,15 +324,66 @@ object Mixing {
       .withColumn("lr_q",
         expr(log2qExpr("ct + 1")) - expr(log2qExpr("cr + 1")) +
           expr(log2qExpr("tcr + 1")) - expr(log2qExpr("tct + 1")))
-      .select(col("b"), col("lr_q"))
-    val perDoc = hb.join(broadcast(sheet), "b")
-      .groupBy(col("doc_id")).agg(
-        sum(col("occ")).as("n_bigrams"),
-        sum(col("occ") * col("lr_q")).as("weight_q"))
-    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("weight_q"), lit(0L)).as("weight_q"))
+      .withColumn("lr0_q",
+        expr(log2qExpr("tcr + 1")) - expr(log2qExpr("tct + 1")))
+      .select(col("b"), col("lr_q"), col("lr0_q"))
+
+  /** The DSIR model ARTIFACT a production system persists and a
+    * streaming gate broadcasts ([[graft.streaming.Curation
+    * .resampleGate]]): ONE row `(lrmap, lr0_q)` — the [[dsirWeights]]
+    * bucket sheet as a map plus the unseen-bucket ratio. An arrival's
+    * weight is `Σ_bigram coalesce(lrmap[b], lr0_q)` — bitwise the
+    * batch `Σ occ·lr_q` wherever the bucket was observed (the
+    * per-occurrence summation ≡ the occ-grouped form), and the
+    * smoothed normalizer ratio for novel buckets. Empty standing
+    * corpus → empty map, lr0 0 (arrivals then key on pure Gumbel
+    * noise; the paired [[resampleCutRow]] is NULL, so the gate keeps
+    * nothing — audit before arming, like every standing model).
+    *
+    * Scale shape: the q126 audited pipeline once, collapsed to an
+    * 8192-entry map in one row — the nbModelRow convention. */
+  def dsirModelRow(docs: DataFrame, textCol: String = "text",
+      targetPermille: Int = 100, buckets: Int = 8192,
+      salt: String = "graft"): DataFrame = {
+    require(targetPermille >= 0 && targetPermille <= 1000,
+      s"targetPermille must be in [0,1000], got $targetPermille")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    dsirSheetFrom(dsirHb(docs, textCol, targetPermille, buckets, salt))
+      .agg(
+        // array_sort before map_from_entries: collect_list order is an
+        // accident of partitioning; the persisted artifact must be
+        // byte-deterministic
+        map_from_entries(array_sort(collect_list(struct(col("b"), col("lr_q")))))
+          .as("lrmap"),
+        coalesce(max(col("lr0_q")), lit(0L)).as("lr0_q"))
+  }
+
+  /** The standing resample CUT — the other half of the gate's static
+    * state: ONE row `(cut)` holding [[dsirResample]]'s exact
+    * percentile cut over the standing corpus's Gumbel keys (kept =
+    * key_q STRICTLY above it, the q161 rule). budgetPermille = 1000
+    * yields Long.MinValue (keep everything — the batch path applies
+    * no cut; no reachable key_q can equal MinValue, its magnitude is
+    * bounded by the 1/64-log2 arithmetic); an empty corpus yields
+    * NULL (keep nothing — the q161 empty-cut rule). */
+  def resampleCutRow(docs: DataFrame, budgetPermille: Int,
+      textCol: String = "text", targetPermille: Int = 100,
+      buckets: Int = 8192, salt: String = "graft",
+      sampleSalt: String = "resample"): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      s"budgetPermille must be in [0,1000], got $budgetPermille")
+    require(salt != sampleSalt,
+      "sampleSalt must differ from the target-split salt: a shared salt " +
+        "correlates the Gumbel noise with target membership")
+    if (budgetPermille == 1000)
+      docs.sparkSession.range(1).select(lit(Long.MinValue).as("cut"))
+    else {
+      val q = BigDecimal(1000 - budgetPermille) / BigDecimal(1000)
+      Quantiles.globalQuantileDisc(
+        gumbelScored(docs, textCol, targetPermille, buckets, salt, sampleSalt),
+        "key_q", Seq("cut" -> q.toDouble),
+        materializeInput = false) // gumbelScored materializes
+    }
   }
 
   /** Per-source KL-divergence fingerprint — for every feed, the exact
@@ -417,7 +492,8 @@ object Mixing {
       // globalQuantileDisc always yields ONE row, even on an empty
       // corpus (NULL cut then keeps nothing — the q125 idiom)
       val cut = Quantiles.globalQuantileDisc(scored, "key_q",
-          Seq("cut" -> q.toDouble))
+          Seq("cut" -> q.toDouble),
+          materializeInput = false) // scored is already materialized
         .select(col("cut").as("__cut"))
       scored.crossJoin(broadcast(cut))
         .filter(col("key_q") > col("__cut"))
@@ -484,9 +560,13 @@ object Mixing {
       .select(lit("b").as("qn"),
         (expr(s"(__tot * ${tokenBudgetPermille.toLong}) DIV 1000") + 1L)
           .as("rr"))
-    val loc = Quantiles.radixLocate(
-        scored.select(col("__u"), col("n_tokens").as("__w")), target)
-      .select(col("u").as("__bu"), (col("rr") - 1L).as("__brem"))
+    // materialized: BOTH keep branches (above-boundary and tie-group)
+    // broadcast this one-row frame — without it each re-derives the
+    // whole 4-pass locate chain
+    val loc = Dedup.materialize(
+      Quantiles.radixLocate(
+          scored.select(col("__u"), col("n_tokens").as("__w")), target)
+        .select(col("u").as("__bu"), (col("rr") - 1L).as("__brem")))
     // NULL boundary = the whole corpus fits the budget: keep all
     val above = scored.crossJoin(broadcast(loc))
       .filter(col("__bu").isNull || col("__u") < col("__bu"))
@@ -520,14 +600,25 @@ object Mixing {
           coalesce(col(textCol), lit(""))).as("n_tokens")),
       "doc_id", sampleSalt)
     Dedup.materialize(
-      bk.join(w, "doc_id")
-        .withColumn("__eq",
-          expr(log2qExpr("1001")) - expr(log2qExpr("__bucket + 1")))
+      withGumbelKey(bk.join(w, "doc_id"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("n_bigrams"), col("weight_q"),
-          (col("weight_q") + lit(384L) - expr(log2qExpr("__eq + 1")))
-            .as("key_q")))
+          col("n_bigrams"), col("weight_q"), col("key_q")))
   }
+
+  /** The deterministic base-2 Gumbel KEY over `(weight_q, __bucket)`
+    * — ONE textual definition shared by the batch scored frame
+    * ([[gumbelScored]] → q161/q163/q165) and the streaming gate
+    * ([[graft.streaming.Curation.resampleGate]]), so the two keyings
+    * cannot drift: `eq = log2q(1001) − log2q(__bucket + 1)` (that is
+    * −log2 u in 1/64 units for the q55 uniform draw
+    * u = (bucket+1)/1001) and
+    * `key_q = weight_q + 384 − log2q(eq + 1)`. Adds `key_q`. */
+  private[graft] def withGumbelKey(df: DataFrame): DataFrame =
+    df.withColumn("__eq",
+        expr(log2qExpr("1001")) - expr(log2qExpr("__bucket + 1")))
+      .withColumn("key_q",
+        col("weight_q") + lit(384L) - expr(log2qExpr("__eq + 1")))
+      .drop("__eq")
 
   /** Per-source composition of the [[dsirResample]] keep-set — the
     * q76 reading of the resampled mixture: for every feed, how many

@@ -423,6 +423,55 @@ object Curation {
     graft.operators.Ensemble.actOnVerdicts(stream, verdicts,
       downweightPermille, downSalt)
 
+  /** Streaming DSIR resample gate — the q161 keep rule at INGEST,
+    * the mixing family's streaming twin (the [[classifierGate]]
+    * pattern): the standing state is TWO broadcast one-row frames a
+    * production system persists at the corpus audit — the
+    * [[graft.operators.Mixing.dsirModelRow]] bucket-ratio map
+    * `(lrmap, lr0_q)` and the [[graft.operators.Mixing
+    * .resampleCutRow]] percentile cut — and each arriving document
+    * weighs itself entirely map-side: bigrams hash to the model's
+    * buckets, `weight_q = Σ coalesce(lrmap[b], lr0_q)` (bitwise the
+    * batch Σ occ·lr_q wherever the bucket was observed; the smoothed
+    * normalizer ratio for novel buckets), the Gumbel key evaluates
+    * through the SHARED [[graft.operators.Mixing.withGumbelKey]]
+    * kernel under the same sampleSalt, and the arrival is kept iff
+    * `key_q > cut` — the exact q161 strict rule, so a streamed batch
+    * of standing-corpus docs keeps bitwise q161's keep-set
+    * (StreamingResampleGateSpec pins it). ZERO streaming state;
+    * append-mode; no watermark.
+    *
+    * Emits the input columns plus `(n_bigrams, weight_q, key_q)`.
+    * NULL doc_ids never pass (no stable identity to key — the q55
+    * contract); NULL/short text weighs 0 and competes on pure noise;
+    * a NULL cut (empty standing corpus) keeps nothing — audit before
+    * arming, like every standing model. */
+  def resampleGate(stream: DataFrame, model: DataFrame, cutRow: DataFrame,
+      textCol: String = "text", buckets: Int = 8192,
+      sampleSalt: String = "resample"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = TextFunctions.tokens(col(textCol))
+    val weighed = stream.filter(col("doc_id").isNotNull)
+      .crossJoin(broadcast(model))
+      .withColumn("__t", toks)
+      .withColumn("__bgs", zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => graft.operators.Dedup.md5Base48Of(
+          md5(concat(a, lit(" "), b))) % buckets.toLong))
+      .withColumn("n_bigrams",
+        greatest(coalesce(size(col("__bgs")).cast("long"), lit(0L)), lit(0L)))
+      .withColumn("weight_q", coalesce(
+        aggregate(col("__bgs"), lit(0L),
+          (acc, b) => acc + coalesce(element_at(col("lrmap"), b), col("lr0_q"))),
+        lit(0L)))
+    graft.operators.Mixing.withGumbelKey(
+        graft.operators.Sampling.withSplitBucket(weighed, "doc_id", sampleSalt))
+      .crossJoin(broadcast(cutRow.select(col("cut").as("__cut"))))
+      .filter(col("key_q") > col("__cut"))
+      .drop("__t", "__bgs", "lrmap", "lr0_q", "__bucket", "__cut")
+  }
+
   /** Batch twin of the gate with REASON CODES (q81): same quality rules,
     * with the stream's arrival-order dedup pinned to a deterministic
     * rule — among quality-surviving rows of identical normalized
