@@ -222,6 +222,71 @@ object Ensemble {
             "downweight")
           .otherwise("keep"))
 
+  /** Feed-policy OPERATING POINTS — the q147 evidence sheet for the
+    * q162 drop lines, closing the advisor's "bare constants" gap: the
+    * default `dropDupQ`/`dropKlQ` thresholds were picked by hand, and
+    * the classifier family already established (q147) that thresholds
+    * deserve a data-driven sweep. Candidate lines are the EXACT
+    * deciles of the scorecard's own dup_rate_q and kl_q columns (the
+    * q60-pinned percentile_disc selection via
+    * [[Quantiles.globalQuantileDisc]] — existing values, not
+    * arbitrary constants), crossed into a ≤ 9×9 grid; for every
+    * (thr_dup_q, thr_kl_q) pair the [[feedPolicy]] CASE replays with
+    * those drop lines (damp lines fixed at the shipped defaults) and
+    * the sheet reports what the policy would DO: sources and docs
+    * dropped / damped / kept, and the kept KL-to-corpus mass
+    * Σ kl_q·n_docs over surviving feeds — the release owner picks the
+    * knee of that curve instead of trusting 2^19 and 192.
+    *
+    * Determinism: thresholds are SELECTED existing BIGINT values; the
+    * verdict is the q162 CASE under identical three-valued NULL
+    * logic; every output column is a BIGINT sum/count — the whole
+    * sheet oracles bitwise (q166; the oracle embeds the q159
+    * composition verbatim, the established pattern).
+    *
+    * Scale shape (100 TB): the q159 composition runs ONCE and
+    * materializes (sources-sized); the decile passes and the sweep
+    * all touch that sheet crossed with a ≤ 81-row broadcast grid —
+    * nothing corpus-sized moves. */
+  def feedPolicyOperatingPoints(docs: DataFrame, positive: Column,
+      downRulesQ: Long = 838861L, textCol: String = "text",
+      trainPermille: Int = 500, buckets: Int = 8192,
+      salt: String = "graft"): DataFrame = {
+    val sc = Dedup.materialize(
+      sourceScorecard(docs, positive, textCol, trainPermille, buckets, salt))
+    val qs = (1 until 10).map { i =>
+      s"e$i" -> (BigDecimal(i) / BigDecimal(10)).toDouble
+    }
+    def axis(valCol: String, out: String): DataFrame =
+      Quantiles.globalQuantileDisc(sc, valCol, qs,
+          materializeInput = false) // sc is already materialized
+        .select(explode(array(qs.map { case (n, _) => col(n) }: _*)).as(out))
+        .filter(col(out).isNotNull).distinct()
+    val grid = axis("dup_rate_q", "thr_dup_q")
+      .crossJoin(broadcast(axis("kl_q", "thr_kl_q")))
+    sc.crossJoin(broadcast(grid))
+      .withColumn("__v",
+        when(col("dup_rate_q") >= col("thr_dup_q") ||
+            col("kl_q") >= col("thr_kl_q"), "drop")
+          .when(col("psi_alert") === 1L || col("rate_rules_q") >= downRulesQ,
+            "downweight")
+          .otherwise("keep"))
+      .groupBy(col("thr_dup_q"), col("thr_kl_q"))
+      .agg(
+        sum(when(col("__v") === "drop", 1L).otherwise(0L)).as("n_drop_src"),
+        sum(when(col("__v") === "downweight", 1L).otherwise(0L)).as("n_down_src"),
+        sum(when(col("__v") === "keep", 1L).otherwise(0L)).as("n_keep_src"),
+        sum(when(col("__v") === "drop", coalesce(col("n_docs"), lit(0L)))
+          .otherwise(0L)).as("docs_dropped"),
+        sum(when(col("__v") === "downweight", coalesce(col("n_docs"), lit(0L)))
+          .otherwise(0L)).as("docs_damped"),
+        sum(when(col("__v") === "keep", coalesce(col("n_docs"), lit(0L)))
+          .otherwise(0L)).as("docs_kept"),
+        sum(when(col("__v") =!= "drop",
+          coalesce(col("kl_q"), lit(0L)) * coalesce(col("n_docs"), lit(0L)))
+          .otherwise(0L)).as("kept_kl_mass_q"))
+  }
+
   /** ACT on a [[feedPolicy]] sheet: the filtered corpus a release
     * build (q71/q108) consumes. 'drop' sources vanish; 'downweight'
     * sources keep a deterministic `downweightPermille` md5-bucket

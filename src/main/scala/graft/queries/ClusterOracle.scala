@@ -20,9 +20,10 @@ object ClusterOracle {
     * reachable id (`cl(doc_id, cluster_id)`). Emitted WITHOUT a leading
     * WITH so callers prepend `WITH RECURSIVE` (q58/q59 here, the q71
     * corpus capstone in [[CorpusOracle]]). */
-  private[queries] def pairCtes: String = {
-    val mh = MinhashOracle.sql(numHashes = 16, rowsPerBand = 4, threshold = 0.8)
-    val smh = SimhashOracle.pairsSql(maxHamming = 5)
+  private[queries] def pairCtes(docsRel: String = "documents"): String = {
+    val mh = MinhashOracle.sql(numHashes = 16, rowsPerBand = 4, threshold = 0.8,
+      docsRel = docsRel)
+    val smh = SimhashOracle.pairsSql(maxHamming = 5, docsRel = docsRel)
     s"""mh AS (SELECT a_id, b_id FROM (
 $mh
 ) t_mh),
@@ -44,7 +45,7 @@ cl AS (SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
   /** q58: every document labeled with its near-dup cluster id
     * (singletons label themselves). */
   def clustersSql: String =
-    s"""WITH RECURSIVE $pairCtes
+    s"""WITH RECURSIVE ${pairCtes()}
 SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""
 
@@ -53,7 +54,7 @@ FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""
     * a near-dup family lands whole on one side. */
   def splitSql(evalPermille: Int = 100, salt: String = "graft"): String = {
     val bucket = DecontaminateOracle.bucketExpr(salt, "cluster_id")
-    s"""WITH RECURSIVE $pairCtes,
+    s"""WITH RECURSIVE ${pairCtes()},
 lab AS (SELECT d.doc_id, CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
         FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
         WHERE d.doc_id IS NOT NULL)
@@ -94,7 +95,7 @@ FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""
   /** q59: the dedup keep-set — documents minus non-canonical cluster
     * members. */
   def keepSql: String =
-    s"""WITH RECURSIVE $pairCtes
+    s"""WITH RECURSIVE ${pairCtes()}
 SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM cl
                   WHERE cl.doc_id = d.doc_id AND cl.cluster_id <> d.doc_id)"""
@@ -111,7 +112,7 @@ WHERE NOT EXISTS (SELECT 1 FROM cl
       s"""CASE WHEN n = 0 THEN 0
          |    ELSE (($cnt * 1024) // n) * 1024 + ((($cnt * 1024) % n) * 1024) // n
          |    END""".stripMargin
-    s"""WITH RECURSIVE $pairCtes,
+    s"""WITH RECURSIVE ${pairCtes()},
 srcs AS (SELECT doc_id, coalesce(source, 'unknown') AS source
   FROM documents WHERE doc_id IS NOT NULL),
 g AS (SELECT s.source,
@@ -131,7 +132,7 @@ FROM g"""
     * graph), the [[graft.operators.Dedup.clusterSizeProfile]]
     * shape. */
   def clusterSizeProfileSql: String =
-    s"""WITH RECURSIVE $pairCtes,
+    s"""WITH RECURSIVE ${pairCtes()},
 szs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM cl GROUP BY cluster_id),
 hist AS (SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
          FROM szs GROUP BY sz),
@@ -152,7 +153,7 @@ FROM allr"""
     * graft_tokcount twin), the per-cluster winner by
     * (n_tokens DESC, doc_id ASC). */
   def qualityKeepSql: String =
-    s"""WITH RECURSIVE $pairCtes,
+    s"""WITH RECURSIVE ${pairCtes()},
 sc AS (SELECT cl.doc_id, cl.cluster_id,
   CAST(len(string_split_regex(coalesce(d.text, ''), '\\s+')) AS BIGINT) AS n_tokens
   FROM cl LEFT JOIN documents d ON d.doc_id = cl.doc_id),
@@ -173,7 +174,7 @@ FROM sc JOIN win w ON w.cluster_id = sc.cluster_id"""
       capacity: Long = 2048L, packsPerShard: Long = 16L,
       salt: String = "graft"): String = {
     val bucket = DecontaminateOracle.bucketExpr(salt, "cluster_id")
-    s"""WITH RECURSIVE $pairCtes,
+    s"""WITH RECURSIVE ${pairCtes()},
 rel AS (SELECT doc_id, source,
     CAST(len(string_split_regex(coalesce(text, ''), '\\s+')) AS BIGINT) AS n_tokens
   FROM documents WHERE doc_id IS NOT NULL),

@@ -23,19 +23,21 @@ object DecontaminateOracle {
     * [[graft.operators.Decontaminate]] `cappedSplitShingles` mirror),
     * so [[sql]], [[evalSql]] and [[bloomSql]]'s test side cannot
     * silently audit different corpora. */
-  private def baseCtes(testPermille: Int, salt: String): String = {
+  private def baseCtes(testPermille: Int, salt: String,
+      docsRel: String = "documents"): String = {
     val bucket = bucketExpr(salt)
     s"""docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks
-       |  FROM documents WHERE doc_id IS NOT NULL),
+       |  FROM $docsRel WHERE doc_id IS NOT NULL),
        |sh AS (SELECT doc_id, sh FROM (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) sh FROM docs)),
        |mem AS (SELECT doc_id, (($bucket) % 1000 < $testPermille) AS is_test
-       |        FROM documents WHERE doc_id IS NOT NULL)""".stripMargin
+       |        FROM $docsRel WHERE doc_id IS NOT NULL)""".stripMargin
   }
 
-  private def cappedCtes(testPermille: Int, maxShingleDf: Int, salt: String): String =
-    s"""${baseCtes(testPermille, salt)},
+  private def cappedCtes(testPermille: Int, maxShingleDf: Int, salt: String,
+      docsRel: String = "documents"): String =
+    s"""${baseCtes(testPermille, salt, docsRel)},
        |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxShingleDf),
        |capped AS (SELECT s.doc_id, s.sh, m.is_test
        |           FROM sh s JOIN rare USING (sh) JOIN mem m ON m.doc_id = s.doc_id)""".stripMargin
@@ -43,8 +45,8 @@ object DecontaminateOracle {
   /** q66: (train_id, n_shared_shingles, n_test_docs) for every
     * contaminated training document. */
   def sql(testPermille: Int = 100, maxShingleDf: Int = 20, minOverlap: Int = 3,
-      salt: String = "graft"): String =
-    s"""WITH ${cappedCtes(testPermille, maxShingleDf, salt)}
+      salt: String = "graft", docsRel: String = "documents"): String =
+    s"""WITH ${cappedCtes(testPermille, maxShingleDf, salt, docsRel)}
        |SELECT a.doc_id AS train_id,
        |  count(DISTINCT a.sh) AS n_shared_shingles,
        |  count(DISTINCT b.doc_id) AS n_test_docs

@@ -864,34 +864,7 @@ object ExtensionQueries {
         |minhash-signature, Jaccard-verify and decontamination stages
         |(FromShingles overloads) — the capstone's cost is ≤ the sum
         |of its parts by construction.""".stripMargin,
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val capped = graft.operators.Sampling.capPerGroup(
-          docs.select(col("doc_id"), col("source"), col("lang"), col("text")),
-          "doc_id", "source", k = 10)
-        val train = graft.operators.Sampling.withSplitBucket(capped, "doc_id")
-          .filter(col("__bucket") >= 100).drop("__bucket")
-        // ONE shingle pass (the token-stream window shuffle) feeds the
-        // minhash signature, Jaccard-verify, AND decontamination stages
-        // — the FromShingles sharing rule
-        val shingles = Dedup.materialize(Dedup.shingleRows(docs))
-        val pairs = Dedup.nearDupPairsFromShingles(shingles).select("a_id", "b_id")
-          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
-        val comps = graft.operators.ConnectedComponents.components(pairs)
-        val deduped = graft.operators.ConnectedComponents
-          .keepCanonicalFromComponents(train, "doc_id", comps)
-        val contaminated = graft.operators.Decontaminate
-          .contaminationReportFromShingles(shingles)
-          .select(col("train_id").as("doc_id"))
-        val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-        val decorated = concat(lit("email user"), col("doc_id").cast("string"),
-          lit("@mail.example.org from 10."), (col("doc_id") % 200).cast("string"),
-          lit("."), ((col("doc_id") * 7) % 250).cast("string"), lit(".1 "),
-          coalesce(col("text"), lit("")))
-        clean.select(col("doc_id"), col("source"), col("lang"),
-          TextFunctions.redactIps(TextFunctions.redactEmails(decorated))
-            .as("text_redacted"))
-      },
+      (s, d) => corpusBuild(Tables.documents(s, d)),
       Some(CorpusOracle.sql)),
 
     QuerySpec(
@@ -3678,19 +3651,22 @@ object ExtensionQueries {
         |The uniform draw is the q55 md5 bucket under an INDEPENDENT
         |'resample' salt; the base-2 Gumbel evaluates in the shared
         |1/64-log2 fixed point (key_q = weight_q + 384 − log2q(eq+1),
-        |eq = log2q(1001) − log2q(bucket+1) — a positive affine
-        |transform of the natural-log Gumbel key, so the kept SET is
-        |exactly the paper's); the budget cut is the exact discrete
+        |eq = log2q(1001) − log2q(bucket+1) — same monotone structure
+        |as the natural-log Gumbel key; the 1/64 quantization draws
+        |the noise from 1000 fixed-point levels, a deterministic
+        |approximation of the paper's sampler, not an exact
+        |equivalence); the budget cut is the exact discrete
         |percentile (q60 pin) with a STRICT > keep. All-BIGINT →
         |bitwise oracle. MixingSpec proves the point of it: the kept
         |mix's KL-to-target (the q158 kernel) drops strictly below
         |the raw corpus's on a planted two-distribution fixture.
         |Scale shape: q126's audited weight shape; Gumbel keys are
         |map-side; the scored frame materializes ONCE (it feeds cut
-        |and filter); the cut is one global discrete-percentile pass
-        |over 32-byte rows (q40 shape; approx_percentile is the
-        |outgrow path); the keep filter broadcasts the one-row
-        |cut.""".stripMargin,
+        |and filter); the cut is DISTRIBUTED radix select
+        |([[graft.operators.Quantiles.globalQuantileDisc]] — four
+        |map-side histogram passes, sheet-sized exchanges, NO
+        |single-partition sort whatever the key distribution); the
+        |keep filter broadcasts the one-row cut.""".stripMargin,
       (s, d) => graft.operators.Mixing.dsirResample(
         Tables.documents(s, d), budgetPermille = 250),
       Some(DsirOracle.resampleSql(budgetPermille = 250))),
@@ -3744,7 +3720,14 @@ object ExtensionQueries {
         |sources vanish, 'downweight' sources keep their deterministic
         |md5-bucket half (the q55 idiom under the 'downweight' salt —
         |stable under incremental loads), 'keep' sources pass whole,
-        |NULL doc_ids never emit (no identity to sample by). The
+        |NULL doc_ids never emit (no identity to sample by).
+        |LOAD-BEARING NULL RULE a release owner must know: a source
+        |ABSENT from the verdict sheet — never audited, or carrying
+        |all-NULL metrics — passes WHOLE. Policy only acts on
+        |measured evidence; an unseen feed is the next audit's
+        |problem, not a silent drop, at the batch act and at the
+        |ingest gate identically (both close through actOnVerdicts).
+        |The
         |oracle embeds the q162 verdict CTE verbatim and replays the
         |bucket filter, so every per-doc keep decision — the CASE, the
         |NULL-verdict keep rule, the damp sample — pins bitwise.
@@ -3773,16 +3756,67 @@ object ExtensionQueries {
         |cross-multiplication cum·1000 ≤ total·250 (no division, no
         |rounding ambiguity; an over-long doc past the cap drops even
         |if its key ranks — the budget is a hard cap). All-BIGINT →
-        |bitwise oracle (the q161 scored chain shared verbatim, the
-        |prefix a ROWS-framed window over the total order). Scale
-        |shape: the q126-audited weights + map-side keys materialized
-        |once; ONE unpartitioned ordered window over 40-byte scored
-        |rows with the total riding the same sort (q40 shape;
-        |approx_percentile pre-cut is the documented outgrow
-        |path).""".stripMargin,
+        |bitwise oracle (the q161 scored chain shared verbatim; the
+        |oracle states the rule as a ROWS-framed window, the engine
+        |computes the identical set distributedly). Scale shape: the
+        |q126-audited weights + map-side keys materialized once; the
+        |budget boundary is radix-LOCATED
+        |([[graft.operators.Quantiles.radixLocate]] — four map-side
+        |token-mass histogram passes, NO single-partition sort);
+        |rows above the boundary key keep by one broadcast
+        |comparison; only the boundary key's tie group runs a
+        |doc_id-ordered window to split the residual
+        |budget.""".stripMargin,
       (s, d) => graft.operators.Mixing.dsirResampleTokens(
         Tables.documents(s, d), tokenBudgetPermille = 250),
-      Some(DsirOracle.resampleTokensSql(tokenBudgetPermille = 250)))
+      Some(DsirOracle.resampleTokensSql(tokenBudgetPermille = 250))),
+
+    QuerySpec(
+      "q166_policy_operating_points",
+      """Feed-policy OPERATING POINTS ([[graft.operators.Ensemble
+        |.feedPolicyOperatingPoints]]) — the q147 evidence sheet for
+        |the q162 drop lines: candidate thresholds are the EXACT
+        |deciles of the scorecard's own dup_rate_q / kl_q columns
+        |(percentile_disc selection — existing values, never invented
+        |constants), crossed into a ≤ 9×9 grid; per cell the q162
+        |CASE replays and the sheet reports sources/docs dropped,
+        |damped, kept, and the kept KL-to-corpus mass Σ kl_q·n_docs —
+        |the curve whose knee a release owner reads instead of
+        |trusting the shipped 2^19/192 defaults. All SELECTED BIGINTs
+        |and BIGINT rollups → bitwise oracle (the q159 composition
+        |embedded verbatim, the established pattern). Scale shape:
+        |the q159 composition runs once and materializes
+        |(sources-sized); deciles and sweep touch that sheet crossed
+        |with a broadcast ≤ 81-row grid — nothing corpus-sized
+        |moves.""".stripMargin,
+      (s, d) => graft.operators.Ensemble.feedPolicyOperatingPoints(
+        Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")),
+      Some(feedPolicyOperatingPointsSql(
+        "source IN ('src0','src1','src2','src3','src4')"))),
+
+    QuerySpec(
+      "q167_policy_release",
+      """Policy→release capstone — [[graft.operators.Ensemble
+        |.applyFeedPolicy]] composed in FRONT of the q71 release build:
+        |the full acquisition→curation→release chain in one oracled
+        |relation. The q162 verdicts act on the raw corpus (drop
+        |feeds vanish, damped feeds keep their md5-bucket half), and
+        |the ENTIRE release machinery — per-source cap, train split,
+        |near-dup keep-set over the minhash∪simhash pair graph,
+        |decontamination, PII redaction — runs on the acted corpus
+        |(the shared [[corpusBuild]] chain, so q71 and q167 cannot
+        |drift). The oracle chains the q164 CTE into the q71 chain
+        |verbatim. Scale shape: the q162 evidence runs once on
+        |sources-sized sheets; the act is one broadcast join + a
+        |map-side bucket filter; downstream stages keep their audited
+        |banded/bucketed shapes over the (smaller) acted
+        |corpus.""".stripMargin,
+      (s, d) => corpusBuild(graft.operators.Ensemble.applyFeedPolicy(
+        Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))),
+      Some(policyReleaseSql(
+        "source IN ('src0','src1','src2','src3','src4')")))
   )
 
   /** q159 oracle: the four member oracles (q153/q154/q155/q156)
@@ -3809,6 +3843,95 @@ object ExtensionQueries {
        |FULL JOIN k USING (source)
        |FULL JOIN p USING (source)""".stripMargin
 
+  /** The q71 release chain over an arbitrary corpus frame — ONE
+    * textual definition shared by q71 (raw documents) and the q167
+    * capstone (the q164 policy-acted corpus), so the two cannot
+    * drift: per-source cap 10 → train split → near-dup keep-set over
+    * the minhash∪simhash pair graph → decontamination drop → PII
+    * redaction. The shingle pass materializes ONCE and feeds the
+    * signature, verify and decontamination stages (the FromShingles
+    * sharing rule). */
+  private def corpusBuild(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val capped = graft.operators.Sampling.capPerGroup(
+      docs.select(col("doc_id"), col("source"), col("lang"), col("text")),
+      "doc_id", "source", k = 10)
+    val train = graft.operators.Sampling.withSplitBucket(capped, "doc_id")
+      .filter(col("__bucket") >= 100).drop("__bucket")
+    // ONE shingle pass (the token-stream window shuffle) feeds the
+    // minhash signature, Jaccard-verify, AND decontamination stages
+    // — the FromShingles sharing rule
+    val shingles = Dedup.materialize(Dedup.shingleRows(docs))
+    val pairs = Dedup.nearDupPairsFromShingles(shingles).select("a_id", "b_id")
+      .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+    val comps = graft.operators.ConnectedComponents.components(pairs)
+    val deduped = graft.operators.ConnectedComponents
+      .keepCanonicalFromComponents(train, "doc_id", comps)
+    val contaminated = graft.operators.Decontaminate
+      .contaminationReportFromShingles(shingles)
+      .select(col("train_id").as("doc_id"))
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val decorated = concat(lit("email user"), col("doc_id").cast("string"),
+      lit("@mail.example.org from 10."), (col("doc_id") % 200).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 250).cast("string"), lit(".1 "),
+      coalesce(col("text"), lit("")))
+    clean.select(col("doc_id"), col("source"), col("lang"),
+      TextFunctions.redactIps(TextFunctions.redactEmails(decorated))
+        .as("text_redacted"))
+  }
+
+  /** q166 oracle: the q159 composition embedded verbatim, its
+    * dup_rate_q / kl_q columns swept at their own exact deciles
+    * (percentile_disc ≡ [[graft.operators.Quantiles
+    * .globalQuantileDisc]], the q60 pin), the q162 CASE replayed per
+    * grid cell under identical three-valued NULL logic, and BIGINT
+    * what-if rollups. */
+  private def feedPolicyOperatingPointsSql(positiveSql: String,
+      downRulesQ: Long = 838861L): String = {
+    def decs(c: String) = (1 to 9).map(i =>
+      s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY $c)").mkString(",\n      ")
+    s"""WITH sc AS MATERIALIZED (
+       |${sourceScorecardSql(positiveSql)}
+       |),
+       |td AS (SELECT DISTINCT thr_dup_q FROM (SELECT unnest([
+       |      ${decs("dup_rate_q")}]) AS thr_dup_q FROM sc) z
+       |    WHERE thr_dup_q IS NOT NULL),
+       |tk AS (SELECT DISTINCT thr_kl_q FROM (SELECT unnest([
+       |      ${decs("kl_q")}]) AS thr_kl_q FROM sc) z
+       |    WHERE thr_kl_q IS NOT NULL),
+       |v AS (SELECT g.thr_dup_q, g.thr_kl_q,
+       |    CASE WHEN sc.dup_rate_q >= g.thr_dup_q OR sc.kl_q >= g.thr_kl_q
+       |           THEN 'drop'
+       |         WHEN sc.psi_alert = 1 OR sc.rate_rules_q >= $downRulesQ
+       |           THEN 'downweight'
+       |         ELSE 'keep' END AS verdict,
+       |    coalesce(sc.n_docs, 0) AS nd, coalesce(sc.kl_q, 0) AS klq
+       |  FROM (SELECT td.thr_dup_q, tk.thr_kl_q FROM td CROSS JOIN tk) g
+       |  CROSS JOIN sc)
+       |SELECT thr_dup_q, thr_kl_q,
+       |  CAST(sum(CASE WHEN verdict = 'drop' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_src,
+       |  CAST(sum(CASE WHEN verdict = 'downweight' THEN 1 ELSE 0 END) AS BIGINT) AS n_down_src,
+       |  CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_src,
+       |  CAST(sum(CASE WHEN verdict = 'drop' THEN nd ELSE 0 END) AS BIGINT) AS docs_dropped,
+       |  CAST(sum(CASE WHEN verdict = 'downweight' THEN nd ELSE 0 END) AS BIGINT) AS docs_damped,
+       |  CAST(sum(CASE WHEN verdict = 'keep' THEN nd ELSE 0 END) AS BIGINT) AS docs_kept,
+       |  CAST(sum(CASE WHEN verdict <> 'drop' THEN klq * nd ELSE 0 END) AS BIGINT) AS kept_kl_mass_q
+       |FROM v GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q167 oracle: the q164 acted-corpus chain embedded verbatim as
+    * the `acted` CTE (carrying lang/text for the release stages),
+    * then the ENTIRE q71 chain ([[CorpusOracle.ctes]]) re-rooted on
+    * it — one WITH RECURSIVE, every stage textually identical to its
+    * standalone oracle. */
+  private def policyReleaseSql(positiveSql: String): String =
+    s"""WITH RECURSIVE acted AS MATERIALIZED (
+       |${policyActSql(positiveSql,
+           selectCols = "d.doc_id, d.source, d.lang, d.text")}
+       |),
+       |${CorpusOracle.ctes("acted")}
+       |${CorpusOracle.closing}""".stripMargin
+
   /** q162 oracle: the q159 composition embedded verbatim with the
     * [[graft.operators.Ensemble.feedPolicy]] CASE on top — one
     * textual definition of the evidence, so the verdict column is
@@ -3834,12 +3957,13 @@ object ExtensionQueries {
     * their md5 bucket under the 'downweight' salt falls in the damp
     * permille, NULL doc_ids never emit. */
   private def policyActSql(positiveSql: String,
-      downweightPermille: Int = 500): String = {
+      downweightPermille: Int = 500,
+      selectCols: String = "d.doc_id, d.source"): String = {
     val bucket = DecontaminateOracle.bucketExpr("downweight", "d.doc_id")
     s"""WITH v AS (SELECT source, verdict FROM (
        |${feedPolicySql(positiveSql)}
        |) t9)
-       |SELECT d.doc_id, d.source
+       |SELECT $selectCols
        |FROM documents d
        |LEFT JOIN v ON coalesce(d.source, 'unknown') = v.source
        |WHERE d.doc_id IS NOT NULL AND (

@@ -21,9 +21,13 @@ import graft.operators.Dedup
   * substitution the Spark side makes. */
 object MinhashOracle {
 
-  /** The default whole-document base: `docs(doc_id, toks)`. */
-  private val DocsCte: String =
-    """docs AS (SELECT doc_id, string_split_regex(lower(text), '\s+') toks FROM documents)"""
+  /** The whole-document base over an arbitrary docs relation:
+    * `docs(doc_id, toks)` — `documents` for the standalone oracles,
+    * the policy-acted CTE for the q167 capstone. */
+  private def docsCte(docsRel: String): String =
+    s"""docs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks FROM $docsRel)"""
+
+  private val DocsCte: String = docsCte("documents")
 
   /** Token-block paragraph base (see
     * [[graft.operators.Dedup.tokenBlockParagraphs]]): `paras(doc_id,
@@ -72,8 +76,9 @@ object MinhashOracle {
        |FROM cand JOIN sets x ON x.doc_id = a_id JOIN sets y ON y.doc_id = b_id
        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) >= $threshold""".stripMargin
 
-  def sql(numHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): String =
-    s"""WITH ${chainFrom(DocsCte, numHashes, rowsPerBand)}
+  def sql(numHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
+      docsRel: String = "documents"): String =
+    s"""WITH ${chainFrom(docsCte(docsRel), numHashes, rowsPerBand)}
        |${jaccSelect(threshold)}""".stripMargin
 
   /** q145 mirror of [[graft.operators.Dedup.sourceOverlapMatrix]]:

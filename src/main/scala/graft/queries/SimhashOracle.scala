@@ -5,7 +5,12 @@ package graft.queries
   * pure integer/string arithmetic, so the comparison is exact. */
 object SimhashOracle {
 
-  val sql: String = {
+  val sql: String = sqlFor("documents")
+
+  /** The q45 signature chain over an arbitrary docs relation —
+    * `documents` for the standalone oracles, the policy-acted CTE for
+    * the q167 capstone. */
+  def sqlFor(docsRel: String): String = {
     val digitDefs = (0 until 16).map { k =>
       s"strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1 AS d$k"
     }.mkString(",\n  ")
@@ -20,7 +25,7 @@ object SimhashOracle {
     }.mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, md5(unnest(string_split_regex(lower(text), '\\s+'))) AS h
-       |  FROM documents),
+       |  FROM $docsRel),
        |digits AS (
        |  SELECT doc_id,
        |  $digitDefs
@@ -37,12 +42,12 @@ object SimhashOracle {
     * per-hex-digit xor/bit_count hamming verification — integer/string
     * arithmetic end to end, so the banded pairing oracle-checks exactly
     * like the signatures do. */
-  def pairsSql(maxHamming: Int = 5): String = {
+  def pairsSql(maxHamming: Int = 5, docsRel: String = "documents"): String = {
     val ham = (0 until 16).map { k =>
       s"bit_count(xor(strpos('0123456789abcdef', substr(x.simhash, ${k + 1}, 1)) - 1, " +
         s"strpos('0123456789abcdef', substr(y.simhash, ${k + 1}, 1)) - 1))"
     }.mkString(" + ")
-    s"""WITH sig AS ($sql),
+    s"""WITH sig AS (${sqlFor(docsRel)}),
        |bands AS (SELECT doc_id, b, substr(simhash, 1 + 4*b, 4) AS bh
        |          FROM sig, range(0, 4) t(b)),
        |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id

@@ -152,6 +152,57 @@ class EnsembleSpec extends AnyFunSuite {
       "the act returns the corpus's own columns")
   }
 
+  test("operating points: thresholds are scorecard deciles; every cell recomputes locally") {
+    import spark.implicits._
+    // the mirror fixture plus a third, alien-vocabulary feed so the
+    // dup and KL axes both spread across sources
+    def tokens(i: Long) = (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+    val clean = (1L to 60L).map(i => (i, "the and is of " + tokens(i), "en", "clean"))
+    val mirror = (1L to 12L).map(i => (1000L + i, "the and is of " + tokens(i), "en", "mirror"))
+    val alien = (1L to 20L).map(i =>
+      (2000L + i, (0 until 30).map(j => s"zq${(i * 7 + j) % 9}").mkString(" "), "xx", "alien"))
+    val docs = (clean ++ mirror ++ alien).toDF("doc_id", "text", "lang", "source")
+    val pos = col("source") === "clean"
+
+    val sc = Ensemble.sourceScorecard(docs, pos).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sheet = Ensemble.feedPolicyOperatingPoints(docs, pos).collect()
+    assert(sheet.nonEmpty)
+    def optLong(r: org.apache.spark.sql.Row, c: String): Option[Long] = {
+      val i = r.fieldIndex(c); if (r.isNullAt(i)) None else Some(r.getLong(i))
+    }
+    val dupVals = sc.values.flatMap(optLong(_, "dup_rate_q")).toSet
+    val klVals = sc.values.flatMap(optLong(_, "kl_q")).toSet
+    sheet.foreach { row =>
+      val (td, tk) = (row.getLong(0), row.getLong(1))
+      assert(dupVals.contains(td) && klVals.contains(tk),
+        s"thresholds must be SELECTED scorecard values: ($td, $tk)")
+      // local replay of the q162 CASE at these lines
+      val verdicts = sc.values.map { r =>
+        val drop = optLong(r, "dup_rate_q").exists(_ >= td) ||
+          optLong(r, "kl_q").exists(_ >= tk)
+        val down = !drop && (optLong(r, "psi_alert").contains(1L) ||
+          optLong(r, "rate_rules_q").exists(_ >= 838861L))
+        val v = if (drop) "drop" else if (down) "downweight" else "keep"
+        (v, optLong(r, "n_docs").getOrElse(0L), optLong(r, "kl_q").getOrElse(0L))
+      }
+      def cnt(v: String) = verdicts.count(_._1 == v).toLong
+      def docsOf(v: String) = verdicts.filter(_._1 == v).map(_._2).sum
+      assert(row.getAs[Long]("n_drop_src") == cnt("drop") &&
+        row.getAs[Long]("n_down_src") == cnt("downweight") &&
+        row.getAs[Long]("n_keep_src") == cnt("keep"), s"source counts at ($td,$tk)")
+      assert(row.getAs[Long]("docs_dropped") == docsOf("drop") &&
+        row.getAs[Long]("docs_damped") == docsOf("downweight") &&
+        row.getAs[Long]("docs_kept") == docsOf("keep"), s"doc masses at ($td,$tk)")
+      val keptMass = verdicts.filter(_._1 != "drop").map(t => t._3 * t._2).sum
+      assert(row.getAs[Long]("kept_kl_mass_q") == keptMass, s"kept KL mass at ($td,$tk)")
+    }
+    // the sweep must actually DISCRIMINATE: some cell drops the mirror
+    // or alien mass, some cell keeps everything
+    val dropped = sheet.map(_.getAs[Long]("docs_dropped")).toSet
+    assert(dropped.size > 1, s"a one-note sweep informs nothing: $dropped")
+  }
+
   test("actOnVerdicts survives a corpus verdict column and collapses duplicate sheet rows") {
     import spark.implicits._
     // the corpus itself carries a `verdict` column — the join must not

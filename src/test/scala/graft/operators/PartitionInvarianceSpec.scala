@@ -259,4 +259,25 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   test("token-budget resample is partition-invariant") {
     invariant(Mixing.dsirResampleTokens(_, tokenBudgetPermille = 250))
   }
+
+  test("policy operating points are partition-invariant") {
+    val pos = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    invariant(Ensemble.feedPolicyOperatingPoints(_, pos))
+  }
+
+  test("policy-release capstone inputs are partition-invariant") {
+    // the release chain itself is q71's already-pinned machinery; the
+    // NEW composition seam is the acted corpus feeding it — pin that
+    // the act's output set survives arbitrary repartitioning (the
+    // chain is deterministic given a set-equal input)
+    val pos = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    invariant(d => Ensemble.applyFeedPolicy(d, pos)
+      .select(col("doc_id"), col("source"), col("lang")))
+  }
+
+  test("DSIR model row and cut row are partition-invariant") {
+    invariant(d => Mixing.dsirModelRow(d)
+      .select(expr("CAST(map_entries(lrmap) AS STRING)"), col("lr0_q")))
+    invariant(Mixing.resampleCutRow(_, budgetPermille = 250))
+  }
 }

@@ -46,7 +46,7 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // PSI monitor (one length exchange), the cross-family agreement
   // composite (three kernels, doc_id-keyed decision joins), and the
   // zipf fit (one term exchange + vocab sort)
-  "q143_quality_classifier", "q144_length_psi",
+  "q143_quality_classifier", "q144_length_psi", "q147_classifier_pr",
   "q148_classifier_calibration", "q150_gate_agreement",
   "q152_zipf_audit",
   // round-11 (4): the acquisition-level ablation family (documents;
@@ -68,9 +68,18 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // q164 re-pays q162 plus the corpus-side broadcast act (map-side
   // bucket filter -- the claim is shuffle == q162's own)
   "q164_policy_act",
-  // q165 re-pays q126 + the map-side keys; the prefix selection is ONE
-  // unpartitioned ordered window over narrow scored rows
-  "q165_token_budget_resample")
+  // q165 re-pays q126 + the map-side keys; round 13 distributed its
+  // prefix: the budget boundary is radix-LOCATED (4 map-side histogram
+  // passes) and only the boundary tie group windows. q161/q163's cut
+  // likewise became radix select -- the claim for all three is shuffle
+  // ~ q126's plus sheet-sized histogram cells, with NO task reading
+  // corpus-sized input
+  "q165_token_budget_resample",
+  // round-13: the policy operating-point sweep (re-pays q159 once,
+  // then sheet-sized deciles x grid) and the policy->release capstone
+  // (q164's act feeding the whole q71 chain -- the claim is cost ~
+  // q162 evidence + q71-on-the-smaller-acted-corpus)
+  "q166_policy_operating_points", "q167_policy_release")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
