@@ -620,6 +620,89 @@ object Mixing {
         col("weight_q") + lit(384L) - expr(log2qExpr("__eq + 1")))
       .drop("__eq")
 
+  /** Resample BUDGET SWEEP — the q166 convention applied to the
+    * resample family's own bare constant: `budgetPermille` ships as a
+    * hand-picked 250, so sweep the q161 keep rule across the whole
+    * decile grid (100‰…900‰) and report, per budget, what the
+    * resample WOULD keep — the exact percentile cut, docs kept, the
+    * q24/q144 token count kept, and the kept importance mass
+    * Σ weight_q — the curve whose knee a mixture owner reads instead
+    * of trusting the shipped constant. Output (one row per budget):
+    * `(budget_permille, cut_q, n_docs_kept, n_tokens_kept,
+    * weight_q_kept, n_docs_total, n_tokens_total)` — corpus totals
+    * repeated per row so keep fractions read straight off the sheet;
+    * budget rows never vanish (an empty corpus yields nine all-zero
+    * rows with NULL cuts).
+    *
+    * Determinism: the nine cuts are ONE [[Quantiles
+    * .globalQuantileDisc]] call (exact percentile_disc, the q60 pin);
+    * keeps are the q161 STRICT `key_q > cut` rule, so every sheet row
+    * ties bitwise to [[dsirResample]] at that budget (MixingSpec pins
+    * the 300 row against the keep-set and replays all nine cuts
+    * locally); all-BIGINT rollups → bitwise oracle (q168).
+    *
+    * Scale shape (100 TB): the scored frame materializes once; the
+    * nine cuts SHARE the radix kernel's four histogram passes (multi-
+    * target locate — adding budgets adds histogram cells, not
+    * passes); the sweep itself is ONE map-side pass: cuts are
+    * nonincreasing in budget (a lower percentile rank selects a ≤
+    * value), so the kept-sets are NESTED and each row classifies once
+    * into the smallest budget that keeps it (a CASE against the
+    * broadcast one-row cuts), nine cells then close by a 9-row
+    * cumulative window — no 9× corpus scan, no per-budget shuffle,
+    * nothing corpus-sized moves. */
+  def resampleBudgetSweep(docs: DataFrame, textCol: String = "text",
+      targetPermille: Int = 100, buckets: Int = 8192,
+      salt: String = "graft", sampleSalt: String = "resample"): DataFrame = {
+    require(salt != sampleSalt,
+      "sampleSalt must differ from the target-split salt: a shared salt " +
+        "correlates the Gumbel noise with target membership")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val budgets = 100 to 900 by 100
+    val scored = gumbelScored(docs, textCol, targetPermille, buckets,
+      salt, sampleSalt)
+    val qs = budgets.map(b => s"c$b" ->
+      (BigDecimal(1000 - b) / BigDecimal(1000)).toDouble)
+    // materialized: the classifier CASE and the sheet universe both
+    // read this one row
+    val cuts = Dedup.materialize(
+      Quantiles.globalQuantileDisc(scored, "key_q", qs,
+        materializeInput = false)) // gumbelScored materializes
+    // smallest budget whose cut this key clears — evaluated ascending,
+    // valid because kept-sets are nested (cuts nonincreasing in budget)
+    val firstKept = budgets.foldRight(lit(null).cast("long")) { (b, rest) =>
+      when(col("key_q") > col(s"c$b"), lit(b.toLong)).otherwise(rest)
+    }
+    val cells = scored.crossJoin(broadcast(cuts))
+      .select(firstKept.as("__fb"), col("n_tokens"), col("weight_q"))
+      .filter(col("__fb").isNotNull)
+      .groupBy(col("__fb"))
+      .agg(count(lit(1)).as("__cd"), sum(col("n_tokens")).as("__ct"),
+        sum(col("weight_q")).as("__cw"))
+    val universe = cuts.select(explode(array(budgets.map(b =>
+        struct(lit(b.toLong).as("budget_permille"),
+          col(s"c$b").as("cut_q"))): _*)).as("e"))
+      .select(col("e.budget_permille").as("budget_permille"),
+        col("e.cut_q").as("cut_q"))
+    val tot = scored.agg(count(lit(1)).as("n_docs_total"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens_total"))
+    // 9-row sheet window (no identity columns — the plan net's
+    // deliberate-sheet class)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("budget_permille"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    universe.join(broadcast(cells),
+        col("budget_permille") === col("__fb"), "left")
+      .withColumn("n_docs_kept", sum(coalesce(col("__cd"), lit(0L))).over(w))
+      .withColumn("n_tokens_kept", sum(coalesce(col("__ct"), lit(0L))).over(w))
+      .withColumn("weight_q_kept", sum(coalesce(col("__cw"), lit(0L))).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("budget_permille"), col("cut_q"), col("n_docs_kept"),
+        col("n_tokens_kept"), col("weight_q_kept"),
+        col("n_docs_total"), col("n_tokens_total"))
+  }
+
   /** Per-source composition of the [[dsirResample]] keep-set — the
     * q76 reading of the resampled mixture: for every feed, how many
     * docs went in, how many the importance resample kept, the exact

@@ -165,6 +165,42 @@ object DsirOracle {
        |$closing""".stripMargin
   }
 
+  /** q168 mirror: the shared Gumbel-scored chain; nine exact
+    * percentile_disc cuts, one per budget decile (≡ [[graft.operators
+    * .Quantiles.globalQuantileDisc]]'s multi-target locate, the q60
+    * pin); per-budget keeps under the STRICT q161 rule; BIGINT
+    * rollups with the corpus totals repeated per row. Budget rows
+    * come from a VALUES list so they never vanish — an empty corpus
+    * yields nine all-zero rows with NULL cuts, exactly the engine's
+    * universe-left-join shape. */
+  def budgetSweepSql(targetPermille: Int = 100, buckets: Int = 8192,
+      salt: String = "graft", sampleSalt: String = "resample"): String = {
+    val vals = (100 to 900 by 100).map { b =>
+      val q = (BigDecimal(1000 - b) / BigDecimal(1000))
+        .underlying.stripTrailingZeros.toPlainString
+      s"($b, (SELECT percentile_disc($q) WITHIN GROUP (ORDER BY key_q) FROM scored))"
+    }.mkString(",\n  ")
+    s"""WITH ${scoredCtes(targetPermille, buckets, salt, sampleSalt)},
+       |cutv(budget_permille, cut_q) AS (VALUES
+       |  $vals),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total,
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens_total
+       |  FROM scored),
+       |k AS (SELECT cv.budget_permille,
+       |    CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(s.n_tokens) AS BIGINT) AS nt,
+       |    CAST(sum(s.weight_q) AS BIGINT) AS wq
+       |  FROM cutv cv JOIN scored s ON s.key_q > cv.cut_q
+       |  GROUP BY cv.budget_permille)
+       |SELECT CAST(cv.budget_permille AS BIGINT) AS budget_permille,
+       |  cv.cut_q,
+       |  coalesce(k.nd, 0) AS n_docs_kept,
+       |  coalesce(k.nt, 0) AS n_tokens_kept,
+       |  coalesce(k.wq, 0) AS weight_q_kept,
+       |  t.n_docs_total, t.n_tokens_total
+       |FROM cutv cv LEFT JOIN k USING (budget_permille) CROSS JOIN tot t""".stripMargin
+  }
+
   /** q165 mirror: the shared Gumbel-scored chain closed by the
     * token-budget prefix ([[graft.operators.Mixing
     * .dsirResampleTokens]]) — the ROWS-framed cumulative token sum

@@ -3816,7 +3816,33 @@ object ExtensionQueries {
         Tables.documents(s, d),
         col("source").isin("src0", "src1", "src2", "src3", "src4"))),
       Some(policyReleaseSql(
-        "source IN ('src0','src1','src2','src3','src4')")))
+        "source IN ('src0','src1','src2','src3','src4')"))),
+
+    QuerySpec(
+      "q168_resample_budget_sweep",
+      """Resample BUDGET SWEEP ([[graft.operators.Mixing
+        |.resampleBudgetSweep]]) — the q166 convention applied to the
+        |resample family's own bare constant: budgetPermille ships as
+        |a hand-picked 250, so the q161 keep rule sweeps the whole
+        |decile grid (100‰…900‰) and reports per budget the exact
+        |percentile cut, docs kept, q24/q144 tokens kept, and the
+        |kept importance mass Σ weight_q — the curve whose knee a
+        |mixture owner reads instead of trusting the shipped
+        |constant. Corpus totals repeat per row so keep fractions
+        |read off the sheet; budget rows never vanish (empty corpus →
+        |nine all-zero rows, NULL cuts). Every row ties bitwise to
+        |q161 at that budget (same scored chain, same STRICT > keep);
+        |all-BIGINT → bitwise oracle. Scale shape: the scored frame
+        |materializes once; the nine cuts SHARE the radix kernel's
+        |four histogram passes (multi-target locate); the sweep is
+        |ONE map-side pass — cuts are nonincreasing in budget, so
+        |kept-sets are NESTED and each row classifies once into the
+        |smallest budget that keeps it, nine cells closing by a 9-row
+        |cumulative window. No 9× corpus scan, no per-budget shuffle,
+        |nothing corpus-sized moves.""".stripMargin,
+      (s, d) => graft.operators.Mixing.resampleBudgetSweep(
+        Tables.documents(s, d)),
+      Some(DsirOracle.budgetSweepSql()))
   )
 
   /** q159 oracle: the four member oracles (q153/q154/q155/q156)

@@ -341,6 +341,58 @@ class MixingSpec extends AnyFunSuite {
       s"target-flavored feed must keep at a higher rate: $sheet")
   }
 
+  test("resampleBudgetSweep: rows tie to the keep-sets; cuts replay locally; monotone") {
+    import org.apache.spark.sql.functions._
+    val (docs, _) = plantedCorpus
+    val sheet = Mixing.resampleBudgetSweep(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(sheet.keySet == (100L to 900L by 100L).toSet)
+    // local replay: full scored frame via the degenerate budget-1000
+    // resample (returns every scored row), cuts as rank ceil(q*n) of
+    // the ascending key sort, keeps by the strict > rule
+    val scored = Mixing.dsirResample(docs, budgetPermille = 1000)
+      .select("doc_id", "weight_q", "key_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keys = scored.map(_._3).sorted
+    val n = keys.length
+    // token counts replayed through the engine's own q144 convention
+    val toks = graft.functions.TextFunctions
+      .tokenCount(coalesce(col("text"), lit("")))
+    val tokOf = docs.select(col("doc_id"), toks.as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (b <- 100 to 900 by 100) {
+      val q = BigDecimal(1000 - b) / BigDecimal(1000)
+      val rank = (q * n).setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+      val cut = keys(rank - 1)
+      val kept = scored.filter(_._3 > cut)
+      val row = sheet(b.toLong)
+      assert(row.getLong(1) == cut, s"cut at $b")
+      assert(row.getLong(2) == kept.length.toLong, s"n_docs_kept at $b")
+      assert(row.getLong(3) == kept.map(t => tokOf(t._1)).sum, s"n_tokens_kept at $b")
+      assert(row.getLong(4) == kept.map(_._2).sum, s"weight_q_kept at $b")
+      assert(row.getLong(5) == n.toLong && row.getLong(6) == tokOf.values.sum,
+        s"totals at $b")
+    }
+    // the 300 row ties bitwise to the shipped resample's own keep-set
+    val k300 = Mixing.dsirResample(docs, budgetPermille = 300)
+    assert(sheet(300L).getLong(2) == k300.count(), "300 row ties to q161's count")
+    assert(sheet(300L).getLong(4) ==
+      k300.agg(sum("weight_q")).head().getLong(0), "300 row ties to q161's mass")
+    // monotone: a bigger budget never keeps less
+    val counts = (100L to 900L by 100L).map(sheet(_).getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, c) => a <= c }, s"monotone: $counts")
+    assert(counts.last <= n.toLong)
+  }
+
+  test("resampleBudgetSweep: empty corpus yields nine all-zero rows with NULL cuts") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val rows = Mixing.resampleBudgetSweep(empty).collect()
+    assert(rows.length == 9, "budget rows never vanish")
+    assert(rows.forall(r => r.isNullAt(1) && r.getLong(2) == 0L &&
+      r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 0L &&
+      r.getLong(6) == 0L), "all-zero sheet, NULL cuts")
+  }
+
   test("dsirResampleTokens: budget cap, maximal prefix, degenerate budgets") {
     import org.apache.spark.sql.functions._
     val (docs, _) = plantedCorpus

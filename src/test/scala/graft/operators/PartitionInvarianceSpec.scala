@@ -275,6 +275,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       .select(col("doc_id"), col("source"), col("lang")))
   }
 
+  test("resample budget sweep is partition-invariant") {
+    invariant(Mixing.resampleBudgetSweep(_))
+  }
+
   test("DSIR model row and cut row are partition-invariant") {
     invariant(d => Mixing.dsirModelRow(d)
       .select(expr("CAST(map_entries(lrmap) AS STRING)"), col("lr0_q")))

@@ -79,7 +79,12 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // then sheet-sized deciles x grid) and the policy->release capstone
   // (q164's act feeding the whole q71 chain -- the claim is cost ~
   // q162 evidence + q71-on-the-smaller-acted-corpus)
-  "q166_policy_operating_points", "q167_policy_release")
+  "q166_policy_operating_points", "q167_policy_release",
+  // q168 re-pays the q161 scored chain; the nine cuts share the radix
+  // kernel's four passes and the sweep is ONE map-side pass (nested
+  // kept-sets classify each row once) -- the claim is shuffle == the
+  // q161 family's own bytes
+  "q168_resample_budget_sweep")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
