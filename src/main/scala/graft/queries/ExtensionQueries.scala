@@ -3842,7 +3842,34 @@ object ExtensionQueries {
         |nothing corpus-sized moves.""".stripMargin,
       (s, d) => graft.operators.Mixing.resampleBudgetSweep(
         Tables.documents(s, d)),
-      Some(DsirOracle.budgetSweepSql()))
+      Some(DsirOracle.budgetSweepSql())),
+
+    QuerySpec(
+      "q169_resample_release",
+      """Resample→release capstone — [[graft.operators.Mixing
+        |.dsirResample]] composed in FRONT of the q71 release build,
+        |the mixing twin of q167: the q161 importance keep-set (25 %
+        |doc budget) selects the corpus, and the ENTIRE release
+        |machinery — per-source cap, train split, near-dup keep-set
+        |over the minhash∪simhash pair graph, decontamination, PII
+        |redaction — runs on the resampled corpus through the one
+        |shared [[corpusBuild]] chain (q71, q167 and q169 cannot
+        |drift). The acquisition seat (q167) acts on FEED verdicts;
+        |this seat acts on PER-DOC importance — the two composable
+        |fronts a release owner chooses between (or chains). The
+        |oracle embeds the q161 keep CTE, joins documents back for
+        |lang/text, and re-roots the q71 chain on the resampled
+        |corpus. Scale shape: q161's audited radix shape once; the
+        |keep join is doc_id-keyed on the (smaller) kept set;
+        |downstream stages keep their audited banded/bucketed shapes
+        |over the resampled corpus.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        corpusBuild(docs.join(
+          graft.operators.Mixing.dsirResample(docs, budgetPermille = 250)
+            .select(col("doc_id")), "doc_id"))
+      },
+      Some(resampleReleaseSql(budgetPermille = 250)))
   )
 
   /** q159 oracle: the four member oracles (q153/q154/q155/q156)
@@ -3955,6 +3982,20 @@ object ExtensionQueries {
        |${policyActSql(positiveSql,
            selectCols = "d.doc_id, d.source, d.lang, d.text")}
        |),
+       |${CorpusOracle.ctes("acted")}
+       |${CorpusOracle.closing}""".stripMargin
+
+  /** q169 oracle: the q161 importance-resample keep-set embedded as
+    * the `kept` CTE, joined back to `documents` for the release
+    * stages' lang/text (the resample's scored frame deliberately
+    * carries neither), then the ENTIRE q71 chain re-rooted on the
+    * resampled corpus — the mixing twin of [[policyReleaseSql]]. */
+  private def resampleReleaseSql(budgetPermille: Int): String =
+    s"""WITH RECURSIVE kept AS MATERIALIZED (SELECT doc_id FROM (
+       |${DsirOracle.resampleSql(budgetPermille)}
+       |) t_k),
+       |acted AS (SELECT d.doc_id, d.source, d.lang, d.text
+       |  FROM documents d JOIN kept k ON k.doc_id = d.doc_id),
        |${CorpusOracle.ctes("acted")}
        |${CorpusOracle.closing}""".stripMargin
 

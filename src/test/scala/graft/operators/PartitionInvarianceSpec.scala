@@ -279,6 +279,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(Mixing.resampleBudgetSweep(_))
   }
 
+  test("resample-release capstone inputs are partition-invariant") {
+    // the release chain is q71's already-pinned machinery; the NEW
+    // composition seam is the importance keep-set selecting the
+    // corpus — pin that the joined frame survives repartitioning
+    invariant(d => d.join(
+      Mixing.dsirResample(d, budgetPermille = 250).select(col("doc_id")),
+      "doc_id"))
+  }
+
   test("DSIR model row and cut row are partition-invariant") {
     invariant(d => Mixing.dsirModelRow(d)
       .select(expr("CAST(map_entries(lrmap) AS STRING)"), col("lr0_q")))

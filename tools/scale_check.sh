@@ -84,7 +84,10 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // kernel's four passes and the sweep is ONE map-side pass (nested
   // kept-sets classify each row once) -- the claim is shuffle == the
   // q161 family's own bytes
-  "q168_resample_budget_sweep")
+  "q168_resample_budget_sweep",
+  // q169 re-pays q161 once, then the q71 chain over the kept corpus --
+  // the claim is cost ~ q161 + q71-on-the-smaller-resampled-corpus
+  "q169_resample_release")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
