@@ -75,7 +75,9 @@ object Mixing {
     * beyond that.
     *
     * Output: one row per group — `(group, n_items, n_size, s_q, base,
-    * alloc)` with `Σ alloc = budget` whenever the corpus is non-empty.
+    * alloc)` with `Σ alloc = budget` whenever the corpus has nonzero
+    * total weight (an all-zero-size corpus allocates nothing — no
+    * evidence, no seats).
     * Scale shape: [[sqrtTemperatureWeights]]'s audited plan (one
     * map-side-combined corpus agg + unpartitioned window over the
     * per-group frame) plus rank/total windows over the SAME tiny
@@ -88,9 +90,16 @@ object Mixing {
       .agg(count(lit(1)).as("n_items"), sum(col(sizeCol)).cast("long").as("n_size"))
       .withColumn("s_q", floor(sqrt(col("n_size")) * lit(Q)).cast("long"))
       .withColumn("__s", sum(col("s_q")).over(whole))
-      .withColumn("base", expr(s"CAST(($budget * s_q) DIV __s AS BIGINT)"))
+      // zero TOTAL weight (every group's size is 0) allocates NOTHING:
+      // no evidence, no seats — the resampleCutRow empty-cut
+      // convention, and the only branch that keeps the ANSI DIV total
+      // (a plain DIV would throw DIVIDE_BY_ZERO on an all-empty-text
+      // corpus)
+      .withColumn("base", expr(
+        s"CAST(CASE WHEN __s = 0 THEN 0 ELSE ($budget * s_q) DIV __s END AS BIGINT)"))
       .withColumn("__rem", lit(budget) * col("s_q") - col("base") * col("__s"))
-      .withColumn("__left", lit(budget) - sum(col("base")).over(whole))
+      .withColumn("__left", when(col("__s") === 0L, lit(0L))
+        .otherwise(lit(budget) - sum(col("base")).over(whole)))
       .withColumn("__rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("__rem").desc, col(groupCol).asc)))
@@ -183,6 +192,183 @@ object Mixing {
       .filter(col("__reps") > 0)
       .select(outCols.map(col) :+
         explode(sequence(lit(0L), col("__reps") - lit(1L))).as("epoch"): _*)
+  }
+
+  /** The stride-interleave position grid: 2^62 slots. Budget-independent
+    * (positions are comparable across manifests), and every stride
+    * product stays strictly below it — `appearance · (GRID DIV alloc) <
+    * GRID` for `appearance < alloc` — so the key arithmetic is
+    * overflow-free over the FULL BIGINT budget domain (unlike the naive
+    * `((2j+1)·budget) DIV (2·alloc)` form, which wraps past ~2^31
+    * appearances). */
+  private val InterleaveGrid = 4611686018427387904L // 2^62
+
+  /** Deterministic mixture-interleaved TRAINING ORDER — the step after
+    * [[allocationEpochs]]: every epoch-appearance of every item gets a
+    * stride-scheduled global position key, so reading the manifest in
+    * `(pos_key, group, appearance)` order yields a training stream in
+    * which every window of every prefix carries each source at ~its
+    * allocated share. This is the deterministic weighted interleave of
+    * Megatron-LM's blendable dataset (Shoeybi et al. 2019, public
+    * GitHub), whose greedy `argmax(weight·i − consumed)` schedule is
+    * exactly stride scheduling (Waldspurger & Weihl 1995) in closed
+    * form: appearance j of a source with quota `alloc` lands at grid
+    * slot `j·S + S DIV 2` with stride `S = GRID DIV alloc` — the
+    * `(2j+1)/(2·alloc)` low-discrepancy lattice on a 2^62-slot grid. A
+    * plain md5-shuffle gives the right mix only in expectation; the
+    * stride lattice guarantees it per prefix: a prefix of P grid slots
+    * holds `⌊(P − S/2)/S⌋ + 1 ≈ P·alloc/GRID` appearances of each
+    * source, off by at most 1 + alloc²/2^62 (the flooring of S drifts
+    * the lattice by < j slots ≤ alloc slots total, i.e. < alloc²/2^62
+    * appearance counts — zero below ~2^31-doc quotas, vanishing above).
+    *
+    * Within a source the order is epoch-major over the md5-rank lattice
+    * (`appearance = epoch·n_items + rank−1`, a bijection onto
+    * [0, alloc)): each epoch is one full md5-ordered pass, so repeats
+    * of a doc sit ~n_items apart — the repeat spacing Muennighoff et
+    * al. 2023 assume when equating repeated and fresh data at low
+    * epoch counts. Every step is BIGINT arithmetic on the q102 total
+    * order — same manifest on any engine, run, or partitioning. Grid
+    * ties across sources (equal allocs share a stride) break by
+    * `(group, appearance)` at read time; the manifest itself is
+    * unordered (a trainer range-partitions by pos_key when writing —
+    * a global SORT of budget rows is deliberately NOT part of the
+    * operator).
+    *
+    * Output: the item columns plus `(epoch, appearance, pos_key)`;
+    * exactly `alloc_i` rows per group, `Σ = budget` (non-empty corpus).
+    * PRECONDITION as [[executeSqrtAllocation]]: `keyCol` unique per
+    * group; NULL keys join neither population.
+    *
+    * Scale shape: [[allocationEpochs]]' audited plan — pruned quota
+    * pass, broadcast quota frame, ONE group-key shuffle for the
+    * ranking window — plus per-row key arithmetic on the exploded
+    * appearances; emitted rows are budget-bounded and nothing else is
+    * added (no global sort, no second corpus exchange). */
+  def interleaveManifest(items: DataFrame, keyCol: String, groupCol: String,
+      sizeCol: String, budget: Long, salt: String = "graft"): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val pop = items.filter(col(keyCol).isNotNull)
+    val quotas = sqrtAllocation(pop, groupCol, sizeCol, budget)
+      .select(col(groupCol), col("n_items"), col("alloc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))).asc,
+        col(keyCol).asc)
+      .rowsBetween(Long.MinValue, 0)
+    val outCols = pop.columns.toSeq
+    pop.join(broadcast(quotas), Seq(groupCol))
+      .withColumn("__rk", count(lit(1)).over(w))
+      .withColumn("__reps",
+        expr("CAST(alloc DIV n_items AS BIGINT)") +
+          when(col("__rk") <= col("alloc") % col("n_items"), 1L).otherwise(0L))
+      .filter(col("__reps") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__reps") - lit(1L))))
+      .withColumn("appearance",
+        col("epoch") * col("n_items") + col("__rk") - lit(1L))
+      .withColumn("__stride", expr(s"CAST($InterleaveGrid DIV alloc AS BIGINT)"))
+      .select(outCols.map(col) ++ Seq(col("epoch"), col("appearance"),
+        (col("appearance") * col("__stride") +
+          expr("CAST(__stride DIV 2 AS BIGINT)")).as("pos_key")): _*)
+  }
+
+  /** The [[interleaveManifest]] ACCEPTANCE SHEET — per position block,
+    * is the training stream actually mixed at the allocated shares?
+    * The grid is cut into `nBlocks` equal slices (map-side — pos_key
+    * is already a grid coordinate, so no global rank is ever
+    * computed) and each `(block, group)` cell reports its appearance
+    * count, its within-block share, the group's allocated target
+    * share, and the signed deviation — the number a trainer checks
+    * before shipping shards, because a badly mixed order shows up as
+    * loss spikes only after GPUs are spent. Shares are exact 2^20
+    * fixed-point floor divisions of the manifest's own counts (the
+    * alloc targets are re-derived from the manifest by summation, not
+    * re-joined from the quota pass — one definition, nothing to
+    * drift). Empty corpus → empty sheet.
+    *
+    * Output: `(block, group, n_appearances, share_q, target_q, dev_q)`
+    * with `share_q = n·2^20 DIV block_total`, `target_q = alloc·2^20
+    * DIV budget_total`, `dev_q = share_q − target_q`; the stride
+    * lattice bounds `|dev_q|` by ~2^20·(nGroups/block_total) (±1
+    * appearance per group per block edge).
+    *
+    * Scale shape: the manifest's audited plan, a map-side block
+    * projection, ONE map-side-combined (block, group) aggregation, and
+    * three windows over the resulting nBlocks×nGroups SHEET (hundreds
+    * of rows at any corpus size — the deliberate sheet-sized-total
+    * pattern the plan-hygiene net whitelists). */
+  def interleaveMixAudit(items: DataFrame, keyCol: String, groupCol: String,
+      sizeCol: String, budget: Long, nBlocks: Int = 16,
+      salt: String = "graft"): DataFrame = {
+    require(nBlocks >= 1 && nBlocks <= 65536,
+      s"nBlocks must be in [1, 65536], got $nBlocks")
+    val wBlock = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block")).rowsBetween(Long.MinValue, Long.MaxValue)
+    val wGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).rowsBetween(Long.MinValue, Long.MaxValue)
+    interleaveManifest(items, keyCol, groupCol, sizeCol, budget, salt)
+      // block = pos_key DIV (GRID DIV nBlocks): divide by the block
+      // width rather than multiplying pos_key (pos_key·nBlocks would
+      // overflow BIGINT); the last block absorbs the DIV remainder
+      // slots (exact split whenever nBlocks is a power of two)
+      .select(col(groupCol),
+        least(
+          expr(s"CAST(pos_key DIV (${InterleaveGrid}L DIV $nBlocks) AS BIGINT)"),
+          lit(nBlocks - 1L)).as("block"))
+      .groupBy(col("block"), col(groupCol))
+      .agg(count(lit(1)).as("n_appearances"))
+      .withColumn("__bt", sum(col("n_appearances")).over(wBlock))
+      .withColumn("__alloc", sum(col("n_appearances")).over(wGroup))
+      .withColumn("__tot", sum(col("n_appearances")).over(whole))
+      .select(col("block"), col(groupCol), col("n_appearances"),
+        expr("CAST((n_appearances * 1048576) DIV __bt AS BIGINT)").as("share_q"),
+        expr("CAST((__alloc * 1048576) DIV __tot AS BIGINT)").as("target_q"))
+      .withColumn("dev_q", col("share_q") - col("target_q"))
+  }
+
+  /** Token-budget EPOCH PLAN — the data-constrained-scaling sheet
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models", arXiv 2305.16264 — public): when the training token
+    * budget exceeds the corpus, the α=1/2 mixture wants each source
+    * repeated `alloc_i / n_tokens_i` epochs, but repeated data decays
+    * in value past ~4 epochs — so the plan reports, per source, the
+    * Hamilton token allocation, the implied epoch count, and how much
+    * of the allocation a repeat ceiling would strand. A budget planner
+    * reads the `capped` rows as "this source is exhausted — the
+    * stranded budget must go elsewhere" (re-run the sheet on the
+    * uncapped survivors with the freed budget: the
+    * [[executeSqrtAllocation]] no-redistribution convention).
+    *
+    * All BIGINT: `alloc_tokens` is the q98 Hamilton quota at token
+    * granularity, `epochs_q = (alloc·64) DIV n_size` the 1/64-epoch
+    * fixed point (the log2q granularity convention), `eff_tokens =
+    * min(alloc, (maxEpochs64·n_size) DIV 64)` the ceiling-respecting
+    * spend, `unused_tokens` the stranded mass, `capped` the 0/1 flag
+    * (a zero-token source with a nonzero quota is capped by
+    * definition). Overflow headroom: `alloc·64 < 2^63` ⇒ budgets to
+    * 2^57 tokens exact; `maxEpochs64·n_size < 2^63` ⇒ at the default
+    * ceiling (4 epochs = 256/64) sources to 2^55 tokens — documented,
+    * not checked, the [[sqrtAllocation]] convention.
+    *
+    * Scale shape: exactly [[sqrtAllocation]]'s audited plan (one
+    * map-side-combined corpus agg + windows over the per-group sheet)
+    * plus per-row closing arithmetic — nothing new touches corpus
+    * rows. */
+  def epochPlanSheet(items: DataFrame, groupCol: String, sizeCol: String,
+      budgetTokens: Long, maxEpochs64: Long = 256L): DataFrame = {
+    require(maxEpochs64 >= 1, s"maxEpochs64 must be positive, got $maxEpochs64")
+    sqrtAllocation(items, groupCol, sizeCol, budgetTokens)
+      .withColumn("epochs_q",
+        when(col("n_size") > 0,
+          expr("CAST((alloc * 64) DIV n_size AS BIGINT)")))
+      .withColumn("eff_tokens",
+        when(col("n_size") > 0,
+          least(col("alloc"),
+            expr(s"CAST(($maxEpochs64 * n_size) DIV 64 AS BIGINT)")))
+          .otherwise(lit(0L)))
+      .select(col(groupCol), col("n_items"), col("n_size"), col("s_q"),
+        col("alloc").as("alloc_tokens"), col("epochs_q"), col("eff_tokens"),
+        (col("alloc") - col("eff_tokens")).as("unused_tokens"),
+        when(col("alloc") > col("eff_tokens"), 1L).otherwise(0L).as("capped"))
   }
 
   /** General-α temperature weights via `pow`. Same output shape minus

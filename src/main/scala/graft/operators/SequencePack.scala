@@ -93,4 +93,69 @@ object SequencePack {
         sum(when(expr(s"pack_last div $packsPerShard") =!= col("shard"), 1L)
           .otherwise(0L)).as("boundary_crossers"))
   }
+
+  /** Shard manifest over the INTERLEAVED training order — the packing
+    * step a trainer actually runs after [[graft.operators.Mixing
+    * .interleaveManifest]]: concatenate the epoch-appearances in
+    * `(pos_key, group, appearance)` order (the q170 stride order, so
+    * every shard inherits the mixture guarantee — packing doc-id order
+    * instead would hand each shard a provenance-sorted slab) and chop
+    * into `capacity`-token packs grouped `packsPerShard` per shard.
+    * One row per shard: appearance count, token mass, widest
+    * appearance span, trailing-boundary crossers (the q99 sheet
+    * shape), plus `n_sources` — the distinct groups the shard carries,
+    * the column that SHOWS the interleave landed (a doc-id-order pack
+    * of a source-clustered corpus reads 1 here; the stride order reads
+    * ~every allocated group in every shard).
+    *
+    * The prefix sum is the q65 two-level kernel over the GRID
+    * coordinate: buckets are `pos_key DIV 2^42` (≤ 2^20 bucket
+    * subtotals — the only single-partition window, millions of rows
+    * at any budget, never appearance-count-sized), intra-bucket
+    * windows order by the full `(pos_key, group, appearance)` total
+    * order. Integer end-to-end, so the decomposition is bitwise the
+    * global scan the oracle runs.
+    *
+    * Input: a [[graft.operators.Mixing.interleaveManifest]] output
+    * frame (needs `groupCol`, `n_tokens`, `appearance`, `pos_key`).
+    * Scale shape: the manifest's audited plan + ONE bucket-keyed
+    * exchange for the prefix sum (budget-bounded rows) + a map-side
+    * shard rollup; the distinct-source count is a two-level
+    * (shard, group) collapse, map-side combined. */
+  def interleavedShardManifest(manifest: DataFrame, groupCol: String,
+      capacity: Long, packsPerShard: Long): DataFrame = {
+    require(capacity > 0, s"pack capacity must be positive: $capacity")
+    require(packsPerShard > 0, s"packsPerShard must be positive: $packsPerShard")
+    val t = manifest
+      .select(col(groupCol).as("__g"), col("appearance"), col("pos_key"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("n_tokens",
+        when(col("n_tokens") >= 0L, col("n_tokens")).otherwise(raise_error(concat(
+          lit("negative n_tokens at appearance="),
+          col("appearance").cast("string"))).cast("long")))
+      .withColumn("__b", expr("pos_key div 4398046511104")) // 2^42
+    val subtotals = t.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+    val exclusiveBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtotals
+      .withColumn("__off", coalesce(sum(col("__bt")).over(exclusiveBuckets), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val exclusiveInBucket = Window.partitionBy(col("__b"))
+      .orderBy(col("pos_key"), col("__g"), col("appearance"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offsets), "__b")
+      .withColumn("__cb",
+        col("__off") + coalesce(sum(col("n_tokens")).over(exclusiveInBucket), lit(0L)))
+      .select(col("__g"), col("n_tokens"),
+        expr(s"__cb div $capacity").as("pack_first"),
+        expr(s"(__cb + greatest(n_tokens, 1L) - 1L) div $capacity").as("pack_last"))
+      .withColumn("shard", expr(s"pack_first div $packsPerShard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_appearances"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("pack_last") - col("pack_first") + lit(1L)).as("max_span"),
+        sum(when(expr(s"pack_last div $packsPerShard") =!= col("shard"), 1L)
+          .otherwise(0L)).as("boundary_crossers"),
+        countDistinct(col("__g")).cast("long").as("n_sources"))
+  }
 }

@@ -383,6 +383,91 @@ object Similarity {
         when(col("__drop").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /** Cluster-BALANCED diversity sample — the q98/q101 Hamilton
+    * allocation lifted from provenance strata to CONTENT strata: the
+    * embedding space is partitioned into k-means cells (the
+    * [[ivfAssign]] argmax the IVF family already ships) and a sample
+    * budget is allocated across cells ∝ √cell-mass (the α=1/2
+    * temperature choice), then executed per cell by md5-rank of
+    * vec_id. Natural-frequency sampling reproduces the corpus's mode
+    * collapse — a boilerplate-heavy crawl yields a boilerplate-heavy
+    * sample; √mass flattens dominant modes and over-represents rare
+    * content regions, the cluster-coverage stance of the
+    * k-means-partitioned curation family ([[semanticDedup]] prunes
+    * within cells at web scale for exactly this diversity reason,
+    * Abbas et al. 2023 §1). Output: `(vec_id, cell)` — exactly
+    * `min(alloc_c, |cell c|)` vectors per cell, a pure function of
+    * the data (the [[graft.operators.Mixing.executeSqrtAllocation]]
+    * determinism contract: stable across runs, partitionings,
+    * engines, incremental loads of unrelated cells).
+    *
+    * Scale shape (100 TB): assignment is the audited map-side argmax
+    * (one exchange row per vector); the quota pass runs over the
+    * nlist-sized cell census; execution is one broadcast quota join +
+    * the per-cell ranking window. The window sorts each cell within
+    * one task — bound it the IVF way: `nlist` scales with the corpus
+    * (~√N cells of ~√N vectors — the paper's 50k clusters at web
+    * scale), so no task ever sorts more than ~√N ids. */
+  def clusterBalancedSample(embs: DataFrame, centroids: DataFrame,
+      budget: Long, salt: String = "graft", dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else inferDim(embs)
+    if (d <= 0) return embs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("vec_id"), lit(0L).as("cell"))
+      .limit(0)
+    val assigned = ivfAssign(embs, centroids, d)
+      .select(col("n_id").as("vec_id"), col("c_id").cast("long").as("cell"),
+        lit(1L).as("__one"))
+    graft.operators.Mixing.executeSqrtAllocation(
+        assigned, "vec_id", "cell", "__one", budget, salt)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** The [[clusterBalancedSample]] ACCEPTANCE SHEET — the family
+    * convention that every APPLY ships with its evidence (q147 for the
+    * classifier, q166 for the feed policy, q168/q171 for the resample
+    * and interleave): one row per k-means cell with its population,
+    * Hamilton quota, executed keep count (`min(alloc, n_vecs)` by
+    * construction — spec-pinned), and the two shares the flattening
+    * claim is MADE of: `natural_share_q` (the cell's corpus share) vs
+    * `kept_share_q` (its share of the kept sample), exact 2^20
+    * fixed-point floor divisions. A dominant cell reads kept < natural
+    * (damped); a rare cell reads kept > natural (boosted) — the
+    * √-mass contract, checkable per cell before the sample ships.
+    * Empty cells cannot exist (cells are argmax images of actual
+    * vectors), so every row's rates divide by nonzero totals.
+    *
+    * Scale shape: [[clusterBalancedSample]]'s audited plan (map-side
+    * argmax, nlist-sized quota pass, one cell-keyed ranking exchange)
+    * plus an nlist-sized rollup and two windows over the cell SHEET —
+    * nothing new touches corpus rows. */
+  def clusterBalancedSampleSheet(embs: DataFrame, centroids: DataFrame,
+      budget: Long, salt: String = "graft", dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else inferDim(embs)
+    if (d <= 0) return embs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("cell"), lit(0L).as("n_vecs"), lit(0L).as("alloc"),
+        lit(0L).as("n_kept"), lit(0L).as("natural_share_q"),
+        lit(0L).as("kept_share_q"))
+      .limit(0)
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val assigned = ivfAssign(embs, centroids, d)
+      .select(col("n_id").as("vec_id"), col("c_id").cast("long").as("cell"),
+        lit(1L).as("__one"))
+    val quotas = graft.operators.Mixing.sqrtAllocation(
+        assigned, "cell", "__one", budget)
+      .select(col("cell"), col("n_items").as("n_vecs"), col("alloc"))
+    quotas
+      .withColumn("n_kept", least(col("alloc"), col("n_vecs")))
+      .withColumn("__tv", sum(col("n_vecs")).over(whole))
+      .withColumn("__tk", sum(col("n_kept")).over(whole))
+      .select(col("cell"), col("n_vecs"), col("alloc"), col("n_kept"),
+        expr("CAST((n_vecs * 1048576) DIV __tv AS BIGINT)")
+          .as("natural_share_q"),
+        expr("CAST(CASE WHEN __tk > 0 THEN (n_kept * 1048576) DIV __tk " +
+          "ELSE 0 END AS BIGINT)").as("kept_share_q"))
+  }
+
   /** Incremental semantic dedup — the SemDeDup member of the
     * incremental family (q68 minhash, q82 IVF drift, q105 clusters,
     * q109 BPE): dedup an incoming batch against FROZEN standing keep

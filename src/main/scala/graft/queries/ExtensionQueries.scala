@@ -3869,8 +3869,267 @@ object ExtensionQueries {
           graft.operators.Mixing.dsirResample(docs, budgetPermille = 250)
             .select(col("doc_id")), "doc_id"))
       },
-      Some(resampleReleaseSql(budgetPermille = 250)))
+      Some(resampleReleaseSql(budgetPermille = 250))),
+
+    QuerySpec(
+      "q170_interleave_manifest",
+      """Mixture-interleaved TRAINING ORDER ([[graft.operators.Mixing
+        |.interleaveManifest]]) — the step after q102: every
+        |epoch-appearance of the 1200-budget allocation gets a
+        |stride-scheduled position key on a 2^62-slot grid
+        |(appearance j of a source with quota alloc lands at
+        |j·(GRID DIV alloc) + stride DIV 2 — the closed form of
+        |Megatron-LM's blendable-dataset greedy, Waldspurger &
+        |Weihl 1995's stride scheduling), so reading in (pos_key,
+        |source, appearance) order yields a training stream carrying
+        |every source at ~its allocated share in EVERY prefix — the
+        |guarantee an md5 shuffle gives only in expectation. Within a
+        |source the order is epoch-major over the md5-rank lattice
+        |(appearance = epoch·n_items + rank−1), so repeats of a doc
+        |sit ~n_items apart. All BIGINT on the q102 total order —
+        |bitwise-oracled. Scale shape: q102's audited plan (pruned
+        |quota pass, broadcast quotas, ONE group-key shuffle) plus
+        |per-row key arithmetic; no global sort — a trainer
+        |range-partitions by pos_key at write time.""".stripMargin,
+      (s, d) => graft.operators.Mixing.interleaveManifest(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")),
+        "doc_id", "source", "n_tokens", budget = 1200L),
+      Some(s"""WITH ${interleaveChainSql(1200L)}
+             |SELECT doc_id, source, n_tokens, epoch, appearance, pos_key
+             |FROM manifest""".stripMargin)),
+
+    QuerySpec(
+      "q171_interleave_mix_audit",
+      """Interleave ACCEPTANCE SHEET ([[graft.operators.Mixing
+        |.interleaveMixAudit]]) — per position block of the q170
+        |order, is the stream actually mixed at the allocated shares?
+        |The 2^62 grid is cut into 16 equal slices MAP-SIDE (pos_key
+        |is already a grid coordinate — no global rank is ever
+        |computed) and each (block, source) cell reports its
+        |appearance count, within-block share, allocated target
+        |share, and signed deviation, all exact 2^20 fixed-point floor
+        |divisions of the manifest's own counts (targets re-derived
+        |by summation, not re-joined — one definition, nothing to
+        |drift). The stride lattice bounds the deviation at ±1
+        |appearance per source per block edge; a trainer reads this
+        |sheet before shipping shards because a badly mixed order
+        |shows up as loss spikes only after GPUs are spent. Scale
+        |shape: the manifest's audited plan + a map-side block
+        |projection + ONE map-side-combined (block, source) agg +
+        |three windows over the 16×sources SHEET (the deliberate
+        |sheet-sized-total pattern).""".stripMargin,
+      (s, d) => graft.operators.Mixing.interleaveMixAudit(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")),
+        "doc_id", "source", "n_tokens", budget = 1200L, nBlocks = 16),
+      Some(s"""WITH ${interleaveChainSql(1200L)},
+             |blk AS (SELECT source,
+             |    least(pos_key // (4611686018427387904 // 16),
+             |      CAST(15 AS BIGINT)) AS block
+             |  FROM manifest),
+             |cells AS (SELECT block, source,
+             |    CAST(count(*) AS BIGINT) AS n_appearances
+             |  FROM blk GROUP BY 1, 2),
+             |w AS (SELECT block, source, n_appearances,
+             |    sum(n_appearances) OVER (PARTITION BY block) AS bt,
+             |    sum(n_appearances) OVER (PARTITION BY source) AS alloc,
+             |    sum(n_appearances) OVER () AS t
+             |  FROM cells)
+             |SELECT block, source, n_appearances,
+             |  CAST((n_appearances * 1048576) // bt AS BIGINT) AS share_q,
+             |  CAST((alloc * 1048576) // t AS BIGINT) AS target_q,
+             |  CAST((n_appearances * 1048576) // bt
+             |    - (alloc * 1048576) // t AS BIGINT) AS dev_q
+             |FROM w""".stripMargin)),
+
+    QuerySpec(
+      "q172_cluster_balanced_sample",
+      """Cluster-BALANCED diversity sample ([[graft.operators
+        |.Similarity.clusterBalancedSample]]) — the q98/q101 Hamilton
+        |allocation lifted from provenance strata to CONTENT strata:
+        |embeddings partition into the q49 k-means cells (16 seed
+        |centroids, the deterministic vec_id < nlist sample), a
+        |137-vector budget allocates across cells ∝ √cell-mass (the
+        |α=1/2 temperature stance — natural-frequency sampling
+        |reproduces the corpus's mode collapse; √mass flattens
+        |dominant modes and over-represents rare content regions, the
+        |SemDeDup cell-partitioned curation rationale), and each
+        |cell's quota executes by md5-rank of vec_id — the kept set a
+        |pure function of the data. Budget 137 over 16 cells forces
+        |base quotas plus largest-remainder seats (the q101 tie-break
+        |path) on cell-count strata. Scale shape: the audited
+        |map-side argmax assignment (one exchange row per vector), a
+        |quota pass over the nlist-sized census, one broadcast quota
+        |join + the per-cell ranking window; nlist scales ~√N so no
+        |task sorts more than ~√N ids.""".stripMargin,
+      (s, d) => graft.operators.Similarity.clusterBalancedSample(
+        Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 16),
+        budget = 137L),
+      Some(IvfOracle.clusterBalancedSampleSql(
+        nlist = 16, dim = 64, budget = 137L))),
+
+    QuerySpec(
+      "q173_epoch_plan",
+      """Token-budget EPOCH PLAN ([[graft.operators.Mixing
+        |.epochPlanSheet]]) — the data-constrained-scaling sheet
+        |(Muennighoff et al. 2023): a 110k-token budget exceeds every
+        |source's mass (~27k corpus tokens at sf0.01), so the α=1/2
+        |mixture wants each source repeated alloc/n_tokens epochs —
+        |but repeated data decays past ~4 epochs, so the sheet
+        |reports per source the Hamilton token allocation, the
+        |implied 1/64-fixed-point epoch count, the
+        |ceiling-respecting spend, and the stranded budget a planner
+        |must reallocate (re-run on the uncapped survivors — the
+        |q101 no-redistribution convention). The 110k budget lands
+        |~13 sources capped and ~7 under the ceiling, exercising
+        |both paths. All BIGINT (alloc·64 and 256·n_size headroom
+        |documented) — bitwise-oracled. Scale shape: exactly q98's
+        |audited plan (one map-side-combined corpus agg + windows
+        |over the per-source sheet) plus per-row closing
+        |arithmetic.""".stripMargin,
+      (s, d) => graft.operators.Mixing.epochPlanSheet(
+        Tables.documents(s, d).select(col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")),
+        "source", "n_tokens", budgetTokens = 110000L),
+      Some("""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(len(string_split_regex(coalesce(text, ''), '\s+'))) AS BIGINT) AS n_size
+             |  FROM documents GROUP BY 1),
+             |q AS (SELECT *, CAST(floor(sqrt(n_size) * 1048576) AS BIGINT) AS s_q FROM per),
+             |tot AS (SELECT CAST(sum(s_q) AS BIGINT) AS s FROM q),
+             |b AS (SELECT source, n_items, n_size, s_q,
+             |    (110000 * s_q) // s AS base,
+             |    110000 * s_q - ((110000 * s_q) // s) * s AS rem
+             |  FROM q, tot),
+             |l AS (SELECT CAST(110000 - sum(base) AS BIGINT) AS leftover FROM b),
+             |a AS (SELECT source, n_items, n_size, s_q, base + CASE WHEN
+             |      CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) <= leftover
+             |    THEN 1 ELSE 0 END AS alloc FROM b, l),
+             |c AS (SELECT source, n_items, n_size, s_q, alloc,
+             |    CASE WHEN n_size > 0 THEN (alloc * 64) // n_size END AS epochs_q,
+             |    CASE WHEN n_size > 0 THEN least(alloc, (256 * n_size) // 64)
+             |      ELSE CAST(0 AS BIGINT) END AS eff_tokens
+             |  FROM a)
+             |SELECT source, n_items, n_size, s_q,
+             |  CAST(alloc AS BIGINT) AS alloc_tokens,
+             |  CAST(epochs_q AS BIGINT) AS epochs_q,
+             |  CAST(eff_tokens AS BIGINT) AS eff_tokens,
+             |  CAST(alloc - eff_tokens AS BIGINT) AS unused_tokens,
+             |  CAST(CASE WHEN alloc > eff_tokens THEN 1 ELSE 0 END AS BIGINT) AS capped
+             |FROM c""".stripMargin)),
+
+    QuerySpec(
+      "q174_interleaved_shards",
+      """Interleaved SHARD MANIFEST ([[graft.operators.SequencePack
+        |.interleavedShardManifest]]) — the packing step a trainer
+        |runs after q170: the epoch-appearances concatenate in
+        |(pos_key, source, appearance) stride order and chop into
+        |2048-token packs, 16 packs per shard (the q99 sheet shape:
+        |appearance count, token mass, widest span, trailing-boundary
+        |crossers) plus n_sources — the distinct feeds each shard
+        |carries, the column that SHOWS the interleave landed (a
+        |doc-id-order pack of a source-clustered corpus reads 1 here;
+        |the stride order reads ~every allocated source in every
+        |shard, so per-shard loss is an unbiased estimate of
+        |full-mixture loss). The prefix sum is the q65 two-level
+        |kernel over the GRID coordinate (buckets = pos_key DIV 2^42 —
+        |the only single-partition window is the ≤2^20-row bucket
+        |frame, never appearance-count-sized); integer end-to-end, so
+        |the decomposition is bitwise the oracle's global scan. Scale
+        |shape: q170's audited plan + ONE bucket-keyed exchange over
+        |the budget-bounded manifest + a map-side shard
+        |rollup.""".stripMargin,
+      (s, d) => graft.operators.SequencePack.interleavedShardManifest(
+        graft.operators.Mixing.interleaveManifest(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")),
+          "doc_id", "source", "n_tokens", budget = 1200L),
+        "source", capacity = ManifestCapacity,
+        packsPerShard = ManifestPacksPerShard),
+      Some(s"""WITH ${interleaveChainSql(1200L)},
+             |ord AS (SELECT source, n_tokens, appearance, pos_key,
+             |    CAST(coalesce(sum(n_tokens) OVER (
+             |      ORDER BY pos_key, source, appearance
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+             |  FROM manifest),
+             |p AS (SELECT source, n_tokens,
+             |    cb // $ManifestCapacity AS pack_first,
+             |    (cb + greatest(n_tokens, 1) - 1) // $ManifestCapacity AS pack_last
+             |  FROM ord)
+             |SELECT pack_first // $ManifestPacksPerShard AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_appearances,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |  CAST(max(pack_last - pack_first + 1) AS BIGINT) AS max_span,
+             |  CAST(sum(CASE WHEN pack_last // $ManifestPacksPerShard <> pack_first // $ManifestPacksPerShard
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS boundary_crossers,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+             |FROM p GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "q175_cluster_sample_sheet",
+      """Cluster-balanced-sample ACCEPTANCE SHEET ([[graft.operators
+        |.Similarity.clusterBalancedSampleSheet]]) — the family
+        |convention that every APPLY ships with its evidence (q147
+        |for the classifier, q166 for the feed policy, q168/q171 for
+        |the resample and interleave): one row per q172 k-means cell
+        |with population, Hamilton quota, executed keep count
+        |(min(alloc, n_vecs) by construction — spec-pinned to the
+        |actual q172 sample's per-cell counts), and the two 2^20
+        |fixed-point shares the flattening claim is MADE of: the
+        |cell's corpus share vs its share of the kept sample. A
+        |dominant cell reads kept < natural (damped), a rare cell
+        |kept > natural (boosted) — the √-mass contract, checkable
+        |per cell before the sample ships. All BIGINT → bitwise
+        |oracle (the q172 assignment + Hamilton chain closing as the
+        |sheet). Scale shape: q172's audited plan minus the ranking
+        |window (quotas need no per-vector rank) — map-side argmax,
+        |nlist-sized quota pass, two windows over the cell
+        |SHEET.""".stripMargin,
+      (s, d) => graft.operators.Similarity.clusterBalancedSampleSheet(
+        Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 16),
+        budget = 137L),
+      Some(IvfOracle.clusterBalancedSampleSheetSql(
+        nlist = 16, dim = 64, budget = 137L)))
   )
+
+  /** Shared q170/q171 manifest CTE chain: the q102 allocation chain
+    * (pop → per → q → tot → b → l → a → ranked → rep) extended with
+    * the epoch-major appearance index and the 2^62-grid stride keys,
+    * closing as a `manifest` relation — [[graft.operators.Mixing
+    * .interleaveManifest]] replayed relationally so q170 and its
+    * q171 audit cannot drift. */
+  private def interleaveChainSql(budget: Long): String =
+    s"""pop AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(coalesce(text, ''), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_size
+       |  FROM pop GROUP BY 1),
+       |qq AS (SELECT *, CAST(floor(sqrt(n_size) * 1048576) AS BIGINT) AS s_q FROM per),
+       |tot AS (SELECT CAST(sum(s_q) AS BIGINT) AS s FROM qq),
+       |b AS (SELECT source, n_items, s_q, ($budget * s_q) // s AS base,
+       |    $budget * s_q - (($budget * s_q) // s) * s AS rem FROM qq, tot),
+       |l AS (SELECT CAST($budget - sum(base) AS BIGINT) AS leftover FROM b),
+       |a AS (SELECT source, n_items, base + CASE WHEN
+       |      CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) <= leftover
+       |    THEN 1 ELSE 0 END AS alloc FROM b, l),
+       |ranked AS (SELECT doc_id, source, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM pop),
+       |rep AS (SELECT doc_id, source, n_tokens, rk, n_items, alloc,
+       |    alloc // n_items + CASE WHEN rk <= alloc % n_items THEN 1 ELSE 0 END AS reps
+       |  FROM ranked JOIN a USING (source)),
+       |app AS (SELECT doc_id, source, n_tokens, rk, n_items, alloc,
+       |    CAST(unnest(range(reps)) AS BIGINT) AS epoch
+       |  FROM rep WHERE reps > 0),
+       |manifest AS (SELECT doc_id, source, n_tokens, epoch,
+       |    CAST(epoch * n_items + rk - 1 AS BIGINT) AS appearance,
+       |    CAST((epoch * n_items + rk - 1) * (4611686018427387904 // alloc)
+       |      + (4611686018427387904 // alloc) // 2 AS BIGINT) AS pos_key
+       |  FROM app)""".stripMargin
 
   /** q159 oracle: the four member oracles (q153/q154/q155/q156)
     * embedded verbatim as derived tables and full-outer joined on

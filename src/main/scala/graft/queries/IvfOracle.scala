@@ -77,6 +77,79 @@ object IvfOracle {
        |  CAST((rb.n_cells * s2.s) // 1048576 AS BIGINT) AS imb_q
        |FROM rb, s2""".stripMargin
 
+  /** q172 mirror of [[graft.operators.Similarity
+    * .clusterBalancedSample]]: the argmax-cell assignment (engine
+    * validity filters replayed), the q98 Hamilton chain over the
+    * cell census (√cell-count weights, largest-remainder seats tied
+    * by ascending cell id), and the q101 md5-rank execution within
+    * each cell. */
+  def clusterBalancedSampleSql(nlist: Int = 16, dim: Int = 64,
+      budget: Long = 137L): String =
+    s"""WITH corp AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |cent AS (SELECT vec_id c_id, embedding::DOUBLE[] cv FROM embeddings
+       |  WHERE vec_id < $nlist AND embedding IS NOT NULL AND len(embedding) = $dim),
+       |assign AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT n_id, c_id, row_number() OVER (PARTITION BY n_id
+       |      ORDER BY list_cosine_similarity(v, cv) DESC, c_id ASC) rk
+       |    FROM corp, cent) t WHERE rk = 1),
+       |per AS (SELECT CAST(c_id AS BIGINT) AS cell,
+       |    CAST(count(*) AS BIGINT) AS n_size
+       |  FROM assign GROUP BY 1),
+       |q AS (SELECT *, CAST(floor(sqrt(n_size) * 1048576) AS BIGINT) AS s_q FROM per),
+       |tot AS (SELECT CAST(sum(s_q) AS BIGINT) AS s FROM q),
+       |b AS (SELECT cell, s_q, ($budget * s_q) // s AS base,
+       |    $budget * s_q - (($budget * s_q) // s) * s AS rem FROM q, tot),
+       |l AS (SELECT CAST($budget - sum(base) AS BIGINT) AS leftover FROM b),
+       |a AS (SELECT cell, base + CASE WHEN
+       |      CAST(row_number() OVER (ORDER BY rem DESC, cell ASC) AS BIGINT) <= leftover
+       |    THEN 1 ELSE 0 END AS alloc FROM b, l),
+       |ranked AS (SELECT CAST(n_id AS BIGINT) AS vec_id,
+       |    CAST(c_id AS BIGINT) AS cell,
+       |    CAST(row_number() OVER (PARTITION BY c_id
+       |      ORDER BY md5('graft' || CAST(n_id AS VARCHAR)) ASC, n_id ASC) AS BIGINT) AS rk
+       |  FROM assign)
+       |SELECT vec_id, cell FROM ranked JOIN a USING (cell) WHERE rk <= alloc""".stripMargin
+
+  /** q175 mirror of [[graft.operators.Similarity
+    * .clusterBalancedSampleSheet]]: the q172 assignment + Hamilton
+    * chain closing as the per-cell acceptance sheet (population,
+    * quota, executed keep count, natural vs kept 2^20 fixed-point
+    * shares). */
+  def clusterBalancedSampleSheetSql(nlist: Int = 16, dim: Int = 64,
+      budget: Long = 137L): String =
+    s"""WITH corp AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |cent AS (SELECT vec_id c_id, embedding::DOUBLE[] cv FROM embeddings
+       |  WHERE vec_id < $nlist AND embedding IS NOT NULL AND len(embedding) = $dim),
+       |assign AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT n_id, c_id, row_number() OVER (PARTITION BY n_id
+       |      ORDER BY list_cosine_similarity(v, cv) DESC, c_id ASC) rk
+       |    FROM corp, cent) t WHERE rk = 1),
+       |per AS (SELECT CAST(c_id AS BIGINT) AS cell,
+       |    CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM assign GROUP BY 1),
+       |q AS (SELECT *, CAST(floor(sqrt(n_vecs) * 1048576) AS BIGINT) AS s_q FROM per),
+       |tot AS (SELECT CAST(sum(s_q) AS BIGINT) AS s FROM q),
+       |b AS (SELECT cell, n_vecs, s_q, ($budget * s_q) // s AS base,
+       |    $budget * s_q - (($budget * s_q) // s) * s AS rem FROM q, tot),
+       |l AS (SELECT CAST($budget - sum(base) AS BIGINT) AS leftover FROM b),
+       |a AS (SELECT cell, n_vecs, base + CASE WHEN
+       |      CAST(row_number() OVER (ORDER BY rem DESC, cell ASC) AS BIGINT) <= leftover
+       |    THEN 1 ELSE 0 END AS alloc FROM b, l),
+       |k AS (SELECT cell, n_vecs, alloc,
+       |    least(alloc, n_vecs) AS n_kept FROM a),
+       |t2 AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tv,
+       |    CAST(sum(n_kept) AS BIGINT) AS tk FROM k)
+       |SELECT cell, n_vecs, CAST(alloc AS BIGINT) AS alloc,
+       |  CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST((n_vecs * 1048576) // tv AS BIGINT) AS natural_share_q,
+       |  CAST(CASE WHEN tk > 0 THEN (n_kept * 1048576) // tk ELSE 0 END AS BIGINT)
+       |    AS kept_share_q
+       |FROM k, t2""".stripMargin
+
   def sql(nlist: Int = 16, nprobe: Int = 4, k: Int = 5, qBound: Long = 8,
       iters: Int = 0, dim: Int = 64): String = {
     val refine = refineChain(iters, dim)

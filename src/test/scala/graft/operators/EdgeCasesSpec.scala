@@ -158,4 +158,59 @@ class EdgeCasesSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "source")
     assert(Ensemble.actOnVerdicts(nullId, emptyVerdicts).count() == 0)
   }
+
+  test("interleave/epoch-plan/pack family is total on empty / degenerate inputs") {
+    val empty = Seq.empty[(String, String, Long)]
+      .toDF("doc_id", "source", "n_tokens")
+    assert(Mixing.interleaveManifest(empty, "doc_id", "source", "n_tokens",
+      budget = 100L).count() == 0)
+    assert(Mixing.interleaveMixAudit(empty, "doc_id", "source", "n_tokens",
+      budget = 100L).count() == 0)
+    assert(Mixing.epochPlanSheet(empty, "source", "n_tokens",
+      budgetTokens = 100L).count() == 0)
+    assert(SequencePack.interleavedShardManifest(
+      Mixing.interleaveManifest(empty, "doc_id", "source", "n_tokens", 100L),
+      "source", capacity = 64L, packsPerShard = 2L).count() == 0)
+
+    // a single one-doc source absorbs the whole budget: alloc = budget,
+    // every epoch is that doc, positions cover the grid uniformly
+    val one = Seq(("d1", "solo", 10L)).toDF("doc_id", "source", "n_tokens")
+    val m = Mixing.interleaveManifest(one, "doc_id", "source", "n_tokens",
+      budget = 5L).collect()
+    assert(m.length == 5 && m.forall(_.getAs[String]("doc_id") == "d1"))
+    assert(m.map(_.getAs[Long]("epoch")).sorted.toSeq == (0L until 5L))
+    // one source -> every block reads share_q == target_q (dev 0)
+    val audit = Mixing.interleaveMixAudit(one, "doc_id", "source",
+      "n_tokens", budget = 5L, nBlocks = 4).collect()
+    assert(audit.nonEmpty && audit.forall(_.getAs[Long]("dev_q") == 0L))
+
+    // an ALL-zero-weight corpus allocates nothing (no evidence, no
+    // seats — the ANSI-DIV-total branch in sqrtAllocation)
+    val allZero = Seq(("d1", "s", 0L), ("d2", "s", 0L))
+      .toDF("doc_id", "source", "n_tokens")
+    assert(Mixing.interleaveManifest(allZero, "doc_id", "source",
+      "n_tokens", 2L).count() == 0)
+    assert(Mixing.sqrtAllocation(allZero, "source", "n_tokens", 2L)
+      .collect().forall(_.getAs[Long]("alloc") == 0L))
+    // a zero-token doc inside a source WITH mass packs zero-width but
+    // still counts as an appearance
+    val zero = Seq(("d1", "s", 0L), ("d2", "s", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val sheet = SequencePack.interleavedShardManifest(
+      Mixing.interleaveManifest(zero, "doc_id", "source", "n_tokens", 2L),
+      "source", capacity = 64L, packsPerShard = 2L).collect()
+    assert(sheet.map(_.getAs[Long]("n_appearances")).sum == 2L &&
+      sheet.map(_.getAs[Long]("n_tokens")).sum == 10L)
+
+    // cluster-balanced sample: empty corpus and empty centroid frame
+    val noV = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val someV = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.clusterBalancedSample(noV, someV, budget = 5L,
+      dim = 2).count() == 0)
+    assert(Similarity.clusterBalancedSample(someV, noV, budget = 5L,
+      dim = 2).count() == 0, "no centroids -> no cells -> nothing kept")
+    assert(Mixing.epochPlanSheet(one, "source", "n_tokens",
+      budgetTokens = 0L).collect().forall(r =>
+        r.getAs[Long]("alloc_tokens") == 0L && r.getAs[Long]("capped") == 0L))
+  }
 }

@@ -419,4 +419,117 @@ class MixingSpec extends AnyFunSuite {
     assert(Mixing.dsirResampleTokens(docs, tokenBudgetPermille = 0).count() == 0L)
     assert(Mixing.dsirResampleTokens(docs, tokenBudgetPermille = 1000).count() == 400L)
   }
+
+  test("interleaveManifest: stride lattice, epoch-major bijection, per-prefix mix") {
+    // sizes 900/100 tokens -> sqrt weights 3:1; budget 80 -> alloc 60/20
+    val items = ((1 to 9).map(i => (s"a$i", "a", 100L)) ++
+      Seq(("b1", "b", 100L))).toDF("doc_id", "source", "n_tokens")
+    val rows = Mixing.interleaveManifest(items, "doc_id", "source",
+      "n_tokens", budget = 80L).collect()
+    assert(rows.length == 80, "Σ rows = budget")
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.view.mapValues(_.length).toMap == Map("a" -> 60, "b" -> 20))
+
+    val grid = 4611686018427387904L // 2^62
+    for ((src, rs, alloc, nItems) <- Seq(
+        ("a", bySource("a"), 60L, 9L), ("b", bySource("b"), 20L, 1L))) {
+      // appearance is a bijection onto [0, alloc)
+      val apps = rs.map(_.getAs[Long]("appearance")).sorted.toSeq
+      assert(apps == (0L until alloc), s"$src appearances not dense")
+      // the stride key formula, recomputed in plain Scala
+      val stride = grid / alloc
+      assert(rs.forall(r => r.getAs[Long]("pos_key") ==
+        r.getAs[Long]("appearance") * stride + stride / 2),
+        s"$src pos_key != appearance·stride + stride/2")
+      // epoch-major: a doc's appearances are congruent mod n_items
+      // (each epoch is one full md5-ordered pass over the group)
+      for (docRows <- rs.groupBy(_.getAs[String]("doc_id")).values)
+        assert(docRows.map(_.getAs[Long]("appearance") % nItems).toSet.size == 1,
+          s"$src repeats not spaced n_items apart")
+    }
+
+    // THE stride guarantee: every prefix of the (pos_key, source,
+    // appearance) order carries each source within ±2 of its
+    // proportional share — the property an md5 shuffle only has in
+    // expectation
+    val ordered = rows.sortBy(r => (r.getAs[Long]("pos_key"),
+      r.getAs[String]("source"), r.getAs[Long]("appearance")))
+    var na = 0L; var n = 0L
+    for (r <- ordered) {
+      n += 1; if (r.getAs[String]("source") == "a") na += 1
+      assert(math.abs(na - n * 60.0 / 80.0) <= 2.0,
+        s"prefix $n carries a at $na (proportional ${n * 0.75})")
+    }
+
+    // pure function of the data; degenerate budgets
+    val re = Mixing.interleaveManifest(items.repartition(7), "doc_id",
+      "source", "n_tokens", budget = 80L)
+      .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("epoch"),
+        r.getAs[Long]("pos_key"))).toSet
+    assert(re == rows.map(r => (r.getAs[String]("doc_id"),
+      r.getAs[Long]("epoch"), r.getAs[Long]("pos_key"))).toSet)
+    assert(Mixing.interleaveManifest(items, "doc_id", "source", "n_tokens",
+      budget = 0L).count() == 0L)
+    assert(Mixing.interleaveManifest(items.limit(0), "doc_id", "source",
+      "n_tokens", budget = 10L).count() == 0L)
+  }
+
+  test("interleaveMixAudit: blocks carry each group near its allocated share") {
+    // sizes 900/100 -> alloc 240/80 at budget 320; 16 blocks of ~20
+    val items = ((1 to 9).map(i => (s"a$i", "a", 100L)) ++
+      Seq(("b1", "b", 100L))).toDF("doc_id", "source", "n_tokens")
+    val sheet = Mixing.interleaveMixAudit(items, "doc_id", "source",
+      "n_tokens", budget = 320L, nBlocks = 16).collect()
+    // every (block, group) cell materializes: 16 × 2
+    assert(sheet.length == 32, s"expected 16×2 cells, got ${sheet.length}")
+    assert(sheet.map(_.getAs[Long]("n_appearances")).sum == 320L)
+    // per-group totals re-sum to the allocation
+    val perGroup = sheet.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_appearances")).sum).toMap
+    assert(perGroup == Map("a" -> 240L, "b" -> 80L))
+    // targets are the allocated shares; deviations stay within ±1
+    // appearance of a ~20-row block (2^20/20 ≈ 52429)
+    assert(sheet.forall(r => r.getAs[Long]("target_q") ==
+      (if (r.getAs[String]("source") == "a") 240L * 1048576L / 320L
+       else 80L * 1048576L / 320L)))
+    assert(sheet.forall(r => math.abs(r.getAs[Long]("dev_q")) <= 60000L),
+      s"worst dev_q = ${sheet.map(r => math.abs(r.getAs[Long]("dev_q"))).max}")
+    assert(sheet.forall(r => r.getAs[Long]("dev_q") ==
+      r.getAs[Long]("share_q") - r.getAs[Long]("target_q")))
+    // empty corpus -> empty sheet
+    assert(Mixing.interleaveMixAudit(items.limit(0), "doc_id", "source",
+      "n_tokens", budget = 320L).count() == 0L)
+  }
+
+  test("epochPlanSheet: exact allocations, the repeat ceiling, stranded budget") {
+    // one 900-token source, one 100-token source, one zero-token source
+    val items = Seq(("a", 900L), ("b", 100L), ("z", 0L))
+      .toDF("source", "n_tokens")
+    val m = Mixing.epochPlanSheet(items, "source", "n_tokens",
+      budgetTokens = 4000L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // sqrt weights 3:1:0 -> allocs 3000/1000/0 exactly (no remainder)
+    assert(m("a").getAs[Long]("alloc_tokens") == 3000L)
+    assert(m("b").getAs[Long]("alloc_tokens") == 1000L)
+    assert(m("z").getAs[Long]("alloc_tokens") == 0L)
+    // a: 3000/900 = 3.33 epochs = 213 in 1/64 units — under the 4-epoch
+    // ceiling, nothing stranded
+    assert(m("a").getAs[Long]("epochs_q") == 3000L * 64L / 900L)
+    assert(m("a").getAs[Long]("eff_tokens") == 3000L &&
+      m("a").getAs[Long]("unused_tokens") == 0L &&
+      m("a").getAs[Long]("capped") == 0L)
+    // b: 10 epochs wanted, ceiling spends 256·100/64 = 400 tokens,
+    // strands 600
+    assert(m("b").getAs[Long]("epochs_q") == 640L)
+    assert(m("b").getAs[Long]("eff_tokens") == 400L &&
+      m("b").getAs[Long]("unused_tokens") == 600L &&
+      m("b").getAs[Long]("capped") == 1L)
+    // z: no tokens to repeat — NULL epochs, zero spend, uncapped at
+    // zero quota
+    assert(m("z").isNullAt(m("z").fieldIndex("epochs_q")))
+    assert(m("z").getAs[Long]("eff_tokens") == 0L &&
+      m("z").getAs[Long]("capped") == 0L)
+    // Σ alloc = budget even with the degenerate group present
+    assert(m.values.map(_.getAs[Long]("alloc_tokens")).sum == 4000L)
+  }
 }

@@ -293,4 +293,45 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       .select(expr("CAST(map_entries(lrmap) AS STRING)"), col("lr0_q")))
     invariant(Mixing.resampleCutRow(_, budgetPermille = 250))
   }
+
+  test("interleave manifest and mix audit are partition-invariant") {
+    def pop(d: DataFrame): DataFrame = d.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+        .as("n_tokens"))
+    invariant(d => Mixing.interleaveManifest(pop(d), "doc_id", "source",
+      "n_tokens", budget = 1200L))
+    invariant(d => Mixing.interleaveMixAudit(pop(d), "doc_id", "source",
+      "n_tokens", budget = 1200L, nBlocks = 16))
+  }
+
+  test("epoch plan sheet is partition-invariant") {
+    invariant(d => Mixing.epochPlanSheet(d.select(col("source"),
+      graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+        .as("n_tokens")), "source", "n_tokens", budgetTokens = 110000L))
+  }
+
+  test("interleaved shard manifest is partition-invariant") {
+    invariant(d => SequencePack.interleavedShardManifest(
+      Mixing.interleaveManifest(d.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+          .as("n_tokens")), "doc_id", "source", "n_tokens", budget = 1200L),
+      "source", capacity = 2048L, packsPerShard = 16L))
+  }
+
+  test("cluster-balanced sample is partition-invariant") {
+    val e = Tables.embeddings(spark, sf001)
+    val cents = e.filter(col("vec_id") < 16)
+    val base = rows(Similarity.clusterBalancedSample(e, cents, budget = 137L))
+    assert(base.nonEmpty)
+    assert(rows(Similarity.clusterBalancedSample(e.repartition(7), cents,
+      budget = 137L)) == base, "7-way hash repartition")
+    assert(rows(Similarity.clusterBalancedSample(
+      e.orderBy(col("vec_id").desc), cents, budget = 137L)) == base,
+      "reordered input")
+    val sheetBase = rows(Similarity.clusterBalancedSampleSheet(e, cents,
+      budget = 137L))
+    assert(sheetBase.nonEmpty)
+    assert(rows(Similarity.clusterBalancedSampleSheet(e.repartition(7), cents,
+      budget = 137L)) == sheetBase, "sheet: 7-way hash repartition")
+  }
 }

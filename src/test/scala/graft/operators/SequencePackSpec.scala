@@ -81,4 +81,55 @@ class SequencePackSpec extends AnyFunSuite {
     assert(rs.forall(_.getLong(4) >= 1L))
     assert(rs.map(_.getLong(2)).toSeq == rs.map(_.getLong(2)).toSeq.sorted)
   }
+
+  test("interleaved shard manifest: two-level kernel == local scan; every shard carries the mix") {
+    // the MixingSpec 3:1 fixture: alloc 60/20 at budget 80, every
+    // appearance 100 tokens — pack at 1000 tokens (10 appearances),
+    // 2 packs per shard -> 4 shards of 20 appearances
+    val items = ((1 to 9).map(i => (s"a$i", "a", 100L)) ++
+      Seq(("b1", "b", 100L))).toDF("doc_id", "source", "n_tokens")
+    val manifest = Mixing.interleaveManifest(items, "doc_id", "source",
+      "n_tokens", budget = 80L)
+    val sheet = SequencePack.interleavedShardManifest(manifest, "source",
+      capacity = 1000L, packsPerShard = 2L)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_appearances"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("max_span"), r.getAs[Long]("boundary_crossers"),
+          r.getAs[Long]("n_sources")))).toMap
+
+    // local reference: global prefix scan over the stride order
+    val ordered = manifest.collect().sortBy(r => (r.getAs[Long]("pos_key"),
+      r.getAs[String]("source"), r.getAs[Long]("appearance")))
+    var cum = 0L
+    val ref = ordered.map { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val first = cum / 1000L
+      val last = (cum + math.max(n, 1L) - 1L) / 1000L
+      cum += n
+      (r.getAs[String]("source"), n, first / 2L, last / 2L, last - first + 1L)
+    }
+    val refSheet = ref.groupBy(_._3).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._2).sum,
+        rs.map(_._5).max, rs.count(x => x._4 != x._3).toLong,
+        rs.map(_._1).distinct.length.toLong)
+    }.toMap
+    assert(sheet == refSheet,
+      s"two-level kernel must equal the global scan: $sheet vs $refSheet")
+
+    // totals partition the manifest; 100-token appearances at cap
+    // 1000 never cross a boundary
+    assert(sheet.values.map(_._1).sum == 80L)
+    assert(sheet.values.forall(_._4 == 0L))
+    // THE interleave reading: every shard carries BOTH sources —
+    // per-shard loss estimates full-mixture loss
+    assert(sheet.values.forall(_._5 == 2L),
+      s"every shard must carry the full mix: $sheet")
+    // a doc-id-ordered pack of the same rows would give single-source
+    // shards (the contrast the n_sources column exists to show):
+    // 60 a-appearances then 20 b's -> shards 0..2 pure 'a', shard 3 pure 'b'
+    // (sanity-check the contrast locally, no operator call needed)
+    val contrast = (Seq.fill(60)("a") ++ Seq.fill(20)("b")).grouped(20)
+      .map(_.distinct.length).toSeq
+    assert(contrast == Seq(1, 1, 1, 1))
+  }
 }

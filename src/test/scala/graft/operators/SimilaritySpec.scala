@@ -860,4 +860,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sqErr < pqErr / 10.0,
       s"SQ8 at 16x the bytes must cut distortion by >10x: sq=$sqErr pq=$pqErr")
   }
+
+  test("cluster-balanced sample: √mass quotas per cell, md5-rank execution, determinism") {
+    // three axis-aligned clusters of very different mass: 16/4/1
+    // vectors hugging e0/e1/e2 — argmax-cosine assignment to the axis
+    // centroids is unambiguous by construction
+    def near(axis: Int, i: Int): Array[Float] = {
+      val v = Array.fill(3)(0.0f); v(axis) = 1.0f
+      v((axis + 1) % 3) = 0.001f * (i + 1); v
+    }
+    val vecs = ((0 until 16).map(i => (10L + i, near(0, i))) ++
+      (0 until 4).map(i => (30L + i, near(1, i))) ++
+      Seq((40L, near(2, 0)))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+
+    // cell masses 16/4/1 -> √mass weights 4:2:1 -> budget 7 allocates
+    // exactly 4/2/1 (no remainder seats)
+    val kept = Similarity.clusterBalancedSample(vecs, cents, budget = 7L, dim = 3)
+      .collect()
+    assert(kept.length == 7)
+    val perCell = kept.groupBy(_.getAs[Long]("cell"))
+      .view.mapValues(_.length).toMap
+    assert(perCell == Map(0L -> 4, 1L -> 2, 2L -> 1),
+      s"√mass flattening: dominant cell damped, singleton kept whole — got $perCell")
+
+    // the kept prefix is the md5 order within each cell, recomputed in
+    // plain Scala (the executeSqrtAllocation contract)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect0 = (0 until 16).map(i => 10L + i)
+      .sortBy(id => (md5hex("graft" + id), id)).take(4).toSet
+    assert(kept.filter(_.getAs[Long]("cell") == 0L)
+      .map(_.getAs[Long]("vec_id")).toSet == expect0)
+
+    // pure function of the data; budget ≥ corpus keeps everything
+    val re = Similarity.clusterBalancedSample(vecs.repartition(5), cents,
+      budget = 7L, dim = 3).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(re == kept.map(_.getAs[Long]("vec_id")).toSet)
+    assert(Similarity.clusterBalancedSample(vecs, cents, budget = 100L,
+      dim = 3).count() == 21L, "quota > cell size keeps the whole cell")
+
+    // the acceptance sheet pins to the executed sample and SHOWS the
+    // flattening the √-mass allocation claims
+    val sheet = Similarity.clusterBalancedSampleSheet(vecs, cents,
+      budget = 7L, dim = 3)
+      .collect().map(r => r.getAs[Long]("cell") -> r).toMap
+    assert(sheet.keySet == Set(0L, 1L, 2L))
+    assert(sheet.view.mapValues(_.getAs[Long]("n_kept")).toMap ==
+      perCell.map { case (c, n) => c -> n.toLong },
+      "sheet n_kept must equal the actual per-cell sample counts")
+    // dominant cell damped: kept share 4/7 < natural 16/21;
+    // singleton boosted: 1/7 > 1/21
+    val dom = sheet(0L); val rare = sheet(2L)
+    assert(dom.getAs[Long]("kept_share_q") < dom.getAs[Long]("natural_share_q"))
+    assert(rare.getAs[Long]("kept_share_q") > rare.getAs[Long]("natural_share_q"))
+    assert(sheet.values.forall(r => r.getAs[Long]("n_kept") ==
+      math.min(r.getAs[Long]("alloc"), r.getAs[Long]("n_vecs"))))
+  }
 }

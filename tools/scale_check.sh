@@ -87,7 +87,17 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   "q168_resample_budget_sweep",
   // q169 re-pays q161 once, then the q71 chain over the kept corpus --
   // the claim is cost ~ q161 + q71-on-the-smaller-resampled-corpus
-  "q169_resample_release")
+  "q169_resample_release",
+  // round-13 widening: the interleave manifest re-pays the q102 plan
+  // (pruned quota pass + ONE group-key ranking shuffle) with map-side
+  // key arithmetic on top -- the claim is NO global sort and shuffle
+  // ~ q102's; the audit adds one (block, source) rollup over the
+  // budget-bounded manifest
+  "q170_interleave_manifest", "q171_interleave_mix_audit",
+  // the cluster-balanced sample re-pays the ivfAssign argmax (one
+  // exchange row per vector) + one cell-keyed ranking shuffle; the
+  // epoch plan is exactly q98's plan (corpus agg + sheet windows)
+  "q172_cluster_balanced_sample", "q173_epoch_plan","q174_interleaved_shards","q175_cluster_sample_sheet")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
