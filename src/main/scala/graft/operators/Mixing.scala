@@ -325,6 +325,105 @@ object Mixing {
       .withColumn("dev_q", col("share_q") - col("target_q"))
   }
 
+  /** Curriculum PHASED interleave — [[interleaveManifest]] with a
+    * training-phase dimension: the caller tags every item with a
+    * phase index in `[0, nPhases)` (read order: phase 0 first — e.g.
+    * q125's LM-quality tail→middle→head, the anneal-the-cleanest-last
+    * curriculum many pipelines run), the 2^62 grid splits into
+    * `nPhases` equal slices, and each phase stride-interleaves its
+    * own slice. Phase budgets are the PROPORTIONAL (α=1) Hamilton
+    * split of the total budget over phase size mass — the curriculum
+    * reorders, it does not rebalance phases (rebalancing is the
+    * α=1/2 step's job WITHIN each phase, where the per-source
+    * sqrt-Hamilton runs exactly as q170). Every step is the q170
+    * arithmetic with (phase, group) keys: appearance = epoch·n_items
+    * + rank−1 within (phase, group), stride S = (GRID DIV nPhases)
+    * DIV alloc, pos_key = phase·(GRID DIV nPhases) + appearance·S +
+    * S DIV 2 — strictly inside the phase's slice (appearance·S + S/2
+    * < alloc·S ≤ GRID DIV nPhases), so phases can NEVER interleave
+    * with each other and within a phase every prefix carries every
+    * source at its allocated share. NULL keys join no population;
+    * NULL/out-of-range phases are the caller's bug (require-d on the
+    * declared range at plan level is impossible — they form their own
+    * slice arithmetic and are excluded by the [0, nPhases) filter,
+    * documented).
+    *
+    * Output: the item columns plus `(epoch, appearance, pos_key)`.
+    * Scale shape: ONE extra sheet pass over q170's audited plan (the
+    * P-row phase-budget Hamilton and the (phase, group)-keyed quota
+    * sheet are both tiny); the ranking window keys on
+    * (phase, group) — strictly finer partitions than q170's own. */
+  def phasedInterleave(items: DataFrame, keyCol: String, groupCol: String,
+      sizeCol: String, phaseCol: String, nPhases: Int, budget: Long,
+      salt: String = "graft"): DataFrame = {
+    require(nPhases >= 1 && nPhases <= 1048576,
+      s"nPhases must be in [1, 2^20], got $nPhases")
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val slice = InterleaveGrid / nPhases
+    val pop = items.filter(col(keyCol).isNotNull &&
+      col(phaseCol) >= 0L && col(phaseCol) < nPhases.toLong)
+    // phase budgets: proportional Hamilton over phase size mass
+    // (ties by phase index ascending; zero total mass -> zero seats,
+    // the sqrtAllocation convention)
+    val wholeW = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val phaseBudgets = pop
+      .groupBy(col(phaseCol).cast("long").as("__p"))
+      .agg(sum(col(sizeCol)).cast("long").as("__pm"))
+      .withColumn("__tm", sum(col("__pm")).over(wholeW))
+      .withColumn("__pb", expr(
+        s"CAST(CASE WHEN __tm = 0 THEN 0 ELSE ($budget * __pm) DIV __tm END AS BIGINT)"))
+      .withColumn("__prem", lit(budget) * col("__pm") - col("__pb") * col("__tm"))
+      .withColumn("__pleft", when(col("__tm") === 0L, lit(0L))
+        .otherwise(lit(budget) - sum(col("__pb")).over(wholeW)))
+      .withColumn("__prk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__prem").desc, col("__p").asc)))
+      .select(col("__p"),
+        (col("__pb") + when(col("__prk") <= col("__pleft"), 1L).otherwise(0L))
+          .as("__pbudget"))
+    // per-(phase, source) sqrt-Hamilton within each phase's budget
+    val wPhase = org.apache.spark.sql.expressions.Window.partitionBy(col("__p"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val quotas = pop
+      .groupBy(col(phaseCol).cast("long").as("__p"), col(groupCol))
+      .agg(count(lit(1)).as("n_items"), sum(col(sizeCol)).cast("long").as("__gm"))
+      .withColumn("s_q", floor(sqrt(col("__gm")) * lit(Q)).cast("long"))
+      .withColumn("__s", sum(col("s_q")).over(wPhase))
+      .join(broadcast(phaseBudgets), Seq("__p"))
+      .withColumn("base", expr(
+        "CAST(CASE WHEN __s = 0 THEN 0 ELSE (__pbudget * s_q) DIV __s END AS BIGINT)"))
+      .withColumn("__rem", col("__pbudget") * col("s_q") - col("base") * col("__s"))
+      .withColumn("__left", when(col("__s") === 0L, lit(0L))
+        .otherwise(col("__pbudget") - sum(col("base")).over(wPhase)))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__p"))
+          .orderBy(col("__rem").desc, col(groupCol).asc)))
+      .select(col("__p"), col(groupCol), col("n_items"),
+        (col("base") + when(col("__rank") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p"), col(groupCol))
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))).asc,
+        col(keyCol).asc)
+      .rowsBetween(Long.MinValue, 0)
+    val outCols = pop.columns.toSeq
+    pop.withColumn("__p", col(phaseCol).cast("long"))
+      .join(broadcast(quotas), Seq("__p", groupCol))
+      .withColumn("__rk", count(lit(1)).over(w))
+      .withColumn("__reps",
+        expr("CAST(alloc DIV n_items AS BIGINT)") +
+          when(col("__rk") <= col("alloc") % col("n_items"), 1L).otherwise(0L))
+      .filter(col("__reps") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__reps") - lit(1L))))
+      .withColumn("appearance",
+        col("epoch") * col("n_items") + col("__rk") - lit(1L))
+      .withColumn("__stride", expr(s"CAST($slice DIV alloc AS BIGINT)"))
+      .select(outCols.map(col) ++ Seq(col("epoch"), col("appearance"),
+        (col("__p") * lit(slice) + col("appearance") * col("__stride") +
+          expr("CAST(__stride DIV 2 AS BIGINT)")).as("pos_key")): _*)
+  }
+
   /** Token-budget EPOCH PLAN — the data-constrained-scaling sheet
     * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
     * Models", arXiv 2305.16264 — public): when the training token

@@ -126,14 +126,19 @@ object SequencePack {
       capacity: Long, packsPerShard: Long): DataFrame = {
     require(capacity > 0, s"pack capacity must be positive: $capacity")
     require(packsPerShard > 0, s"packsPerShard must be positive: $packsPerShard")
-    val t = manifest
+    // materialize: `t` feeds BOTH the bucket-subtotal branch and the
+    // assignment join, and Spark does not share the common subtree —
+    // without this the whole upstream manifest chain (quota pass +
+    // ranking window) would run twice (the q161 scored-frame
+    // convention)
+    val t = Dedup.materialize(manifest
       .select(col(groupCol).as("__g"), col("appearance"), col("pos_key"),
         col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("n_tokens",
         when(col("n_tokens") >= 0L, col("n_tokens")).otherwise(raise_error(concat(
           lit("negative n_tokens at appearance="),
           col("appearance").cast("string"))).cast("long")))
-      .withColumn("__b", expr("pos_key div 4398046511104")) // 2^42
+      .withColumn("__b", expr("pos_key div 4398046511104"))) // 2^42
     val subtotals = t.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
     val exclusiveBuckets = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)

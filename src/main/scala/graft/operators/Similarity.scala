@@ -415,9 +415,13 @@ object Similarity {
     if (d <= 0) return embs.sparkSession.emptyDataFrame
       .select(lit(0L).as("vec_id"), lit(0L).as("cell"))
       .limit(0)
-    val assigned = ivfAssign(embs, centroids, d)
+    // materialize: executeSqrtAllocation reads its population TWICE
+    // (quota pass + keep-set join) and the argmax assignment is not a
+    // pruned-scan re-read — without this the crossJoin argmax would
+    // run twice (the q161 scored-frame convention)
+    val assigned = Dedup.materialize(ivfAssign(embs, centroids, d)
       .select(col("n_id").as("vec_id"), col("c_id").cast("long").as("cell"),
-        lit(1L).as("__one"))
+        lit(1L).as("__one")))
     graft.operators.Mixing.executeSqrtAllocation(
         assigned, "vec_id", "cell", "__one", budget, salt)
       .select(col("vec_id"), col("cell"))

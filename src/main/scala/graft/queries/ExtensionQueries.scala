@@ -4091,19 +4091,180 @@ object ExtensionQueries {
         Tables.embeddings(s, d).filter(col("vec_id") < 16),
         budget = 137L),
       Some(IvfOracle.clusterBalancedSampleSheetSql(
-        nlist = 16, dim = 64, budget = 137L)))
+        nlist = 16, dim = 64, budget = 137L))),
+
+    QuerySpec(
+      "q176_policy_training_order",
+      """Policy→TRAINING-ORDER capstone — the q167 convention extended
+        |one stage past the release table, all the way to the
+        |trainer's work order: the q162 feed verdicts act on the raw
+        |corpus ([[graft.operators.Ensemble.applyFeedPolicy]] — drop
+        |feeds vanish, damped feeds keep their md5-bucket half), the
+        |acted corpus allocates and interleaves through the q170
+        |stride schedule, and the q174 pack kernel emits the shard
+        |manifest the trainer consumes — acquisition evidence →
+        |policy act → mixture allocation → training order → shard
+        |work-order in ONE oracled relation (the oracle chains the
+        |q164 acted CTE into the interleave chain re-rooted on it,
+        |then the pack closing, all verbatim — no stage can drift
+        |from its standalone query). Scale shape: q164's audited act
+        |(sources-sized evidence + one broadcast join + map-side
+        |bucket filter), then q170's audited plan over the (smaller)
+        |acted corpus, then the budget-bounded pack — every stage
+        |keeps its own audited shape.""".stripMargin,
+      (s, d) => {
+        val acted = graft.operators.Ensemble.applyFeedPolicy(
+          Tables.documents(s, d),
+          col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        graft.operators.SequencePack.interleavedShardManifest(
+          graft.operators.Mixing.interleaveManifest(
+            acted.select(col("doc_id"), col("source"),
+              TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+                .as("n_tokens")),
+            "doc_id", "source", "n_tokens", budget = 1200L),
+          "source", capacity = ManifestCapacity,
+          packsPerShard = ManifestPacksPerShard)
+      },
+      Some(s"""WITH RECURSIVE acted AS MATERIALIZED (
+             |${policyActSql("source IN ('src0','src1','src2','src3','src4')",
+                 selectCols = "d.doc_id, d.source, d.text")}
+             |),
+             |${interleaveChainSql(1200L, from = "acted")},
+             |ord AS (SELECT source, n_tokens, appearance, pos_key,
+             |    CAST(coalesce(sum(n_tokens) OVER (
+             |      ORDER BY pos_key, source, appearance
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+             |  FROM manifest),
+             |p AS (SELECT source, n_tokens,
+             |    cb // $ManifestCapacity AS pack_first,
+             |    (cb + greatest(n_tokens, 1) - 1) // $ManifestCapacity AS pack_last
+             |  FROM ord)
+             |SELECT pack_first // $ManifestPacksPerShard AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_appearances,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |  CAST(max(pack_last - pack_first + 1) AS BIGINT) AS max_span,
+             |  CAST(sum(CASE WHEN pack_last // $ManifestPacksPerShard <> pack_first // $ManifestPacksPerShard
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS boundary_crossers,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+             |FROM p GROUP BY 1""".stripMargin)),
+
+    QuerySpec(
+      "q177_curriculum_order",
+      """Quality-CURRICULUM training order ([[graft.operators.Mixing
+        |.phasedInterleave]] over the q125 LM-quality buckets) — the
+        |anneal-the-cleanest-last schedule: the corpus's own CCNet
+        |buckets become phases (tail=0 read first, middle=1, head=2
+        |last; 'empty' docs have nothing to train on and are
+        |excluded), the 2^62 grid splits into three slices, phase
+        |budgets are the PROPORTIONAL Hamilton split of the 1200
+        |budget over phase token mass (the curriculum reorders, it
+        |does not rebalance phases), and within each phase the q170
+        |stride interleave runs per source — so phases can NEVER
+        |interleave with each other while every within-phase prefix
+        |still carries every source at its allocated share. All
+        |BIGINT on (phase, source)-keyed totals — bitwise-oracled
+        |(the q125 recursive chain embedded verbatim, then the
+        |phased allocation replayed). Scale shape: q125's audited
+        |scoring once, then q170's audited plan with strictly FINER
+        |window partitions ((phase, source) keys) and two extra
+        |sheet-sized Hamilton passes.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val phases = graft.operators.Phrases.lmQualityBuckets(docs, "text")
+          .select(col("doc_id"),
+            when(col("bucket") === "tail", 0L)
+              .when(col("bucket") === "middle", 1L)
+              .when(col("bucket") === "head", 2L).as("phase"))
+          .filter(col("phase").isNotNull)
+        graft.operators.Mixing.phasedInterleave(
+          docs.join(phases, "doc_id")
+            .select(col("doc_id"), col("source"), col("phase"),
+              TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+                .as("n_tokens")),
+          "doc_id", "source", "n_tokens", "phase", nPhases = 3,
+          budget = 1200L)
+      },
+      Some(curriculumOrderSql(1200L)))
   )
 
-  /** Shared q170/q171 manifest CTE chain: the q102 allocation chain
-    * (pop → per → q → tot → b → l → a → ranked → rep) extended with
-    * the epoch-major appearance index and the 2^62-grid stride keys,
-    * closing as a `manifest` relation — [[graft.operators.Mixing
-    * .interleaveManifest]] replayed relationally so q170 and its
-    * q171 audit cannot drift. */
-  private def interleaveChainSql(budget: Long): String =
+  /** q177 oracle: the q125 recursive quality chain embedded verbatim
+    * as the phase map (tail→0, middle→1, head→2, empty excluded),
+    * then [[graft.operators.Mixing.phasedInterleave]] replayed
+    * relationally — proportional phase-budget Hamilton, per-phase
+    * sqrt-Hamilton across sources, the (phase, source)-ranked
+    * epoch-major appearances, and the phase-sliced stride keys. */
+  private def curriculumOrderSql(budget: Long): String = {
+    val slice = 4611686018427387904L / 3
+    s"""WITH qb AS (SELECT doc_id, CAST(CASE bucket
+       |      WHEN 'tail' THEN 0 WHEN 'middle' THEN 1 WHEN 'head' THEN 2
+       |    END AS BIGINT) AS phase FROM (
+       |${BpeOracle.unigramQualitySql()}
+       |) tq),
+       |pop AS (SELECT d.doc_id, d.source, qb.phase,
+       |    CAST(len(string_split_regex(coalesce(d.text, ''), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN qb USING (doc_id)
+       |  WHERE d.doc_id IS NOT NULL AND qb.phase IS NOT NULL),
+       |pm AS (SELECT phase, CAST(sum(n_tokens) AS BIGINT) AS pmass FROM pop GROUP BY 1),
+       |ptot AS (SELECT CAST(sum(pmass) AS BIGINT) AS tm FROM pm),
+       |pb AS (SELECT phase, pmass, tm,
+       |    CASE WHEN tm = 0 THEN 0 ELSE ($budget * pmass) // tm END AS pbase,
+       |    $budget * pmass
+       |      - (CASE WHEN tm = 0 THEN 0 ELSE ($budget * pmass) // tm END) * tm AS prem
+       |  FROM pm, ptot),
+       |pl AS (SELECT CAST($budget - sum(pbase) AS BIGINT) AS pleft,
+       |    max(tm) AS tm FROM pb),
+       |pa AS (SELECT phase, pbase + CASE WHEN
+       |      CAST(row_number() OVER (ORDER BY prem DESC, phase ASC) AS BIGINT)
+       |        <= (CASE WHEN pl.tm = 0 THEN 0 ELSE pl.pleft END)
+       |    THEN 1 ELSE 0 END AS pbudget FROM pb, pl),
+       |per2 AS (SELECT phase, source, CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(n_tokens) AS BIGINT) AS gm FROM pop GROUP BY 1, 2),
+       |q2 AS (SELECT *, CAST(floor(sqrt(gm) * 1048576) AS BIGINT) AS s_q FROM per2),
+       |s2 AS (SELECT phase, CAST(sum(s_q) AS BIGINT) AS s FROM q2 GROUP BY 1),
+       |b2 AS (SELECT q2.phase, source, n_items, s_q, s, pbudget,
+       |    CASE WHEN s = 0 THEN 0 ELSE (pbudget * s_q) // s END AS base
+       |  FROM q2 JOIN s2 USING (phase) JOIN pa USING (phase)),
+       |r2 AS (SELECT *, pbudget * s_q - base * s AS rem FROM b2),
+       |l2 AS (SELECT phase, CAST(max(pbudget) - sum(base) AS BIGINT) AS leftover,
+       |    max(s) AS s FROM r2 GROUP BY 1),
+       |a2 AS (SELECT r2.phase, r2.source, r2.n_items,
+       |    base + CASE WHEN
+       |        CAST(row_number() OVER (PARTITION BY r2.phase
+       |          ORDER BY rem DESC, source ASC) AS BIGINT)
+       |          <= (CASE WHEN l2.s = 0 THEN 0 ELSE l2.leftover END)
+       |      THEN 1 ELSE 0 END AS alloc
+       |  FROM r2 JOIN l2 ON r2.phase = l2.phase),
+       |ranked2 AS (SELECT doc_id, source, phase, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY phase, source
+       |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM pop),
+       |rep2 AS (SELECT doc_id, source, phase, n_tokens, rk, n_items, alloc,
+       |    alloc // n_items + CASE WHEN rk <= alloc % n_items THEN 1 ELSE 0 END AS reps
+       |  FROM ranked2 JOIN a2 USING (phase, source)),
+       |app2 AS (SELECT doc_id, source, phase, n_tokens, rk, n_items, alloc,
+       |    CAST(unnest(range(reps)) AS BIGINT) AS epoch
+       |  FROM rep2 WHERE reps > 0)
+       |SELECT doc_id, source, phase, n_tokens, epoch,
+       |  CAST(epoch * n_items + rk - 1 AS BIGINT) AS appearance,
+       |  CAST(phase * $slice
+       |    + (epoch * n_items + rk - 1) * ($slice // alloc)
+       |    + ($slice // alloc) // 2 AS BIGINT) AS pos_key
+       |FROM app2""".stripMargin
+  }
+
+  /** Shared q170/q171/q174/q176 manifest CTE chain: the q102
+    * allocation chain (pop → per → q → tot → b → l → a → ranked →
+    * rep) extended with the epoch-major appearance index and the
+    * 2^62-grid stride keys, closing as a `manifest` relation —
+    * [[graft.operators.Mixing.interleaveManifest]] replayed
+    * relationally so the manifest and every sheet built on it cannot
+    * drift. `from` re-roots the population (q176 passes the
+    * policy-acted corpus). */
+  private def interleaveChainSql(budget: Long,
+      from: String = "documents"): String =
     s"""pop AS (SELECT doc_id, source,
        |    CAST(len(string_split_regex(coalesce(text, ''), '\\s+')) AS BIGINT) AS n_tokens
-       |  FROM documents WHERE doc_id IS NOT NULL),
+       |  FROM $from WHERE doc_id IS NOT NULL),
        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
        |    CAST(sum(n_tokens) AS BIGINT) AS n_size
        |  FROM pop GROUP BY 1),

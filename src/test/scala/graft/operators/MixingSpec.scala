@@ -501,6 +501,59 @@ class MixingSpec extends AnyFunSuite {
       "n_tokens", budget = 320L).count() == 0L)
   }
 
+  test("phasedInterleave: phases slice the grid in order; within-phase is the q170 machinery") {
+    // phase 0: a=900/b=100 token groups; phase 1: c=400 tokens.
+    // masses 1000:400 -> budget 70 splits 50/20 exactly
+    val items = ((1 to 9).map(i => (s"a$i", "a", 0L, 100L)) ++
+      Seq(("b1", "b", 0L, 100L)) ++
+      (1 to 4).map(i => (s"c$i", "c", 1L, 100L)))
+      .toDF("doc_id", "source", "phase", "n_tokens")
+    val rows = Mixing.phasedInterleave(items, "doc_id", "source",
+      "n_tokens", "phase", nPhases = 2, budget = 70L).collect()
+    assert(rows.length == 70, "Σ rows = budget")
+    val byPhase = rows.groupBy(_.getAs[Long]("phase"))
+    assert(byPhase.view.mapValues(_.length).toMap == Map(0L -> 50, 1L -> 20),
+      "phase budgets are the proportional Hamilton split of token mass")
+    // within phase 0 the sqrt-Hamilton runs: weights 3:1 -> 37/13?
+    // exact: s_q 30Q/10Q, S=40Q, base a=(50*30Q)//40Q=37, b=12,
+    // rems 20Q/20Q equal -> seat by source asc -> a gets it? wait:
+    // 50*30/40 = 37.5 -> base 37 rem .5*40Q=20Q; 50*10/40 = 12.5 ->
+    // base 12 rem 20Q; leftover 1; tie by source asc -> a. So 38/12.
+    val phase0 = byPhase(0L).groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length).toMap
+    assert(phase0 == Map("a" -> 38, "b" -> 12),
+      s"within-phase sqrt-Hamilton with the name tie-break: $phase0")
+    // the grid slices in phase order and never interleaves:
+    // every phase-0 key < every phase-1 key
+    val slice = 4611686018427387904L / 2
+    assert(byPhase(0L).forall(_.getAs[Long]("pos_key") < slice))
+    assert(byPhase(1L).forall(r => r.getAs[Long]("pos_key") >= slice))
+    // within a phase, appearances are dense per (phase, source)
+    for ((g, alloc) <- Seq(("a", 38L), ("b", 12L))) {
+      val apps = byPhase(0L).filter(_.getAs[String]("source") == g)
+        .map(_.getAs[Long]("appearance")).sorted.toSeq
+      assert(apps == (0L until alloc), s"phase 0/$g appearances not dense")
+    }
+
+    // nPhases = 1 with all phases 0 is BITWISE interleaveManifest
+    val flat = items.filter(org.apache.spark.sql.functions.col("phase") === 0L)
+    val one = Mixing.phasedInterleave(flat, "doc_id", "source",
+      "n_tokens", "phase", nPhases = 1, budget = 80L)
+      .select("doc_id", "epoch", "appearance", "pos_key")
+      .collect().map(_.toSeq).toSet
+    val ref = Mixing.interleaveManifest(flat.drop("phase"), "doc_id",
+      "source", "n_tokens", budget = 80L)
+      .select("doc_id", "epoch", "appearance", "pos_key")
+      .collect().map(_.toSeq).toSet
+    assert(one == ref, "nPhases=1 degenerates to the unphased manifest")
+
+    // out-of-range / null phases join no population
+    val dirty = items.union(Seq(("z1", "z", 7L, 100L))
+      .toDF("doc_id", "source", "phase", "n_tokens"))
+    assert(Mixing.phasedInterleave(dirty, "doc_id", "source", "n_tokens",
+      "phase", nPhases = 2, budget = 70L).count() == 70L)
+  }
+
   test("epochPlanSheet: exact allocations, the repeat ceiling, stranded budget") {
     // one 900-token source, one 100-token source, one zero-token source
     val items = Seq(("a", 900L), ("b", 100L), ("z", 0L))

@@ -318,6 +318,33 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       "source", capacity = 2048L, packsPerShard = 16L))
   }
 
+  test("policy-to-training-order capstone is partition-invariant") {
+    val pos = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    invariant(d => SequencePack.interleavedShardManifest(
+      Mixing.interleaveManifest(Ensemble.applyFeedPolicy(d, pos)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+            .as("n_tokens")), "doc_id", "source", "n_tokens", budget = 1200L),
+      "source", capacity = 2048L, packsPerShard = 16L))
+  }
+
+  test("curriculum phased interleave is partition-invariant") {
+    invariant { d =>
+      val phases = Phrases.lmQualityBuckets(d, "text")
+        .select(col("doc_id"),
+          when(col("bucket") === "tail", 0L)
+            .when(col("bucket") === "middle", 1L)
+            .when(col("bucket") === "head", 2L).as("phase"))
+        .filter(col("phase").isNotNull)
+      Mixing.phasedInterleave(
+        d.join(phases, "doc_id").select(col("doc_id"), col("source"),
+          col("phase"),
+          graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+            .as("n_tokens")),
+        "doc_id", "source", "n_tokens", "phase", nPhases = 3, budget = 1200L)
+    }
+  }
+
   test("cluster-balanced sample is partition-invariant") {
     val e = Tables.embeddings(spark, sf001)
     val cents = e.filter(col("vec_id") < 16)
