@@ -427,6 +427,65 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** INCREMENTAL cluster-balanced sample — the q114 frozen-decision
+    * convention applied to [[clusterBalancedSample]], completing the
+    * incremental family for the sampling member (q68 minhash, q82
+    * IVF drift, q105 clusters, q109 BPE, q114 SemDeDup, q119
+    * boilerplate): an incoming batch is admitted against the
+    * STANDING sample without ever displacing it. The standing side's
+    * census fixes the per-cell Hamilton quotas (the persisted
+    * allocation of the standing index) and its kept set is frozen at
+    * `min(alloc, n_standing)` per cell ([[clusterBalancedSample]]'s
+    * own construction); a new vector assigns to the STANDING-seeded
+    * cells and is kept iff its md5 rank within the batch's cell
+    * cohort fits the cell's RESIDUAL seats `max(0, alloc −
+    * n_standing)`. Deliberate inversion worth reading twice: unlike
+    * the feed policy's pass-whole rule for unseen feeds (q164), a
+    * frozen ALLOCATION admits nothing outside its census — a new
+    * vector in a cell the standing corpus never populated (or one
+    * already at quota) reads kept = 0, and that rejected mass is the
+    * refresh signal (the q82 drift report decides when to re-run the
+    * full q172). Output: the BATCH's `(vec_id, cell, kept)`
+    * disposition only, the q114 shape.
+    *
+    * Scale shape: ONE assignment pass over the full frame (map-side
+    * argmax, materialized once — the standing side's assignment is
+    * persisted state in a real system, replayed here for the
+    * oracle); the quota pass runs on the nlist-sized standing
+    * census; the batch ranks within (cell) cohorts bounded by the
+    * batch, never the corpus. */
+  def incrementalClusterSample(embs: DataFrame, isNewCol: String,
+      centroids: DataFrame, budget: Long, salt: String = "graft",
+      dim: Int = 0): DataFrame = {
+    graft.GraftSession.ensureConfs(embs.sparkSession)
+    val d = if (dim > 0) dim else inferDim(embs)
+    if (d <= 0) return embs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("vec_id"), lit(0L).as("cell"), lit(0L).as("kept"))
+      .limit(0)
+    val flags = embs.select(col("vec_id").as("n_id"),
+      col(isNewCol).cast("boolean").as("__new"))
+    val asg = Dedup.materialize(ivfAssign(embs, centroids, d)
+      .select(col("n_id"), col("c_id").cast("long").as("cell"))
+      .join(flags, "n_id"))
+    val quotas = graft.operators.Mixing.sqrtAllocation(
+        asg.filter(!col("__new")).withColumn("__one", lit(1L)),
+        "cell", "__one", budget)
+      .select(col("cell"), col("n_items").as("__nstd"), col("alloc"))
+    val wNew = Window.partitionBy(col("cell"))
+      .orderBy(md5(concat(lit(salt), col("n_id").cast("string"))).asc,
+        col("n_id").asc)
+      .rowsBetween(Long.MinValue, 0)
+    asg.filter(col("__new"))
+      // left join: a cell with NO standing member has no quota row —
+      // residual 0, nothing admitted (the frozen-census rule)
+      .join(broadcast(quotas), Seq("cell"), "left")
+      .withColumn("__rk", count(lit(1)).over(wNew))
+      .select(col("n_id").as("vec_id"), col("cell"),
+        when(col("__rk") <= greatest(
+          coalesce(col("alloc"), lit(0L)) - coalesce(col("__nstd"), lit(0L)),
+          lit(0L)), 1L).otherwise(0L).as("kept"))
+  }
+
   /** The [[clusterBalancedSample]] ACCEPTANCE SHEET — the family
     * convention that every APPLY ships with its evidence (q147 for the
     * classifier, q166 for the feed policy, q168/q171 for the resample

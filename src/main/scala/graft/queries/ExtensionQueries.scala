@@ -4184,7 +4184,42 @@ object ExtensionQueries {
           "doc_id", "source", "n_tokens", "phase", nPhases = 3,
           budget = 1200L)
       },
-      Some(curriculumOrderSql(1200L)))
+      Some(curriculumOrderSql(1200L))),
+
+    QuerySpec(
+      "q178_incremental_cluster_sample",
+      """Incremental cluster-balanced sample ([[graft.operators
+        |.Similarity.incrementalClusterSample]]) — the q114
+        |frozen-decision convention applied to q172, completing the
+        |incremental family for the sampling member (q68 minhash,
+        |q82 IVF drift, q105 clusters, q109 BPE, q114 SemDeDup, q119
+        |boilerplate): the incoming batch (q68's md5 membership,
+        |is_new ⇔ bucket < 100) is admitted against the STANDING
+        |sample without displacing it — standing census fixes the
+        |per-cell Hamilton quotas, standing kept is frozen at
+        |min(alloc, n_standing), and a new vector keeps iff its md5
+        |rank within the batch's cell cohort fits the cell's RESIDUAL
+        |seats. Deliberate inversion vs q164's pass-whole rule: a
+        |frozen ALLOCATION admits nothing outside its census — new
+        |mass in an unallocated or at-quota cell reads kept = 0, and
+        |that rejected mass is the q82 refresh signal. Output: the
+        |batch's (vec_id, cell, kept) disposition, the q114 shape.
+        |All-BIGINT admission over engine-shared cosines → bitwise
+        |oracle. Scale shape: one materialized argmax pass over the
+        |frame; quotas on the nlist-sized standing census; the batch
+        |ranks within cohorts bounded by the batch, never the
+        |corpus.""".stripMargin,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val flagged = graft.operators.Sampling.withSplitBucket(e, "vec_id")
+          .withColumn("is_new", col("__bucket") < 100).drop("__bucket")
+        val oldSide = flagged.filter(!col("is_new"))
+        graft.operators.Similarity.incrementalClusterSample(
+          flagged, "is_new", oldSide.filter(col("vec_id") < 16),
+          budget = 137L)
+      },
+      Some(IvfOracle.incrementalClusterSampleSql(
+        nlist = 16, dim = 64, budget = 137L, newPermille = 100)))
   )
 
   /** q177 oracle: the q125 recursive quality chain embedded verbatim

@@ -112,6 +112,52 @@ object IvfOracle {
        |  FROM assign)
        |SELECT vec_id, cell FROM ranked JOIN a USING (cell) WHERE rk <= alloc""".stripMargin
 
+  /** q178 mirror of [[graft.operators.Similarity
+    * .incrementalClusterSample]]: the q114 membership split, the
+    * argmax assignment of the FULL frame to standing-seeded cells,
+    * the q98 Hamilton quotas over the STANDING census, and the
+    * batch's md5-rank admission into each cell's residual seats
+    * (cells with no standing row admit nothing). */
+  def incrementalClusterSampleSql(nlist: Int = 16, dim: Int = 64,
+      budget: Long = 137L, newPermille: Int = 100,
+      salt: String = "graft"): String = {
+    val bucket = DecontaminateOracle.bucketExpr(salt, "vec_id")
+    s"""WITH mem AS (SELECT vec_id, (($bucket) % 1000 < $newPermille) is_new
+       |            FROM embeddings WHERE vec_id IS NOT NULL),
+       |alle AS (SELECT vec_id n_id, embedding::DOUBLE[] v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |corp AS (SELECT a.n_id, a.v FROM alle a JOIN mem ON mem.vec_id = a.n_id
+       |         WHERE NOT mem.is_new),
+       |cent AS (SELECT n_id c_id, v cv FROM corp WHERE n_id < $nlist),
+       |assign AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT n_id, c_id, row_number() OVER (PARTITION BY n_id
+       |      ORDER BY list_cosine_similarity(v, cv) DESC, c_id ASC) rk
+       |    FROM alle, cent) t WHERE rk = 1),
+       |per AS (SELECT CAST(a.c_id AS BIGINT) AS cell,
+       |    CAST(count(*) AS BIGINT) AS n_std
+       |  FROM assign a JOIN mem ON mem.vec_id = a.n_id
+       |  WHERE NOT mem.is_new GROUP BY 1),
+       |q AS (SELECT *, CAST(floor(sqrt(n_std) * 1048576) AS BIGINT) AS s_q FROM per),
+       |tot AS (SELECT CAST(sum(s_q) AS BIGINT) AS s FROM q),
+       |b AS (SELECT cell, n_std, s_q, ($budget * s_q) // s AS base,
+       |    $budget * s_q - (($budget * s_q) // s) * s AS rem FROM q, tot),
+       |l AS (SELECT CAST($budget - sum(base) AS BIGINT) AS leftover FROM b),
+       |a AS (SELECT cell, n_std, base + CASE WHEN
+       |      CAST(row_number() OVER (ORDER BY rem DESC, cell ASC) AS BIGINT) <= leftover
+       |    THEN 1 ELSE 0 END AS alloc FROM b, l),
+       |newv AS (SELECT CAST(asg.n_id AS BIGINT) AS vec_id,
+       |    CAST(asg.c_id AS BIGINT) AS cell,
+       |    CAST(row_number() OVER (PARTITION BY asg.c_id
+       |      ORDER BY md5('$salt' || CAST(asg.n_id AS VARCHAR)) ASC, asg.n_id ASC) AS BIGINT) AS rk
+       |  FROM assign asg JOIN mem ON mem.vec_id = asg.n_id
+       |  WHERE mem.is_new)
+       |SELECT n.vec_id, n.cell,
+       |  CAST(CASE WHEN n.rk <= greatest(coalesce(a.alloc, 0) - coalesce(a.n_std, 0), 0)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM newv n LEFT JOIN a ON a.cell = n.cell""".stripMargin
+  }
+
   /** q175 mirror of [[graft.operators.Similarity
     * .clusterBalancedSampleSheet]]: the q172 assignment + Hamilton
     * chain closing as the per-cell acceptance sheet (population,

@@ -361,4 +361,18 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assert(rows(Similarity.clusterBalancedSampleSheet(e.repartition(7), cents,
       budget = 137L)) == sheetBase, "sheet: 7-way hash repartition")
   }
+
+  test("incremental cluster sample is partition-invariant") {
+    val e = Tables.embeddings(spark, sf001)
+    def run(d: DataFrame): DataFrame = {
+      val flagged = Sampling.withSplitBucket(d, "vec_id")
+        .withColumn("is_new", col("__bucket") < 100).drop("__bucket")
+      Similarity.incrementalClusterSample(flagged, "is_new",
+        flagged.filter(!col("is_new") && col("vec_id") < 16), budget = 137L)
+    }
+    val base = rows(run(e))
+    assert(base.nonEmpty)
+    assert(rows(run(e.repartition(7))) == base, "7-way hash repartition")
+    assert(rows(run(e.orderBy(col("vec_id").desc))) == base, "reordered input")
+  }
 }

@@ -920,4 +920,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sheet.values.forall(r => r.getAs[Long]("n_kept") ==
       math.min(r.getAs[Long]("alloc"), r.getAs[Long]("n_vecs"))))
   }
+
+  test("incremental cluster sample: frozen quotas, residual-seat admission, unallocated cells reject") {
+    // 4-d axis clusters. STANDING: 16 near e0, 4 near e1, 1 near e2
+    // (nothing near e3). NEW batch: 50/51 near e2, 60 near e0, 70
+    // near e3. Budget 14 -> standing quotas 8/4/2 exactly (s_q 4:2:1).
+    def near(axis: Int, i: Int): Array[Float] = {
+      val v = Array.fill(4)(0.0f); v(axis) = 1.0f
+      v((axis + 1) % 4) = 0.001f * (i + 1); v
+    }
+    val standing = ((0 until 16).map(i => (10L + i, near(0, i), false)) ++
+      (0 until 4).map(i => (30L + i, near(1, i), false)) ++
+      Seq((40L, near(2, 0), false)))
+    val batch = Seq((50L, near(2, 1), true), (51L, near(2, 2), true),
+      (60L, near(0, 20), true), (70L, near(3, 0), true))
+    val all = (standing ++ batch).toDF("vec_id", "embedding", "is_new")
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.incrementalClusterSample(all, "is_new", cents,
+      budget = 14L, dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("kept")))).toMap
+    assert(out.keySet == Set(50L, 51L, 60L, 70L),
+      "the disposition covers exactly the batch")
+    // cell 0 (alloc 8, standing 16): over quota -> nothing admitted
+    assert(out(60L) == ((0L, 0L)))
+    // cell 3: no standing member -> no quota row -> rejected
+    assert(out(70L) == ((3L, 0L)))
+    // cell 2 (alloc 2, standing 1): ONE residual seat -> the md5-first
+    // of {50, 51} keeps, the other rejects
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val first = Seq(50L, 51L).sortBy(id => (md5hex("graft" + id), id)).head
+    assert(out(first)._2 == 1L && out(Seq(50L, 51L).find(_ != first).get)._2 == 0L,
+      s"residual admission must follow the md5 order: $out")
+    // pure function of the data
+    val re = Similarity.incrementalClusterSample(all.repartition(5), "is_new",
+      cents, budget = 14L, dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("kept")))).toMap
+    assert(re == out)
+  }
 }

@@ -97,7 +97,7 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // the cluster-balanced sample re-pays the ivfAssign argmax (one
   // exchange row per vector) + one cell-keyed ranking shuffle; the
   // epoch plan is exactly q98's plan (corpus agg + sheet windows)
-  "q172_cluster_balanced_sample", "q173_epoch_plan","q174_interleaved_shards","q175_cluster_sample_sheet","q176_policy_training_order","q177_curriculum_order")
+  "q172_cluster_balanced_sample", "q173_epoch_plan","q174_interleaved_shards","q175_cluster_sample_sheet","q176_policy_training_order","q177_curriculum_order","q178_incremental_cluster_sample")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
