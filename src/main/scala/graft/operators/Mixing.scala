@@ -251,6 +251,20 @@ object Mixing {
     val pop = items.filter(col(keyCol).isNotNull)
     val quotas = sqrtAllocation(pop, groupCol, sizeCol, budget)
       .select(col(groupCol), col("n_items"), col("alloc"))
+    manifestOverQuotas(pop, keyCol, groupCol, quotas, salt)
+  }
+
+  /** The stride-manifest TAIL shared by [[interleaveManifest]] and
+    * [[cappedInterleaveManifest]] — broadcast quota join, the q102
+    * md5-rank window, epoch-major appearance explode, and the grid
+    * stride keys — ONE textual definition so the capped order cannot
+    * drift from the uncapped one (at cap = ∞ the two are bitwise
+    * identical by construction; MixingSpec pins it). `quotas` must
+    * carry `(groupCol, n_items, alloc)`. Zero-alloc groups emit no
+    * rows (filtered before the stride division, so `GRID DIV 0` is
+    * never evaluated). */
+  private def manifestOverQuotas(pop: DataFrame, keyCol: String,
+      groupCol: String, quotas: DataFrame, salt: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
       .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))).asc,
         col(keyCol).asc)
@@ -269,6 +283,137 @@ object Mixing {
       .select(outCols.map(col) ++ Seq(col("epoch"), col("appearance"),
         (col("appearance") * col("__stride") +
           expr("CAST(__stride DIV 2 AS BIGINT)")).as("pos_key")): _*)
+  }
+
+  /** Epoch-CEILING-capped [[sqrtAllocation]] — the enforcement member
+    * of the q173 epoch plan: cap every group's quota at
+    * `cap_i = (maxEpochs64 · n_items_i) DIV 64` (the Muennighoff et
+    * al. 2023 repeat ceiling at item granularity — repeated data
+    * decays in value past ~4 epochs, the default 256/64) and
+    * REDISTRIBUTE the stranded budget over the uncapped survivors by
+    * the same largest-remainder rule, iterated to fixpoint. Each
+    * round: the capped groups hold their caps, the residual budget
+    * `budget − Σ_capped cap` Hamilton-allocates over the uncapped
+    * groups' s_q weights (base = floor share, leftover seats by
+    * remainder DESC then group ASC — [[sqrtAllocation]]'s exact
+    * arithmetic), and any group pushed STRICTLY above its cap joins
+    * the capped set. The capped set grows monotonically, so the
+    * iteration terminates in ≤ groups rounds (each non-final round
+    * caps ≥ 1 new group); in practice a handful — the sf0.01 corpus
+    * converges in ≤ 4. At fixpoint no uncapped group exceeds its
+    * ceiling and `Σ alloc = budget` whenever uncapped nonzero weight
+    * remains (Hamilton conserves the residual); when EVERY group is
+    * capped (the q173 infeasible regime) `Σ alloc = Σ cap < budget`
+    * and the stranded mass reads off the sheet as `budget − Σ alloc`.
+    * `maxEpochs64 = ∞` (any value making every cap ≥ budget) is
+    * bitwise [[sqrtAllocation]]: round 1 finds no violator and the
+    * allocation is the uncapped Hamilton (MixingSpec pins it).
+    *
+    * All BIGINT — the whole fixpoint oracles bitwise (the q179 oracle
+    * replays it as a recursive CTE). Overflow headroom: the
+    * [[sqrtAllocation]] bound (`budget · s_q < 2^63`) plus
+    * `maxEpochs64 · n_items < 2^63` — documented, not checked.
+    *
+    * Output: one row per group — `(group, n_items, n_size, s_q, cap,
+    * alloc, capped)` with `alloc ≤ cap` always and `capped` a 0/1
+    * BIGINT flag.
+    *
+    * Scale shape (100 TB): the corpus aggregates ONCE into the
+    * materialized per-group sheet ([[sqrtAllocation]]'s map-side
+    * combine); every fixpoint round is windows over that SHEET
+    * (sources-sized — thousands of rows, never corpus rows) plus one
+    * sheet-sized any-violator action, the [[graft.operators.Phrases]]
+    * bounded-driver-loop precedent. Rounds do not scale with corpus
+    * size — only with the depth of the cap cascade (≤ groups). */
+  def cappedAllocation(items: DataFrame, groupCol: String, sizeCol: String,
+      budget: Long, maxEpochs64: Long = 256L): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(maxEpochs64 >= 1, s"maxEpochs64 must be positive, got $maxEpochs64")
+    graft.GraftSession.ensureConfs(items.sparkSession)
+    val per = Dedup.materialize(items
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"), sum(col(sizeCol)).cast("long").as("n_size"))
+      .withColumn("s_q", floor(sqrt(col("n_size")) * lit(Q)).cast("long"))
+      .withColumn("cap", expr(s"CAST(($maxEpochs64 * n_items) DIV 64 AS BIGINT)")))
+    var state = per
+      .withColumn("capped", lit(false))
+      .withColumn("alloc", lit(0L))
+    var anyViolator = true
+    while (anyViolator) {
+      val next = Dedup.materialize(cappedRound(state, groupCol, budget))
+      // sheet-sized any-violator probe (the bounded BPE-loop idiom);
+      // `next` is materialized, so the probe re-reads cached rows
+      anyViolator = next.filter(col("__viol")).limit(1).count() > 0
+      state = next
+        .withColumn("capped", col("capped") || col("__viol"))
+        .withColumn("alloc",
+          when(col("capped") || col("__viol"), col("cap")).otherwise(col("alloc")))
+        .drop("__viol")
+    }
+    state.select(col(groupCol), col("n_items"), col("n_size"), col("s_q"),
+      col("cap"), col("alloc"),
+      when(col("capped"), 1L).otherwise(0L).as("capped"))
+  }
+
+  /** One [[cappedAllocation]] round over the state sheet `(group,
+    * n_items, n_size, s_q, cap, capped, alloc)`: capped groups hold
+    * their caps, the residual budget Hamilton-allocates over the
+    * uncapped, and `__viol` marks groups pushed strictly above their
+    * cap this round. All windows run over the sources-sized sheet. */
+  private def cappedRound(state: DataFrame, groupCol: String,
+      budget: Long): DataFrame =
+    state
+      .withColumn("__su",
+        sum(when(col("capped"), 0L).otherwise(col("s_q"))).over(whole))
+      .withColumn("__bres", lit(budget) -
+        sum(when(col("capped"), col("cap")).otherwise(0L)).over(whole))
+      .withColumn("__base", when(col("capped"), lit(null).cast("long"))
+        .otherwise(expr(
+          "CAST(CASE WHEN __su = 0 THEN 0 ELSE (__bres * s_q) DIV __su END AS BIGINT)")))
+      .withColumn("__rem",
+        col("__bres") * col("s_q") - col("__base") * col("__su"))
+      .withColumn("__left", when(col("__su") === 0L, lit(0L))
+        .otherwise(col("__bres") -
+          sum(when(col("capped"), 0L).otherwise(col("__base"))).over(whole)))
+      // uncapped first (false < true), then the Hamilton remainder
+      // order; capped rows carry NULL __rem and sort last either way
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("capped").asc, col("__rem").desc_nulls_last,
+            col(groupCol).asc)))
+      .withColumn("alloc", when(col("capped"), col("cap"))
+        .otherwise(col("__base") +
+          when(col("__rank") <= col("__left"), 1L).otherwise(0L)))
+      .withColumn("__viol", !col("capped") && col("alloc") > col("cap"))
+      .select(col(groupCol), col("n_items"), col("n_size"), col("s_q"),
+        col("cap"), col("capped"), col("alloc"), col("__viol"))
+
+  /** [[interleaveManifest]] with the q173 epoch ceiling ENFORCED — the
+    * training order shipped when a √-mass-boosted tiny source must not
+    * repeat past the decay regime: quotas come from
+    * [[cappedAllocation]] (caps + iterated-Hamilton redistribution)
+    * and the stride-manifest tail is [[interleaveManifest]]'s own
+    * ([[manifestOverQuotas]] — one textual definition). Per group at
+    * most `(maxEpochs64 · n_items) DIV 64` appearances, i.e. no item
+    * repeats more than ⌈maxEpochs64/64⌉ epochs; `Σ rows = budget`
+    * whenever uncapped nonzero weight remains, `Σ cap < budget` rows
+    * in the all-capped infeasible regime (the stranded budget is the
+    * q173 sheet's `unused` signal — audit it before training). At
+    * `maxEpochs64 = ∞` this is bitwise [[interleaveManifest]].
+    *
+    * Output: the item columns plus `(epoch, appearance, pos_key)`.
+    * Scale shape: [[cappedAllocation]]'s one corpus agg + sheet-round
+    * fixpoint, then [[interleaveManifest]]'s audited tail (broadcast
+    * quotas, ONE group-key shuffle, budget-bounded explode — no
+    * global sort). */
+  def cappedInterleaveManifest(items: DataFrame, keyCol: String,
+      groupCol: String, sizeCol: String, budget: Long,
+      maxEpochs64: Long = 256L, salt: String = "graft"): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val pop = items.filter(col(keyCol).isNotNull)
+    val quotas = cappedAllocation(pop, groupCol, sizeCol, budget, maxEpochs64)
+      .select(col(groupCol), col("n_items"), col("alloc"))
+    manifestOverQuotas(pop, keyCol, groupCol, quotas, salt)
   }
 
   /** The [[interleaveManifest]] ACCEPTANCE SHEET — per position block,
@@ -424,6 +569,71 @@ object Mixing {
           expr("CAST(__stride DIV 2 AS BIGINT)")).as("pos_key")): _*)
   }
 
+  /** The [[phasedInterleave]] ACCEPTANCE SHEET — the family
+    * convention that every APPLY ships its evidence (q147 for the
+    * classifier, q166 for the policy, q168/q171 for resample and
+    * interleave), closing the one member that shipped without it:
+    * per (phase, block, group), is each PHASE SLICE of the curriculum
+    * internally mixed at its allocated shares? Each phase's grid
+    * slice is cut into `nBlocks` equal sub-slices MAP-SIDE (pos_key
+    * is a grid coordinate; `block = (pos_key − phase·slice) DIV
+    * (slice DIV nBlocks)`, last block absorbing the remainder) and
+    * every cell reports its appearance count, its within-block
+    * share, the group's allocated share WITHIN THAT PHASE, and the
+    * signed deviation — targets re-derived from the manifest by
+    * summation, not re-joined from the quota pass (the q171
+    * one-definition rule). A bad phase mix is otherwise invisible
+    * until training: phases never interleave with each other, so
+    * only this per-phase reading can catch a slice that degenerated
+    * to a provenance-sorted slab. Shares are exact 2^20 fixed-point
+    * floor divisions — bitwise oracle (q180). Empty corpus → empty
+    * sheet.
+    *
+    * Output: `(phaseCol, block, group, n_appearances, share_q,
+    * target_q, dev_q)` with `share_q = n·2^20 DIV block_total`,
+    * `target_q = phase_alloc·2^20 DIV phase_total`; the stride
+    * lattice bounds `|dev_q|` at ±1 appearance per group per block
+    * edge within each phase.
+    *
+    * Scale shape: the manifest's audited plan (q177), a map-side
+    * block projection, ONE map-side-combined (phase, block, group)
+    * aggregation, and three windows over the resulting
+    * nPhases×nBlocks×groups SHEET — the deliberate sheet-sized
+    * pattern the plan net whitelists. */
+  def phasedMixAudit(items: DataFrame, keyCol: String, groupCol: String,
+      sizeCol: String, phaseCol: String, nPhases: Int, budget: Long,
+      nBlocks: Int = 16, salt: String = "graft"): DataFrame = {
+    require(nBlocks >= 1 && nBlocks <= 65536,
+      s"nBlocks must be in [1, 65536], got $nBlocks")
+    val slice = InterleaveGrid / nPhases
+    val blockW = slice / nBlocks // ≥ 2^26 at the maximal 2^20 × 2^16
+    val wBlock = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(phaseCol), col("block"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val wGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(phaseCol), col(groupCol))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val wPhase = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(phaseCol))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    phasedInterleave(items, keyCol, groupCol, sizeCol, phaseCol, nPhases,
+        budget, salt)
+      .select(col(groupCol), col(phaseCol).cast("long").as(phaseCol),
+        least(
+          expr(s"CAST((pos_key - CAST($phaseCol AS BIGINT) * ${slice}L) " +
+            s"DIV ${blockW}L AS BIGINT)"),
+          lit(nBlocks - 1L)).as("block"))
+      .groupBy(col(phaseCol), col("block"), col(groupCol))
+      .agg(count(lit(1)).as("n_appearances"))
+      .withColumn("__bt", sum(col("n_appearances")).over(wBlock))
+      .withColumn("__alloc", sum(col("n_appearances")).over(wGroup))
+      .withColumn("__pt", sum(col("n_appearances")).over(wPhase))
+      .select(col(phaseCol), col("block"), col(groupCol), col("n_appearances"),
+        expr("CAST((n_appearances * 1048576) DIV __bt AS BIGINT)").as("share_q"),
+        expr("CAST((__alloc * 1048576) DIV __pt AS BIGINT)").as("target_q"))
+      .withColumn("dev_q", col("share_q") - col("target_q"))
+  }
+
   /** Token-budget EPOCH PLAN — the data-constrained-scaling sheet
     * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
     * Models", arXiv 2305.16264 — public): when the training token
@@ -441,9 +651,13 @@ object Mixing {
     * granularity, `epochs_q = (alloc·64) DIV n_size` the 1/64-epoch
     * fixed point (the log2q granularity convention), `eff_tokens =
     * min(alloc, (maxEpochs64·n_size) DIV 64)` the ceiling-respecting
-    * spend, `unused_tokens` the stranded mass, `capped` the 0/1 flag
-    * (a zero-token source with a nonzero quota is capped by
-    * definition). Overflow headroom: `alloc·64 < 2^63` ⇒ budgets to
+    * spend, `unused_tokens` the stranded mass, `capped` the 0/1 flag.
+    * A zero-token source always reads alloc = 0 / capped = 0: its
+    * weight is 0, so its Hamilton base and remainder are both 0, and
+    * the largest-remainder leftover (= Σ fractional parts, ≤ the
+    * count of nonzero-remainder groups) never reaches a
+    * zero-remainder row (the MixingSpec expectation). Overflow
+    * headroom: `alloc·64 < 2^63` ⇒ budgets to
     * 2^57 tokens exact; `maxEpochs64·n_size < 2^63` ⇒ at the default
     * ceiling (4 epochs = 256/64) sources to 2^55 tokens — documented,
     * not checked, the [[sqrtAllocation]] convention.

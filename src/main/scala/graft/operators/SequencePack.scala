@@ -44,9 +44,12 @@ object SequencePack {
       // extra validation pass: the error branch is dead code on valid
       // data (a negative count would silently corrupt every LATER
       // document's pack assignment through the prefix sums)
+      // NULL also lands here (NULL >= 0 is NULL, not true) — a NULL
+      // count has no defined width in the concatenation either
       .withColumn("n_tokens",
         when(col("n_tokens") >= 0L, col("n_tokens")).otherwise(raise_error(concat(
-          lit("negative n_tokens for doc_id="), col("doc_id").cast("string"))).cast("long")))
+          lit("negative or NULL n_tokens for doc_id="),
+          coalesce(col("doc_id").cast("string"), lit("NULL")))).cast("long")))
       .withColumn("__b", expr("doc_id div " + bucketWidth))
     val subtotals = t.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
     val exclusiveBuckets = Window.orderBy(col("__b"))
@@ -134,10 +137,13 @@ object SequencePack {
     val t = Dedup.materialize(manifest
       .select(col(groupCol).as("__g"), col("appearance"), col("pos_key"),
         col("n_tokens").cast("long").as("n_tokens"))
+      // NULL also lands here (NULL >= 0 is NULL, not true):
+      // interleaveManifest guarantees non-null sizes only for its own
+      // outputs, not for caller-built frames
       .withColumn("n_tokens",
         when(col("n_tokens") >= 0L, col("n_tokens")).otherwise(raise_error(concat(
-          lit("negative n_tokens at appearance="),
-          col("appearance").cast("string"))).cast("long")))
+          lit("negative or NULL n_tokens at appearance="),
+          coalesce(col("appearance").cast("string"), lit("NULL")))).cast("long")))
       .withColumn("__b", expr("pos_key div 4398046511104"))) // 2^42
     val subtotals = t.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
     val exclusiveBuckets = Window.orderBy(col("__b"))

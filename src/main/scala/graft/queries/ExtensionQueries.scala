@@ -4100,28 +4100,34 @@ object ExtensionQueries {
         |trainer's work order: the q162 feed verdicts act on the raw
         |corpus ([[graft.operators.Ensemble.applyFeedPolicy]] — drop
         |feeds vanish, damped feeds keep their md5-bucket half), the
-        |acted corpus allocates and interleaves through the q170
-        |stride schedule, and the q174 pack kernel emits the shard
+        |acted corpus allocates and interleaves through the q179
+        |EPOCH-CAPPED stride schedule (the policy shrinks the corpus
+        |under a fixed 1200 budget — exactly the regime that pushes
+        |boosted small survivors past the Muennighoff 4-epoch decay
+        |ceiling, so the capstone ships the capped allocation, not
+        |the raw q170 one), and the q174 pack kernel emits the shard
         |manifest the trainer consumes — acquisition evidence →
-        |policy act → mixture allocation → training order → shard
-        |work-order in ONE oracled relation (the oracle chains the
-        |q164 acted CTE into the interleave chain re-rooted on it,
-        |then the pack closing, all verbatim — no stage can drift
-        |from its standalone query). Scale shape: q164's audited act
-        |(sources-sized evidence + one broadcast join + map-side
-        |bucket filter), then q170's audited plan over the (smaller)
-        |acted corpus, then the budget-bounded pack — every stage
-        |keeps its own audited shape.""".stripMargin,
+        |policy act → capped mixture allocation → training order →
+        |shard work-order in ONE oracled relation (the oracle chains
+        |the q164 acted CTE into the recursive capped chain re-rooted
+        |on it, then the pack closing, all verbatim — no stage can
+        |drift from its standalone query). Scale shape: q164's
+        |audited act (sources-sized evidence + one broadcast join +
+        |map-side bucket filter), then q179's audited plan over the
+        |(smaller) acted corpus — one corpus agg + sheet-round
+        |fixpoint + the q170 tail — then the budget-bounded
+        |pack.""".stripMargin,
       (s, d) => {
         val acted = graft.operators.Ensemble.applyFeedPolicy(
           Tables.documents(s, d),
           col("source").isin("src0", "src1", "src2", "src3", "src4"))
         graft.operators.SequencePack.interleavedShardManifest(
-          graft.operators.Mixing.interleaveManifest(
+          graft.operators.Mixing.cappedInterleaveManifest(
             acted.select(col("doc_id"), col("source"),
               TextFunctions.tokenCount(coalesce(col("text"), lit("")))
                 .as("n_tokens")),
-            "doc_id", "source", "n_tokens", budget = 1200L),
+            "doc_id", "source", "n_tokens", budget = 1200L,
+            maxEpochs64 = 256L),
           "source", capacity = ManifestCapacity,
           packsPerShard = ManifestPacksPerShard)
       },
@@ -4129,7 +4135,7 @@ object ExtensionQueries {
              |${policyActSql("source IN ('src0','src1','src2','src3','src4')",
                  selectCols = "d.doc_id, d.source, d.text")}
              |),
-             |${interleaveChainSql(1200L, from = "acted")},
+             |${cappedInterleaveChainSql(1200L, 256L, from = "acted")},
              |ord AS (SELECT source, n_tokens, appearance, pos_key,
              |    CAST(coalesce(sum(n_tokens) OVER (
              |      ORDER BY pos_key, source, appearance
@@ -4219,16 +4225,95 @@ object ExtensionQueries {
           budget = 137L)
       },
       Some(IvfOracle.incrementalClusterSampleSql(
-        nlist = 16, dim = 64, budget = 137L, newPermille = 100)))
+        nlist = 16, dim = 64, budget = 137L, newPermille = 100))),
+
+    QuerySpec(
+      "q179_capped_interleave",
+      """Epoch-CEILING-capped training order ([[graft.operators.Mixing
+        |.cappedInterleaveManifest]]) — the q173 Muennighoff ceiling
+        |ENFORCED in the q170 interleave allocation, closing the gap
+        |between the plan sheet and the shipped order: every source's
+        |quota caps at (256·n_items) DIV 64 = 4 epochs, the stranded
+        |budget REDISTRIBUTES over the uncapped survivors by the same
+        |largest-remainder rule iterated to fixpoint (capped set grows
+        |monotonically — ≤ sources rounds; this corpus converges in
+        |4: budget 2000 over ~25-doc sources lands 18 capped and 2
+        |open, Σ alloc = 2000 conserved), and the stride-manifest
+        |tail is q170's own shared definition — at cap = ∞ the order
+        |is bitwise q170 (MixingSpec pins it). All BIGINT: the oracle
+        |replays the fixpoint as a recursive CTE (each step holds
+        |caps, Hamilton-allocates the residual, caps strict
+        |violators, stops when none) into the shared manifest tail.
+        |Scale shape: ONE corpus agg into the materialized
+        |sources-sized sheet, fixpoint rounds as sheet-only windows
+        |(never corpus rows), then q170's audited tail — broadcast
+        |quotas, ONE group-key shuffle, budget-bounded
+        |explode.""".stripMargin,
+      (s, d) => graft.operators.Mixing.cappedInterleaveManifest(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")),
+        "doc_id", "source", "n_tokens", budget = 2000L, maxEpochs64 = 256L),
+      Some(s"""WITH RECURSIVE ${cappedInterleaveChainSql(2000L, 256L)}
+             |SELECT doc_id, source, n_tokens, epoch, appearance, pos_key
+             |FROM manifest""".stripMargin)),
+
+    QuerySpec(
+      "q180_curriculum_mix_audit",
+      """Curriculum ACCEPTANCE SHEET ([[graft.operators.Mixing
+        |.phasedMixAudit]]) — the family convention that every APPLY
+        |ships its evidence (q147 classifier, q166 policy, q168/q171
+        |resample/interleave), closing the one member that shipped
+        |without it: per (phase, block, source) of the q177 order, is
+        |each PHASE SLICE internally mixed at its allocated shares?
+        |Each phase's grid slice cuts into 8 equal sub-slices
+        |MAP-SIDE (pos_key arithmetic — no global rank), and every
+        |cell reports its appearance count, within-block share, the
+        |source's within-PHASE allocated share, and the signed
+        |deviation — targets re-derived from the manifest by
+        |summation (the q171 one-definition rule). Phases never
+        |interleave with each other, so only this per-phase reading
+        |catches a slice that degenerated to a provenance-sorted
+        |slab — a bad phase mix is otherwise invisible until
+        |training. Exact 2^20 fixed-point shares — bitwise oracle
+        |(the shared q177 chain closed by the audit rollup). Scale
+        |shape: q177's audited plan + a map-side block projection +
+        |ONE map-side-combined (phase, block, source) agg + three
+        |windows over the 3×8×sources SHEET.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val phases = graft.operators.Phrases.lmQualityBuckets(docs, "text")
+          .select(col("doc_id"),
+            when(col("bucket") === "tail", 0L)
+              .when(col("bucket") === "middle", 1L)
+              .when(col("bucket") === "head", 2L).as("phase"))
+          .filter(col("phase").isNotNull)
+        graft.operators.Mixing.phasedMixAudit(
+          docs.join(phases, "doc_id")
+            .select(col("doc_id"), col("source"), col("phase"),
+              TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+                .as("n_tokens")),
+          "doc_id", "source", "n_tokens", "phase", nPhases = 3,
+          budget = 1200L, nBlocks = 8)
+      },
+      Some(curriculumMixAuditSql(1200L, nBlocks = 8)))
   )
 
-  /** q177 oracle: the q125 recursive quality chain embedded verbatim
-    * as the phase map (tail→0, middle→1, head→2, empty excluded),
-    * then [[graft.operators.Mixing.phasedInterleave]] replayed
-    * relationally — proportional phase-budget Hamilton, per-phase
-    * sqrt-Hamilton across sources, the (phase, source)-ranked
-    * epoch-major appearances, and the phase-sliced stride keys. */
-  private def curriculumOrderSql(budget: Long): String = {
+  /** q177 oracle: `SELECT *` over the shared
+    * [[curriculumChainSql]]'s closing `cman` relation. */
+  private def curriculumOrderSql(budget: Long): String =
+    s"""${curriculumChainSql(budget)}
+       |SELECT doc_id, source, phase, n_tokens, epoch, appearance, pos_key
+       |FROM cman""".stripMargin
+
+  /** Shared q177/q180 curriculum CTE chain: the q125 recursive
+    * quality chain embedded verbatim as the phase map (tail→0,
+    * middle→1, head→2, empty excluded), then [[graft.operators
+    * .Mixing.phasedInterleave]] replayed relationally — proportional
+    * phase-budget Hamilton, per-phase sqrt-Hamilton across sources,
+    * the (phase, source)-ranked epoch-major appearances, and the
+    * phase-sliced stride keys — closing as relation `cman` so the
+    * order and its acceptance sheet cannot drift. */
+  private def curriculumChainSql(budget: Long): String = {
     val slice = 4611686018427387904L / 3
     s"""WITH qb AS (SELECT doc_id, CAST(CASE bucket
        |      WHEN 'tail' THEN 0 WHEN 'middle' THEN 1 WHEN 'head' THEN 2
@@ -4278,31 +4363,86 @@ object ExtensionQueries {
        |  FROM ranked2 JOIN a2 USING (phase, source)),
        |app2 AS (SELECT doc_id, source, phase, n_tokens, rk, n_items, alloc,
        |    CAST(unnest(range(reps)) AS BIGINT) AS epoch
-       |  FROM rep2 WHERE reps > 0)
-       |SELECT doc_id, source, phase, n_tokens, epoch,
+       |  FROM rep2 WHERE reps > 0),
+       |cman AS (SELECT doc_id, source, phase, n_tokens, epoch,
        |  CAST(epoch * n_items + rk - 1 AS BIGINT) AS appearance,
        |  CAST(phase * $slice
        |    + (epoch * n_items + rk - 1) * ($slice // alloc)
        |    + ($slice // alloc) // 2 AS BIGINT) AS pos_key
-       |FROM app2""".stripMargin
+       |FROM app2)""".stripMargin
   }
 
-  /** Shared q170/q171/q174/q176 manifest CTE chain: the q102
-    * allocation chain (pop → per → q → tot → b → l → a → ranked →
-    * rep) extended with the epoch-major appearance index and the
-    * 2^62-grid stride keys, closing as a `manifest` relation —
-    * [[graft.operators.Mixing.interleaveManifest]] replayed
-    * relationally so the manifest and every sheet built on it cannot
-    * drift. `from` re-roots the population (q176 passes the
-    * policy-acted corpus). */
-  private def interleaveChainSql(budget: Long,
-      from: String = "documents"): String =
+  /** q180 oracle: the shared [[curriculumChainSql]] closed by the
+    * per-(phase, block, source) audit rollup — blocks are map-side
+    * sub-slices of each phase's grid slice, targets the within-phase
+    * allocation shares re-derived from `cman` by summation. */
+  private def curriculumMixAuditSql(budget: Long, nBlocks: Int): String = {
+    val slice = 4611686018427387904L / 3
+    val blockW = slice / nBlocks
+    s"""${curriculumChainSql(budget)},
+       |blk AS (SELECT phase, source,
+       |    least((pos_key - phase * $slice) // $blockW,
+       |      CAST(${nBlocks - 1} AS BIGINT)) AS block
+       |  FROM cman),
+       |cells AS (SELECT phase, block, source,
+       |    CAST(count(*) AS BIGINT) AS n_appearances
+       |  FROM blk GROUP BY 1, 2, 3),
+       |w AS (SELECT phase, block, source, n_appearances,
+       |    sum(n_appearances) OVER (PARTITION BY phase, block) AS bt,
+       |    sum(n_appearances) OVER (PARTITION BY phase, source) AS palloc,
+       |    sum(n_appearances) OVER (PARTITION BY phase) AS pt
+       |  FROM cells)
+       |SELECT phase, block, source, n_appearances,
+       |  CAST((n_appearances * 1048576) // bt AS BIGINT) AS share_q,
+       |  CAST((palloc * 1048576) // pt AS BIGINT) AS target_q,
+       |  CAST((n_appearances * 1048576) // bt
+       |    - (palloc * 1048576) // pt AS BIGINT) AS dev_q
+       |FROM w""".stripMargin
+  }
+
+  /** The q170 population + per-source census CTEs (`pop`, `per`) —
+    * shared by the uncapped and capped allocation chains. */
+  private def interleavePopSql(from: String): String =
     s"""pop AS (SELECT doc_id, source,
        |    CAST(len(string_split_regex(coalesce(text, ''), '\\s+')) AS BIGINT) AS n_tokens
        |  FROM $from WHERE doc_id IS NOT NULL),
        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
        |    CAST(sum(n_tokens) AS BIGINT) AS n_size
-       |  FROM pop GROUP BY 1),
+       |  FROM pop GROUP BY 1)""".stripMargin
+
+  /** The stride-manifest tail CTEs (`ranked` → `manifest`) over `pop`
+    * and an allocation CTE `a(source, n_items, alloc)` — the SQL twin
+    * of [[graft.operators.Mixing]]'s shared `manifestOverQuotas`, ONE
+    * textual definition for the q170 and q179 chains. */
+  // lazy: the specs vals earlier in this object interpolate this at
+  // their own initialization (a plain val would still be null there)
+  private lazy val interleaveManifestTailSql: String =
+    """ranked AS (SELECT doc_id, source, n_tokens,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rk
+      |  FROM pop),
+      |rep AS (SELECT doc_id, source, n_tokens, rk, n_items, alloc,
+      |    alloc // n_items + CASE WHEN rk <= alloc % n_items THEN 1 ELSE 0 END AS reps
+      |  FROM ranked JOIN a USING (source)),
+      |app AS (SELECT doc_id, source, n_tokens, rk, n_items, alloc,
+      |    CAST(unnest(range(reps)) AS BIGINT) AS epoch
+      |  FROM rep WHERE reps > 0),
+      |manifest AS (SELECT doc_id, source, n_tokens, epoch,
+      |    CAST(epoch * n_items + rk - 1 AS BIGINT) AS appearance,
+      |    CAST((epoch * n_items + rk - 1) * (4611686018427387904 // alloc)
+      |      + (4611686018427387904 // alloc) // 2 AS BIGINT) AS pos_key
+      |  FROM app)""".stripMargin
+
+  /** Shared q170/q171/q174 manifest CTE chain: the q102 allocation
+    * chain (pop → per → qq → tot → b → l → a) extended with the
+    * shared [[interleaveManifestTailSql]] (epoch-major appearances +
+    * 2^62-grid stride keys), closing as a `manifest` relation —
+    * [[graft.operators.Mixing.interleaveManifest]] replayed
+    * relationally so the manifest and every sheet built on it cannot
+    * drift. `from` re-roots the population. */
+  private def interleaveChainSql(budget: Long,
+      from: String = "documents"): String =
+    s"""${interleavePopSql(from)},
        |qq AS (SELECT *, CAST(floor(sqrt(n_size) * 1048576) AS BIGINT) AS s_q FROM per),
        |tot AS (SELECT CAST(sum(s_q) AS BIGINT) AS s FROM qq),
        |b AS (SELECT source, n_items, s_q, ($budget * s_q) // s AS base,
@@ -4311,21 +4451,65 @@ object ExtensionQueries {
        |a AS (SELECT source, n_items, base + CASE WHEN
        |      CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) <= leftover
        |    THEN 1 ELSE 0 END AS alloc FROM b, l),
-       |ranked AS (SELECT doc_id, source, n_tokens,
-       |    CAST(row_number() OVER (PARTITION BY source
-       |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rk
-       |  FROM pop),
-       |rep AS (SELECT doc_id, source, n_tokens, rk, n_items, alloc,
-       |    alloc // n_items + CASE WHEN rk <= alloc % n_items THEN 1 ELSE 0 END AS reps
-       |  FROM ranked JOIN a USING (source)),
-       |app AS (SELECT doc_id, source, n_tokens, rk, n_items, alloc,
-       |    CAST(unnest(range(reps)) AS BIGINT) AS epoch
-       |  FROM rep WHERE reps > 0),
-       |manifest AS (SELECT doc_id, source, n_tokens, epoch,
-       |    CAST(epoch * n_items + rk - 1 AS BIGINT) AS appearance,
-       |    CAST((epoch * n_items + rk - 1) * (4611686018427387904 // alloc)
-       |      + (4611686018427387904 // alloc) // 2 AS BIGINT) AS pos_key
-       |  FROM app)""".stripMargin
+       |$interleaveManifestTailSql""".stripMargin
+
+  /** q179 chain: [[graft.operators.Mixing.cappedAllocation]]'s
+    * iterated-Hamilton fixpoint replayed as a RECURSIVE CTE (the
+    * emitting query must open with `WITH RECURSIVE`): iteration rows
+    * carry `(it, source, …, capped, alloc, cont)`; each step holds
+    * the capped groups at their caps, Hamilton-allocates the residual
+    * budget over the uncapped (base = floor share, leftover seats by
+    * remainder DESC then source ASC — exactly the q98 arithmetic),
+    * caps strict violators, and continues while any group was capped
+    * this round (`cont = bool_or(viol) OVER ()`); the step's
+    * `WHERE cont` makes the recursion emit zero rows at fixpoint.
+    * CTE `a` reads the LAST iteration, then the shared
+    * [[interleaveManifestTailSql]] closes the stride manifest. */
+  private def cappedInterleaveChainSql(budget: Long, maxEpochs64: Long,
+      from: String = "documents"): String =
+    s"""${interleavePopSql(from)},
+       |cq AS (SELECT source, n_items,
+       |    CAST(floor(sqrt(n_size) * 1048576) AS BIGINT) AS s_q,
+       |    ($maxEpochs64 * n_items) // 64 AS cap FROM per),
+       |st AS (
+       |  SELECT 0 AS it, source, n_items, s_q, cap,
+       |    FALSE AS capped, CAST(0 AS BIGINT) AS alloc, TRUE AS cont
+       |  FROM cq
+       |  UNION ALL
+       |  SELECT it + 1, source, n_items, s_q, cap,
+       |    capped OR viol AS capped,
+       |    CASE WHEN capped OR viol THEN cap ELSE alloc_new END AS alloc,
+       |    bool_or(viol) OVER () AS cont
+       |  FROM (
+       |    SELECT *, (NOT capped AND alloc_new > cap) AS viol FROM (
+       |      SELECT it, source, n_items, s_q, cap, capped,
+       |        CASE WHEN capped THEN cap
+       |             ELSE base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+       |        END AS alloc_new
+       |      FROM (
+       |        SELECT *,
+       |          CASE WHEN su = 0 THEN 0
+       |               ELSE bres - sum(CASE WHEN capped THEN 0 ELSE base END) OVER ()
+       |          END AS leftover,
+       |          CAST(row_number() OVER (ORDER BY capped ASC, rem DESC NULLS LAST,
+       |            source ASC) AS BIGINT) AS rnk
+       |        FROM (
+       |          SELECT *,
+       |            CASE WHEN capped THEN NULL
+       |                 WHEN su = 0 THEN 0
+       |                 ELSE (bres * s_q) // su END AS base,
+       |            CASE WHEN capped THEN NULL
+       |                 WHEN su = 0 THEN 0
+       |                 ELSE bres * s_q - ((bres * s_q) // su) * su END AS rem
+       |          FROM (
+       |            SELECT *,
+       |              sum(CASE WHEN capped THEN 0 ELSE s_q END) OVER () AS su,
+       |              $budget - sum(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS bres
+       |            FROM st WHERE cont) w1) w2) w3) w4) w5
+       |),
+       |a AS (SELECT source, n_items, alloc FROM st
+       |  WHERE it = (SELECT max(it) FROM st)),
+       |$interleaveManifestTailSql""".stripMargin
 
   /** q159 oracle: the four member oracles (q153/q154/q155/q156)
     * embedded verbatim as derived tables and full-outer joined on

@@ -554,6 +554,157 @@ class MixingSpec extends AnyFunSuite {
       "phase", nPhases = 2, budget = 70L).count() == 70L)
   }
 
+  test("phasedMixAudit: per-phase blocks carry each source near its phase share") {
+    // planted curriculum: phase 0 = 9:1 doc split (sqrt 3:1 shares),
+    // phase 1 = 4:4 (1:1 shares); equal 100-token docs
+    val items = ((1 to 9).map(i => (s"a$i", "a", 0L, 100L)) ++
+      Seq(("b1", "b", 0L, 100L)) ++
+      (10 to 13).map(i => (s"a$i", "a", 1L, 100L)) ++
+      (2 to 5).map(i => (s"b$i", "b", 1L, 100L)))
+      .toDF("doc_id", "source", "phase", "n_tokens")
+    val audit = Mixing.phasedMixAudit(items, "doc_id", "source", "n_tokens",
+      "phase", nPhases = 2, budget = 160L, nBlocks = 4).collect()
+
+    // the sheet totals the full budget, and every cell's counts are
+    // consistent with the manifest itself (recomputed independently)
+    assert(audit.map(_.getAs[Long]("n_appearances")).sum == 160L)
+    val man = Mixing.phasedInterleave(items, "doc_id", "source", "n_tokens",
+      "phase", nPhases = 2, budget = 160L).collect()
+    val slice = 4611686018427387904L / 2
+    val blockW = slice / 4
+    val cells = man.groupBy(r => (r.getAs[Long]("phase"),
+        math.min((r.getAs[Long]("pos_key") - r.getAs[Long]("phase") * slice)
+          / blockW, 3L),
+        r.getAs[String]("source")))
+      .view.mapValues(_.length.toLong).toMap
+    val fromAudit = audit.map(r => (r.getAs[Long]("phase"),
+      r.getAs[Long]("block"), r.getAs[String]("source")) ->
+      r.getAs[Long]("n_appearances")).toMap
+    assert(fromAudit == cells, "audit cells != manifest recount")
+
+    // shares are the exact fixed-point divisions and dev = share−target
+    for (r <- audit) {
+      val (p, b) = (r.getAs[Long]("phase"), r.getAs[Long]("block"))
+      val bt = audit.filter(x => x.getAs[Long]("phase") == p &&
+        x.getAs[Long]("block") == b).map(_.getAs[Long]("n_appearances")).sum
+      val pt = audit.filter(_.getAs[Long]("phase") == p)
+        .map(_.getAs[Long]("n_appearances")).sum
+      val palloc = audit.filter(x => x.getAs[Long]("phase") == p &&
+        x.getAs[String]("source") == r.getAs[String]("source"))
+        .map(_.getAs[Long]("n_appearances")).sum
+      assert(r.getAs[Long]("share_q") ==
+        r.getAs[Long]("n_appearances") * 1048576L / bt)
+      assert(r.getAs[Long]("target_q") == palloc * 1048576L / pt)
+      assert(r.getAs[Long]("dev_q") ==
+        r.getAs[Long]("share_q") - r.getAs[Long]("target_q"))
+      // the stride lattice bound: every cell within ±2 appearances of
+      // its proportional share of the block
+      assert(math.abs(r.getAs[Long]("n_appearances").toDouble -
+        bt.toDouble * palloc / pt) <= 2.0,
+        s"cell ($p,$b,${r.getAs[String]("source")}) off its share")
+    }
+
+    // nPhases = 1 degenerates to interleaveMixAudit (plus the phase col)
+    val one = Mixing.phasedMixAudit(items, "doc_id", "source", "n_tokens",
+      "phase", nPhases = 1, budget = 80L, nBlocks = 4)
+    val flat = Mixing.interleaveMixAudit(
+      items.filter(org.apache.spark.sql.functions.col("phase") === 0L),
+      "doc_id", "source", "n_tokens", budget = 80L, nBlocks = 4)
+    val oneSet = one.collect().map(r => (r.getAs[Long]("block"),
+      r.getAs[String]("source"), r.getAs[Long]("n_appearances"),
+      r.getAs[Long]("share_q"), r.getAs[Long]("target_q"))).toSet
+    val flatSet = flat.collect().map(r => (r.getAs[Long]("block"),
+      r.getAs[String]("source"), r.getAs[Long]("n_appearances"),
+      r.getAs[Long]("share_q"), r.getAs[Long]("target_q"))).toSet
+    assert(oneSet == flatSet)
+  }
+
+  test("cappedAllocation: ceiling enforced, cascade redistributes, budget conserved") {
+    // sizes 900/400/100 -> sqrt weights 3:2:1. Caps at 4 epochs:
+    // a = 100 (25 docs), b = 16 (4 docs), c = 4 (1 doc). Budget 60:
+    // round 1 Hamilton gives 30/20/10 -> b (20>16) and c (10>4) cap;
+    // round 2 redistributes the residual 40 to a (40 <= 100) -> done.
+    // A single clamp WITHOUT redistribution would leave a at 30 — the
+    // 40 pins that the stranded 10 seats actually moved.
+    val items = ((1 to 25).map(i => (s"a$i", "a", 36L)) ++
+      (1 to 4).map(i => (s"b$i", "b", 100L)) ++
+      Seq(("c1", "c", 100L))).toDF("doc_id", "source", "n_tokens")
+    val m = Mixing.cappedAllocation(items, "source", "n_tokens",
+      budget = 60L, maxEpochs64 = 256L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("cap"), r.getAs[Long]("alloc"),
+          r.getAs[Long]("capped")))).toMap
+    assert(m == Map("a" -> ((100L, 40L, 0L)), "b" -> ((16L, 16L, 1L)),
+      "c" -> ((4L, 4L, 1L))))
+    // (a) no source exceeds its ceiling; (b) Σ alloc = budget while
+    // uncapped mass remains
+    assert(m.values.forall { case (cap, alloc, _) => alloc <= cap })
+    assert(m.values.map(_._2).sum == 60L)
+
+    // all-capped (infeasible) regime: Σ cap < budget strands the rest.
+    // a = 9 docs (cap 36): round 1 caps b, c; round 2 pushes a to 40 >
+    // 36 -> caps; round 3 finds no violator. Fixpoint = the caps.
+    val small = ((1 to 9).map(i => (s"a$i", "a", 100L)) ++
+      (1 to 4).map(i => (s"b$i", "b", 100L)) ++
+      Seq(("c1", "c", 100L))).toDF("doc_id", "source", "n_tokens")
+    val s = Mixing.cappedAllocation(small, "source", "n_tokens",
+      budget = 60L, maxEpochs64 = 256L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("alloc"), r.getAs[Long]("capped")))).toMap
+    assert(s == Map("a" -> ((36L, 1L)), "b" -> ((16L, 1L)), "c" -> ((4L, 1L))))
+    assert(s.values.map(_._1).sum == 56L, "stranded 4 reads off the sheet")
+
+    // cap = ∞ is bitwise sqrtAllocation
+    val unc = Mixing.sqrtAllocation(small, "source", "n_tokens", budget = 60L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+    val inf = Mixing.cappedAllocation(small, "source", "n_tokens",
+      budget = 60L, maxEpochs64 = 1L << 40)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+    assert(inf == unc)
+  }
+
+  test("cappedInterleaveManifest: capped order, cap=∞ bitwise q170, determinism") {
+    val items = ((1 to 25).map(i => (s"a$i", "a", 36L)) ++
+      (1 to 4).map(i => (s"b$i", "b", 100L)) ++
+      Seq(("c1", "c", 100L))).toDF("doc_id", "source", "n_tokens")
+    val rows = Mixing.cappedInterleaveManifest(items, "doc_id", "source",
+      "n_tokens", budget = 60L, maxEpochs64 = 256L).collect()
+    // exactly the capped allocation's rows per source (40/16/4)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(rows.length == 60 &&
+      bySource.view.mapValues(_.length).toMap == Map("a" -> 40, "b" -> 16, "c" -> 4))
+    // THE ceiling guarantee: no doc appears more than 4 times (b and c
+    // sit exactly AT 4 epochs, never over — uncapped q170 would hand
+    // c1 ten appearances here)
+    assert(rows.groupBy(r => (r.getAs[String]("source"),
+      r.getAs[String]("doc_id"))).values.forall(_.length <= 4))
+    assert(rows.filter(_.getAs[String]("source") == "c").length == 4)
+    // pure function of the data
+    val re = Mixing.cappedInterleaveManifest(items.repartition(7), "doc_id",
+      "source", "n_tokens", budget = 60L, maxEpochs64 = 256L)
+      .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("epoch"),
+        r.getAs[Long]("pos_key"))).toSet
+    assert(re == rows.map(r => (r.getAs[String]("doc_id"),
+      r.getAs[Long]("epoch"), r.getAs[Long]("pos_key"))).toSet)
+
+    // cap = ∞ is bitwise interleaveManifest
+    val inf = Mixing.cappedInterleaveManifest(items, "doc_id", "source",
+      "n_tokens", budget = 60L, maxEpochs64 = 1L << 40)
+      .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("epoch"),
+        r.getAs[Long]("appearance"), r.getAs[Long]("pos_key"))).toSet
+    val unc = Mixing.interleaveManifest(items, "doc_id", "source",
+      "n_tokens", budget = 60L)
+      .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("epoch"),
+        r.getAs[Long]("appearance"), r.getAs[Long]("pos_key"))).toSet
+    assert(inf == unc)
+
+    // degenerate budgets
+    assert(Mixing.cappedInterleaveManifest(items, "doc_id", "source",
+      "n_tokens", budget = 0L).count() == 0L)
+    assert(Mixing.cappedInterleaveManifest(items.limit(0), "doc_id", "source",
+      "n_tokens", budget = 10L).count() == 0L)
+  }
+
   test("epochPlanSheet: exact allocations, the repeat ceiling, stranded budget") {
     // one 900-token source, one 100-token source, one zero-token source
     val items = Seq(("a", 900L), ("b", 100L), ("z", 0L))
