@@ -4295,7 +4295,34 @@ object ExtensionQueries {
           "doc_id", "source", "n_tokens", "phase", nPhases = 3,
           budget = 1200L, nBlocks = 8)
       },
-      Some(curriculumMixAuditSql(1200L, nBlocks = 8)))
+      Some(curriculumMixAuditSql(1200L, nBlocks = 8))),
+
+    QuerySpec(
+      "q181_langid_confusion",
+      """Language-ID confusion sheet ([[graft.operators.LangId
+        |.langIdConfusion]]) — the first gate CCNet applies, derived
+        |from TEXT instead of trusting the upstream label: the q143
+        |closed-form NB kernel lifted from 2 classes to K over hashed
+        |CHAR-TRIGRAM features (Cavnar & Trenkle 1994; the fastText
+        |lang-ID feature family), trained on the md5 split's first
+        |half, every held-out doc argmax-scored (integer log-joint in
+        |1/64-log2 fixed point, ties by class name), rolled up as the
+        |(labeled, predicted) confusion sheet — the q143 evidence
+        |convention for the multi-class member. On THIS corpus the
+        |labels are synthetic and text-independent, so the sheet
+        |shows the honest near-uniform confusion a mislabeled feed
+        |would show (exactly the reading the sheet exists for);
+        |LangIdSpec proves separability on a planted bilingual
+        |fixture. All BIGINT scores with deterministic tiebreak →
+        |bitwise oracle. Scale shape: map-side trigram assembly
+        |collapsing onto (doc, bucket) keys; the ≤ buckets×K model
+        |sheet and K-row constants broadcast; the only corpus-sized
+        |exchanges key on doc_id (feature sums + the docs×K argmax
+        |window); the confusion rollup is ≤ K² map-side-combined
+        |keys.""".stripMargin,
+      (s, d) => graft.operators.LangId.langIdConfusion(
+        Tables.documents(s, d)),
+      Some(LangIdOracle.confusionSql()))
   )
 
   /** q177 oracle: `SELECT *` over the shared
