@@ -416,6 +416,75 @@ object Mixing {
     manifestOverQuotas(pop, keyCol, groupCol, quotas, salt)
   }
 
+  /** Incremental member for the interleave family — the q178
+    * frozen-decision convention applied to [[interleaveManifest]],
+    * completing the incremental set (q68 minhash, q82 IVF, q105
+    * clusters, q109 BPE, q114 SemDeDup, q119 boilerplate, q178
+    * cluster sample): admit an incoming batch into a STANDING
+    * training order without re-keying it. The standing corpus fixes
+    * the per-group quotas and strides (the frozen manifest); its
+    * REPEAT slots — appearances `n_standing … alloc−1`, the epoch ≥ 1
+    * re-reads of standing docs — are the residual capacity, and a
+    * fresh arrival is worth strictly more than a repeat at low epoch
+    * counts (Muennighoff et al. 2023), so arrivals PATCH those slots:
+    * batch item at md5-cohort rank r takes appearance
+    * `n_standing + r − 1` (earliest residual slot first — fresh data
+    * surfaces as early in the order as the frozen schedule allows),
+    * keeping the slot's frozen pos_key; the loader swaps the slot's
+    * content by position key. Admission stops at the residual
+    * capacity `max(alloc − n_standing, 0)`; a group ABSENT from the
+    * standing census admits nothing (the q178 rule: a frozen
+    * allocation admits nothing outside its census), and the rejected
+    * mass is the q82 refresh signal — enough of it means re-run the
+    * full q170 interleave.
+    *
+    * Output: one row per batch item — the item columns plus
+    * `(batch_rank, kept, epoch, appearance, pos_key)`; `epoch` is the
+    * slot's standing epoch index (`appearance DIV n_standing`, ≥ 1 by
+    * construction), and the three slot columns are NULL on rejected
+    * rows. All BIGINT on the q102 md5 total order — bitwise oracle
+    * (q182). PRECONDITION as [[executeSqrtAllocation]]: `keyCol`
+    * unique across standing ∪ batch; NULL keys join neither side.
+    *
+    * Scale shape (100 TB): the standing quota pass is
+    * [[sqrtAllocation]]'s audited plan over a column-pruned scan; the
+    * quota sheet BROADCASTS onto the batch; the only new exchange is
+    * the BATCH's group-key shuffle for the cohort rank — batch-sized,
+    * never standing-corpus-sized. The standing manifest itself is
+    * never read or re-keyed — exactly the point of the frozen
+    * member. */
+  def interleaveIncrement(standing: DataFrame, incoming: DataFrame,
+      keyCol: String, groupCol: String, sizeCol: String, budget: Long,
+      salt: String = "graft"): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val pop = standing.filter(col(keyCol).isNotNull)
+    val quotas = sqrtAllocation(pop, groupCol, sizeCol, budget)
+      .select(col(groupCol), col("n_items"), col("alloc"))
+    val newPop = incoming.filter(col(keyCol).isNotNull)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))).asc,
+        col(keyCol).asc)
+      .rowsBetween(Long.MinValue, 0)
+    val outCols = newPop.columns.toSeq
+    newPop.join(broadcast(quotas), Seq(groupCol), "left")
+      .withColumn("batch_rank", count(lit(1)).over(w))
+      .withColumn("kept",
+        when(col("alloc").isNotNull &&
+          col("batch_rank") <= col("alloc") - col("n_items"), 1L)
+          .otherwise(0L))
+      .withColumn("appearance",
+        when(col("kept") === 1L, col("n_items") + col("batch_rank") - lit(1L)))
+      // kept = 1 implies alloc > n_items ≥ 1, so the stride division
+      // is only ever evaluated on a positive alloc
+      .select(outCols.map(col) ++ Seq(col("batch_rank"), col("kept"),
+        expr("CASE WHEN kept = 1 THEN appearance DIV n_items END").as("epoch"),
+        col("appearance"),
+        expr(s"""CASE WHEN kept = 1 THEN
+                 |  appearance * ($InterleaveGrid DIV alloc)
+                 |    + ($InterleaveGrid DIV alloc) DIV 2
+                 |END""".stripMargin).as("pos_key")): _*)
+  }
+
   /** The [[interleaveManifest]] ACCEPTANCE SHEET — per position block,
     * is the training stream actually mixed at the allocated shares?
     * The grid is cut into `nBlocks` equal slices (map-side — pos_key
@@ -1027,12 +1096,22 @@ object Mixing {
     * token mass overflows the budget) in four map-side-combinable
     * histogram passes with NO single-partition sort whatever the key
     * distribution; rows strictly above the boundary key keep by one
-    * broadcast comparison, and only the boundary key's TIE GROUP
-    * (docs sharing that exact Gumbel key — a thousandth-granularity
-    * collision set, not a corpus slice) runs a doc_id-ordered window
-    * to split the residual budget. The corpus total is one map-side
-    * aggregate. The prior single-partition `Window.orderBy(key_q)`
-    * shape is gone. */
+    * broadcast comparison, and the boundary key's TIE GROUP (docs
+    * sharing that exact Gumbel key) splits its residual budget by a
+    * SECOND radix locate over `doc_id` — so NO window serializes the
+    * tie group through one task either. That matters because the
+    * collision set is NOT small in the worst case: the Gumbel noise
+    * quantizes through two 1/64-fixed-point logs to only ~230
+    * effective levels, so a corpus of n IDENTICAL texts collides
+    * ~n/60 docs onto the fattest key (measured in MixingSpec's
+    * planted full-duplicate spec — ~10^8 rows at 10^10 docs, far too
+    * big to window). The doc_id locate is exactly the window's
+    * keep-the-prefix-until-overflow rule (first doc whose inclusive
+    * running mass reaches residual+1 is the exclusion boundary; zero
+    * weights cannot cross it, preserving the inclusive-cum
+    * semantics), and requires a BIGINT `doc_id` (the engine-wide id
+    * type). The corpus total is one map-side aggregate. The prior
+    * single-partition `Window.orderBy(key_q)` shape is gone. */
   def dsirResampleTokens(docs: DataFrame, tokenBudgetPermille: Int,
       textCol: String = "text", targetPermille: Int = 100,
       buckets: Int = 8192, salt: String = "graft",
@@ -1042,6 +1121,10 @@ object Mixing {
     require(salt != sampleSalt,
       "sampleSalt must differ from the target-split salt: a shared salt " +
         "correlates the Gumbel noise with target membership")
+    require(docs.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "dsirResampleTokens splits boundary ties by a radix locate over " +
+        s"doc_id and needs it BIGINT; got ${docs.schema("doc_id").dataType}")
     graft.GraftSession.ensureConfs(docs.sparkSession)
     val out = Seq("doc_id", "source", "n_tokens", "weight_q", "key_q")
     // descending-key image: bitwise NOT (XOR −1) reverses signed
@@ -1070,13 +1153,23 @@ object Mixing {
     val above = scored.crossJoin(broadcast(loc))
       .filter(col("__bu").isNull || col("__u") < col("__bu"))
       .select(out.map(col): _*)
-    val boundary = scored.crossJoin(broadcast(loc))
+    // the tie group (docs sharing the boundary Gumbel key) splits its
+    // residual budget by a SECOND locate over doc_id: the exclusion
+    // boundary is the first id whose inclusive running mass reaches
+    // residual+1, so `doc_id < __bd` keeps exactly the window rule's
+    // prefix (NULL __bd = the whole group fits). No task ever windows
+    // the collision set — see the scaladoc bound.
+    val ties = scored.crossJoin(broadcast(loc))
       .filter(col("__u") === col("__bu"))
-      .withColumn("__gcum", sum(col("n_tokens")).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__u")).orderBy(col("doc_id"))
-          .rowsBetween(Long.MinValue, 0)))
-      .filter(col("__gcum") <= col("__brem"))
+    val target2 = loc.select(lit("b").as("qn"),
+      (col("__brem") + 1L).as("rr"))
+    val loc2 = Dedup.materialize(
+      Quantiles.radixLocate(
+          ties.select(col("doc_id").as("__u"), col("n_tokens").as("__w")),
+          target2)
+        .select(col("u").as("__bd")))
+    val boundary = ties.crossJoin(broadcast(loc2))
+      .filter(col("__bd").isNull || col("doc_id") < col("__bd"))
       .select(out.map(col): _*)
     above.union(boundary)
   }

@@ -4322,8 +4322,78 @@ object ExtensionQueries {
         |keys.""".stripMargin,
       (s, d) => graft.operators.LangId.langIdConfusion(
         Tables.documents(s, d)),
-      Some(LangIdOracle.confusionSql()))
+      Some(LangIdOracle.confusionSql())),
+
+    QuerySpec(
+      "q182_interleave_increment",
+      """Incremental interleave member ([[graft.operators.Mixing
+        |.interleaveIncrement]]) — the q178 frozen-decision convention
+        |for the training-order family, completing its incremental
+        |set: the standing corpus (q68 md5 membership, is_new ⇔
+        |bucket < 100) freezes the 500-budget q170 quotas and
+        |strides; the incoming batch's items rank within their source
+        |cohort and PATCH the standing order's repeat slots
+        |(appearances n_standing…alloc−1, earliest first — a fresh
+        |doc is worth more than an epoch ≥ 1 re-read, Muennighoff
+        |2023), keeping each slot's frozen pos_key so the loader
+        |swaps content by position without re-keying anything.
+        |Admission stops at the residual capacity; sources outside
+        |the standing census admit nothing (the q178 rule), and the
+        |rejected mass is the q82 refresh signal. Budget 500 over
+        |~450 standing docs leaves ~0–3 repeat slots per source
+        |against ~2–3 arrivals — both dispositions exercised. All
+        |BIGINT on the md5 total order → bitwise oracle (standing
+        |allocation CTEs re-rooted on the standing split + the batch
+        |cohort rank + the admission arithmetic). Scale shape:
+        |pruned standing quota pass, quota sheet broadcast onto the
+        |batch, ONE batch-sized group-key shuffle for the cohort
+        |rank; the standing manifest is never read or
+        |re-keyed.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens"))
+        val flagged = graft.operators.Sampling.withSplitBucket(docs, "doc_id")
+        graft.operators.Mixing.interleaveIncrement(
+          flagged.filter(col("__bucket") >= 100).drop("__bucket"),
+          flagged.filter(col("__bucket") < 100).drop("__bucket"),
+          "doc_id", "source", "n_tokens", budget = 500L)
+      },
+      Some(interleaveIncrementSql(500L)))
   )
+
+  /** q182 oracle: the q102 allocation CTEs re-rooted on the standing
+    * md5 split, the batch cohort rank, and the residual-slot
+    * admission arithmetic ([[graft.operators.Mixing
+    * .interleaveIncrement]] replayed relationally). */
+  private def interleaveIncrementSql(budget: Long): String = {
+    val bucket = DecontaminateOracle.bucketExpr("graft")
+    s"""WITH std AS (SELECT * FROM documents
+       |  WHERE doc_id IS NOT NULL AND (($bucket) % 1000) >= 100),
+       |${interleaveAllocSql(budget, "std")},
+       |npop AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(coalesce(text, ''), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND (($bucket) % 1000) < 100),
+       |newb AS (SELECT doc_id, source, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS batch_rank
+       |  FROM npop),
+       |adm AS (SELECT n.doc_id, n.source, n.n_tokens, n.batch_rank,
+       |    CASE WHEN a.alloc IS NOT NULL AND n.batch_rank <= a.alloc - a.n_items
+       |      THEN 1 ELSE 0 END AS kept,
+       |    a.n_items, a.alloc
+       |  FROM newb n LEFT JOIN a USING (source))
+       |SELECT doc_id, source, n_tokens, batch_rank,
+       |  CAST(kept AS BIGINT) AS kept,
+       |  CAST(CASE WHEN kept = 1
+       |    THEN (n_items + batch_rank - 1) // n_items END AS BIGINT) AS epoch,
+       |  CAST(CASE WHEN kept = 1
+       |    THEN n_items + batch_rank - 1 END AS BIGINT) AS appearance,
+       |  CAST(CASE WHEN kept = 1
+       |    THEN (n_items + batch_rank - 1) * (4611686018427387904 // alloc)
+       |      + (4611686018427387904 // alloc) // 2 END AS BIGINT) AS pos_key
+       |FROM adm""".stripMargin
+  }
 
   /** q177 oracle: `SELECT *` over the shared
     * [[curriculumChainSql]]'s closing `cman` relation. */
@@ -4467,8 +4537,10 @@ object ExtensionQueries {
     * [[graft.operators.Mixing.interleaveManifest]] replayed
     * relationally so the manifest and every sheet built on it cannot
     * drift. `from` re-roots the population. */
-  private def interleaveChainSql(budget: Long,
-      from: String = "documents"): String =
+  /** The q102 allocation CTEs (pop → per → qq → tot → b → l → a) —
+    * the uncapped sqrt-Hamilton closing as `a(source, n_items,
+    * alloc)`, shared by the manifest chain and the q182 increment. */
+  private def interleaveAllocSql(budget: Long, from: String): String =
     s"""${interleavePopSql(from)},
        |qq AS (SELECT *, CAST(floor(sqrt(n_size) * 1048576) AS BIGINT) AS s_q FROM per),
        |tot AS (SELECT CAST(sum(s_q) AS BIGINT) AS s FROM qq),
@@ -4477,7 +4549,11 @@ object ExtensionQueries {
        |l AS (SELECT CAST($budget - sum(base) AS BIGINT) AS leftover FROM b),
        |a AS (SELECT source, n_items, base + CASE WHEN
        |      CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) <= leftover
-       |    THEN 1 ELSE 0 END AS alloc FROM b, l),
+       |    THEN 1 ELSE 0 END AS alloc FROM b, l)""".stripMargin
+
+  private def interleaveChainSql(budget: Long,
+      from: String = "documents"): String =
+    s"""${interleaveAllocSql(budget, from)},
        |$interleaveManifestTailSql""".stripMargin
 
   /** q179 chain: [[graft.operators.Mixing.cappedAllocation]]'s

@@ -705,6 +705,92 @@ class MixingSpec extends AnyFunSuite {
       "n_tokens", budget = 10L).count() == 0L)
   }
 
+  test("dsirResampleTokens tie groups: full-duplicate collision profile, exact split without a window") {
+    import org.apache.spark.sql.functions._
+    // the worst case the q165 boundary can see: every text identical,
+    // so key_q varies ONLY through the Gumbel draw — which quantizes
+    // through two 1/64-fixed-point logs to ~230 effective levels, NOT
+    // the md5 bucket's nominal 1000. This measured profile (max
+    // collision ~n/60) is WHY the boundary split is a second radix
+    // locate instead of a doc_id-ordered window: at 10^10 docs the
+    // fattest tie would be ~10^8 rows through one window task.
+    val n = 2000
+    val docs = (1 to n).map(i => (i.toLong, "alpha beta gamma delta", "s"))
+      .toDF("doc_id", "text", "source")
+    val scored = Mixing.dsirResample(docs, budgetPermille = 1000)
+      .select(col("key_q")).collect().map(_.getLong(0))
+    assert(scored.length == n)
+    val byKey = scored.groupBy(identity).view.mapValues(_.length)
+    assert(byKey.size >= 200 && byKey.size <= 400,
+      s"${byKey.size} distinct keys — the ~230-level quantization " +
+        "profile moved; re-measure the scaladoc bound")
+    val maxTie = byKey.values.max
+    assert(maxTie >= n / 200 && maxTie <= n / 20,
+      s"max tie group $maxTie off the measured ~n/60 profile")
+
+    // the keep rule stays exact in the max-collision regime: kept mass
+    // <= floor(total·permille/1000), budget maximality (no dropped doc
+    // fits the residual), determinism under repartition
+    val kept = Mixing.dsirResampleTokens(docs, tokenBudgetPermille = 250)
+      .collect()
+    val total = n.toLong * 4L
+    val keptTok = kept.map(_.getAs[Long]("n_tokens")).sum
+    assert(keptTok <= total * 250L / 1000L)
+    assert(keptTok + 4L > total * 250L / 1000L,
+      "a 4-token doc still fits: the kept prefix is not maximal")
+    val re = Mixing.dsirResampleTokens(docs.repartition(7),
+      tokenBudgetPermille = 250)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(re == kept.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("interleaveIncrement: residual slots patch in frozen pos_keys, census rule holds") {
+    // standing: a = 9 docs × 100 tokens, b = 1 × 100 -> sqrt 3:1;
+    // budget 12 -> alloc a = 9 (residual 0), b = 3 (residual 2)
+    val standing = ((1 to 9).map(i => (s"a$i", "a", 100L)) ++
+      Seq(("b1", "b", 100L))).toDF("doc_id", "source", "n_tokens")
+    val batch = (Seq(("na1", "a", 50L), ("na2", "a", 50L)) ++
+      (1 to 3).map(i => (s"nb$i", "b", 50L)) ++
+      Seq(("nc1", "c", 50L))).toDF("doc_id", "source", "n_tokens")
+    val rows = Mixing.interleaveIncrement(standing, batch, "doc_id",
+      "source", "n_tokens", budget = 12L).collect()
+    assert(rows.length == 6, "one disposition row per batch item")
+    val byDoc = rows.map(r => r.getAs[String]("doc_id") -> r).toMap
+
+    // a is at quota (alloc = n_standing): no residual, all rejected
+    assert(Seq("na1", "na2").forall(d => byDoc(d).getAs[Long]("kept") == 0L &&
+      byDoc(d).isNullAt(byDoc(d).fieldIndex("pos_key"))))
+    // c is outside the standing census: admits nothing (the q178 rule)
+    assert(byDoc("nc1").getAs[Long]("kept") == 0L)
+    // b has 2 residual slots for 3 arrivals: cohort ranks 1..2 keep,
+    // earliest residual slot first (appearance = n_standing + r − 1)
+    val bKept = rows.filter(r => r.getAs[String]("source") == "b" &&
+      r.getAs[Long]("kept") == 1L)
+    assert(bKept.length == 2)
+    assert(bKept.map(_.getAs[Long]("appearance")).sorted.toSeq == Seq(1L, 2L))
+    assert(bKept.map(_.getAs[Long]("epoch")).sorted.toSeq == Seq(1L, 2L),
+      "patched slots are epoch >= 1 re-reads, never first appearances")
+
+    // THE patch contract: every admitted pos_key is a slot the frozen
+    // standing manifest actually scheduled for that group at epoch >= 1
+    val man = Mixing.interleaveManifest(standing, "doc_id", "source",
+      "n_tokens", budget = 12L).collect()
+    val standingSlots = man.filter(r => r.getAs[String]("source") == "b" &&
+      r.getAs[Long]("epoch") >= 1L)
+      .map(r => (r.getAs[Long]("appearance"), r.getAs[Long]("pos_key"))).toSet
+    assert(bKept.map(r => (r.getAs[Long]("appearance"),
+      r.getAs[Long]("pos_key"))).toSet == standingSlots,
+      "admitted slots != the standing manifest's repeat slots")
+
+    // pure function of the data
+    val re = Mixing.interleaveIncrement(standing.repartition(5),
+      batch.repartition(3), "doc_id", "source", "n_tokens", budget = 12L)
+      .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("kept"),
+        Option(r.getAs[java.lang.Long]("pos_key")))).toSet
+    assert(re == rows.map(r => (r.getAs[String]("doc_id"),
+      r.getAs[Long]("kept"), Option(r.getAs[java.lang.Long]("pos_key")))).toSet)
+  }
+
   test("epochPlanSheet: exact allocations, the repeat ceiling, stranded budget") {
     // one 900-token source, one 100-token source, one zero-token source
     val items = Seq(("a", 900L), ("b", 100L), ("z", 0L))

@@ -321,11 +321,51 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   test("policy-to-training-order capstone is partition-invariant") {
     val pos = col("source").isin("src0", "src1", "src2", "src3", "src4")
     invariant(d => SequencePack.interleavedShardManifest(
-      Mixing.interleaveManifest(Ensemble.applyFeedPolicy(d, pos)
+      Mixing.cappedInterleaveManifest(Ensemble.applyFeedPolicy(d, pos)
         .select(col("doc_id"), col("source"),
           graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
-            .as("n_tokens")), "doc_id", "source", "n_tokens", budget = 1200L),
+            .as("n_tokens")), "doc_id", "source", "n_tokens", budget = 1200L,
+        maxEpochs64 = 256L),
       "source", capacity = 2048L, packsPerShard = 16L))
+  }
+
+  test("capped interleave manifest is partition-invariant") {
+    invariant(d => Mixing.cappedInterleaveManifest(
+      d.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+          .as("n_tokens")),
+      "doc_id", "source", "n_tokens", budget = 2000L, maxEpochs64 = 256L))
+  }
+
+  test("phased mix audit is partition-invariant") {
+    invariant { d =>
+      val phases = Phrases.lmQualityBuckets(d, "text")
+        .select(col("doc_id"),
+          when(col("bucket") === "tail", 0L)
+            .when(col("bucket") === "middle", 1L)
+            .when(col("bucket") === "head", 2L).as("phase"))
+        .filter(col("phase").isNotNull)
+      Mixing.phasedMixAudit(
+        d.join(phases, "doc_id").select(col("doc_id"), col("source"),
+          col("phase"),
+          graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+            .as("n_tokens")),
+        "doc_id", "source", "n_tokens", "phase", nPhases = 3,
+        budget = 1200L, nBlocks = 8)
+    }
+  }
+
+  test("interleave increment is partition-invariant") {
+    invariant { d =>
+      val docs = d.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+          .as("n_tokens"))
+      val flagged = Sampling.withSplitBucket(docs, "doc_id")
+      Mixing.interleaveIncrement(
+        flagged.filter(col("__bucket") >= 100).drop("__bucket"),
+        flagged.filter(col("__bucket") < 100).drop("__bucket"),
+        "doc_id", "source", "n_tokens", budget = 500L)
+    }
   }
 
   test("curriculum phased interleave is partition-invariant") {

@@ -97,7 +97,17 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // the cluster-balanced sample re-pays the ivfAssign argmax (one
   // exchange row per vector) + one cell-keyed ranking shuffle; the
   // epoch plan is exactly q98's plan (corpus agg + sheet windows)
-  "q172_cluster_balanced_sample", "q173_epoch_plan","q174_interleaved_shards","q175_cluster_sample_sheet","q176_policy_training_order","q177_curriculum_order","q178_incremental_cluster_sample")
+  "q172_cluster_balanced_sample", "q173_epoch_plan","q174_interleaved_shards","q175_cluster_sample_sheet","q176_policy_training_order","q177_curriculum_order","q178_incremental_cluster_sample",
+  // round-14: the capped interleave re-pays the q170 plan plus
+  // sheet-only fixpoint rounds (the claim: shuffle ~ q170's own, the
+  // fixed round cost does not scale with the corpus); the curriculum
+  // audit adds one (phase, block, source) rollup over q177's plan;
+  // langid's only corpus exchanges are doc_id-keyed (trigram count
+  // rows + the docsxK argmax window); the increment's only exchange
+  // is the BATCH's cohort rank (the standing corpus pays one pruned
+  // quota agg and is never re-keyed)
+  "q179_capped_interleave", "q180_curriculum_mix_audit",
+  "q181_langid_confusion", "q182_interleave_increment")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
