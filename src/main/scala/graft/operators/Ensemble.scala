@@ -306,9 +306,17 @@ object Ensemble {
       textCol: String = "text", trainPermille: Int = 500,
       buckets: Int = 8192, salt: String = "graft",
       downSalt: String = "downweight"): DataFrame = {
-    val verdicts = feedPolicy(docs, positive, dropDupQ, dropKlQ, downRulesQ,
-        textCol, trainPermille, buckets, salt)
-      .select(col("source"), col("verdict"))
+    // the verdict sheet MATERIALIZES (sources-sized): the whole q159
+    // evidence chain behind it runs exactly once no matter how many
+    // times a composition evaluates the acted corpus — q176's capped
+    // allocation consumes the act in a separate eager job from the
+    // manifest join, where single-plan ReuseExchange can no longer
+    // deduplicate the evidence subtree (measured +52 MB at SCALE x8
+    // without this)
+    val verdicts = Dedup.materialize(
+      feedPolicy(docs, positive, dropDupQ, dropKlQ, downRulesQ,
+          textCol, trainPermille, buckets, salt)
+        .select(col("source"), col("verdict")))
     actOnVerdicts(docs, verdicts, downweightPermille, downSalt)
   }
 

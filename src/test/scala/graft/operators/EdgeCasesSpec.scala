@@ -213,4 +213,58 @@ class EdgeCasesSpec extends AnyFunSuite {
       budgetTokens = 0L).collect().forall(r =>
         r.getAs[Long]("alloc_tokens") == 0L && r.getAs[Long]("capped") == 0L))
   }
+
+  test("round-14 family is total on empty / degenerate inputs") {
+    val empty = Seq.empty[(String, String, Long)]
+      .toDF("doc_id", "source", "n_tokens")
+    // capped allocation: empty corpus -> empty sheet (the fixpoint
+    // terminates round 1 with no groups); zero budget allocates zero
+    assert(Mixing.cappedAllocation(empty, "source", "n_tokens",
+      budget = 100L).count() == 0)
+    assert(Mixing.cappedInterleaveManifest(empty, "doc_id", "source",
+      "n_tokens", budget = 100L).count() == 0)
+    val one = Seq(("d1", "solo", 10L)).toDF("doc_id", "source", "n_tokens")
+    assert(Mixing.cappedAllocation(one, "source", "n_tokens", budget = 0L)
+      .collect().forall(r => r.getAs[Long]("alloc") == 0L &&
+        r.getAs[Long]("capped") == 0L))
+    // all-zero-weight corpus: nothing allocates, nothing caps
+    val allZero = Seq(("d1", "s", 0L), ("d2", "s", 0L))
+      .toDF("doc_id", "source", "n_tokens")
+    assert(Mixing.cappedAllocation(allZero, "source", "n_tokens", 2L)
+      .collect().forall(r => r.getAs[Long]("alloc") == 0L))
+    assert(Mixing.cappedInterleaveManifest(allZero, "doc_id", "source",
+      "n_tokens", 2L).count() == 0)
+
+    // phased audit: empty corpus and out-of-range phases -> empty sheet
+    val emptyP = Seq.empty[(String, String, Long, Long)]
+      .toDF("doc_id", "source", "phase", "n_tokens")
+    assert(Mixing.phasedMixAudit(emptyP, "doc_id", "source", "n_tokens",
+      "phase", nPhases = 2, budget = 10L, nBlocks = 4).count() == 0)
+    val badPhase = Seq(("d1", "s", 7L, 10L), ("d2", "s", -1L, 10L))
+      .toDF("doc_id", "source", "phase", "n_tokens")
+    assert(Mixing.phasedMixAudit(badPhase, "doc_id", "source", "n_tokens",
+      "phase", nPhases = 2, budget = 10L, nBlocks = 4).count() == 0)
+
+    // interleave increment: empty standing corpus admits nothing
+    // (no census); empty batch yields an empty disposition
+    val batch = Seq(("n1", "s", 5L)).toDF("doc_id", "source", "n_tokens")
+    val incEmptyStanding = Mixing.interleaveIncrement(empty, batch,
+      "doc_id", "source", "n_tokens", budget = 10L).collect()
+    assert(incEmptyStanding.length == 1 &&
+      incEmptyStanding.forall(_.getAs[Long]("kept") == 0L))
+    assert(Mixing.interleaveIncrement(one, empty, "doc_id", "source",
+      "n_tokens", budget = 10L).count() == 0)
+
+    // language ID: empty corpus -> empty scores and confusion; a
+    // corpus whose TRAIN split has no text predicts nothing (no
+    // classes — audit before gating, the standing-model rule)
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    assert(LangId.langIdScores(emptyDocs).count() == 0)
+    assert(LangId.langIdConfusion(emptyDocs).count() == 0)
+    val noText = (1 to 6).map(i =>
+      (i.toLong, null.asInstanceOf[String], "xx")).toDF("doc_id", "text", "lang")
+    assert(LangId.langIdScores(noText).count() == 0,
+      "classless model predicts nothing")
+  }
 }
