@@ -53,43 +53,8 @@ object LangId {
   def langIdScores(docs: DataFrame, textCol: String = "text",
       langCol: String = "lang", trainPermille: Int = 500,
       buckets: Int = 8192, salt: String = "graft"): DataFrame = {
-    require(trainPermille >= 0 && trainPermille <= 1000,
-      s"trainPermille must be in [0,1000], got $trainPermille")
-    require(buckets > 0, s"buckets must be positive, got $buckets")
-    graft.GraftSession.ensureConfs(docs.sparkSession)
-    val meta = Sampling.withSplitBucket(docs, "doc_id", salt)
-      .select(col("doc_id"), lower(col(textCol)).as("__text"),
-        coalesce(col(langCol), lit("unknown")).as("__lang"),
-        (col("__bucket") < trainPermille).as("__train"))
-    val t = col("__text")
-    val base = meta.filter(t.isNotNull && length(t) >= 3)
-      .select(col("doc_id"), col("__train"), col("__lang"),
-        explode(transform(sequence(lit(1), length(t) - lit(2)),
-          i => t.substr(i, lit(3)))).as("g"))
-      .select(col("doc_id"), col("__train"), col("__lang"),
-        (Dedup.md5Base48Of(md5(col("g"))) % buckets.toLong).as("b"))
-    // hb feeds the model sheet, the class totals, AND both held-out
-    // sums — materialized so the trigram pass runs once
-    val hb = Dedup.materialize(
-      base.groupBy(col("doc_id"), col("__train"), col("__lang"), col("b"))
-        .agg(count(lit(1)).as("occ")))
-    // per-class constants: doc prior over text-bearing train docs,
-    // normalizer over the class's train feature mass
-    val consts = meta.filter(col("__train") && col("__text").isNotNull)
-      .groupBy(col("__lang").as("__c")).agg(count(lit(1)).as("n_c"))
-      .join(hb.filter(col("__train"))
-        .groupBy(col("__lang").as("__c")).agg(sum(col("occ")).as("t_c")),
-        Seq("__c"), "left")
-      .select(col("__c"),
-        expr(Mixing.log2qExpr("n_c + 1")).as("prior_q"),
-        expr(Mixing.log2qExpr(s"coalesce(t_c, 0) + $buckets")).as("tlog_q"))
-    // the (bucket, class) model sheet; absent cells contribute the
-    // mathematically-correct 0 (= log2q(0 + 1))
-    val sheet = hb.filter(col("__train"))
-      .groupBy(col("b"), col("__lang").as("__c"))
-      .agg(sum(col("occ")).as("cnt"))
-      .select(col("b"), col("__c"),
-        expr(Mixing.log2qExpr("cnt + 1")).as("lg_q"))
+    val (meta, hb, consts, sheet) =
+      parts(docs, textCol, langCol, trainPermille, buckets, salt)
     val nf = hb.filter(!col("__train"))
       .groupBy(col("doc_id")).agg(sum(col("occ")).as("__nf"))
     val sf = hb.filter(!col("__train")).select(col("doc_id"), col("b"), col("occ"))
@@ -130,4 +95,98 @@ object LangId {
     langIdScores(docs, textCol, langCol, trainPermille, buckets, salt)
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** The trained model collapsed to ONE broadcastable row —
+    * `(classes, priors, tlogs, lgmaps)`: the sorted class list, the
+    * per-class prior and normalizer maps, and per class the
+    * (bucket → log-count) map — what a production system persists as
+    * the lang-ID artifact and ships to ingest workers (the
+    * [[Classifier.nbModelRow]] convention lifted to K classes).
+    * Single-sourced with [[langIdScores]]: both build from the same
+    * split/feature/sheet chain, so the streaming gate's predictions
+    * are bitwise the batch sheet's
+    * ([[graft.streaming.Curation.langIdGate]];
+    * StreamingLangIdGateSpec pins it). Byte-determinism: every map
+    * builds from an explicitly sorted entry array — the inner bucket
+    * maps via `array_sort`, the class-keyed outer maps via the sorted
+    * class fold (structs carrying maps are not sort-orderable, so the
+    * per-class rows sort by a custom key comparator before
+    * `map_from_entries`). An empty or text-free train split yields
+    * ONE row with empty classes — the gate then predicts NULL for
+    * every arrival (audit before arming, like every standing
+    * model). */
+  def langIdModelRow(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    val (_, _, consts, sheet) =
+      parts(docs, textCol, langCol, trainPermille, buckets, salt)
+    val perClass = sheet.groupBy(col("__c"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("b"), col("lg_q"))))).as("m"))
+    consts.join(perClass, Seq("__c"), "left")
+      .agg(
+        sort_array(collect_list(col("__c"))).as("classes"),
+        map_from_entries(array_sort(
+          collect_list(struct(col("__c"), col("prior_q"))))).as("priors"),
+        map_from_entries(array_sort(
+          collect_list(struct(col("__c"), col("tlog_q"))))).as("tlogs"),
+        collect_list(struct(col("__c"),
+          coalesce(col("m"),
+            map_from_entries(expr("CAST(array() AS array<struct<b: bigint, lg_q: bigint>>)")))
+            .as("m"))).as("__lg"))
+      // struct<string, map> is not sort-orderable; a key-only
+      // comparator sorts the entry array before map construction so
+      // the persisted artifact is byte-deterministic
+      .withColumn("lgmaps", map_from_entries(expr(
+        """array_sort(__lg, (l, r) ->
+          |  CASE WHEN l.__c < r.__c THEN -1
+          |       WHEN l.__c > r.__c THEN 1 ELSE 0 END)""".stripMargin)))
+      .select(col("classes"), col("priors"), col("tlogs"), col("lgmaps"))
+  }
+
+  /** The shared split → lowered text → hashed char-trigram →
+    * per-(doc, bucket) count → model chain: returns
+    * (meta, hb, consts, sheet). */
+  private def parts(docs: DataFrame, textCol: String, langCol: String,
+      trainPermille: Int, buckets: Int, salt: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      s"trainPermille must be in [0,1000], got $trainPermille")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val meta = Sampling.withSplitBucket(docs, "doc_id", salt)
+      .select(col("doc_id"), lower(col(textCol)).as("__text"),
+        coalesce(col(langCol), lit("unknown")).as("__lang"),
+        (col("__bucket") < trainPermille).as("__train"))
+    val t = col("__text")
+    val base = meta.filter(t.isNotNull && length(t) >= 3)
+      .select(col("doc_id"), col("__train"), col("__lang"),
+        explode(transform(sequence(lit(1), length(t) - lit(2)),
+          i => t.substr(i, lit(3)))).as("g"))
+      .select(col("doc_id"), col("__train"), col("__lang"),
+        (Dedup.md5Base48Of(md5(col("g"))) % buckets.toLong).as("b"))
+    // hb feeds the model sheet, the class totals, AND both held-out
+    // sums — materialized so the trigram pass runs once
+    val hb = Dedup.materialize(
+      base.groupBy(col("doc_id"), col("__train"), col("__lang"), col("b"))
+        .agg(count(lit(1)).as("occ")))
+    // per-class constants: doc prior over text-bearing train docs,
+    // normalizer over the class's train feature mass
+    val consts = meta.filter(col("__train") && col("__text").isNotNull)
+      .groupBy(col("__lang").as("__c")).agg(count(lit(1)).as("n_c"))
+      .join(hb.filter(col("__train"))
+        .groupBy(col("__lang").as("__c")).agg(sum(col("occ")).as("t_c")),
+        Seq("__c"), "left")
+      .select(col("__c"),
+        expr(Mixing.log2qExpr("n_c + 1")).as("prior_q"),
+        expr(Mixing.log2qExpr(s"coalesce(t_c, 0) + $buckets")).as("tlog_q"))
+    // the (bucket, class) model sheet; absent cells contribute the
+    // mathematically-correct 0 (= log2q(0 + 1))
+    val sheet = hb.filter(col("__train"))
+      .groupBy(col("b"), col("__lang").as("__c"))
+      .agg(sum(col("occ")).as("cnt"))
+      .select(col("b"), col("__c"),
+        expr(Mixing.log2qExpr("cnt + 1")).as("lg_q"))
+    (meta, hb, consts, sheet)
+  }
 }

@@ -573,15 +573,47 @@ object Mixing {
     require(nPhases >= 1 && nPhases <= 1048576,
       s"nPhases must be in [1, 2^20], got $nPhases")
     require(budget >= 0, s"budget must be non-negative, got $budget")
-    val slice = InterleaveGrid / nPhases
-    val pop = items.filter(col(keyCol).isNotNull &&
+    val pop = phasedPop(items, keyCol, phaseCol, nPhases)
+    val budgets = phaseBudgetsOf(pop, sizeCol, phaseCol, budget)
+    // per-(phase, source) sqrt-Hamilton within each phase's budget
+    val wPhase = org.apache.spark.sql.expressions.Window.partitionBy(col("__p"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val quotas = pop
+      .groupBy(col(phaseCol).cast("long").as("__p"), col(groupCol))
+      .agg(count(lit(1)).as("n_items"), sum(col(sizeCol)).cast("long").as("__gm"))
+      .withColumn("s_q", floor(sqrt(col("__gm")) * lit(Q)).cast("long"))
+      .withColumn("__s", sum(col("s_q")).over(wPhase))
+      .join(broadcast(budgets), Seq("__p"))
+      .withColumn("base", expr(
+        "CAST(CASE WHEN __s = 0 THEN 0 ELSE (__pbudget * s_q) DIV __s END AS BIGINT)"))
+      .withColumn("__rem", col("__pbudget") * col("s_q") - col("base") * col("__s"))
+      .withColumn("__left", when(col("__s") === 0L, lit(0L))
+        .otherwise(col("__pbudget") - sum(col("base")).over(wPhase)))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__p"))
+          .orderBy(col("__rem").desc, col(groupCol).asc)))
+      .select(col("__p"), col(groupCol), col("n_items"),
+        (col("base") + when(col("__rank") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc"))
+    phasedManifestOverQuotas(pop, keyCol, groupCol, phaseCol, nPhases,
+      quotas, salt)
+  }
+
+  /** The phased population: non-null keys, phases inside
+    * [0, nPhases). */
+  private def phasedPop(items: DataFrame, keyCol: String,
+      phaseCol: String, nPhases: Int): DataFrame =
+    items.filter(col(keyCol).isNotNull &&
       col(phaseCol) >= 0L && col(phaseCol) < nPhases.toLong)
-    // phase budgets: proportional Hamilton over phase size mass
-    // (ties by phase index ascending; zero total mass -> zero seats,
-    // the sqrtAllocation convention)
+
+  /** Phase budgets: proportional Hamilton over phase size mass (ties
+    * by phase index ascending; zero total mass → zero seats, the
+    * [[sqrtAllocation]] convention). Returns `(__p, __pbudget)`. */
+  private def phaseBudgetsOf(pop: DataFrame, sizeCol: String,
+      phaseCol: String, budget: Long): DataFrame = {
     val wholeW = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val phaseBudgets = pop
+    pop
       .groupBy(col(phaseCol).cast("long").as("__p"))
       .agg(sum(col(sizeCol)).cast("long").as("__pm"))
       .withColumn("__tm", sum(col("__pm")).over(wholeW))
@@ -596,26 +628,18 @@ object Mixing {
       .select(col("__p"),
         (col("__pb") + when(col("__prk") <= col("__pleft"), 1L).otherwise(0L))
           .as("__pbudget"))
-    // per-(phase, source) sqrt-Hamilton within each phase's budget
-    val wPhase = org.apache.spark.sql.expressions.Window.partitionBy(col("__p"))
-      .rowsBetween(Long.MinValue, Long.MaxValue)
-    val quotas = pop
-      .groupBy(col(phaseCol).cast("long").as("__p"), col(groupCol))
-      .agg(count(lit(1)).as("n_items"), sum(col(sizeCol)).cast("long").as("__gm"))
-      .withColumn("s_q", floor(sqrt(col("__gm")) * lit(Q)).cast("long"))
-      .withColumn("__s", sum(col("s_q")).over(wPhase))
-      .join(broadcast(phaseBudgets), Seq("__p"))
-      .withColumn("base", expr(
-        "CAST(CASE WHEN __s = 0 THEN 0 ELSE (__pbudget * s_q) DIV __s END AS BIGINT)"))
-      .withColumn("__rem", col("__pbudget") * col("s_q") - col("base") * col("__s"))
-      .withColumn("__left", when(col("__s") === 0L, lit(0L))
-        .otherwise(col("__pbudget") - sum(col("base")).over(wPhase)))
-      .withColumn("__rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__p"))
-          .orderBy(col("__rem").desc, col(groupCol).asc)))
-      .select(col("__p"), col(groupCol), col("n_items"),
-        (col("base") + when(col("__rank") <= col("__left"), 1L).otherwise(0L))
-          .as("alloc"))
+  }
+
+  /** The phase-sliced stride-manifest TAIL shared by
+    * [[phasedInterleave]] and [[cappedPhasedInterleave]] — the
+    * (phase, group)-keyed twin of [[manifestOverQuotas]], ONE textual
+    * definition so the capped curriculum cannot drift from the
+    * uncapped one. `quotas` must carry `(__p, groupCol, n_items,
+    * alloc)`. */
+  private def phasedManifestOverQuotas(pop: DataFrame, keyCol: String,
+      groupCol: String, phaseCol: String, nPhases: Int,
+      quotas: DataFrame, salt: String): DataFrame = {
+    val slice = InterleaveGrid / nPhases
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__p"), col(groupCol))
       .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))).asc,
@@ -636,6 +660,100 @@ object Mixing {
       .select(outCols.map(col) ++ Seq(col("epoch"), col("appearance"),
         (col("__p") * lit(slice) + col("appearance") * col("__stride") +
           expr("CAST(__stride DIV 2 AS BIGINT)")).as("pos_key")): _*)
+  }
+
+  /** [[phasedInterleave]] with the q173 epoch ceiling ENFORCED inside
+    * every phase — [[cappedInterleaveManifest]]'s rule lifted to the
+    * curriculum: per (phase, source) cohort the quota caps at
+    * `(maxEpochs64 · n_items) DIV 64`, and each phase's stranded
+    * budget redistributes over ITS OWN uncapped survivors by the
+    * largest-remainder rule iterated to fixpoint (phases never trade
+    * budget — the curriculum's phase split is the proportional
+    * Hamilton, untouched by the cap; a fully-capped phase strands its
+    * residual visibly as missing rows). The fixpoint loop runs all
+    * phases together — every round is phase-partitioned windows over
+    * the ONE materialized (phase, source) sheet, and the capped set
+    * grows monotonically across the union, so rounds are bounded by
+    * the deepest single-phase cascade. At `maxEpochs64 = ∞` this is
+    * bitwise [[phasedInterleave]]; at `nPhases = 1` it is bitwise
+    * [[cappedInterleaveManifest]] (MixingSpec pins both).
+    *
+    * Output: the item columns plus `(epoch, appearance, pos_key)`.
+    * All BIGINT → bitwise oracle (q183: the q177 chain with the
+    * per-phase fixpoint as a phase-partitioned recursive CTE).
+    * Scale shape: [[phasedInterleave]]'s audited plan with the quota
+    * pass replaced by sheet-round fixpoint windows (strictly finer
+    * (phase,) partitions than q179's own) — nothing corpus-sized
+    * moves that the uncapped curriculum didn't already move. */
+  def cappedPhasedInterleave(items: DataFrame, keyCol: String,
+      groupCol: String, sizeCol: String, phaseCol: String, nPhases: Int,
+      budget: Long, maxEpochs64: Long = 256L,
+      salt: String = "graft"): DataFrame = {
+    require(nPhases >= 1 && nPhases <= 1048576,
+      s"nPhases must be in [1, 2^20], got $nPhases")
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(maxEpochs64 >= 1, s"maxEpochs64 must be positive, got $maxEpochs64")
+    graft.GraftSession.ensureConfs(items.sparkSession)
+    val pop = phasedPop(items, keyCol, phaseCol, nPhases)
+    val budgets = phaseBudgetsOf(pop, sizeCol, phaseCol, budget)
+    val per = Dedup.materialize(pop
+      .groupBy(col(phaseCol).cast("long").as("__p"), col(groupCol))
+      .agg(count(lit(1)).as("n_items"), sum(col(sizeCol)).cast("long").as("__gm"))
+      .withColumn("s_q", floor(sqrt(col("__gm")) * lit(Q)).cast("long"))
+      .withColumn("cap", expr(s"CAST(($maxEpochs64 * n_items) DIV 64 AS BIGINT)"))
+      .join(broadcast(budgets), Seq("__p")))
+    var state = per
+      .withColumn("capped", lit(false))
+      .withColumn("alloc", lit(0L))
+    var anyViolator = true
+    while (anyViolator) {
+      val next = Dedup.materialize(phasedCappedRound(state, groupCol))
+      anyViolator = next.filter(col("__viol")).limit(1).count() > 0
+      state = next
+        .withColumn("capped", col("capped") || col("__viol"))
+        .withColumn("alloc",
+          when(col("capped") || col("__viol"), col("cap")).otherwise(col("alloc")))
+        .drop("__viol")
+    }
+    val quotas = state.select(col("__p"), col(groupCol), col("n_items"),
+      col("alloc"))
+    phasedManifestOverQuotas(pop, keyCol, groupCol, phaseCol, nPhases,
+      quotas, salt)
+  }
+
+  /** One [[cappedPhasedInterleave]] round — [[cappedRound]]'s
+    * arithmetic with every window PARTITIONED BY phase and the budget
+    * read from the sheet's own `__pbudget` column. State sheet:
+    * `(__p, group, n_items, __gm, s_q, cap, __pbudget, capped,
+    * alloc)`. */
+  private def phasedCappedRound(state: DataFrame,
+      groupCol: String): DataFrame = {
+    val wPhase = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).rowsBetween(Long.MinValue, Long.MaxValue)
+    state
+      .withColumn("__su",
+        sum(when(col("capped"), 0L).otherwise(col("s_q"))).over(wPhase))
+      .withColumn("__bres", col("__pbudget") -
+        sum(when(col("capped"), col("cap")).otherwise(0L)).over(wPhase))
+      .withColumn("__base", when(col("capped"), lit(null).cast("long"))
+        .otherwise(expr(
+          "CAST(CASE WHEN __su = 0 THEN 0 ELSE (__bres * s_q) DIV __su END AS BIGINT)")))
+      .withColumn("__rem",
+        col("__bres") * col("s_q") - col("__base") * col("__su"))
+      .withColumn("__left", when(col("__su") === 0L, lit(0L))
+        .otherwise(col("__bres") -
+          sum(when(col("capped"), 0L).otherwise(col("__base"))).over(wPhase)))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__p"))
+          .orderBy(col("capped").asc, col("__rem").desc_nulls_last,
+            col(groupCol).asc)))
+      .withColumn("alloc", when(col("capped"), col("cap"))
+        .otherwise(col("__base") +
+          when(col("__rank") <= col("__left"), 1L).otherwise(0L)))
+      .withColumn("__viol", !col("capped") && col("alloc") > col("cap"))
+      .select(col("__p"), col(groupCol), col("n_items"), col("__gm"),
+        col("s_q"), col("cap"), col("__pbudget"), col("capped"),
+        col("alloc"), col("__viol"))
   }
 
   /** The [[phasedInterleave]] ACCEPTANCE SHEET — the family

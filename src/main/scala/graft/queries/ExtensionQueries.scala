@@ -4358,7 +4358,49 @@ object ExtensionQueries {
           flagged.filter(col("__bucket") < 100).drop("__bucket"),
           "doc_id", "source", "n_tokens", budget = 500L)
       },
-      Some(interleaveIncrementSql(500L)))
+      Some(interleaveIncrementSql(500L))),
+
+    QuerySpec(
+      "q183_capped_curriculum",
+      """Epoch-capped CURRICULUM order ([[graft.operators.Mixing
+        |.cappedPhasedInterleave]]) — the q179 ceiling lifted into the
+        |q177 curriculum, closing the same day-one gap inside each
+        |phase: per (phase, source) cohort the quota caps at
+        |(256·n_items) DIV 64 = 4 epochs and each phase's stranded
+        |budget redistributes over ITS OWN uncapped survivors by the
+        |iterated largest-remainder fixpoint (phases never trade
+        |budget — the proportional phase split stands; all fixpoint
+        |windows are phase-partitioned over ONE materialized
+        |(phase, source) sheet, rounds bounded by the deepest
+        |single-phase cascade). The 1500 budget over ~8-doc cohorts
+        |pushes boosted small cohorts past 4 epochs while large ones stay open, so both
+        |dispositions exercise. At cap = ∞ this is bitwise q177; at
+        |nPhases = 1 it is bitwise q179 (MixingSpec pins both). All
+        |BIGINT → bitwise oracle: the q177 chain with the fixpoint as
+        |a phase-PARTITIONED recursive CTE into the shared curriculum
+        |tail. Scale shape: q177's audited plan with the quota pass
+        |replaced by sheet-round fixpoint windows — nothing
+        |corpus-sized moves that the uncapped curriculum didn't
+        |already move.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val phases = graft.operators.Phrases.lmQualityBuckets(docs, "text")
+          .select(col("doc_id"),
+            when(col("bucket") === "tail", 0L)
+              .when(col("bucket") === "middle", 1L)
+              .when(col("bucket") === "head", 2L).as("phase"))
+          .filter(col("phase").isNotNull)
+        graft.operators.Mixing.cappedPhasedInterleave(
+          docs.join(phases, "doc_id")
+            .select(col("doc_id"), col("source"), col("phase"),
+              TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+                .as("n_tokens")),
+          "doc_id", "source", "n_tokens", "phase", nPhases = 3,
+          budget = 1500L, maxEpochs64 = 256L)
+      },
+      Some(s"""${cappedCurriculumChainSql(1500L, 256L)}
+             |SELECT doc_id, source, phase, n_tokens, epoch, appearance, pos_key
+             |FROM cman""".stripMargin))
   )
 
   /** q182 oracle: the q102 allocation CTEs re-rooted on the standing
@@ -4410,9 +4452,35 @@ object ExtensionQueries {
     * the (phase, source)-ranked epoch-major appearances, and the
     * phase-sliced stride keys — closing as relation `cman` so the
     * order and its acceptance sheet cannot drift. */
-  private def curriculumChainSql(budget: Long): String = {
-    val slice = 4611686018427387904L / 3
-    s"""WITH qb AS (SELECT doc_id, CAST(CASE bucket
+  private def curriculumChainSql(budget: Long): String =
+    s"""WITH ${curriculumPrefixSql(budget)},
+       |per2 AS (SELECT phase, source, CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(n_tokens) AS BIGINT) AS gm FROM pop GROUP BY 1, 2),
+       |q2 AS (SELECT *, CAST(floor(sqrt(gm) * 1048576) AS BIGINT) AS s_q FROM per2),
+       |s2 AS (SELECT phase, CAST(sum(s_q) AS BIGINT) AS s FROM q2 GROUP BY 1),
+       |b2 AS (SELECT q2.phase, source, n_items, s_q, s, pbudget,
+       |    CASE WHEN s = 0 THEN 0 ELSE (pbudget * s_q) // s END AS base
+       |  FROM q2 JOIN s2 USING (phase) JOIN pa USING (phase)),
+       |r2 AS (SELECT *, pbudget * s_q - base * s AS rem FROM b2),
+       |l2 AS (SELECT phase, CAST(max(pbudget) - sum(base) AS BIGINT) AS leftover,
+       |    max(s) AS s FROM r2 GROUP BY 1),
+       |a2 AS (SELECT r2.phase, r2.source, r2.n_items,
+       |    base + CASE WHEN
+       |        CAST(row_number() OVER (PARTITION BY r2.phase
+       |          ORDER BY rem DESC, source ASC) AS BIGINT)
+       |          <= (CASE WHEN l2.s = 0 THEN 0 ELSE l2.leftover END)
+       |      THEN 1 ELSE 0 END AS alloc
+       |  FROM r2 JOIN l2 ON r2.phase = l2.phase),
+       |${curriculumTailSql()}""".stripMargin
+
+  /** The q177/q183 curriculum PREFIX CTEs: the q125 recursive quality
+    * chain as the phase map (`qb`), the phased population (`pop`),
+    * and the proportional Hamilton phase budgets (`pa`). Emitted
+    * WITHOUT a leading WITH (the q125 chain inside is recursive, so
+    * the emitting query must open `WITH` — q177's does, and the q183
+    * recursive fixpoint needs `WITH RECURSIVE` anyway). */
+  private def curriculumPrefixSql(budget: Long): String =
+    s"""qb AS (SELECT doc_id, CAST(CASE bucket
        |      WHEN 'tail' THEN 0 WHEN 'middle' THEN 1 WHEN 'head' THEN 2
        |    END AS BIGINT) AS phase FROM (
        |${BpeOracle.unigramQualitySql()}
@@ -4433,25 +4501,78 @@ object ExtensionQueries {
        |pa AS (SELECT phase, pbase + CASE WHEN
        |      CAST(row_number() OVER (ORDER BY prem DESC, phase ASC) AS BIGINT)
        |        <= (CASE WHEN pl.tm = 0 THEN 0 ELSE pl.pleft END)
-       |    THEN 1 ELSE 0 END AS pbudget FROM pb, pl),
+       |    THEN 1 ELSE 0 END AS pbudget FROM pb, pl)""".stripMargin
+
+  /** q183 chain: the curriculum with [[graft.operators.Mixing
+    * .cappedPhasedInterleave]]'s per-phase fixpoint as a
+    * phase-PARTITIONED recursive CTE — each step holds capped
+    * (phase, source) cohorts at their caps, Hamilton-allocates each
+    * phase's residual over its own uncapped survivors (all windows
+    * PARTITION BY phase), caps strict violators, and continues while
+    * ANY phase produced one (`cont` is the global bool_or, matching
+    * the engine's one fixpoint loop over the union sheet). Closes
+    * with the shared [[curriculumTailSql]]. */
+  private def cappedCurriculumChainSql(budget: Long,
+      maxEpochs64: Long): String =
+    s"""WITH RECURSIVE ${curriculumPrefixSql(budget)},
        |per2 AS (SELECT phase, source, CAST(count(*) AS BIGINT) AS n_items,
        |    CAST(sum(n_tokens) AS BIGINT) AS gm FROM pop GROUP BY 1, 2),
-       |q2 AS (SELECT *, CAST(floor(sqrt(gm) * 1048576) AS BIGINT) AS s_q FROM per2),
-       |s2 AS (SELECT phase, CAST(sum(s_q) AS BIGINT) AS s FROM q2 GROUP BY 1),
-       |b2 AS (SELECT q2.phase, source, n_items, s_q, s, pbudget,
-       |    CASE WHEN s = 0 THEN 0 ELSE (pbudget * s_q) // s END AS base
-       |  FROM q2 JOIN s2 USING (phase) JOIN pa USING (phase)),
-       |r2 AS (SELECT *, pbudget * s_q - base * s AS rem FROM b2),
-       |l2 AS (SELECT phase, CAST(max(pbudget) - sum(base) AS BIGINT) AS leftover,
-       |    max(s) AS s FROM r2 GROUP BY 1),
-       |a2 AS (SELECT r2.phase, r2.source, r2.n_items,
-       |    base + CASE WHEN
-       |        CAST(row_number() OVER (PARTITION BY r2.phase
-       |          ORDER BY rem DESC, source ASC) AS BIGINT)
-       |          <= (CASE WHEN l2.s = 0 THEN 0 ELSE l2.leftover END)
-       |      THEN 1 ELSE 0 END AS alloc
-       |  FROM r2 JOIN l2 ON r2.phase = l2.phase),
-       |ranked2 AS (SELECT doc_id, source, phase, n_tokens,
+       |cq2 AS (SELECT phase, source, n_items,
+       |    CAST(floor(sqrt(gm) * 1048576) AS BIGINT) AS s_q,
+       |    ($maxEpochs64 * n_items) // 64 AS cap, pbudget
+       |  FROM per2 JOIN pa USING (phase)),
+       |st2 AS (
+       |  SELECT 0 AS it, phase, source, n_items, s_q, cap, pbudget,
+       |    FALSE AS capped, CAST(0 AS BIGINT) AS alloc, TRUE AS cont
+       |  FROM cq2
+       |  UNION ALL
+       |  SELECT it + 1, phase, source, n_items, s_q, cap, pbudget,
+       |    capped OR viol AS capped,
+       |    CASE WHEN capped OR viol THEN cap ELSE alloc_new END AS alloc,
+       |    bool_or(viol) OVER () AS cont
+       |  FROM (
+       |    SELECT *, (NOT capped AND alloc_new > cap) AS viol FROM (
+       |      SELECT it, phase, source, n_items, s_q, cap, pbudget, capped,
+       |        CASE WHEN capped THEN cap
+       |             ELSE base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+       |        END AS alloc_new
+       |      FROM (
+       |        SELECT *,
+       |          CASE WHEN su = 0 THEN 0
+       |               ELSE bres - sum(CASE WHEN capped THEN 0 ELSE base END)
+       |                 OVER (PARTITION BY phase)
+       |          END AS leftover,
+       |          CAST(row_number() OVER (PARTITION BY phase
+       |            ORDER BY capped ASC, rem DESC NULLS LAST,
+       |            source ASC) AS BIGINT) AS rnk
+       |        FROM (
+       |          SELECT *,
+       |            CASE WHEN capped THEN NULL
+       |                 WHEN su = 0 THEN 0
+       |                 ELSE (bres * s_q) // su END AS base,
+       |            CASE WHEN capped THEN NULL
+       |                 WHEN su = 0 THEN 0
+       |                 ELSE bres * s_q - ((bres * s_q) // su) * su END AS rem
+       |          FROM (
+       |            SELECT *,
+       |              sum(CASE WHEN capped THEN 0 ELSE s_q END)
+       |                OVER (PARTITION BY phase) AS su,
+       |              pbudget - sum(CASE WHEN capped THEN cap ELSE 0 END)
+       |                OVER (PARTITION BY phase) AS bres
+       |            FROM st2 WHERE cont) w1) w2) w3) w4) w5
+       |),
+       |a2 AS (SELECT phase, source, n_items, alloc FROM st2
+       |  WHERE it = (SELECT max(it) FROM st2)),
+       |${curriculumTailSql()}""".stripMargin
+
+  /** The curriculum manifest TAIL CTEs (`ranked2` → `cman`) over
+    * `pop` and an allocation CTE `a2(phase, source, n_items, alloc)`
+    * — the SQL twin of [[graft.operators.Mixing]]'s shared
+    * `phasedManifestOverQuotas`, ONE textual definition for the q177
+    * and q183 chains. */
+  private def curriculumTailSql(): String = {
+    val slice = 4611686018427387904L / 3
+    s"""ranked2 AS (SELECT doc_id, source, phase, n_tokens,
        |    CAST(row_number() OVER (PARTITION BY phase, source
        |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rk
        |  FROM pop),

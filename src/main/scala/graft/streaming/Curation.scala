@@ -472,6 +472,69 @@ object Curation {
       .drop("__t", "__bgs", "lrmap", "lr0_q", "__bucket", "__cut")
   }
 
+  /** Streaming LANGUAGE-ID gate — the q181 classifier's streaming twin
+    * (the [[classifierGate]] pattern lifted to K classes): each
+    * arriving doc scores against the broadcast ONE-ROW lang-ID
+    * artifact ([[graft.operators.LangId.langIdModelRow]] — sorted
+    * class list, per-class prior/normalizer maps, per-class
+    * bucket→log-count maps) entirely map-side: hashed char trigrams
+    * assemble per row, each class's multinomial log-joint is one
+    * `aggregate` fold of map lookups, and the argmax folds over the
+    * SORTED class array (first strict maximum wins — exactly the
+    * batch's score-DESC, class-ASC tiebreak), tracking the runner-up
+    * for the margin. ZERO streaming state, append-mode, no watermark.
+    *
+    * Emits the input columns plus `(n_grams, predicted_lang,
+    * margin_q)` — bitwise [[graft.operators.LangId.langIdScores]]'
+    * held-out columns on the same corpus (the per-occurrence lookup
+    * sum ≡ the batch's occ-grouped Σ occ·lg_q over exact integers;
+    * StreamingLangIdGateSpec pins it). NULL/short text scores
+    * prior-only (the batch rule); an arrival against an EMPTY model
+    * (classless train split) reads predicted NULL, margin NULL —
+    * a gate must never crash, and a NULL prediction is the audit
+    * signal to not arm it. */
+  def langIdGate(stream: DataFrame, model: DataFrame,
+      textCol: String = "text", buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val t = lower(col(textCol))
+    stream.crossJoin(broadcast(model))
+      .withColumn("__gs",
+        when(t.isNotNull && length(t) >= 3,
+          transform(sequence(lit(1), length(t) - lit(2)),
+            i => graft.operators.Dedup.md5Base48Of(md5(t.substr(i, lit(3))))
+              % buckets.toLong))
+          .otherwise(expr("CAST(array() AS array<bigint>)")))
+      .withColumn("n_grams", size(col("__gs")).cast("long"))
+      // one score per class, each trigram fold evaluated once
+      .withColumn("__scores", transform(col("classes"), c =>
+        struct(c.as("c"),
+          (element_at(col("priors"), c) +
+            aggregate(col("__gs"), lit(0L), (acc, b) =>
+              acc + coalesce(
+                element_at(element_at(col("lgmaps"), c), b), lit(0L))) -
+            col("n_grams") * element_at(col("tlogs"), c)).as("s"))))
+      // classes are sorted ASC, so keeping only STRICT improvements
+      // reproduces the batch (score DESC, class ASC) tiebreak; the
+      // runner-up is the max of the non-best scores
+      .withColumn("__best", expr(
+        """aggregate(__scores,
+          |  named_struct('s', CAST(NULL AS BIGINT),
+          |    'c', CAST(NULL AS STRING), 'r', CAST(NULL AS BIGINT)),
+          |  (acc, x) -> CASE
+          |    WHEN acc.c IS NULL THEN
+          |      named_struct('s', x.s, 'c', x.c, 'r', CAST(NULL AS BIGINT))
+          |    WHEN x.s > acc.s THEN named_struct('s', x.s, 'c', x.c, 'r', acc.s)
+          |    WHEN acc.r IS NULL OR x.s > acc.r THEN
+          |      named_struct('s', acc.s, 'c', acc.c, 'r', x.s)
+          |    ELSE acc END)""".stripMargin))
+      .withColumn("predicted_lang", col("__best.c"))
+      .withColumn("margin_q",
+        when(col("__best.c").isNull, lit(null).cast("long"))
+          .otherwise(col("__best.s") - coalesce(col("__best.r"), col("__best.s"))))
+      .drop("__gs", "__scores", "__best",
+        "classes", "priors", "tlogs", "lgmaps")
+  }
+
   /** Batch twin of the gate with REASON CODES (q81): same quality rules,
     * with the stream's arrival-order dedup pinned to a deterministic
     * rule — among quality-surviving rows of identical normalized

@@ -245,6 +245,16 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Mixing.phasedMixAudit(badPhase, "doc_id", "source", "n_tokens",
       "phase", nPhases = 2, budget = 10L, nBlocks = 4).count() == 0)
 
+    // capped curriculum: empty corpus and out-of-range phases -> empty
+    // manifest; zero budget allocates nothing
+    assert(Mixing.cappedPhasedInterleave(emptyP, "doc_id", "source",
+      "n_tokens", "phase", nPhases = 2, budget = 10L).count() == 0)
+    assert(Mixing.cappedPhasedInterleave(badPhase, "doc_id", "source",
+      "n_tokens", "phase", nPhases = 2, budget = 10L).count() == 0)
+    val oneP = Seq(("d1", "s", 0L, 10L)).toDF("doc_id", "source", "phase", "n_tokens")
+    assert(Mixing.cappedPhasedInterleave(oneP, "doc_id", "source",
+      "n_tokens", "phase", nPhases = 2, budget = 0L).count() == 0)
+
     // interleave increment: empty standing corpus admits nothing
     // (no census); empty batch yields an empty disposition
     val batch = Seq(("n1", "s", 5L)).toDF("doc_id", "source", "n_tokens")

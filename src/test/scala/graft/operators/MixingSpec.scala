@@ -791,6 +791,61 @@ class MixingSpec extends AnyFunSuite {
       r.getAs[Long]("kept"), Option(r.getAs[java.lang.Long]("pos_key")))).toSet)
   }
 
+  test("cappedPhasedInterleave: per-phase ceilings, phase-local redistribution, degenerate pins") {
+    // phase 0: a = 25×36 tokens (cap 100), b = 1×100 (cap 4) -> sqrt
+    // 3:1; phase 1: c = 4×100 (cap 16). Masses 1000/400, budget 70 ->
+    // phase budgets 50/20. Phase 0 round 1: Hamilton 38/12 (rem tie,
+    // a first) -> b caps at 4; round 2 redistributes: a = 46 (<= 100).
+    // Phase 1: single source, 20 > cap 16 -> capped, strands 4 — the
+    // stranded mass stays IN its phase (never migrates to phase 0).
+    val items = ((1 to 25).map(i => (s"a$i", "a", 0L, 36L)) ++
+      Seq(("b1", "b", 0L, 100L)) ++
+      (1 to 4).map(i => (s"c$i", "c", 1L, 100L)))
+      .toDF("doc_id", "source", "phase", "n_tokens")
+    val rows = Mixing.cappedPhasedInterleave(items, "doc_id", "source",
+      "n_tokens", "phase", nPhases = 2, budget = 70L, maxEpochs64 = 256L)
+      .collect()
+    val byPS = rows.groupBy(r => (r.getAs[Long]("phase"),
+      r.getAs[String]("source"))).view.mapValues(_.length.toLong).toMap
+    assert(byPS == Map((0L, "a") -> 46L, (0L, "b") -> 4L, (1L, "c") -> 16L))
+    // ceiling per cohort: no doc exceeds 4 appearances
+    assert(rows.groupBy(r => (r.getAs[Long]("phase"),
+      r.getAs[String]("doc_id"))).values.forall(_.length <= 4))
+    // phases never interleave: every phase-0 key below every phase-1 key
+    val slice = 4611686018427387904L / 2
+    assert(rows.forall(r => (r.getAs[Long]("pos_key") < slice) ==
+      (r.getAs[Long]("phase") == 0L)))
+
+    // cap = ∞ is bitwise phasedInterleave
+    def keyOf(r: org.apache.spark.sql.Row) = (r.getAs[String]("doc_id"),
+      r.getAs[Long]("epoch"), r.getAs[Long]("appearance"),
+      r.getAs[Long]("pos_key"))
+    val inf = Mixing.cappedPhasedInterleave(items, "doc_id", "source",
+      "n_tokens", "phase", nPhases = 2, budget = 70L,
+      maxEpochs64 = 1L << 40).collect().map(keyOf).toSet
+    val unc = Mixing.phasedInterleave(items, "doc_id", "source",
+      "n_tokens", "phase", nPhases = 2, budget = 70L).collect()
+      .map(keyOf).toSet
+    assert(inf == unc)
+
+    // nPhases = 1 is bitwise cappedInterleaveManifest
+    val onePhase = Mixing.cappedPhasedInterleave(
+      items.filter(org.apache.spark.sql.functions.col("phase") === 0L),
+      "doc_id", "source", "n_tokens", "phase", nPhases = 1, budget = 50L,
+      maxEpochs64 = 256L).collect().map(keyOf).toSet
+    val flat = Mixing.cappedInterleaveManifest(
+      items.filter(org.apache.spark.sql.functions.col("phase") === 0L),
+      "doc_id", "source", "n_tokens", budget = 50L, maxEpochs64 = 256L)
+      .collect().map(keyOf).toSet
+    assert(onePhase == flat)
+
+    // pure function of the data
+    val re = Mixing.cappedPhasedInterleave(items.repartition(7), "doc_id",
+      "source", "n_tokens", "phase", nPhases = 2, budget = 70L,
+      maxEpochs64 = 256L).collect().map(keyOf).toSet
+    assert(re == rows.map(keyOf).toSet)
+  }
+
   test("epochPlanSheet: exact allocations, the repeat ceiling, stranded budget") {
     // one 900-token source, one 100-token source, one zero-token source
     val items = Seq(("a", 900L), ("b", 100L), ("z", 0L))

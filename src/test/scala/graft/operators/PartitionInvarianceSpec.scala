@@ -355,6 +355,24 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     }
   }
 
+  test("capped curriculum interleave is partition-invariant") {
+    invariant { d =>
+      val phases = Phrases.lmQualityBuckets(d, "text")
+        .select(col("doc_id"),
+          when(col("bucket") === "tail", 0L)
+            .when(col("bucket") === "middle", 1L)
+            .when(col("bucket") === "head", 2L).as("phase"))
+        .filter(col("phase").isNotNull)
+      Mixing.cappedPhasedInterleave(
+        d.join(phases, "doc_id").select(col("doc_id"), col("source"),
+          col("phase"),
+          graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+            .as("n_tokens")),
+        "doc_id", "source", "n_tokens", "phase", nPhases = 3,
+        budget = 1500L, maxEpochs64 = 256L)
+    }
+  }
+
   test("interleave increment is partition-invariant") {
     invariant { d =>
       val docs = d.select(col("doc_id"), col("source"),

@@ -107,7 +107,10 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // is the BATCH's cohort rank (the standing corpus pays one pruned
   // quota agg and is never re-keyed)
   "q179_capped_interleave", "q180_curriculum_mix_audit",
-  "q181_langid_confusion", "q182_interleave_increment")
+  "q181_langid_confusion", "q182_interleave_increment",
+  // the capped curriculum re-pays q177 (the claim: shuffle ~ q177 own,
+  // the per-phase fixpoint is sheet-only)
+  "q183_capped_curriculum")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
