@@ -3764,9 +3764,12 @@ object ExtensionQueries {
         |([[graft.operators.Quantiles.radixLocate]] — four map-side
         |token-mass histogram passes, NO single-partition sort);
         |rows above the boundary key keep by one broadcast
-        |comparison; only the boundary key's tie group runs a
-        |doc_id-ordered window to split the residual
-        |budget.""".stripMargin,
+        |comparison; the boundary key's tie group splits its residual
+        |by a SECOND radix locate over doc_id — no window serializes
+        |the collision set either (it is ~n/60 worst case: the Gumbel
+        |noise quantizes through two 1/64 logs to ~230 effective
+        |levels, measured in MixingSpec's full-duplicate
+        |spec).""".stripMargin,
       (s, d) => graft.operators.Mixing.dsirResampleTokens(
         Tables.documents(s, d), tokenBudgetPermille = 250),
       Some(DsirOracle.resampleTokensSql(tokenBudgetPermille = 250))),
