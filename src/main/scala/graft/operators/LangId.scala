@@ -144,6 +144,282 @@ object LangId {
       .select(col("classes"), col("priors"), col("tlogs"), col("lgmaps"))
   }
 
+  /** Score a frame against a broadcast ONE-ROW [[langIdModelRow]]
+    * artifact, entirely MAP-SIDE — the kernel under the streaming
+    * gate ([[graft.streaming.Curation.langIdGate]] delegates here),
+    * the [[applyLangId]] act, and the [[langDistDrift]] monitors, ONE
+    * textual definition so none of them can drift: hashed char
+    * trigrams assemble per row, each class's multinomial log-joint is
+    * one `aggregate` fold of map lookups, and the argmax folds over
+    * the SORTED class array (first strict maximum wins — exactly the
+    * batch's score-DESC, class-ASC tiebreak), tracking the runner-up
+    * for the margin. Emits the input columns plus `(n_grams,
+    * predicted_lang, margin_q)` — bitwise [[langIdScores]]' held-out
+    * columns on the same corpus (the per-occurrence lookup sum ≡ the
+    * batch's occ-grouped Σ occ·lg_q over exact integers;
+    * StreamingLangIdGateSpec pins it). NULL/short text scores
+    * prior-only; a row against an EMPTY model (classless train split)
+    * reads predicted NULL, margin NULL. ZERO state, no shuffle — the
+    * 100 TB scale shape is "the model rides the scan". */
+  private[graft] def scoreAgainstModel(df: DataFrame, model: DataFrame,
+      textCol: String = "text", buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val t = lower(col(textCol))
+    df.crossJoin(broadcast(model))
+      .withColumn("__gs",
+        when(t.isNotNull && length(t) >= 3,
+          transform(sequence(lit(1), length(t) - lit(2)),
+            i => Dedup.md5Base48Of(md5(t.substr(i, lit(3))))
+              % buckets.toLong))
+          .otherwise(expr("CAST(array() AS array<bigint>)")))
+      .withColumn("n_grams", size(col("__gs")).cast("long"))
+      // one score per class, each trigram fold evaluated once
+      .withColumn("__scores", transform(col("classes"), c =>
+        struct(c.as("c"),
+          (element_at(col("priors"), c) +
+            aggregate(col("__gs"), lit(0L), (acc, b) =>
+              acc + coalesce(
+                element_at(element_at(col("lgmaps"), c), b), lit(0L))) -
+            col("n_grams") * element_at(col("tlogs"), c)).as("s"))))
+      // classes are sorted ASC, so keeping only STRICT improvements
+      // reproduces the batch (score DESC, class ASC) tiebreak; the
+      // runner-up is the max of the non-best scores
+      .withColumn("__best", expr(
+        """aggregate(__scores,
+          |  named_struct('s', CAST(NULL AS BIGINT),
+          |    'c', CAST(NULL AS STRING), 'r', CAST(NULL AS BIGINT)),
+          |  (acc, x) -> CASE
+          |    WHEN acc.c IS NULL THEN
+          |      named_struct('s', x.s, 'c', x.c, 'r', CAST(NULL AS BIGINT))
+          |    WHEN x.s > acc.s THEN named_struct('s', x.s, 'c', x.c, 'r', acc.s)
+          |    WHEN acc.r IS NULL OR x.s > acc.r THEN
+          |      named_struct('s', acc.s, 'c', acc.c, 'r', x.s)
+          |    ELSE acc END)""".stripMargin))
+      .withColumn("predicted_lang", col("__best.c"))
+      .withColumn("margin_q",
+        when(col("__best.c").isNull, lit(null).cast("long"))
+          .otherwise(col("__best.s") - coalesce(col("__best.r"), col("__best.s"))))
+      .drop("__gs", "__scores", "__best",
+        "classes", "priors", "tlogs", "lgmaps")
+  }
+
+  /** The lang-ID APPLY member — the act that MINTS the `lang_id`
+    * column for the corpus (the q162→q164 evidence→act convention):
+    * EVERY doc (train and held-out alike — the act labels the corpus,
+    * the evidence split only tunes it) scores against the trained
+    * [[langIdModelRow]] artifact through [[scoreAgainstModel]] (ONE
+    * kernel with the streaming gate and the q181 sheet, so the act
+    * cannot drift from its evidence), and docs whose margin falls
+    * BELOW `marginThresholdQ` read `lang_id = 'unknown'` — the CCNet
+    * drop rule (Wenzek et al. 2020 discard low-confidence lang-ID
+    * rows rather than mislabel them). The threshold is READ from the
+    * [[langIdOperatingPoints]] sheet, never guessed; at
+    * `marginThresholdQ = 0` the act is plain argmax (margins are
+    * non-negative by construction — LangIdSpec pins it). A doc that
+    * scores NO prediction (empty model) also reads 'unknown' — an
+    * act must be total. NULL `idCol` rows never emit (the q164
+    * convention: a row with no identity cannot be labeled).
+    *
+    * Output: the input columns plus `(n_grams, predicted_lang,
+    * margin_q, lang_id)`.
+    *
+    * Scale shape (100 TB): [[langIdModelRow]]'s audited build (the
+    * only exchanges are the model's own, over the TRAIN slice), then
+    * the broadcast artifact rides the corpus scan — the act itself
+    * moves NOTHING: no join, no shuffle, no state, the same shape
+    * that lets the streaming gate run map-side at ingest. */
+  def applyLangId(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft",
+      marginThresholdQ: Long = 0L, idCol: String = "doc_id"): DataFrame = {
+    require(marginThresholdQ >= 0,
+      s"marginThresholdQ must be non-negative, got $marginThresholdQ")
+    val model =
+      langIdModelRow(docs, textCol, langCol, trainPermille, buckets, salt)
+    scoreAgainstModel(docs.filter(col(idCol).isNotNull), model,
+        textCol, buckets)
+      .withColumn("lang_id",
+        when(col("predicted_lang").isNull ||
+          col("margin_q") < marginThresholdQ, lit("unknown"))
+          .otherwise(col("predicted_lang")))
+  }
+
+  /** The ABSTAIN operating-points sheet — the q147 convention for the
+    * [[applyLangId]] knob: held-out margins swept at their own exact
+    * DECILE thresholds (the q60-pinned radix selection — data-driven
+    * cut candidates, not arbitrary constants), one row per distinct
+    * threshold with the abstain/scored/correct counts, the held-out
+    * accuracy AMONG SCORED docs, and the abstain rate — the sheet
+    * `marginThresholdQ` is READ from: a deployment picks the leftmost
+    * threshold whose accuracy clears its bar, and the abstain rate is
+    * the data it pays for it (the CCNet trade: dropped mass for label
+    * purity). Counts are BIGINTs; accuracy and abstain_rate are
+    * single IEEE divisions of exact integers (−1.0 when undefined,
+    * the q90 idiom) — the whole sheet oracles bitwise (q185).
+    *
+    * Output: ≤ 9 rows — `(thr_q, n_abstain, n_scored, n_correct,
+    * accuracy, abstain_rate)` with `predict ⇔ margin_q ≥ thr_q`.
+    *
+    * Scale shape: [[langIdScores]]' audited plan reduced to 17-byte
+    * (margin, correct) rows, the decile cuts by distributed radix
+    * select (no single-task sort), then a ≤ 9× broadcast row
+    * multiplication collapsing map-side onto ≤ 9 keys — the q147
+    * shape exactly. */
+  def langIdOperatingPoints(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    val scores = Dedup.materialize(
+      langIdScores(docs, textCol, langCol, trainPermille, buckets, salt)
+        .select(col("margin_q"),
+          when(col("predicted_lang") === col("lang"), 1L).otherwise(0L)
+            .as("correct")))
+    val qs = (1 until 10).map { i =>
+      s"e$i" -> (BigDecimal(i) / BigDecimal(10)).toDouble
+    }
+    // distributed radix select (bitwise percentile_disc) — held-out
+    // margins are corpus-sized at scale; no single-task sort
+    val cutsRow = Quantiles.globalQuantileDisc(scores, "margin_q", qs,
+      materializeInput = false) // scores is already materialized
+    val thr = cutsRow
+      .select(explode(array(qs.map { case (n, _) => col(n) }: _*)).as("thr_q"))
+      .filter(col("thr_q").isNotNull).distinct()
+    scores.crossJoin(broadcast(thr))
+      .groupBy(col("thr_q"))
+      .agg(
+        sum(when(col("margin_q") < col("thr_q"), 1L).otherwise(0L))
+          .as("n_abstain"),
+        sum(when(col("margin_q") >= col("thr_q"), 1L).otherwise(0L))
+          .as("n_scored"),
+        sum(when(col("margin_q") >= col("thr_q") && col("correct") === 1L,
+          1L).otherwise(0L)).as("n_correct"))
+      .select(col("thr_q"), col("n_abstain"), col("n_scored"),
+        col("n_correct"),
+        when(col("n_scored") === 0L, lit(-1.0))
+          .otherwise(col("n_correct").cast("double") / col("n_scored"))
+          .as("accuracy"),
+        (col("n_abstain").cast("double") /
+          (col("n_abstain") + col("n_scored"))).as("abstain_rate"))
+  }
+
+  /** The standing corpus's PREDICTED-language distribution collapsed
+    * to ONE broadcastable row — `(lmap, t_g)`: per predicted class
+    * the standing doc count, plus the total (the
+    * [[Drift.contentKlModel]] artifact shape with predicted langs in
+    * the bucket seat). Predictions come from [[scoreAgainstModel]]
+    * against the SAME model the gate ships, so the standing
+    * distribution and a streamed batch's are commensurable by
+    * construction. An empty model predicts nothing → `(empty map,
+    * 0)`. Byte-determinism: the map builds from a sorted entry
+    * array. */
+  def langDistRow(standing: DataFrame, model: DataFrame,
+      textCol: String = "text", buckets: Int = 8192): DataFrame =
+    scoreAgainstModel(standing, model, textCol, buckets)
+      .filter(col("predicted_lang").isNotNull)
+      .groupBy(col("predicted_lang")).agg(count(lit(1)).as("c"))
+      .agg(
+        map_from_entries(array_sort(
+          collect_list(struct(col("predicted_lang"), col("c"))))).as("lmap"),
+        coalesce(sum(col("c")), lit(0L)).as("t_g"))
+
+  /** The KL close over a SCORED batch vs a standing [[langDistRow]] —
+    * the kernel shared by the batch twin ([[langDistDrift]]) and the
+    * streaming monitor ([[graft.streaming.Curation.langDistMonitor]]),
+    * ONE textual definition so the two cannot drift: the batch's
+    * predicted-lang counts spread over the model's K-class support
+    * (exploded from the broadcast artifact — absent classes read 0 on
+    * both sides), and the exact add-1-smoothed
+    * KL(P_batch ‖ P_standing) closes in 1/64-log2 fixed point — the
+    * q158 arithmetic with K classes in place of the 8192 hash
+    * buckets. The +1 smoothing over K ≪ 8192 support barely shrinks
+    * even small batches, so this monitor stays sharp at probe sizes
+    * the content-KL can't see — and it reads a signal content-KL
+    * structurally can't: "this feed switched LANGUAGE" shows as mass
+    * moving between classes even when bigram concentration holds
+    * (provenance labels never see it; the prediction is text-derived).
+    *
+    * Output: ONE row `(n_docs, n_langs, kl_q, alert)` — batch doc
+    * count, distinct predicted langs in the batch, the KL in 1/64-bit
+    * units (trunc-toward-zero through the sign CASE), `alert` at
+    * `kl_q ≥ alertQ` (default 32 = 0.5 bits/doc). A batch predicting
+    * EXACTLY the standing shares reads 0. Against an EMPTY model the
+    * support is empty: one all-NULL/zero row with `alert = 0` — a
+    * monitor must never crash, and the NULL kl is the audit signal to
+    * not arm it. All BIGINT → the batch twin oracles bitwise
+    * (q188). */
+  def langDistAgainst(scored: DataFrame, model: DataFrame,
+      distRow: DataFrame, alertQ: Long = 32L): DataFrame = {
+    val counts = scored.filter(col("predicted_lang").isNotNull)
+      .groupBy(col("predicted_lang")).agg(count(lit(1)).as("c_bb"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    model.select(explode(col("classes")).as("predicted_lang"),
+        size(col("classes")).cast("long").as("__k"))
+      .join(counts, Seq("predicted_lang"), "left")
+      .crossJoin(broadcast(distRow))
+      .select(col("predicted_lang"), col("__k"),
+        coalesce(col("c_bb"), lit(0L)).as("c_bb"),
+        coalesce(element_at(col("lmap"), col("predicted_lang")), lit(0L))
+          .as("c_gb"),
+        coalesce(col("t_g"), lit(0L)).as("t_g"))
+      .withColumn("t_b", sum(col("c_bb")).over(whole))
+      .withColumn("__dq",
+        expr(Mixing.log2qExpr("c_bb + 1")) -
+          expr(Mixing.log2qExpr("t_b + __k")) -
+          expr(Mixing.log2qExpr("c_gb + 1")) +
+          expr(Mixing.log2qExpr("t_g + __k")))
+      .agg(max(col("t_b")).as("n_docs"),
+        sum(when(col("c_bb") > 0L, 1L).otherwise(0L)).as("n_langs"),
+        sum((col("c_bb") + 1L) * col("__dq")).as("__num"),
+        max(col("__k")).as("__kk"))
+      .withColumn("kl_q", expr(
+        """CASE WHEN __num >= 0 THEN __num DIV (n_docs + __kk)
+          |ELSE -((-__num) DIV (n_docs + __kk)) END""".stripMargin))
+      .withColumn("alert",
+        when(col("kl_q") >= alertQ, lit(1L)).otherwise(lit(0L)))
+      .drop("__num", "__kk")
+  }
+
+  /** The q158 batch-twin convention for the LANGUAGE monitor: the
+    * corpus splits on an independent md5 bucket (`arrivalSalt` —
+    * deliberately NOT the model's train salt, so the arrival slice
+    * and the train split stay uncorrelated), the standing remainder
+    * trains the [[langIdModelRow]] artifact and folds its OWN
+    * predictions into the [[langDistRow]] baseline, and the incoming
+    * slice scores through the SAME [[scoreAgainstModel]] kernel into
+    * the shared [[langDistAgainst]] close — single-sourced end to end
+    * with [[graft.streaming.Curation.langDistMonitor]], so the batch
+    * sheet and a streamed batch CANNOT disagree
+    * (StreamingLangIdGateSpec pins it bitwise).
+    *
+    * Scale shape (100 TB): the model build's audited exchanges over
+    * the standing TRAIN slice; everything else is the broadcast
+    * artifact riding two scans plus two ≤ K-key map-side rollups —
+    * the monitor itself moves nothing corpus-sized. */
+  def langDistDrift(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", newPermille: Int = 100,
+      trainPermille: Int = 500, buckets: Int = 8192,
+      salt: String = "graft", arrivalSalt: String = "arrivals",
+      alertQ: Long = 32L): DataFrame = {
+    require(newPermille >= 0 && newPermille <= 1000,
+      s"newPermille must be in [0,1000], got $newPermille")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val flagged = Sampling.withSplitBucket(docs, "doc_id", arrivalSalt)
+    val standing = flagged.filter(col("__bucket") >= newPermille)
+      .drop("__bucket")
+    val incoming = flagged.filter(col("__bucket") < newPermille)
+      .drop("__bucket")
+    // the one-row artifact feeds the baseline build, the batch scoring
+    // AND the support explode — materialize so the train chain runs
+    // once (the q167 materialize-the-sheet rule)
+    val model = Dedup.materialize(
+      langIdModelRow(standing, textCol, langCol, trainPermille, buckets,
+        salt))
+    val dist = langDistRow(standing, model, textCol, buckets)
+    langDistAgainst(
+      scoreAgainstModel(incoming, model, textCol, buckets),
+      model, dist, alertQ)
+  }
+
   /** The shared split → lowered text → hashed char-trigram →
     * per-(doc, bucket) count → model chain: returns
     * (meta, hb, consts, sheet). */

@@ -324,7 +324,15 @@ object Mixing {
     * (sources-sized — thousands of rows, never corpus rows) plus one
     * sheet-sized any-violator action, the [[graft.operators.Phrases]]
     * bounded-driver-loop precedent. Rounds do not scale with corpus
-    * size — only with the depth of the cap cascade (≤ groups). */
+    * size — only with the depth of the cap cascade (≤ groups), and
+    * each round SERIALIZES as its own Spark job (a driver `while`
+    * with a sheet-sized `.count()` probe): the pathological case is a
+    * strictly-decreasing weight staircase where every round caps
+    * exactly one group — `groups` serialized sheet-window jobs, each
+    * milliseconds at thousands of sources (EdgeCasesSpec proves
+    * termination and budget conservation at that bound). Keep the
+    * group key at `source` granularity; a per-document group key
+    * would make the bound — and the sheet — corpus-sized. */
   def cappedAllocation(items: DataFrame, groupCol: String, sizeCol: String,
       budget: Long, maxEpochs64: Long = 256L): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
@@ -460,6 +468,45 @@ object Mixing {
     val pop = standing.filter(col(keyCol).isNotNull)
     val quotas = sqrtAllocation(pop, groupCol, sizeCol, budget)
       .select(col(groupCol), col("n_items"), col("alloc"))
+    incrementOverQuotas(quotas, incoming, keyCol, groupCol, salt)
+  }
+
+  /** [[interleaveIncrement]] for a standing CAPPED order — the
+    * increment member the q179/q183 enforcement made necessary:
+    * patching a [[cappedInterleaveManifest]] with the uncapped
+    * increment would freeze the WRONG allocation (the cap
+    * redistributes quotas, so the derived strides and pos_keys would
+    * not exist in the frozen manifest). Here the frozen quotas come
+    * from [[cappedAllocation]] with the SAME `maxEpochs64` the
+    * standing order was built with, and the admission tail is
+    * [[interleaveIncrement]]'s own (one textual definition — at
+    * `maxEpochs64 = ∞` the two members are bitwise identical;
+    * MixingSpec pins it). Note the cap also bounds the residual
+    * capacity: a capped group's repeat slots are
+    * `cap − n_standing ≤ (maxEpochs64/64 − 1)·n_standing`, so
+    * arrivals can never push a frozen group past its epoch ceiling.
+    * Scale shape: [[cappedAllocation]]'s one pruned corpus agg +
+    * sheet-round fixpoint for the quota sheet, then the increment's
+    * audited tail (broadcast quotas, ONE batch-sized group-key
+    * shuffle); the standing manifest is never read or re-keyed. */
+  def cappedInterleaveIncrement(standing: DataFrame, incoming: DataFrame,
+      keyCol: String, groupCol: String, sizeCol: String, budget: Long,
+      maxEpochs64: Long = 256L, salt: String = "graft"): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val pop = standing.filter(col(keyCol).isNotNull)
+    val quotas = cappedAllocation(pop, groupCol, sizeCol, budget, maxEpochs64)
+      .select(col(groupCol), col("n_items"), col("alloc"))
+    incrementOverQuotas(quotas, incoming, keyCol, groupCol, salt)
+  }
+
+  /** The admission TAIL shared by [[interleaveIncrement]] and
+    * [[cappedInterleaveIncrement]] — batch cohort rank, residual-slot
+    * admission, frozen epoch/appearance/pos_key arithmetic — ONE
+    * textual definition so the capped increment cannot drift from the
+    * uncapped one. `quotas` must carry `(groupCol, n_items, alloc)` —
+    * the allocation the standing order was actually built with. */
+  private def incrementOverQuotas(quotas: DataFrame, incoming: DataFrame,
+      keyCol: String, groupCol: String, salt: String): DataFrame = {
     val newPop = incoming.filter(col(keyCol).isNotNull)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
       .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))).asc,
@@ -512,14 +559,51 @@ object Mixing {
     * pattern the plan-hygiene net whitelists). */
   def interleaveMixAudit(items: DataFrame, keyCol: String, groupCol: String,
       sizeCol: String, budget: Long, nBlocks: Int = 16,
-      salt: String = "graft"): DataFrame = {
+      salt: String = "graft"): DataFrame =
+    mixAuditOverManifest(
+      interleaveManifest(items, keyCol, groupCol, sizeCol, budget, salt),
+      groupCol, nBlocks)
+
+  /** [[interleaveMixAudit]] for the CAPPED order — the acceptance
+    * sheet over [[cappedInterleaveManifest]], closing the audit gap
+    * the enforcement member opened: the cap CHANGES the targets
+    * (stranded budget redistributes onto the open survivors), so the
+    * uncapped q171 sheet cannot accept a capped manifest — but the
+    * audit re-derives targets from the manifest by SUMMATION (the
+    * one-definition rule), so lifting it is exactly
+    * [[mixAuditOverManifest]] over the capped order. At
+    * `maxEpochs64 = ∞` bitwise [[interleaveMixAudit]] (MixingSpec
+    * pins it). Scale shape: the capped manifest's audited plan + the
+    * sheet rollup — nothing new touches corpus rows. */
+  def cappedInterleaveMixAudit(items: DataFrame, keyCol: String,
+      groupCol: String, sizeCol: String, budget: Long,
+      maxEpochs64: Long = 256L, nBlocks: Int = 16,
+      salt: String = "graft"): DataFrame =
+    mixAuditOverManifest(
+      cappedInterleaveManifest(items, keyCol, groupCol, sizeCol, budget,
+        maxEpochs64, salt),
+      groupCol, nBlocks)
+
+  /** The audit ROLLUP over ANY stride manifest — the sheet half of
+    * [[interleaveMixAudit]], parameterized over the manifest so every
+    * member of the order family (uncapped q170, capped q179, a
+    * policy-acted composition) ships the same acceptance sheet:
+    * targets are re-derived from the manifest's own counts by
+    * summation, never re-joined from a quota pass, so the sheet
+    * accepts whatever allocation actually shipped. `manifest` must
+    * carry `(groupCol, pos_key)` with pos_key on the full 2^62 grid.
+    * Scale shape: a map-side block projection, ONE map-side-combined
+    * (block, group) agg, three windows over the nBlocks×groups
+    * SHEET. */
+  def mixAuditOverManifest(manifest: DataFrame, groupCol: String,
+      nBlocks: Int = 16): DataFrame = {
     require(nBlocks >= 1 && nBlocks <= 65536,
       s"nBlocks must be in [1, 65536], got $nBlocks")
     val wBlock = org.apache.spark.sql.expressions.Window
       .partitionBy(col("block")).rowsBetween(Long.MinValue, Long.MaxValue)
     val wGroup = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).rowsBetween(Long.MinValue, Long.MaxValue)
-    interleaveManifest(items, keyCol, groupCol, sizeCol, budget, salt)
+    manifest
       // block = pos_key DIV (GRID DIV nBlocks): divide by the block
       // width rather than multiplying pos_key (pos_key·nBlocks would
       // overflow BIGINT); the last block absorbs the DIV remainder
@@ -789,7 +873,42 @@ object Mixing {
     * pattern the plan net whitelists. */
   def phasedMixAudit(items: DataFrame, keyCol: String, groupCol: String,
       sizeCol: String, phaseCol: String, nPhases: Int, budget: Long,
-      nBlocks: Int = 16, salt: String = "graft"): DataFrame = {
+      nBlocks: Int = 16, salt: String = "graft"): DataFrame =
+    phasedMixAuditOverManifest(
+      phasedInterleave(items, keyCol, groupCol, sizeCol, phaseCol, nPhases,
+        budget, salt),
+      groupCol, phaseCol, nPhases, nBlocks)
+
+  /** [[phasedMixAudit]] for the CAPPED curriculum — the acceptance
+    * sheet over [[cappedPhasedInterleave]], the phased twin of
+    * [[cappedInterleaveMixAudit]]: the per-phase cap cascade changes
+    * each phase's within-phase targets, and since the audit re-derives
+    * them from the manifest by summation (the q171 one-definition
+    * rule) the lift is [[phasedMixAuditOverManifest]] over the capped
+    * order. At `maxEpochs64 = ∞` bitwise [[phasedMixAudit]]
+    * (MixingSpec pins it). Scale shape: the capped curriculum's
+    * audited plan + the sheet rollup. */
+  def cappedPhasedMixAudit(items: DataFrame, keyCol: String,
+      groupCol: String, sizeCol: String, phaseCol: String, nPhases: Int,
+      budget: Long, maxEpochs64: Long = 256L, nBlocks: Int = 16,
+      salt: String = "graft"): DataFrame =
+    phasedMixAuditOverManifest(
+      cappedPhasedInterleave(items, keyCol, groupCol, sizeCol, phaseCol,
+        nPhases, budget, maxEpochs64, salt),
+      groupCol, phaseCol, nPhases, nBlocks)
+
+  /** The curriculum audit ROLLUP over ANY phased manifest — the
+    * phased twin of [[mixAuditOverManifest]], ONE rollup for the
+    * uncapped (q177) and capped (q183) curricula: per
+    * (phase, block, group), within-block share vs the group's
+    * allocated share WITHIN THAT PHASE, targets re-derived from the
+    * manifest by summation. `manifest` must carry `(groupCol,
+    * phaseCol, pos_key)` with pos_key phase-sliced on the 2^62 grid
+    * exactly as [[phasedInterleave]] emits it. */
+  def phasedMixAuditOverManifest(manifest: DataFrame, groupCol: String,
+      phaseCol: String, nPhases: Int, nBlocks: Int = 16): DataFrame = {
+    require(nPhases >= 1 && nPhases <= 1048576,
+      s"nPhases must be in [1, 2^20], got $nPhases")
     require(nBlocks >= 1 && nBlocks <= 65536,
       s"nBlocks must be in [1, 65536], got $nBlocks")
     val slice = InterleaveGrid / nPhases
@@ -803,8 +922,7 @@ object Mixing {
     val wPhase = org.apache.spark.sql.expressions.Window
       .partitionBy(col(phaseCol))
       .rowsBetween(Long.MinValue, Long.MaxValue)
-    phasedInterleave(items, keyCol, groupCol, sizeCol, phaseCol, nPhases,
-        budget, salt)
+    manifest
       .select(col(groupCol), col(phaseCol).cast("long").as(phaseCol),
         least(
           expr(s"CAST((pos_key - CAST($phaseCol AS BIGINT) * ${slice}L) " +

@@ -1061,7 +1061,15 @@ object ExtensionQueries {
         |sort, one for the sums — both partial-aggregated map-side;
         |slices parallelize across tasks and the final join of the two
         |sheets is on the same compound key, so no third exchange at
-        |scale.""".stripMargin,
+        |scale. ADJUDICATION (r15): this sheet keys on the PROVENANCE
+        |lang label, deliberately — its subject is slice mechanics
+        |(volumes + percentiles per declared slice), and on this
+        |corpus the labels are synthetic and text-independent, so
+        |recomposing on the q184 derived lang_id would key the sheet
+        |on near-arbitrary predictions without exercising anything
+        |q184 doesn't already oracle. A production pipeline passes
+        |q184's lang_id as this operator's langCol — the operator is
+        |parameterized for exactly that.""".stripMargin,
       (s, d) => {
         val docs = Tables.documents(s, d).select(
           col("source"), col("lang"), col("n_chars"),
@@ -2631,7 +2639,10 @@ object ExtensionQueries {
         |training, encoding AND the sheet. Scale shape: q110's two
         |audited corpus passes plus ONE map-side-combined aggregation
         |onto the small (source, lang) key — no new corpus-sized
-        |movement.""".stripMargin,
+        |movement. ADJUDICATION (r15): keys on the provenance lang
+        |label by the q76 decision — a production run passes q184's
+        |derived lang_id as langCol; the operator is parameterized
+        |for it.""".stripMargin,
       (s, d) => graft.operators.Phrases.bpeFertilitySheet(
         Tables.documents(s, d), "text", numMerges = 8),
       Some(BpeOracle.fertilitySql(numMerges = 8))),
@@ -3769,7 +3780,10 @@ object ExtensionQueries {
         |the collision set either (it is ~n/60 worst case: the Gumbel
         |noise quantizes through two 1/64 logs to ~230 effective
         |levels, measured in MixingSpec's full-duplicate
-        |spec).""".stripMargin,
+        |spec). API NOTE (r15): the doc_id tie-split requires a
+        |BIGINT doc_id — a deliberate narrowing to the engine-wide
+        |BIGINT id convention; string-id callers must mint a BIGINT
+        |key first (the README id-convention section).""".stripMargin,
       (s, d) => graft.operators.Mixing.dsirResampleTokens(
         Tables.documents(s, d), tokenBudgetPermille = 250),
       Some(DsirOracle.resampleTokensSql(tokenBudgetPermille = 250))),
@@ -3927,24 +3941,7 @@ object ExtensionQueries {
           TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")),
         "doc_id", "source", "n_tokens", budget = 1200L, nBlocks = 16),
       Some(s"""WITH ${interleaveChainSql(1200L)},
-             |blk AS (SELECT source,
-             |    least(pos_key // (4611686018427387904 // 16),
-             |      CAST(15 AS BIGINT)) AS block
-             |  FROM manifest),
-             |cells AS (SELECT block, source,
-             |    CAST(count(*) AS BIGINT) AS n_appearances
-             |  FROM blk GROUP BY 1, 2),
-             |w AS (SELECT block, source, n_appearances,
-             |    sum(n_appearances) OVER (PARTITION BY block) AS bt,
-             |    sum(n_appearances) OVER (PARTITION BY source) AS alloc,
-             |    sum(n_appearances) OVER () AS t
-             |  FROM cells)
-             |SELECT block, source, n_appearances,
-             |  CAST((n_appearances * 1048576) // bt AS BIGINT) AS share_q,
-             |  CAST((alloc * 1048576) // t AS BIGINT) AS target_q,
-             |  CAST((n_appearances * 1048576) // bt
-             |    - (alloc * 1048576) // t AS BIGINT) AS dev_q
-             |FROM w""".stripMargin)),
+             |${interleaveAuditTailSql(16)}""".stripMargin)),
 
     QuerySpec(
       "q172_cluster_balanced_sample",
@@ -4139,23 +4136,7 @@ object ExtensionQueries {
                  selectCols = "d.doc_id, d.source, d.text")}
              |),
              |${cappedInterleaveChainSql(1200L, 256L, from = "acted")},
-             |ord AS (SELECT source, n_tokens, appearance, pos_key,
-             |    CAST(coalesce(sum(n_tokens) OVER (
-             |      ORDER BY pos_key, source, appearance
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
-             |  FROM manifest),
-             |p AS (SELECT source, n_tokens,
-             |    cb // $ManifestCapacity AS pack_first,
-             |    (cb + greatest(n_tokens, 1) - 1) // $ManifestCapacity AS pack_last
-             |  FROM ord)
-             |SELECT pack_first // $ManifestPacksPerShard AS shard,
-             |  CAST(count(*) AS BIGINT) AS n_appearances,
-             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-             |  CAST(max(pack_last - pack_first + 1) AS BIGINT) AS max_span,
-             |  CAST(sum(CASE WHEN pack_last // $ManifestPacksPerShard <> pack_first // $ManifestPacksPerShard
-             |    THEN 1 ELSE 0 END) AS BIGINT) AS boundary_crossers,
-             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-             |FROM p GROUP BY 1""".stripMargin)),
+             |$packShardClosingSql""".stripMargin)),
 
     QuerySpec(
       "q177_curriculum_order",
@@ -4403,7 +4384,227 @@ object ExtensionQueries {
       },
       Some(s"""${cappedCurriculumChainSql(1500L, 256L)}
              |SELECT doc_id, source, phase, n_tokens, epoch, appearance, pos_key
-             |FROM cman""".stripMargin))
+             |FROM cman""".stripMargin)),
+
+    QuerySpec(
+      "q186_capped_mix_audit",
+      """Capped-order ACCEPTANCE SHEET ([[graft.operators.Mixing
+        |.cappedInterleaveMixAudit]]) — the q171 audit lifted onto the
+        |SHIPPED order: q179's epoch-capped manifest is what the
+        |engine now recommends (and q176 packs), and the cap CHANGES
+        |the targets — the stranded budget of the ~18 capped sources
+        |redistributes onto the 2 open survivors, so the uncapped
+        |q171 sheet cannot accept this manifest. The audit re-derives
+        |targets from the manifest by SUMMATION (the q171
+        |one-definition rule), so the lift is the shared rollup
+        |([[graft.operators.Mixing.mixAuditOverManifest]]) over the
+        |capped order — at cap = ∞ bitwise q171 (MixingSpec pins it).
+        |Exact 2^20 fixed-point shares — bitwise oracle (the q179
+        |recursive chain closed by the q171 audit tail, both
+        |verbatim). Scale shape: q179's audited plan + a map-side
+        |block projection + ONE map-side-combined (block, source) agg
+        |+ three windows over the 16×sources SHEET.""".stripMargin,
+      (s, d) => graft.operators.Mixing.cappedInterleaveMixAudit(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens")),
+        "doc_id", "source", "n_tokens", budget = 2000L, maxEpochs64 = 256L,
+        nBlocks = 16),
+      Some(s"""WITH RECURSIVE ${cappedInterleaveChainSql(2000L, 256L)},
+             |${interleaveAuditTailSql(16)}""".stripMargin)),
+
+    QuerySpec(
+      "q187_capped_curriculum_audit",
+      """Capped-CURRICULUM acceptance sheet ([[graft.operators.Mixing
+        |.cappedPhasedMixAudit]]) — q186's lift for the phased member:
+        |q183's epoch-capped curriculum redistributes each phase's
+        |stranded budget onto ITS OWN open survivors, so every phase's
+        |within-phase targets differ from q180's — and only a sheet
+        |that re-derives targets from the shipped manifest (the shared
+        |[[graft.operators.Mixing.phasedMixAuditOverManifest]] rollup)
+        |can accept it. Per (phase, block, source): appearance count,
+        |within-block share, within-PHASE allocated share, signed
+        |deviation — at cap = ∞ bitwise q180 (MixingSpec pins it).
+        |Exact 2^20 fixed-point shares — bitwise oracle (the q183
+        |phase-partitioned recursive fixpoint closed by the q180 audit
+        |tail, both verbatim). Scale shape: q183's audited plan + a
+        |map-side block projection + ONE (phase, block, source) agg +
+        |three windows over the 3×8×sources SHEET.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val phases = graft.operators.Phrases.lmQualityBuckets(docs, "text")
+          .select(col("doc_id"),
+            when(col("bucket") === "tail", 0L)
+              .when(col("bucket") === "middle", 1L)
+              .when(col("bucket") === "head", 2L).as("phase"))
+          .filter(col("phase").isNotNull)
+        graft.operators.Mixing.cappedPhasedMixAudit(
+          docs.join(phases, "doc_id")
+            .select(col("doc_id"), col("source"), col("phase"),
+              TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+                .as("n_tokens")),
+          "doc_id", "source", "n_tokens", "phase", nPhases = 3,
+          budget = 1500L, maxEpochs64 = 256L, nBlocks = 8)
+      },
+      Some(s"""${cappedCurriculumChainSql(1500L, 256L)},
+             |${curriculumAuditTailSql(8)}""".stripMargin)),
+
+    QuerySpec(
+      "q190_capped_increment",
+      """Capped-order INCREMENT ([[graft.operators.Mixing
+        |.cappedInterleaveIncrement]]) — the q182 frozen-decision
+        |member for a standing CAPPED order: patching a q179 manifest
+        |with the uncapped increment would freeze the WRONG quotas
+        |(the cap redistributes allocation, so the derived strides and
+        |pos_keys would not exist in the frozen manifest — the exact
+        |drift the one-definition rule exists to prevent). Here the
+        |frozen quotas come from the capped fixpoint with the SAME
+        |ceiling the standing order shipped with, and the admission
+        |tail is q182's verbatim (shared `incrementOverQuotas` — at
+        |cap = ∞ the two members are bitwise identical; MixingSpec
+        |pins it). The cap also bounds residual capacity: arrivals can
+        |never push a frozen group past its epoch ceiling. Budget 2000
+        |at the 4-epoch cap over the ~90% standing split caps most
+        |sources at 4·n_standing, leaving real repeat slots for
+        |arrivals — admissions AND rejections both exercise. All
+        |BIGINT → bitwise oracle (the capped fixpoint re-rooted on the
+        |standing split + the q182 admission arithmetic). Scale shape:
+        |q179's pruned quota fixpoint, quota sheet broadcast onto the
+        |batch, ONE batch-sized group-key shuffle; the standing
+        |manifest is never read or re-keyed.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens"))
+        val flagged = graft.operators.Sampling.withSplitBucket(docs, "doc_id")
+        graft.operators.Mixing.cappedInterleaveIncrement(
+          flagged.filter(col("__bucket") >= 100).drop("__bucket"),
+          flagged.filter(col("__bucket") < 100).drop("__bucket"),
+          "doc_id", "source", "n_tokens", budget = 2000L, maxEpochs64 = 256L)
+      },
+      Some(cappedIncrementSql(2000L, 256L))),
+
+    QuerySpec(
+      "q184_langid_apply",
+      """Lang-ID APPLY ([[graft.operators.LangId.applyLangId]]) — the
+        |act that MINTS the lang_id column for the corpus (the
+        |q162→q164 evidence→act convention closing the q181 gap):
+        |EVERY doc — train and held-out alike; the act labels the
+        |corpus, the evidence split only tunes it — scores against the
+        |trained one-row NB artifact through the SAME map-side kernel
+        |the streaming gate runs (ONE textual definition — gate, sheet
+        |and act cannot drift), and docs whose margin falls below the
+        |threshold read lang_id = 'unknown' — the CCNet drop rule
+        |(Wenzek 2020 discard low-confidence lang-ID rows rather than
+        |mislabel them). The threshold (5000, ~the q185 sheet's 40%
+        |decile band on this corpus — margins here are WHOLE-DOC
+        |log-odds, hundreds of bits) is READ from the q185 sheet, the
+        |engine convention for every act knob. Integer log-odds,
+        |deterministic tiebreak → bitwise oracle (the q181 chain with
+        |scoreAll, closed by the argmax + abstain CASE). Scale shape:
+        |the model build's audited exchanges over the TRAIN slice
+        |only; the act itself is the broadcast artifact riding the
+        |corpus scan — no join, no shuffle, no state.""".stripMargin,
+      (s, d) => graft.operators.LangId.applyLangId(
+        Tables.documents(s, d), marginThresholdQ = 5000L)
+        .select(col("doc_id"),
+          coalesce(col("lang"), lit("unknown")).as("lang"),
+          col("n_grams"), col("predicted_lang"), col("margin_q"),
+          col("lang_id")),
+      Some(LangIdOracle.applySql(marginThresholdQ = 5000L))),
+
+    QuerySpec(
+      "q185_langid_abstain_sheet",
+      """Lang-ID ABSTAIN operating points ([[graft.operators.LangId
+        |.langIdOperatingPoints]]) — the q147 convention for the q184
+        |knob: held-out margins swept at their own exact DECILE
+        |thresholds (the q60-pinned radix selection — data-driven cut
+        |candidates, not constants), per threshold the abstain/scored/
+        |correct counts, the held-out accuracy AMONG SCORED docs and
+        |the abstain rate — the sheet marginThresholdQ is READ from (a
+        |deployment picks the leftmost threshold clearing its accuracy
+        |bar; the abstain rate is the mass it pays — the CCNet trade).
+        |On THIS corpus labels are text-independent, so the sheet
+        |honestly shows accuracy ~uniform across margin bands — the
+        |evidence that thresholding buys nothing HERE, exactly what
+        |the sheet exists to reveal (LangIdSpec proves the planted
+        |bilingual fixture separates and its sheet rewards the
+        |threshold). BIGINT counts, −1.0-guarded IEEE divisions →
+        |bitwise oracle. Scale shape: the q181 audited plan reduced to
+        |17-byte rows, radix-selected deciles (no single-task sort),
+        |one ≤ 9× broadcast sweep collapsing map-side.""".stripMargin,
+      (s, d) => graft.operators.LangId.langIdOperatingPoints(
+        Tables.documents(s, d)),
+      Some(LangIdOracle.operatingPointsSql())),
+
+    QuerySpec(
+      "q188_langid_drift",
+      """Predicted-LANGUAGE distribution drift ([[graft.operators
+        |.LangId.langDistDrift]]) — the gate → monitor convention
+        |(q144/q158) for the lang-ID line, the alarm a provenance
+        |label structurally cannot raise: the corpus splits on an
+        |INDEPENDENT arrivals salt, the standing slice trains the NB
+        |artifact and folds its own predictions into the standing
+        |predicted-lang baseline, the incoming slice scores through
+        |the SAME map-side kernel, and the exact add-1-smoothed
+        |KL(batch ‖ standing) over the K-class support closes in
+        |1/64-log2 units — "this feed switched language" shows as
+        |mass moving between classes even when bigram concentration
+        |(q158) holds. Single-sourced end to end with the streaming
+        |monitor (ONE kernel; StreamingLangIdGateSpec pins a streamed
+        |batch bitwise to this sheet). All BIGINT → bitwise oracle
+        |(the q181 chain re-rooted on the standing slice + a second
+        |scoring chain over arrivals + the q158 KL close on K
+        |classes). Scale shape: the model build's audited exchanges
+        |over the standing TRAIN slice; both scoring passes are the
+        |broadcast artifact riding scans into ≤ K-key map-side
+        |rollups — the monitor moves nothing corpus-sized.""".stripMargin,
+      (s, d) => graft.operators.LangId.langDistDrift(
+        Tables.documents(s, d)),
+      Some(LangIdOracle.langDistDriftSql())),
+
+    QuerySpec(
+      "q189_resample_training_order",
+      """Resample→TRAINING-ORDER capstone ([[graft.operators.Mixing
+        |.dsirResample]] → [[graft.operators.Mixing
+        |.cappedInterleaveManifest]] → [[graft.operators.SequencePack
+        |.interleavedShardManifest]]) — completing the capstone
+        |matrix: the acquisition seat has policy→release (q167) AND
+        |policy→order (q176), but the per-doc importance seat had only
+        |resample→release (q169) — a trainer consuming the q161
+        |keep-set needs shards too. The 250‰ DSIR keep-set acts on the
+        |corpus, the kept docs allocate and interleave through the
+        |EPOCH-CAPPED stride schedule (a resampled corpus under a
+        |fixed 1200 budget is exactly the regime that over-repeats
+        |boosted small survivors — same rationale as q176's capped
+        |recomposition), and the q174 pack kernel emits the shard
+        |work-order — importance evidence → keep-set → capped mixture
+        |→ training order → shards in ONE oracled relation (the q161
+        |keep CTE, the capped recursive chain re-rooted on it, and the
+        |shared pack closing, all verbatim). Scale shape: q161's
+        |audited radix shape once; the keep join is doc_id-keyed on
+        |the kept set; then q179's audited plan over the (smaller)
+        |resampled corpus and the budget-bounded pack.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = docs.join(
+          graft.operators.Mixing.dsirResample(docs, budgetPermille = 250)
+            .select(col("doc_id")), "doc_id")
+        graft.operators.SequencePack.interleavedShardManifest(
+          graft.operators.Mixing.cappedInterleaveManifest(
+            kept.select(col("doc_id"), col("source"),
+              TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+                .as("n_tokens")),
+            "doc_id", "source", "n_tokens", budget = 1200L,
+            maxEpochs64 = 256L),
+          "source", capacity = ManifestCapacity,
+          packsPerShard = ManifestPacksPerShard)
+      },
+      Some(s"""WITH RECURSIVE kept AS MATERIALIZED (SELECT doc_id FROM (
+             |${DsirOracle.resampleSql(250)}
+             |) t_k),
+             |acted AS (SELECT d.doc_id, d.source, d.text
+             |  FROM documents d JOIN kept k ON k.doc_id = d.doc_id),
+             |${cappedInterleaveChainSql(1200L, 256L, from = "acted")},
+             |$packShardClosingSql""".stripMargin))
   )
 
   /** q182 oracle: the q102 allocation CTEs re-rooted on the standing
@@ -4597,11 +4798,18 @@ object ExtensionQueries {
     * per-(phase, block, source) audit rollup — blocks are map-side
     * sub-slices of each phase's grid slice, targets the within-phase
     * allocation shares re-derived from `cman` by summation. */
-  private def curriculumMixAuditSql(budget: Long, nBlocks: Int): String = {
+  private def curriculumMixAuditSql(budget: Long, nBlocks: Int): String =
+    s"""${curriculumChainSql(budget)},
+       |${curriculumAuditTailSql(nBlocks)}""".stripMargin
+
+  /** The q180/q187 curriculum audit ROLLUP closing over a `cman`
+    * relation — the SQL twin of [[graft.operators.Mixing
+    * .phasedMixAuditOverManifest]], ONE textual definition for the
+    * uncapped and capped curriculum acceptance sheets. */
+  private def curriculumAuditTailSql(nBlocks: Int): String = {
     val slice = 4611686018427387904L / 3
     val blockW = slice / nBlocks
-    s"""${curriculumChainSql(budget)},
-       |blk AS (SELECT phase, source,
+    s"""blk AS (SELECT phase, source,
        |    least((pos_key - phase * $slice) // $blockW,
        |      CAST(${nBlocks - 1} AS BIGINT)) AS block
        |  FROM cman),
@@ -4680,6 +4888,31 @@ object ExtensionQueries {
     s"""${interleaveAllocSql(budget, from)},
        |$interleaveManifestTailSql""".stripMargin
 
+  /** The q171/q186 audit ROLLUP closing over a `manifest` relation —
+    * the SQL twin of [[graft.operators.Mixing.mixAuditOverManifest]],
+    * ONE textual definition for the uncapped and capped acceptance
+    * sheets (targets re-derived from the manifest by summation, the
+    * one-definition rule). Emitted as trailing CTEs + final SELECT. */
+  private def interleaveAuditTailSql(nBlocks: Int): String =
+    s"""blk AS (SELECT source,
+       |    least(pos_key // (4611686018427387904 // $nBlocks),
+       |      CAST(${nBlocks - 1} AS BIGINT)) AS block
+       |  FROM manifest),
+       |cells AS (SELECT block, source,
+       |    CAST(count(*) AS BIGINT) AS n_appearances
+       |  FROM blk GROUP BY 1, 2),
+       |w AS (SELECT block, source, n_appearances,
+       |    sum(n_appearances) OVER (PARTITION BY block) AS bt,
+       |    sum(n_appearances) OVER (PARTITION BY source) AS alloc,
+       |    sum(n_appearances) OVER () AS t
+       |  FROM cells)
+       |SELECT block, source, n_appearances,
+       |  CAST((n_appearances * 1048576) // bt AS BIGINT) AS share_q,
+       |  CAST((alloc * 1048576) // t AS BIGINT) AS target_q,
+       |  CAST((n_appearances * 1048576) // bt
+       |    - (alloc * 1048576) // t AS BIGINT) AS dev_q
+       |FROM w""".stripMargin
+
   /** q179 chain: [[graft.operators.Mixing.cappedAllocation]]'s
     * iterated-Hamilton fixpoint replayed as a RECURSIVE CTE (the
     * emitting query must open with `WITH RECURSIVE`): iteration rows
@@ -4693,6 +4926,16 @@ object ExtensionQueries {
     * CTE `a` reads the LAST iteration, then the shared
     * [[interleaveManifestTailSql]] closes the stride manifest. */
   private def cappedInterleaveChainSql(budget: Long, maxEpochs64: Long,
+      from: String = "documents"): String =
+    s"""${cappedInterleaveAllocSql(budget, maxEpochs64, from)},
+       |$interleaveManifestTailSql""".stripMargin
+
+  /** The capped allocation CTEs alone (pop → per → cq → st → a) — the
+    * [[cappedInterleaveChainSql]] prefix without the manifest tail,
+    * shared with the q190 capped increment (which freezes the capped
+    * quotas but patches the batch instead of emitting the manifest).
+    * The emitting query must open with `WITH RECURSIVE`. */
+  private def cappedInterleaveAllocSql(budget: Long, maxEpochs64: Long,
       from: String = "documents"): String =
     s"""${interleavePopSql(from)},
        |cq AS (SELECT source, n_items,
@@ -4735,8 +4978,69 @@ object ExtensionQueries {
        |            FROM st WHERE cont) w1) w2) w3) w4) w5
        |),
        |a AS (SELECT source, n_items, alloc FROM st
-       |  WHERE it = (SELECT max(it) FROM st)),
-       |$interleaveManifestTailSql""".stripMargin
+       |  WHERE it = (SELECT max(it) FROM st))""".stripMargin
+
+  /** q190 oracle: the q182 admission arithmetic with the frozen
+    * quotas swapped for the CAPPED fixpoint allocation re-rooted on
+    * the standing split — [[graft.operators.Mixing
+    * .cappedInterleaveIncrement]] replayed relationally (the
+    * admission tail is q182's verbatim: the two members share
+    * `incrementOverQuotas` in the engine and this SQL here). */
+  private def cappedIncrementSql(budget: Long, maxEpochs64: Long): String = {
+    val bucket = DecontaminateOracle.bucketExpr("graft")
+    s"""WITH RECURSIVE std AS (SELECT * FROM documents
+       |  WHERE doc_id IS NOT NULL AND (($bucket) % 1000) >= 100),
+       |${cappedInterleaveAllocSql(budget, maxEpochs64, "std")},
+       |npop AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(coalesce(text, ''), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND (($bucket) % 1000) < 100),
+       |newb AS (SELECT doc_id, source, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS batch_rank
+       |  FROM npop),
+       |adm AS (SELECT n.doc_id, n.source, n.n_tokens, n.batch_rank,
+       |    CASE WHEN a.alloc IS NOT NULL AND n.batch_rank <= a.alloc - a.n_items
+       |      THEN 1 ELSE 0 END AS kept,
+       |    a.n_items, a.alloc
+       |  FROM newb n LEFT JOIN a USING (source))
+       |SELECT doc_id, source, n_tokens, batch_rank,
+       |  CAST(kept AS BIGINT) AS kept,
+       |  CAST(CASE WHEN kept = 1
+       |    THEN (n_items + batch_rank - 1) // n_items END AS BIGINT) AS epoch,
+       |  CAST(CASE WHEN kept = 1
+       |    THEN n_items + batch_rank - 1 END AS BIGINT) AS appearance,
+       |  CAST(CASE WHEN kept = 1
+       |    THEN (n_items + batch_rank - 1) * (4611686018427387904 // alloc)
+       |      + (4611686018427387904 // alloc) // 2 END AS BIGINT) AS pos_key
+       |FROM adm""".stripMargin
+  }
+
+  /** The q174 pack-kernel CLOSING over a `manifest` relation — the
+    * stride-order prefix sum, pack spans and the per-shard rollup,
+    * ONE textual definition shared by the q176 (policy→order) and
+    * q189 (resample→order) capstones so the trainer-facing sheet
+    * cannot drift between them. */
+  // lazy: interpolated by specs vals that initialize before this
+  // object's later-defined vals (the ExtensionQueries init-order rule)
+  private lazy val packShardClosingSql: String =
+    s"""ord AS (SELECT source, n_tokens, appearance, pos_key,
+       |    CAST(coalesce(sum(n_tokens) OVER (
+       |      ORDER BY pos_key, source, appearance
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |  FROM manifest),
+       |p AS (SELECT source, n_tokens,
+       |    cb // $ManifestCapacity AS pack_first,
+       |    (cb + greatest(n_tokens, 1) - 1) // $ManifestCapacity AS pack_last
+       |  FROM ord)
+       |SELECT pack_first // $ManifestPacksPerShard AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_appearances,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(max(pack_last - pack_first + 1) AS BIGINT) AS max_span,
+       |  CAST(sum(CASE WHEN pack_last // $ManifestPacksPerShard <> pack_first // $ManifestPacksPerShard
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS boundary_crossers,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |FROM p GROUP BY 1""".stripMargin
 
   /** q159 oracle: the four member oracles (q153/q154/q155/q156)
     * embedded verbatim as derived tables and full-outer joined on

@@ -494,46 +494,29 @@ object Curation {
     * a gate must never crash, and a NULL prediction is the audit
     * signal to not arm it. */
   def langIdGate(stream: DataFrame, model: DataFrame,
-      textCol: String = "text", buckets: Int = 8192): DataFrame = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
-    val t = lower(col(textCol))
-    stream.crossJoin(broadcast(model))
-      .withColumn("__gs",
-        when(t.isNotNull && length(t) >= 3,
-          transform(sequence(lit(1), length(t) - lit(2)),
-            i => graft.operators.Dedup.md5Base48Of(md5(t.substr(i, lit(3))))
-              % buckets.toLong))
-          .otherwise(expr("CAST(array() AS array<bigint>)")))
-      .withColumn("n_grams", size(col("__gs")).cast("long"))
-      // one score per class, each trigram fold evaluated once
-      .withColumn("__scores", transform(col("classes"), c =>
-        struct(c.as("c"),
-          (element_at(col("priors"), c) +
-            aggregate(col("__gs"), lit(0L), (acc, b) =>
-              acc + coalesce(
-                element_at(element_at(col("lgmaps"), c), b), lit(0L))) -
-            col("n_grams") * element_at(col("tlogs"), c)).as("s"))))
-      // classes are sorted ASC, so keeping only STRICT improvements
-      // reproduces the batch (score DESC, class ASC) tiebreak; the
-      // runner-up is the max of the non-best scores
-      .withColumn("__best", expr(
-        """aggregate(__scores,
-          |  named_struct('s', CAST(NULL AS BIGINT),
-          |    'c', CAST(NULL AS STRING), 'r', CAST(NULL AS BIGINT)),
-          |  (acc, x) -> CASE
-          |    WHEN acc.c IS NULL THEN
-          |      named_struct('s', x.s, 'c', x.c, 'r', CAST(NULL AS BIGINT))
-          |    WHEN x.s > acc.s THEN named_struct('s', x.s, 'c', x.c, 'r', acc.s)
-          |    WHEN acc.r IS NULL OR x.s > acc.r THEN
-          |      named_struct('s', acc.s, 'c', acc.c, 'r', x.s)
-          |    ELSE acc END)""".stripMargin))
-      .withColumn("predicted_lang", col("__best.c"))
-      .withColumn("margin_q",
-        when(col("__best.c").isNull, lit(null).cast("long"))
-          .otherwise(col("__best.s") - coalesce(col("__best.r"), col("__best.s"))))
-      .drop("__gs", "__scores", "__best",
-        "classes", "priors", "tlogs", "lgmaps")
-  }
+      textCol: String = "text", buckets: Int = 8192): DataFrame =
+    graft.operators.LangId.scoreAgainstModel(stream, model, textCol, buckets)
+
+  /** Streaming PREDICTED-LANGUAGE distribution monitor — the gate →
+    * monitor convention (q144/q158) for the lang-ID line: each
+    * micro-batch's arrivals score through the [[langIdGate]] kernel
+    * against the broadcast [[graft.operators.LangId.langIdModelRow]]
+    * artifact, their predicted-language distribution rolls up onto
+    * ≤ K keys, and the exact add-1-smoothed KL against the standing
+    * corpus's [[graft.operators.LangId.langDistRow]] baseline closes
+    * in 1/64-log2 units ([[graft.operators.LangId.langDistAgainst]] —
+    * ONE kernel with the q188 batch twin, so the streamed reading and
+    * the batch sheet are bitwise identical;
+    * StreamingLangIdGateSpec pins it). Apply inside `foreachBatch`
+    * with both one-row artifacts broadcast: ZERO streaming state —
+    * the alarm the provenance label can't raise ("this feed switched
+    * language") fires per batch with nothing carried between
+    * batches. Output: ONE row `(n_docs, n_langs, kl_q, alert)`. */
+  def langDistMonitor(batch: DataFrame, model: DataFrame,
+      distRow: DataFrame, textCol: String = "text", buckets: Int = 8192,
+      alertQ: Long = 32L): DataFrame =
+    graft.operators.LangId.langDistAgainst(
+      langIdGate(batch, model, textCol, buckets), model, distRow, alertQ)
 
   /** Batch twin of the gate with REASON CODES (q81): same quality rules,
     * with the stream's arrival-order dedup pinned to a deterministic

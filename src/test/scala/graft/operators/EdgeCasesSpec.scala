@@ -277,4 +277,28 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(LangId.langIdScores(noText).count() == 0,
       "classless model predicts nothing")
   }
+
+  test("cappedAllocation pathological cascade: one group caps per round at the <= groups bound") {
+    // the deepest cascade the fixpoint admits: equal-ish caps under a
+    // K=8 weight staircase, so each round's Hamilton pushes exactly
+    // the heaviest OPEN group over its cap and nothing else. 6 groups
+    // of 1 doc (cap 4 each), masses 64^i -> s_q ratio 8:1 between
+    // neighbors; budget 28 > Σ cap = 24, so the cascade runs the FULL
+    // ≤ groups depth (6 capping rounds + the empty fixpoint probe —
+    // the serialized-jobs worst case the scaladoc documents) and ends
+    // all-capped with the stranded 4 reading off the sheet.
+    val items = (0 to 5).map(i => (s"d$i", s"g$i", math.pow(64.0, i).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    val m = Mixing.cappedAllocation(items, "source", "n_tokens",
+      budget = 28L, maxEpochs64 = 256L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("cap"), r.getAs[Long]("alloc"),
+          r.getAs[Long]("capped")))).toMap
+    // terminated (we got here), every group AT its cap, all flagged
+    assert(m.size == 6)
+    assert(m.values.forall { case (cap, alloc, capped) =>
+      cap == 4L && alloc == 4L && capped == 1L })
+    // conservation in the infeasible regime: Σ alloc = Σ cap < budget
+    assert(m.values.map(_._2).sum == 24L, "stranded 4 = budget − Σ cap")
+  }
 }

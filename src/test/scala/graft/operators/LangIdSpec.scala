@@ -78,6 +78,103 @@ class LangIdSpec extends AnyFunSuite {
     assert(tr.forall(_.getAs[Long]("n_grams") == 0L))
   }
 
+  test("applyLangId: threshold 0 is plain argmax; the act labels every doc; NULL ids never emit") {
+    val rows = LangId.applyLangId(bilingual).collect()
+    assert(rows.length == 60, "the act labels the WHOLE corpus, train docs included")
+    // marginThresholdQ = 0 ≡ plain argmax (margins are non-negative)
+    assert(rows.forall(r => r.getAs[Long]("margin_q") >= 0L))
+    assert(rows.forall(r =>
+      r.getAs[String]("lang_id") == r.getAs[String]("predicted_lang")))
+    // planted accuracy floor: every doc reads its true language
+    assert(rows.forall(r =>
+      r.getAs[String]("lang_id") == r.getAs[String]("lang")))
+    // single-sourced with the evidence: the held-out docs' predictions
+    // are bitwise the q181 sheet's
+    val ev = LangId.langIdScores(bilingual).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[String]("predicted_lang"), r.getAs[Long]("margin_q"))).toSet
+    val acts = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+      r.getAs[String]("predicted_lang"), r.getAs[Long]("margin_q"))).toSet
+    assert(ev.nonEmpty && ev.subsetOf(acts),
+      "the act drifted from the evidence sheet")
+    // a sky-high threshold abstains everything (the CCNet drop)
+    val hi = LangId.applyLangId(bilingual, marginThresholdQ = Long.MaxValue)
+      .collect()
+    assert(hi.length == 60 && hi.forall(_.getAs[String]("lang_id") == "unknown"))
+    // NULL ids never emit (the q164 act convention)
+    val withNullId = bilingual.withColumn("doc_id",
+      when(col("doc_id") === 1L, lit(null).cast("long"))
+        .otherwise(col("doc_id")))
+    assert(LangId.applyLangId(withNullId).count() == 59L)
+  }
+
+  test("langIdOperatingPoints: monotone abstain sweep; the threshold buys accuracy when low margins are wrong") {
+    // bilingual core + an ambiguous mixed-alphabet band labeled half
+    // and half: identical text → ONE prediction → ~half the band is
+    // wrong, and its margin sits far below the pure docs' — exactly
+    // the regime the abstain knob exists for
+    val docs = ((1 to 30).map(i => (i.toLong, "avava vavav aavva avvaa", "ava")) ++
+      (31 to 60).map(i => (i.toLong, "ozozo zozoz oozzo ozzoo", "ozo")) ++
+      (61 to 80).map(i => (i.toLong, "avava ozozo avoza ozava",
+        if (i % 2 == 0) "ava" else "ozo")))
+      .toDF("doc_id", "text", "lang")
+    val sheet = LangId.langIdOperatingPoints(docs).collect()
+      .sortBy(_.getAs[Long]("thr_q"))
+    assert(sheet.nonEmpty)
+    // every row splits the same held-out total
+    val total = sheet.head.getAs[Long]("n_abstain") +
+      sheet.head.getAs[Long]("n_scored")
+    assert(total > 0 && sheet.forall(r =>
+      r.getAs[Long]("n_abstain") + r.getAs[Long]("n_scored") == total))
+    // abstain mass is monotone in the threshold
+    val abst = sheet.map(_.getAs[Long]("n_abstain")).toSeq
+    assert(abst == abst.sorted)
+    // the sheet REWARDS the threshold here: the top band's accuracy
+    // strictly beats the bottom's (the mixed band abstains out), and
+    // the top band is pure
+    assert(sheet.last.getAs[Double]("accuracy") >
+      sheet.head.getAs[Double]("accuracy"))
+    assert(sheet.last.getAs[Double]("accuracy") == 1.0)
+    // abstain_rate is the exact division
+    sheet.foreach { r =>
+      assert(r.getAs[Double]("abstain_rate") ==
+        r.getAs[Long]("n_abstain").toDouble / total)
+    }
+  }
+
+  test("langDist monitors: identical distribution reads exactly 0; a language switch alerts; empty model never crashes") {
+    val model = LangId.langIdModelRow(bilingual)
+    val dist = LangId.langDistRow(bilingual, model)
+    // a batch predicting EXACTLY the standing shares reads 0 — every
+    // per-class delta cancels before quantization
+    val same = LangId.langDistAgainst(
+      LangId.scoreAgainstModel(bilingual, model), model, dist)
+      .collect().head
+    assert(same.getAs[Long]("n_docs") == 60L &&
+      same.getAs[Long]("n_langs") == 2L)
+    assert(same.getAs[Long]("kl_q") == 0L && same.getAs[Long]("alert") == 0L)
+    // the feed switches language: all mass moves to one class — the
+    // alarm a provenance label cannot raise fires
+    val switched = bilingual.filter(col("lang") === "ozo")
+    val sw = LangId.langDistAgainst(
+      LangId.scoreAgainstModel(switched, model), model, dist)
+      .collect().head
+    assert(sw.getAs[Long]("n_langs") == 1L)
+    assert(sw.getAs[Long]("kl_q") > 0L && sw.getAs[Long]("alert") == 1L,
+      s"language switch must alert (kl_q = ${sw.getAs[Long]("kl_q")})")
+    // empty (classless) model: one all-NULL row, alert 0 — the audit
+    // signal to not arm the monitor, never a crash
+    val noText = (1L to 6L).map(i => (i, null.asInstanceOf[String], "xx"))
+      .toDF("doc_id", "text", "lang")
+    val emptyModel = LangId.langIdModelRow(noText)
+    val er = LangId.langDistAgainst(
+      LangId.scoreAgainstModel(noText, emptyModel), emptyModel,
+      LangId.langDistRow(noText, emptyModel, "text"))
+      .collect()
+    assert(er.length == 1 && er.head.isNullAt(er.head.fieldIndex("kl_q")) &&
+      er.head.getAs[Long]("alert") == 0L)
+  }
+
   test("prediction is a pure function of the data") {
     val a = LangId.langIdScores(bilingual).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("predicted_lang"),

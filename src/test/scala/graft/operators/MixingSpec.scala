@@ -877,4 +877,124 @@ class MixingSpec extends AnyFunSuite {
     // Σ alloc = budget even with the degenerate group present
     assert(m.values.map(_.getAs[Long]("alloc_tokens")).sum == 4000L)
   }
+
+  test("cappedInterleaveMixAudit: targets are the CAPPED shares; cap=∞ bitwise the uncapped audit") {
+    // the cappedAllocation fixture: budget 60 -> uncapped Hamilton
+    // 30/20/10 but capped alloc 40/16/4 (b and c at their 4-epoch
+    // ceilings, the stranded 10 seats moved to a)
+    val items = ((1 to 25).map(i => (s"a$i", "a", 36L)) ++
+      (1 to 4).map(i => (s"b$i", "b", 100L)) ++
+      Seq(("c1", "c", 100L))).toDF("doc_id", "source", "n_tokens")
+    val audit = Mixing.cappedInterleaveMixAudit(items, "doc_id", "source",
+      "n_tokens", budget = 60L, maxEpochs64 = 256L, nBlocks = 4).collect()
+    // targets re-derive the CAPPED allocation (40/16/4 over 60), not
+    // the uncapped 30/20/10 the q171 sheet would wrongly demand
+    val tq = audit.map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("target_q")).toMap
+    assert(tq == Map("a" -> 40L * 1048576L / 60L,
+      "b" -> 16L * 1048576L / 60L, "c" -> 4L * 1048576L / 60L))
+    // per-source appearance totals = the capped allocation exactly
+    val bySrc = audit.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_appearances")).sum).toMap
+    assert(bySrc == Map("a" -> 40L, "b" -> 16L, "c" -> 4L))
+    // the stride lattice still mixes every block near its capped share
+    audit.foreach { r =>
+      val bt = audit.filter(_.getAs[Long]("block") == r.getAs[Long]("block"))
+        .map(_.getAs[Long]("n_appearances")).sum
+      val share = bt.toDouble *
+        bySrc(r.getAs[String]("source")).toDouble / 60.0
+      assert(math.abs(r.getAs[Long]("n_appearances").toDouble - share) <= 2.0,
+        s"cell (${r.getAs[Long]("block")},${r.getAs[String]("source")}) off")
+    }
+    // cap = ∞ is bitwise interleaveMixAudit
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("block"),
+      r.getAs[String]("source"), r.getAs[Long]("n_appearances"),
+      r.getAs[Long]("share_q"), r.getAs[Long]("target_q"),
+      r.getAs[Long]("dev_q"))
+    val inf = Mixing.cappedInterleaveMixAudit(items, "doc_id", "source",
+      "n_tokens", budget = 60L, maxEpochs64 = 1L << 40, nBlocks = 4)
+      .collect().map(key).toSet
+    val unc = Mixing.interleaveMixAudit(items, "doc_id", "source",
+      "n_tokens", budget = 60L, nBlocks = 4).collect().map(key).toSet
+    assert(inf == unc)
+  }
+
+  test("cappedPhasedMixAudit: per-phase capped targets; cap=∞ bitwise the uncapped audit") {
+    // the cappedPhasedInterleave fixture: phase 0 = a 25×36 (cap 100)
+    // + b 1×100 (cap 4), phase 1 = c 4×100 (cap 16); masses 1000/400
+    val items = ((1 to 25).map(i => (s"a$i", "a", 0L, 36L)) ++
+      Seq(("b1", "b", 0L, 100L)) ++
+      (1 to 4).map(i => (s"c$i", "c", 1L, 100L)))
+      .toDF("doc_id", "source", "phase", "n_tokens")
+    val audit = Mixing.cappedPhasedMixAudit(items, "doc_id", "source",
+      "n_tokens", "phase", nPhases = 2, budget = 70L,
+      maxEpochs64 = 256L, nBlocks = 4).collect()
+    // within-phase totals equal the capped per-(phase, source) alloc:
+    // phase budgets 50/20 (mass Hamilton); phase 0 sqrt 3:1 -> 38/13
+    // wants b at 13 > cap 4 -> b caps, a absorbs 46; phase 1: c capped
+    // at 16 of 20 (stranded 4 reads as missing rows)
+    val byPs = audit.groupBy(r => (r.getAs[Long]("phase"),
+      r.getAs[String]("source")))
+      .view.mapValues(_.map(_.getAs[Long]("n_appearances")).sum).toMap
+    assert(byPs == Map((0L, "a") -> 46L, (0L, "b") -> 4L, (1L, "c") -> 16L))
+    // targets are the within-phase capped shares
+    val tq = audit.map(r => (r.getAs[Long]("phase"),
+      r.getAs[String]("source")) -> r.getAs[Long]("target_q")).toMap
+    assert(tq((0L, "a")) == 46L * 1048576L / 50L)
+    assert(tq((0L, "b")) == 4L * 1048576L / 50L)
+    assert(tq((1L, "c")) == 1048576L, "a one-source phase is its own mix")
+    // cap = ∞ is bitwise phasedMixAudit
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("phase"),
+      r.getAs[Long]("block"), r.getAs[String]("source"),
+      r.getAs[Long]("n_appearances"), r.getAs[Long]("share_q"),
+      r.getAs[Long]("target_q"), r.getAs[Long]("dev_q"))
+    val inf = Mixing.cappedPhasedMixAudit(items, "doc_id", "source",
+      "n_tokens", "phase", nPhases = 2, budget = 70L,
+      maxEpochs64 = 1L << 40, nBlocks = 4).collect().map(key).toSet
+    val unc = Mixing.phasedMixAudit(items, "doc_id", "source",
+      "n_tokens", "phase", nPhases = 2, budget = 70L, nBlocks = 4)
+      .collect().map(key).toSet
+    assert(inf == unc)
+  }
+
+  test("cappedInterleaveIncrement: freezes the CAPPED quotas; ceiling bounds admissions; cap=∞ bitwise") {
+    // standing = the cappedAllocation fixture (capped alloc 40/16/4 vs
+    // uncapped 30/20/10): residual slots differ PER SOURCE between the
+    // two members — c has 3 capped repeat slots but 9 uncapped ones
+    val standing = ((1 to 25).map(i => (s"a$i", "a", 36L)) ++
+      (1 to 4).map(i => (s"b$i", "b", 100L)) ++
+      Seq(("c1", "c", 100L))).toDF("doc_id", "source", "n_tokens")
+    val batch = (1 to 20).map(i => (s"nc$i", "c", 50L))
+      .toDF("doc_id", "source", "n_tokens")
+    val rows = Mixing.cappedInterleaveIncrement(standing, batch, "doc_id",
+      "source", "n_tokens", budget = 60L, maxEpochs64 = 256L).collect()
+    assert(rows.length == 20)
+    val kept = rows.filter(_.getAs[Long]("kept") == 1L)
+    // capped residual = alloc − n_standing = 4 − 1 = 3 (uncapped would
+    // admit 9); the admitted appearances are the earliest repeat slots
+    assert(kept.length == 3)
+    assert(kept.map(_.getAs[Long]("appearance")).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // THE ceiling contract: no admission past the epoch cap — every
+    // admitted appearance sits strictly under cap = 4
+    assert(kept.forall(_.getAs[Long]("appearance") < 4L))
+    // admitted pos_keys are slots the frozen CAPPED manifest scheduled
+    val man = Mixing.cappedInterleaveManifest(standing, "doc_id", "source",
+      "n_tokens", budget = 60L, maxEpochs64 = 256L).collect()
+    val slots = man.filter(r => r.getAs[String]("source") == "c" &&
+      r.getAs[Long]("epoch") >= 1L)
+      .map(r => (r.getAs[Long]("appearance"), r.getAs[Long]("pos_key"))).toSet
+    assert(kept.map(r => (r.getAs[Long]("appearance"),
+      r.getAs[Long]("pos_key"))).toSet == slots)
+    // cap = ∞ is bitwise interleaveIncrement
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[String]("doc_id"),
+      r.getAs[Long]("batch_rank"), r.getAs[Long]("kept"),
+      Option(r.getAs[java.lang.Long]("pos_key")))
+    val inf = Mixing.cappedInterleaveIncrement(standing, batch, "doc_id",
+      "source", "n_tokens", budget = 60L, maxEpochs64 = 1L << 40)
+      .collect().map(key).toSet
+    val unc = Mixing.interleaveIncrement(standing, batch, "doc_id",
+      "source", "n_tokens", budget = 60L).collect().map(key).toSet
+    assert(inf == unc)
+  }
 }

@@ -71,6 +71,44 @@ class StreamingLangIdGateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed langDistMonitor reads bitwise the q188 batch sheet") {
+    val docs = fixture.toDF("doc_id", "text", "lang")
+    // the batch twin's one-row sheet at a 30% arrival slice
+    val batchRow = LangId.langDistDrift(docs, newPermille = 300).collect().head
+    assert(batchRow.getAs[Long]("n_docs") > 0L, "fixture must yield arrivals")
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"),
+        r.getAs[Long]("kl_q"), r.getAs[Long]("alert"))
+
+    // rebuild the standing artifacts exactly as the batch twin does
+    val flagged = graft.operators.Sampling.withSplitBucket(
+      docs, "doc_id", "arrivals")
+    val standing = flagged.filter(col("__bucket") >= 300).drop("__bucket")
+    val incomingIds = flagged.filter(col("__bucket") < 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val model = LangId.langIdModelRow(standing)
+    val dist = LangId.langDistRow(standing, model)
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    val stream = MemoryStream[(Long, String, String)](spark)
+    val q = stream.toDF().toDF("doc_id", "text", "lang")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          results += tup(
+            Curation.langDistMonitor(b, model, dist).collect().head)
+        ()
+      }
+      .start()
+    try {
+      stream.addData(fixture.filter(d => incomingIds.contains(d._1)): _*)
+      q.processAllAvailable()
+      assert(results.nonEmpty && results.head == tup(batchRow),
+        s"streamed monitor ${results.headOption} != batch sheet ${tup(batchRow)}")
+    } finally q.stop()
+  }
+
   test("an empty (classless) model predicts NULL and never crashes") {
     val noText = (1L to 6L).map(i => (i, null.asInstanceOf[String], "xx"))
       .toDF("doc_id", "text", "lang")
