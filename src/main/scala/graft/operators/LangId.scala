@@ -31,11 +31,11 @@ import org.apache.spark.sql.functions._
   * buckets, scored = the REST); counts are BIGINTs; every log is
   * [[Mixing.log2qExpr]] (1/64-log2 fixed point); both engines count
   * string positions in code points. Bitwise-oracled end to end
-  * (q181). NULL labels train and score as the literal 'unknown' (the
-  * q76 idiom); docs with NULL text or < 3 characters carry no
-  * features and score prior-only; an EMPTY train split has no
-  * classes and predicts nothing — audit before gating, like every
-  * standing model.
+  * (q181/q184/q185/q188). NULL labels train and score as the literal
+  * 'unknown' (the q76 idiom); docs with NULL text or < 3 characters
+  * carry no features and score prior-only; an EMPTY train split has
+  * no classes and predicts nothing — audit before gating/acting,
+  * like every standing model.
   *
   * Scale shape (100 TB): trigrams assemble map-side
   * (`transform(sequence(...))`, no join) and collapse onto
@@ -43,8 +43,11 @@ import org.apache.spark.sql.functions._
   * keyed on doc_id: the (doc, bucket) collapse, the (doc, class)
   * feature sum, and the docs×K argmax window (24-byte rows, K =
   * observed languages). The model sheet is ≤ buckets×K rows and the
-  * class-constants frame K rows — both BROADCAST (the persisted
-  * artifact a production system ships to ingest workers). */
+  * class-constants frame K rows — both BROADCAST. The streaming gate
+  * trades those doc_id exchanges for a per-arrival fold against the
+  * broadcast one-row artifact (dense per-class arrays, O(1) indexed
+  * lookups — see [[scoreAgainstModel]]); micro-batches pay zero
+  * shuffle, the corpus-scale members pay the audited join path. */
 object LangId {
 
   /** Per held-out doc: `(doc_id, lang, n_grams, predicted_lang,
@@ -55,16 +58,42 @@ object LangId {
       buckets: Int = 8192, salt: String = "graft"): DataFrame = {
     val (meta, hb, consts, sheet) =
       parts(docs, textCol, langCol, trainPermille, buckets, salt)
-    val nf = hb.filter(!col("__train"))
-      .groupBy(col("doc_id")).agg(sum(col("occ")).as("__nf"))
-    val sf = hb.filter(!col("__train")).select(col("doc_id"), col("b"), col("occ"))
+    scoredRows(meta, hb, consts, sheet, heldOutOnly = true)
+  }
+
+  /** The join-path scorer shared by [[langIdScores]] (held-out
+    * evidence), [[applyLangId]] (the whole-corpus act) and
+    * [[langDistDrift]] (both distribution seats) — ONE textual
+    * definition of the NB scoring arithmetic, so the evidence, the
+    * act and the monitor cannot drift. `meta`/`hb` are [[parts]]
+    * outputs (possibly of a foreign frame scored against another
+    * corpus's `consts`/`sheet`); `heldOutOnly` restricts to the
+    * evidence split. Output: one row per scored doc —
+    * `(doc_id, lang, n_grams, predicted_lang, margin_q)`.
+    *
+    * Scale shape: the only corpus-sized exchanges key on doc_id (the
+    * feature-sum agg and the docs×K argmax window); `consts` and
+    * `sheet` broadcast. Deliberately NOT the broadcast-fold kernel
+    * the streaming gate runs ([[scoreAgainstModel]]): the fold costs
+    * O(len·K) interpreted higher-order-function steps per doc, the
+    * right trade for a micro-batch but strictly worse than the
+    * codegen join path once the input is corpus-sized (repeated
+    * trigrams collapse onto (doc, bucket) keys BEFORE any per-class
+    * work here). */
+  private def scoredRows(meta: DataFrame, hb: DataFrame,
+      consts: DataFrame, sheet: DataFrame,
+      heldOutOnly: Boolean): DataFrame = {
+    val m = if (heldOutOnly) meta.filter(!col("__train")) else meta
+    val h = if (heldOutOnly) hb.filter(!col("__train")) else hb
+    val nf = h.groupBy(col("doc_id")).agg(sum(col("occ")).as("__nf"))
+    val sf = h.select(col("doc_id"), col("b"), col("occ"))
       .join(broadcast(sheet), Seq("b"))
       .groupBy(col("doc_id"), col("__c"))
       .agg(sum(col("occ") * col("lg_q")).as("s_feat"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score_q").desc, col("__c").asc)
-    meta.filter(!col("__train")).select(col("doc_id"), col("__lang"))
+    m.select(col("doc_id"), col("__lang"))
       .join(nf, Seq("doc_id"), "left")
       .crossJoin(broadcast(consts))
       .join(sf, Seq("doc_id", "__c"), "left")
@@ -97,32 +126,50 @@ object LangId {
       .agg(count(lit(1)).as("n_docs"))
 
   /** The trained model collapsed to ONE broadcastable row —
-    * `(classes, priors, tlogs, lgmaps)`: the sorted class list, the
-    * per-class prior and normalizer maps, and per class the
-    * (bucket → log-count) map — what a production system persists as
-    * the lang-ID artifact and ships to ingest workers (the
-    * [[Classifier.nbModelRow]] convention lifted to K classes).
+    * `(classes, priors, tlogs, lgarrs)`: the sorted class list, the
+    * per-class prior and normalizer maps, and per class a DENSE
+    * `buckets`-long log-count array (absent cells hold the
+    * mathematically-correct 0 = log2q(0+1)) — what a production
+    * system persists as the lang-ID artifact and ships to ingest
+    * workers (the [[Classifier.nbModelRow]] convention lifted to K
+    * classes). Dense arrays, not maps, deliberately: Spark evaluates
+    * `element_at` on a MAP by LINEAR SCAN of its keys, so a
+    * map-shaped artifact costs O(buckets) per trigram lookup —
+    * measured as a pegged single task at corpus scale — while the
+    * array is O(1) indexed access; at the default 8192 buckets the
+    * row is K×64 KB, broadcast-cheap to hundreds of classes.
     * Single-sourced with [[langIdScores]]: both build from the same
     * split/feature/sheet chain, so the streaming gate's predictions
     * are bitwise the batch sheet's
     * ([[graft.streaming.Curation.langIdGate]];
-    * StreamingLangIdGateSpec pins it). Byte-determinism: every map
-    * builds from an explicitly sorted entry array — the inner bucket
-    * maps via `array_sort`, the class-keyed outer maps via the sorted
-    * class fold (structs carrying maps are not sort-orderable, so the
-    * per-class rows sort by a custom key comparator before
-    * `map_from_entries`). An empty or text-free train split yields
-    * ONE row with empty classes — the gate then predicts NULL for
-    * every arrival (audit before arming, like every standing
-    * model). */
+    * StreamingLangIdGateSpec pins it). Byte-determinism: the dense
+    * arrays fill by sorted bucket id and the class-keyed maps build
+    * from explicitly sorted entry arrays (structs carrying arrays are
+    * not sort-orderable, so the per-class rows sort by a key-only
+    * comparator before `map_from_entries`). An empty or text-free
+    * train split yields ONE row with empty classes — the gate then
+    * predicts NULL for every arrival (audit before arming, like
+    * every standing model).
+    *
+    * Scale shape: the K×buckets dense grid assembles from a literal
+    * sequence exploded against the K-row constants frame (map-side),
+    * left-joins the ≤ buckets×K sheet on (b, class), and collapses
+    * onto K rows — nothing corpus-sized beyond [[parts]]' own
+    * train-slice exchanges. */
   def langIdModelRow(docs: DataFrame, textCol: String = "text",
       langCol: String = "lang", trainPermille: Int = 500,
       buckets: Int = 8192, salt: String = "graft"): DataFrame = {
     val (_, _, consts, sheet) =
       parts(docs, textCol, langCol, trainPermille, buckets, salt)
-    val perClass = sheet.groupBy(col("__c"))
-      .agg(map_from_entries(array_sort(
-        collect_list(struct(col("b"), col("lg_q"))))).as("m"))
+    val perClass = consts.select(col("__c"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${buckets - 1} AS BIGINT))"))
+          .as("b"))
+      .join(sheet, Seq("__c", "b"), "left")
+      .groupBy(col("__c"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("b"),
+          coalesce(col("lg_q"), lit(0L)).as("v")))),
+        x => x.getField("v")).as("arr"))
     consts.join(perClass, Seq("__c"), "left")
       .agg(
         sort_array(collect_list(col("__c"))).as("classes"),
@@ -131,36 +178,43 @@ object LangId {
         map_from_entries(array_sort(
           collect_list(struct(col("__c"), col("tlog_q"))))).as("tlogs"),
         collect_list(struct(col("__c"),
-          coalesce(col("m"),
-            map_from_entries(expr("CAST(array() AS array<struct<b: bigint, lg_q: bigint>>)")))
-            .as("m"))).as("__lg"))
-      // struct<string, map> is not sort-orderable; a key-only
+          coalesce(col("arr"), expr("CAST(array() AS array<bigint>)"))
+            .as("arr"))).as("__lg"))
+      // struct<string, array> is not sort-orderable; a key-only
       // comparator sorts the entry array before map construction so
       // the persisted artifact is byte-deterministic
-      .withColumn("lgmaps", map_from_entries(expr(
+      .withColumn("lgarrs", map_from_entries(expr(
         """array_sort(__lg, (l, r) ->
           |  CASE WHEN l.__c < r.__c THEN -1
           |       WHEN l.__c > r.__c THEN 1 ELSE 0 END)""".stripMargin)))
-      .select(col("classes"), col("priors"), col("tlogs"), col("lgmaps"))
+      .select(col("classes"), col("priors"), col("tlogs"), col("lgarrs"))
   }
 
   /** Score a frame against a broadcast ONE-ROW [[langIdModelRow]]
     * artifact, entirely MAP-SIDE — the kernel under the streaming
-    * gate ([[graft.streaming.Curation.langIdGate]] delegates here),
-    * the [[applyLangId]] act, and the [[langDistDrift]] monitors, ONE
-    * textual definition so none of them can drift: hashed char
-    * trigrams assemble per row, each class's multinomial log-joint is
-    * one `aggregate` fold of map lookups, and the argmax folds over
-    * the SORTED class array (first strict maximum wins — exactly the
-    * batch's score-DESC, class-ASC tiebreak), tracking the runner-up
-    * for the margin. Emits the input columns plus `(n_grams,
-    * predicted_lang, margin_q)` — bitwise [[langIdScores]]' held-out
-    * columns on the same corpus (the per-occurrence lookup sum ≡ the
-    * batch's occ-grouped Σ occ·lg_q over exact integers;
+    * gate ([[graft.streaming.Curation.langIdGate]] delegates here)
+    * and the streaming distribution monitor: hashed char trigrams
+    * assemble per row, the class metadata zips ONCE per row into
+    * (class, prior, tlog, dense-array) structs, each class's
+    * multinomial log-joint is one `aggregate` fold of O(1) array
+    * indexings, and the argmax folds over the SORTED class array
+    * (first strict maximum wins — exactly the batch's score-DESC,
+    * class-ASC tiebreak), tracking the runner-up for the margin.
+    * Emits the input columns plus `(n_grams, predicted_lang,
+    * margin_q)` — bitwise [[langIdScores]]' held-out columns on the
+    * same corpus (the per-occurrence lookup sum ≡ the batch's
+    * occ-grouped Σ occ·lg_q over exact integers;
     * StreamingLangIdGateSpec pins it). NULL/short text scores
     * prior-only; a row against an EMPTY model (classless train split)
-    * reads predicted NULL, margin NULL. ZERO state, no shuffle — the
-    * 100 TB scale shape is "the model rides the scan". */
+    * reads predicted NULL, margin NULL. ZERO state, no shuffle.
+    *
+    * Cost model — why this is the MICRO-BATCH kernel and not the
+    * corpus path: the fold runs O(len·K) interpreted HOF steps per
+    * row (each O(1) after the dense-array change), perfect when
+    * arrivals are batch-sized and shuffle is the enemy; the
+    * corpus-scale members ([[applyLangId]], [[langDistDrift]]) use
+    * the codegen join path instead, where repeated trigrams collapse
+    * before any per-class work. */
   private[graft] def scoreAgainstModel(df: DataFrame, model: DataFrame,
       textCol: String = "text", buckets: Int = 8192): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -173,14 +227,22 @@ object LangId {
               % buckets.toLong))
           .otherwise(expr("CAST(array() AS array<bigint>)")))
       .withColumn("n_grams", size(col("__gs")).cast("long"))
-      // one score per class, each trigram fold evaluated once
-      .withColumn("__scores", transform(col("classes"), c =>
+      // the K-entry class-metadata lookups happen ONCE per row here;
+      // the per-trigram fold below touches only the zipped struct's
+      // dense array — O(1) per step, never a map scan
+      .withColumn("__cs", transform(col("classes"), c =>
         struct(c.as("c"),
-          (element_at(col("priors"), c) +
+          element_at(col("priors"), c).as("p"),
+          element_at(col("tlogs"), c).as("t"),
+          element_at(col("lgarrs"), c).as("arr"))))
+      .withColumn("__scores", transform(col("__cs"), z =>
+        struct(z.getField("c").as("c"),
+          (z.getField("p") +
             aggregate(col("__gs"), lit(0L), (acc, b) =>
               acc + coalesce(
-                element_at(element_at(col("lgmaps"), c), b), lit(0L))) -
-            col("n_grams") * element_at(col("tlogs"), c)).as("s"))))
+                element_at(z.getField("arr"), (b + lit(1L)).cast("int")),
+                lit(0L))) -
+            col("n_grams") * z.getField("t")).as("s"))))
       // classes are sorted ASC, so keeping only STRICT improvements
       // reproduces the batch (score DESC, class ASC) tiebreak; the
       // runner-up is the max of the non-best scores
@@ -199,45 +261,46 @@ object LangId {
       .withColumn("margin_q",
         when(col("__best.c").isNull, lit(null).cast("long"))
           .otherwise(col("__best.s") - coalesce(col("__best.r"), col("__best.s"))))
-      .drop("__gs", "__scores", "__best",
-        "classes", "priors", "tlogs", "lgmaps")
+      .drop("__gs", "__cs", "__scores", "__best",
+        "classes", "priors", "tlogs", "lgarrs")
   }
 
   /** The lang-ID APPLY member — the act that MINTS the `lang_id`
     * column for the corpus (the q162→q164 evidence→act convention):
     * EVERY doc (train and held-out alike — the act labels the corpus,
-    * the evidence split only tunes it) scores against the trained
-    * [[langIdModelRow]] artifact through [[scoreAgainstModel]] (ONE
-    * kernel with the streaming gate and the q181 sheet, so the act
-    * cannot drift from its evidence), and docs whose margin falls
-    * BELOW `marginThresholdQ` read `lang_id = 'unknown'` — the CCNet
-    * drop rule (Wenzek et al. 2020 discard low-confidence lang-ID
-    * rows rather than mislabel them). The threshold is READ from the
-    * [[langIdOperatingPoints]] sheet, never guessed; at
-    * `marginThresholdQ = 0` the act is plain argmax (margins are
-    * non-negative by construction — LangIdSpec pins it). A doc that
-    * scores NO prediction (empty model) also reads 'unknown' — an
-    * act must be total. NULL `idCol` rows never emit (the q164
-    * convention: a row with no identity cannot be labeled).
+    * the evidence split only tunes it) scores through the SAME
+    * [[scoredRows]] arithmetic as the q181 evidence sheet (one
+    * textual definition — the act cannot drift from its evidence; the
+    * streaming gate is pinned bitwise to the same arithmetic), and
+    * docs whose margin falls BELOW `marginThresholdQ` read
+    * `lang_id = 'unknown'` — the CCNet drop rule (Wenzek et al. 2020
+    * discard low-confidence lang-ID rows rather than mislabel them).
+    * The threshold is READ from the [[langIdOperatingPoints]] sheet,
+    * never guessed; at `marginThresholdQ = 0` the act is plain argmax
+    * (margins are non-negative by construction — LangIdSpec pins it).
+    * NULL `doc_id` rows never emit, and a classless model labels
+    * nothing (the [[langIdScores]] convention: no evidence, no act —
+    * audit before acting).
     *
-    * Output: the input columns plus `(n_grams, predicted_lang,
-    * margin_q, lang_id)`.
+    * Output: one row per doc — `(doc_id, lang, n_grams,
+    * predicted_lang, margin_q, lang_id)`; join back on doc_id to
+    * carry the label onto the corpus.
     *
-    * Scale shape (100 TB): [[langIdModelRow]]'s audited build (the
-    * only exchanges are the model's own, over the TRAIN slice), then
-    * the broadcast artifact rides the corpus scan — the act itself
-    * moves NOTHING: no join, no shuffle, no state, the same shape
-    * that lets the streaming gate run map-side at ingest. */
+    * Scale shape (100 TB): exactly [[langIdScores]]' audited plan
+    * over the whole corpus instead of the held-out split — trigrams
+    * collapse map-side onto (doc, bucket) keys, the model sheet and
+    * constants broadcast, and the only corpus-sized exchanges key on
+    * doc_id. The broadcast-fold kernel is deliberately NOT used here
+    * (see [[scoreAgainstModel]]'s cost model). */
   def applyLangId(docs: DataFrame, textCol: String = "text",
       langCol: String = "lang", trainPermille: Int = 500,
       buckets: Int = 8192, salt: String = "graft",
-      marginThresholdQ: Long = 0L, idCol: String = "doc_id"): DataFrame = {
+      marginThresholdQ: Long = 0L): DataFrame = {
     require(marginThresholdQ >= 0,
       s"marginThresholdQ must be non-negative, got $marginThresholdQ")
-    val model =
-      langIdModelRow(docs, textCol, langCol, trainPermille, buckets, salt)
-    scoreAgainstModel(docs.filter(col(idCol).isNotNull), model,
-        textCol, buckets)
+    val (meta, hb, consts, sheet) =
+      parts(docs, textCol, langCol, trainPermille, buckets, salt)
+    scoredRows(meta, hb, consts, sheet, heldOutOnly = false)
       .withColumn("lang_id",
         when(col("predicted_lang").isNull ||
           col("margin_q") < marginThresholdQ, lit("unknown"))
@@ -301,59 +364,71 @@ object LangId {
           (col("n_abstain") + col("n_scored"))).as("abstain_rate"))
   }
 
-  /** The standing corpus's PREDICTED-language distribution collapsed
-    * to ONE broadcastable row — `(lmap, t_g)`: per predicted class
-    * the standing doc count, plus the total (the
-    * [[Drift.contentKlModel]] artifact shape with predicted langs in
-    * the bucket seat). Predictions come from [[scoreAgainstModel]]
-    * against the SAME model the gate ships, so the standing
-    * distribution and a streamed batch's are commensurable by
-    * construction. An empty model predicts nothing → `(empty map,
-    * 0)`. Byte-determinism: the map builds from a sorted entry
-    * array. */
-  def langDistRow(standing: DataFrame, model: DataFrame,
-      textCol: String = "text", buckets: Int = 8192): DataFrame =
-    scoreAgainstModel(standing, model, textCol, buckets)
-      .filter(col("predicted_lang").isNotNull)
+  /** A scored frame's PREDICTED-language distribution collapsed to
+    * ONE broadcastable row — `(lmap, t_g)`: per predicted class the
+    * doc count, plus the total (the [[Drift.contentKlModel]] artifact
+    * shape with predicted langs in the bucket seat). `scored` is any
+    * frame carrying `predicted_lang` ([[scoredRows]]' output, the
+    * streaming gate's, or [[applyLangId]]'s). A frame predicting
+    * nothing (empty model) reads `(empty map, 0)`. Byte-determinism:
+    * the map builds from a sorted entry array. */
+  def langDistRowOf(scored: DataFrame): DataFrame =
+    scored.filter(col("predicted_lang").isNotNull)
       .groupBy(col("predicted_lang")).agg(count(lit(1)).as("c"))
       .agg(
         map_from_entries(array_sort(
           collect_list(struct(col("predicted_lang"), col("c"))))).as("lmap"),
         coalesce(sum(col("c")), lit(0L)).as("t_g"))
 
-  /** The KL close over a SCORED batch vs a standing [[langDistRow]] —
+  /** The standing baseline ARTIFACT a deployment persists beside the
+    * [[langIdModelRow]]: the standing corpus's whole-corpus
+    * predictions (the [[applyLangId]] join path at threshold 0)
+    * rolled into [[langDistRowOf]]'s one-row distribution. Built via
+    * the audited join path — a standing corpus is corpus-sized by
+    * definition, so the broadcast-fold kernel has no business here
+    * (see [[scoreAgainstModel]]'s cost model). */
+  def langDistBaseline(standing: DataFrame, textCol: String = "text",
+      langCol: String = "lang", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    val (meta, hb, consts, sheet) =
+      parts(standing, textCol, langCol, trainPermille, buckets, salt)
+    langDistRowOf(scoredRows(meta, hb, consts, sheet, heldOutOnly = false))
+  }
+
+  /** The KL close over a SCORED batch vs a standing baseline row —
     * the kernel shared by the batch twin ([[langDistDrift]]) and the
     * streaming monitor ([[graft.streaming.Curation.langDistMonitor]]),
     * ONE textual definition so the two cannot drift: the batch's
-    * predicted-lang counts spread over the model's K-class support
-    * (exploded from the broadcast artifact — absent classes read 0 on
-    * both sides), and the exact add-1-smoothed
-    * KL(P_batch ‖ P_standing) closes in 1/64-log2 fixed point — the
-    * q158 arithmetic with K classes in place of the 8192 hash
-    * buckets. The +1 smoothing over K ≪ 8192 support barely shrinks
-    * even small batches, so this monitor stays sharp at probe sizes
-    * the content-KL can't see — and it reads a signal content-KL
-    * structurally can't: "this feed switched LANGUAGE" shows as mass
-    * moving between classes even when bigram concentration holds
-    * (provenance labels never see it; the prediction is text-derived).
+    * predicted-lang counts spread over the model's K-class `support`
+    * (one `predicted_lang` column — the monitor explodes it from the
+    * broadcast artifact, the batch twin reads the constants frame;
+    * absent classes read 0 on both sides), and the exact
+    * add-1-smoothed KL(P_batch ‖ P_standing) closes in 1/64-log2
+    * fixed point — the q158 arithmetic with K classes in place of the
+    * 8192 hash buckets. The +1 smoothing over K ≪ 8192 support barely
+    * shrinks even small batches, so this monitor stays sharp at probe
+    * sizes the content-KL can't see — and it reads a signal
+    * content-KL structurally can't: "this feed switched LANGUAGE"
+    * shows as mass moving between classes even when bigram
+    * concentration holds (provenance labels never see it; the
+    * prediction is text-derived).
     *
     * Output: ONE row `(n_docs, n_langs, kl_q, alert)` — batch doc
     * count, distinct predicted langs in the batch, the KL in 1/64-bit
     * units (trunc-toward-zero through the sign CASE), `alert` at
     * `kl_q ≥ alertQ` (default 32 = 0.5 bits/doc). A batch predicting
-    * EXACTLY the standing shares reads 0. Against an EMPTY model the
-    * support is empty: one all-NULL/zero row with `alert = 0` — a
-    * monitor must never crash, and the NULL kl is the audit signal to
-    * not arm it. All BIGINT → the batch twin oracles bitwise
-    * (q188). */
-  def langDistAgainst(scored: DataFrame, model: DataFrame,
+    * EXACTLY the standing shares reads 0. Against an EMPTY support
+    * (classless model): one all-NULL row with `alert = 0` — a monitor
+    * must never crash, and the NULL kl is the audit signal to not arm
+    * it. All BIGINT → the batch twin oracles bitwise (q188). */
+  def langDistAgainst(scored: DataFrame, support: DataFrame,
       distRow: DataFrame, alertQ: Long = 32L): DataFrame = {
     val counts = scored.filter(col("predicted_lang").isNotNull)
       .groupBy(col("predicted_lang")).agg(count(lit(1)).as("c_bb"))
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    model.select(explode(col("classes")).as("predicted_lang"),
-        size(col("classes")).cast("long").as("__k"))
+    support.select(col("predicted_lang"))
+      .withColumn("__k", count(lit(1)).over(whole))
       .join(counts, Seq("predicted_lang"), "left")
       .crossJoin(broadcast(distRow))
       .select(col("predicted_lang"), col("__k"),
@@ -383,18 +458,21 @@ object LangId {
     * corpus splits on an independent md5 bucket (`arrivalSalt` —
     * deliberately NOT the model's train salt, so the arrival slice
     * and the train split stay uncorrelated), the standing remainder
-    * trains the [[langIdModelRow]] artifact and folds its OWN
-    * predictions into the [[langDistRow]] baseline, and the incoming
-    * slice scores through the SAME [[scoreAgainstModel]] kernel into
-    * the shared [[langDistAgainst]] close — single-sourced end to end
-    * with [[graft.streaming.Curation.langDistMonitor]], so the batch
-    * sheet and a streamed batch CANNOT disagree
-    * (StreamingLangIdGateSpec pins it bitwise).
+    * trains the model and folds its OWN whole-corpus predictions into
+    * the baseline row, and the incoming slice scores through the SAME
+    * [[scoredRows]] arithmetic into the shared [[langDistAgainst]]
+    * close. Single-sourced with
+    * [[graft.streaming.Curation.langDistMonitor]] end to end — the
+    * streamed monitor scores through the gate kernel, which is pinned
+    * bitwise to this arithmetic, so the batch sheet and a streamed
+    * batch CANNOT disagree (StreamingLangIdGateSpec pins the
+    * composite bitwise).
     *
-    * Scale shape (100 TB): the model build's audited exchanges over
-    * the standing TRAIN slice; everything else is the broadcast
-    * artifact riding two scans plus two ≤ K-key map-side rollups —
-    * the monitor itself moves nothing corpus-sized. */
+    * Scale shape (100 TB): ONE [[parts]] chain per side (the standing
+    * side's consts/sheet are materialized — they feed the baseline
+    * scoring, the arrival scoring AND the class support, the q167
+    * materialize-the-sheet rule); every corpus-sized exchange keys on
+    * doc_id; the closes are ≤ K-key rollups. */
   def langDistDrift(docs: DataFrame, textCol: String = "text",
       langCol: String = "lang", newPermille: Int = 100,
       trainPermille: Int = 500, buckets: Int = 8192,
@@ -408,16 +486,23 @@ object LangId {
       .drop("__bucket")
     val incoming = flagged.filter(col("__bucket") < newPermille)
       .drop("__bucket")
-    // the one-row artifact feeds the baseline build, the batch scoring
-    // AND the support explode — materialize so the train chain runs
-    // once (the q167 materialize-the-sheet rule)
-    val model = Dedup.materialize(
-      langIdModelRow(standing, textCol, langCol, trainPermille, buckets,
-        salt))
-    val dist = langDistRow(standing, model, textCol, buckets)
+    val (meta, hb, consts0, sheet0) =
+      parts(standing, textCol, langCol, trainPermille, buckets, salt)
+    // consts feeds the baseline grid, the arrival grid AND the class
+    // support; sheet feeds both feature sums — materialize so the
+    // train chain runs once (the q167 materialize-the-sheet rule)
+    val consts = Dedup.materialize(consts0)
+    val sheet = Dedup.materialize(sheet0)
+    val base = langDistRowOf(
+      scoredRows(meta, hb, consts, sheet, heldOutOnly = false))
+    // the arrival slice is a FOREIGN frame vs the standing model:
+    // reuse parts for its trigram chain (its own consts/sheet are
+    // never evaluated — lazy frames cost nothing unused)
+    val (am, ah, _, _) =
+      parts(incoming, textCol, langCol, trainPermille, buckets, salt)
     langDistAgainst(
-      scoreAgainstModel(incoming, model, textCol, buckets),
-      model, dist, alertQ)
+      scoredRows(am, ah, consts, sheet, heldOutOnly = false),
+      consts.select(col("__c").as("predicted_lang")), base, alertQ)
   }
 
   /** The shared split → lowered text → hashed char-trigram →

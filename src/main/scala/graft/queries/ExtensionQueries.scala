@@ -4488,27 +4488,27 @@ object ExtensionQueries {
         |act that MINTS the lang_id column for the corpus (the
         |q162→q164 evidence→act convention closing the q181 gap):
         |EVERY doc — train and held-out alike; the act labels the
-        |corpus, the evidence split only tunes it — scores against the
-        |trained one-row NB artifact through the SAME map-side kernel
-        |the streaming gate runs (ONE textual definition — gate, sheet
-        |and act cannot drift), and docs whose margin falls below the
-        |threshold read lang_id = 'unknown' — the CCNet drop rule
-        |(Wenzek 2020 discard low-confidence lang-ID rows rather than
-        |mislabel them). The threshold (5000, ~the q185 sheet's 40%
-        |decile band on this corpus — margins here are WHOLE-DOC
-        |log-odds, hundreds of bits) is READ from the q185 sheet, the
-        |engine convention for every act knob. Integer log-odds,
-        |deterministic tiebreak → bitwise oracle (the q181 chain with
-        |scoreAll, closed by the argmax + abstain CASE). Scale shape:
-        |the model build's audited exchanges over the TRAIN slice
-        |only; the act itself is the broadcast artifact riding the
-        |corpus scan — no join, no shuffle, no state.""".stripMargin,
+        |corpus, the evidence split only tunes it — scores through the
+        |SAME join-path arithmetic as the q181 evidence sheet (one
+        |shared scorer — sheet and act cannot drift; the streaming
+        |gate is spec-pinned bitwise to the same arithmetic), and docs
+        |whose margin falls below the threshold read lang_id =
+        |'unknown' — the CCNet drop rule (Wenzek 2020 discard
+        |low-confidence lang-ID rows rather than mislabel them). The
+        |threshold (5000, ~the q185 sheet's 40% decile band on this
+        |corpus — margins here are WHOLE-DOC log-odds, hundreds of
+        |bits) is READ from the q185 sheet, the engine convention for
+        |every act knob. Integer log-odds, deterministic tiebreak →
+        |bitwise oracle (the q181 chain with scoreAll, closed by the
+        |argmax + abstain CASE). Scale shape: exactly q181's audited
+        |plan over the whole corpus — trigrams collapse map-side onto
+        |(doc, bucket) keys BEFORE any per-class work, the model sheet
+        |and constants broadcast, every corpus-sized exchange keys on
+        |doc_id (the broadcast-fold gate kernel is deliberately NOT
+        |used at corpus scale: its O(len·K) interpreted fold is the
+        |micro-batch trade, not the corpus one).""".stripMargin,
       (s, d) => graft.operators.LangId.applyLangId(
-        Tables.documents(s, d), marginThresholdQ = 5000L)
-        .select(col("doc_id"),
-          coalesce(col("lang"), lit("unknown")).as("lang"),
-          col("n_grams"), col("predicted_lang"), col("margin_q"),
-          col("lang_id")),
+        Tables.documents(s, d), marginThresholdQ = 5000L),
       Some(LangIdOracle.applySql(marginThresholdQ = 5000L))),
 
     QuerySpec(
@@ -4542,21 +4542,23 @@ object ExtensionQueries {
         |(q144/q158) for the lang-ID line, the alarm a provenance
         |label structurally cannot raise: the corpus splits on an
         |INDEPENDENT arrivals salt, the standing slice trains the NB
-        |artifact and folds its own predictions into the standing
-        |predicted-lang baseline, the incoming slice scores through
-        |the SAME map-side kernel, and the exact add-1-smoothed
-        |KL(batch ‖ standing) over the K-class support closes in
-        |1/64-log2 units — "this feed switched language" shows as
-        |mass moving between classes even when bigram concentration
-        |(q158) holds. Single-sourced end to end with the streaming
-        |monitor (ONE kernel; StreamingLangIdGateSpec pins a streamed
-        |batch bitwise to this sheet). All BIGINT → bitwise oracle
-        |(the q181 chain re-rooted on the standing slice + a second
-        |scoring chain over arrivals + the q158 KL close on K
-        |classes). Scale shape: the model build's audited exchanges
-        |over the standing TRAIN slice; both scoring passes are the
-        |broadcast artifact riding scans into ≤ K-key map-side
-        |rollups — the monitor moves nothing corpus-sized.""".stripMargin,
+        |model and folds its own whole-corpus predictions into the
+        |standing predicted-lang baseline, the incoming slice scores
+        |through the SAME join-path arithmetic, and the exact
+        |add-1-smoothed KL(batch ‖ standing) over the K-class support
+        |closes in 1/64-log2 units — "this feed switched language"
+        |shows as mass moving between classes even when bigram
+        |concentration (q158) holds. Single-sourced end to end with
+        |the streaming monitor (shared KL close; the gate kernel is
+        |pinned bitwise to the batch scorer; StreamingLangIdGateSpec
+        |pins a streamed batch bitwise to this sheet). All BIGINT →
+        |bitwise oracle (the q181 chain re-rooted on the standing
+        |slice + a second scoring chain over arrivals + the q158 KL
+        |close on K classes). Scale shape: ONE trigram chain per
+        |side with the standing consts/sheet materialized (baseline
+        |scoring + arrival scoring + class support — the q167
+        |materialize-the-sheet rule); every corpus-sized exchange
+        |keys on doc_id; the closes are ≤ K-key rollups.""".stripMargin,
       (s, d) => graft.operators.LangId.langDistDrift(
         Tables.documents(s, d)),
       Some(LangIdOracle.langDistDriftSql())),

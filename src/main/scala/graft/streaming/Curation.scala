@@ -503,7 +503,7 @@ object Curation {
     * against the broadcast [[graft.operators.LangId.langIdModelRow]]
     * artifact, their predicted-language distribution rolls up onto
     * ≤ K keys, and the exact add-1-smoothed KL against the standing
-    * corpus's [[graft.operators.LangId.langDistRow]] baseline closes
+    * corpus's [[graft.operators.LangId.langDistBaseline]] row closes
     * in 1/64-log2 units ([[graft.operators.LangId.langDistAgainst]] —
     * ONE kernel with the q188 batch twin, so the streamed reading and
     * the batch sheet are bitwise identical;
@@ -516,7 +516,9 @@ object Curation {
       distRow: DataFrame, textCol: String = "text", buckets: Int = 8192,
       alertQ: Long = 32L): DataFrame =
     graft.operators.LangId.langDistAgainst(
-      langIdGate(batch, model, textCol, buckets), model, distRow, alertQ)
+      langIdGate(batch, model, textCol, buckets),
+      model.select(explode(col("classes")).as("predicted_lang")),
+      distRow, alertQ)
 
   /** Batch twin of the gate with REASON CODES (q81): same quality rules,
     * with the stream's arrival-order dedup pinned to a deterministic

@@ -144,11 +144,22 @@ class LangIdSpec extends AnyFunSuite {
 
   test("langDist monitors: identical distribution reads exactly 0; a language switch alerts; empty model never crashes") {
     val model = LangId.langIdModelRow(bilingual)
-    val dist = LangId.langDistRow(bilingual, model)
+    val support = model.select(explode(col("classes")).as("predicted_lang"))
+    // the monitor-deployment baseline (gate-kernel scored) equals the
+    // persisted join-path artifact bitwise — the two scorers are
+    // pinned arithmetic-identical, so the rollups must agree
+    val dist = LangId.langDistRowOf(
+      LangId.scoreAgainstModel(bilingual, model))
+    val baseline = LangId.langDistBaseline(bilingual).collect().head
+    val distRow = dist.collect().head
+    assert(distRow.getAs[Map[String, Long]]("lmap") ==
+      baseline.getAs[Map[String, Long]]("lmap") &&
+      distRow.getAs[Long]("t_g") == baseline.getAs[Long]("t_g"),
+      "gate-scored and join-scored baselines drifted")
     // a batch predicting EXACTLY the standing shares reads 0 — every
     // per-class delta cancels before quantization
     val same = LangId.langDistAgainst(
-      LangId.scoreAgainstModel(bilingual, model), model, dist)
+      LangId.scoreAgainstModel(bilingual, model), support, dist)
       .collect().head
     assert(same.getAs[Long]("n_docs") == 60L &&
       same.getAs[Long]("n_langs") == 2L)
@@ -157,7 +168,7 @@ class LangIdSpec extends AnyFunSuite {
     // alarm a provenance label cannot raise fires
     val switched = bilingual.filter(col("lang") === "ozo")
     val sw = LangId.langDistAgainst(
-      LangId.scoreAgainstModel(switched, model), model, dist)
+      LangId.scoreAgainstModel(switched, model), support, dist)
       .collect().head
     assert(sw.getAs[Long]("n_langs") == 1L)
     assert(sw.getAs[Long]("kl_q") > 0L && sw.getAs[Long]("alert") == 1L,
@@ -168,8 +179,10 @@ class LangIdSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang")
     val emptyModel = LangId.langIdModelRow(noText)
     val er = LangId.langDistAgainst(
-      LangId.scoreAgainstModel(noText, emptyModel), emptyModel,
-      LangId.langDistRow(noText, emptyModel, "text"))
+      LangId.scoreAgainstModel(noText, emptyModel),
+      emptyModel.select(explode(col("classes")).as("predicted_lang")),
+      LangId.langDistRowOf(
+        LangId.scoreAgainstModel(noText, emptyModel)))
       .collect()
     assert(er.length == 1 && er.head.isNullAt(er.head.fieldIndex("kl_q")) &&
       er.head.getAs[Long]("alert") == 0L)

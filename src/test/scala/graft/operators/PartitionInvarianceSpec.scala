@@ -433,4 +433,40 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assert(rows(run(e.repartition(7))) == base, "7-way hash repartition")
     assert(rows(run(e.orderBy(col("vec_id").desc))) == base, "reordered input")
   }
+
+  test("lang-ID apply, abstain sheet and dist drift are partition-invariant") {
+    invariant(LangId.applyLangId(_, marginThresholdQ = 5000L))
+    invariant(LangId.langIdOperatingPoints(_))
+    invariant(LangId.langDistDrift(_))
+  }
+
+  test("capped audits, capped increment and the resample-order capstone are partition-invariant") {
+    def items(d: DataFrame): DataFrame = d.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+        .as("n_tokens"))
+    invariant(d => Mixing.cappedInterleaveMixAudit(items(d), "doc_id",
+      "source", "n_tokens", budget = 200L, nBlocks = 4))
+    invariant { d =>
+      val flagged = Sampling.withSplitBucket(items(d), "doc_id")
+      Mixing.cappedInterleaveIncrement(
+        flagged.filter(col("__bucket") >= 100).drop("__bucket"),
+        flagged.filter(col("__bucket") < 100).drop("__bucket"),
+        "doc_id", "source", "n_tokens", budget = 200L)
+    }
+    invariant { d =>
+      Mixing.cappedPhasedMixAudit(
+        items(d).withColumn("phase", col("doc_id") % 2),
+        "doc_id", "source", "n_tokens", "phase", nPhases = 2,
+        budget = 200L, nBlocks = 4)
+    }
+    invariant { d =>
+      val kept = d.join(
+        Mixing.dsirResample(d, budgetPermille = 250).select(col("doc_id")),
+        "doc_id")
+      SequencePack.interleavedShardManifest(
+        Mixing.cappedInterleaveManifest(items(kept), "doc_id", "source",
+          "n_tokens", budget = 200L),
+        "source", capacity = 256L, packsPerShard = 4L)
+    }
+  }
 }

@@ -80,14 +80,15 @@ class StreamingLangIdGateSpec extends AnyFunSuite {
       (r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"),
         r.getAs[Long]("kl_q"), r.getAs[Long]("alert"))
 
-    // rebuild the standing artifacts exactly as the batch twin does
+    // rebuild the standing artifacts exactly as a deployment persists
+    // them: the model row + the join-path baseline
     val flagged = graft.operators.Sampling.withSplitBucket(
       docs, "doc_id", "arrivals")
     val standing = flagged.filter(col("__bucket") >= 300).drop("__bucket")
     val incomingIds = flagged.filter(col("__bucket") < 300)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val model = LangId.langIdModelRow(standing)
-    val dist = LangId.langDistRow(standing, model)
+    val dist = LangId.langDistBaseline(standing)
 
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long)]

@@ -110,7 +110,20 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   "q181_langid_confusion", "q182_interleave_increment",
   // the capped curriculum re-pays q177 (the claim: shuffle ~ q177 own,
   // the per-phase fixpoint is sheet-only)
-  "q183_capped_curriculum")
+  "q183_capped_curriculum",
+  // round-15: the apply re-pays the q181 model build (train-slice
+  // exchanges only) and the act itself is a broadcast ride on the
+  // corpus scan (the claim: shuffle ~ the model build's own, corpus
+  // never re-keys); the abstain sheet adds the 17-byte margin frame +
+  // radix deciles; the drift monitor's scoring passes are broadcast
+  // rides into <= K-key rollups; the capped audits re-pay q179/q183
+  // plus sheet rollups; the capped increment re-pays the capped quota
+  // fixpoint with ONE batch-sized exchange; the resample->order
+  // capstone re-pays q161 + the capped chain on the kept corpus
+  "q184_langid_apply", "q185_langid_abstain_sheet",
+  "q186_capped_mix_audit", "q187_capped_curriculum_audit",
+  "q188_langid_drift", "q189_resample_training_order",
+  "q190_capped_increment")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
