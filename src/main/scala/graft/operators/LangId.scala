@@ -493,8 +493,11 @@ object LangId {
     // train chain runs once (the q167 materialize-the-sheet rule)
     val consts = Dedup.materialize(consts0)
     val sheet = Dedup.materialize(sheet0)
-    val base = langDistRowOf(
-      scoredRows(meta, hb, consts, sheet, heldOutOnly = false))
+    // the baseline is the persisted one-row artifact: materialize it
+    // so the close's broadcast carries ONE row with no upstream
+    // lineage (and the standing chain runs exactly once)
+    val base = Dedup.materialize(langDistRowOf(
+      scoredRows(meta, hb, consts, sheet, heldOutOnly = false)))
     // the arrival slice is a FOREIGN frame vs the standing model:
     // reuse parts for its trigram chain (its own consts/sheet are
     // never evaluated — lazy frames cost nothing unused)
@@ -503,6 +506,90 @@ object LangId {
     langDistAgainst(
       scoredRows(am, ah, consts, sheet, heldOutOnly = false),
       consts.select(col("__c").as("predicted_lang")), base, alertQ)
+  }
+
+  /** [[langDistDrift]] PER SOURCE — the q155/q156 by-source
+    * convention for the language monitor, the attribution the
+    * one-row sheet can't give: when the aggregate KL moves, WHICH
+    * feed switched language? Every arrival's prediction joins its
+    * source back on doc_id, each source's predicted-lang counts
+    * spread over the same K-class support, and the per-source exact
+    * add-1-smoothed KL(P_source ‖ P_standing) closes in 1/64-log2
+    * units — [[langDistAgainst]]'s arithmetic with every window
+    * PARTITIONED BY source. A source predicting exactly the standing
+    * shares reads 0; NULL sources group as 'unknown' (the q153
+    * idiom); a source of prior-only docs still reads its (possibly
+    * degenerate) distribution — the monitor is total. All BIGINT →
+    * bitwise oracle (q192).
+    *
+    * Output: one row per arrival source —
+    * `(source, n_docs, n_langs, kl_q)` (the q155 sheet shape; the
+    * one-row twin carries the alert, this sheet carries the blame).
+    *
+    * Scale shape: [[langDistDrift]]'s audited plan with the arrival
+    * scoring joined back to (doc_id, source) — doc_id-keyed,
+    * arrival-sized — and ONE (source, class) rollup; the closes are
+    * windows over the sources×K grid. */
+  def langDistDriftBySource(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", srcCol: String = "source",
+      newPermille: Int = 100, trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft",
+      arrivalSalt: String = "arrivals"): DataFrame = {
+    require(newPermille >= 0 && newPermille <= 1000,
+      s"newPermille must be in [0,1000], got $newPermille")
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val flagged = Sampling.withSplitBucket(docs, "doc_id", arrivalSalt)
+    val standing = flagged.filter(col("__bucket") >= newPermille)
+      .drop("__bucket")
+    val incoming = flagged.filter(col("__bucket") < newPermille)
+      .drop("__bucket")
+    val (meta, hb, consts0, sheet0) =
+      parts(standing, textCol, langCol, trainPermille, buckets, salt)
+    val consts = Dedup.materialize(consts0)
+    val sheet = Dedup.materialize(sheet0)
+    // materialized for the same reason as [[langDistDrift]]'s: the
+    // one-row artifact broadcast must not drag the standing chain
+    // into the nested-loop build subtree
+    val base = Dedup.materialize(langDistRowOf(
+      scoredRows(meta, hb, consts, sheet, heldOutOnly = false)))
+    val (am, ah, _, _) =
+      parts(incoming, textCol, langCol, trainPermille, buckets, salt)
+    val scored = scoredRows(am, ah, consts, sheet, heldOutOnly = false)
+      .join(incoming.select(col("doc_id"),
+        coalesce(col(srcCol), lit("unknown")).as("source")), Seq("doc_id"))
+    val counts = scored.groupBy(col("source"), col("predicted_lang"))
+      .agg(count(lit(1)).as("c_bb"))
+    val srcs = incoming
+      .select(coalesce(col(srcCol), lit("unknown")).as("source")).distinct()
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).rowsBetween(Long.MinValue, Long.MaxValue)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    srcs.crossJoin(
+        consts.select(col("__c").as("predicted_lang"))
+          .withColumn("__k", count(lit(1)).over(whole)))
+      .join(counts, Seq("source", "predicted_lang"), "left")
+      .crossJoin(broadcast(base))
+      .select(col("source"), col("predicted_lang"), col("__k"),
+        coalesce(col("c_bb"), lit(0L)).as("c_bb"),
+        coalesce(element_at(col("lmap"), col("predicted_lang")), lit(0L))
+          .as("c_gb"),
+        coalesce(col("t_g"), lit(0L)).as("t_g"))
+      .withColumn("t_b", sum(col("c_bb")).over(wSrc))
+      .withColumn("__dq",
+        expr(Mixing.log2qExpr("c_bb + 1")) -
+          expr(Mixing.log2qExpr("t_b + __k")) -
+          expr(Mixing.log2qExpr("c_gb + 1")) +
+          expr(Mixing.log2qExpr("t_g + __k")))
+      .groupBy(col("source"))
+      .agg(max(col("t_b")).as("n_docs"),
+        sum(when(col("c_bb") > 0L, 1L).otherwise(0L)).as("n_langs"),
+        sum((col("c_bb") + 1L) * col("__dq")).as("__num"),
+        max(col("__k")).as("__kk"))
+      .withColumn("kl_q", expr(
+        """CASE WHEN __num >= 0 THEN __num DIV (n_docs + __kk)
+          |ELSE -((-__num) DIV (n_docs + __kk)) END""".stripMargin))
+      .drop("__num", "__kk")
   }
 
   /** The shared split → lowered text → hashed char-trigram →

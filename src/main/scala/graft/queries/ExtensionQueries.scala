@@ -4606,7 +4606,58 @@ object ExtensionQueries {
              |acted AS (SELECT d.doc_id, d.source, d.text
              |  FROM documents d JOIN kept k ON k.doc_id = d.doc_id),
              |${cappedInterleaveChainSql(1200L, 256L, from = "acted")},
-             |$packShardClosingSql""".stripMargin))
+             |$packShardClosingSql""".stripMargin)),
+
+    QuerySpec(
+      "q191_langid_composition",
+      """MINTED-label composition sheet (q184 ∘ the q76 mechanics) —
+        |the composition the q76 adjudication points at, shipped as
+        |its own oracled relation: the q184 act labels the corpus
+        |(lang_id = predicted, or 'unknown' below the q185-read
+        |margin threshold), the labels join back on doc_id, and the
+        |corpus rolls onto (source, lang_id) with doc and token
+        |volumes — the per-slice composition sheet a curator reads
+        |AFTER minting the label instead of trusting provenance
+        |(q76's subject stays the provenance-slice mechanics; THIS
+        |sheet is what production composes — the 'unknown' row per
+        |source is the abstained mass the CCNet drop rule pays).
+        |Bitwise oracle: the q184 chain as a derived table + one
+        |rollup. Scale shape: q184's audited plan (doc_id-keyed
+        |exchanges, broadcast model sheet), ONE doc_id-keyed join
+        |back, ONE map-side-combined rollup onto ≤ sources×(K+1)
+        |keys.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.join(
+          graft.operators.LangId.applyLangId(docs, marginThresholdQ = 5000L)
+            .select(col("doc_id"), col("lang_id")), "doc_id")
+          .groupBy(col("source"), col("lang_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount(coalesce(col("text"), lit(""))))
+              .as("n_tokens"))
+      },
+      Some(LangIdOracle.compositionSql(marginThresholdQ = 5000L))),
+
+    QuerySpec(
+      "q192_langid_drift_by_source",
+      """Per-SOURCE predicted-language drift ([[graft.operators.LangId
+        |.langDistDriftBySource]]) — the q155/q156 by-source
+        |convention for the q188 monitor, the attribution the one-row
+        |sheet can't give: when the aggregate language KL moves, WHICH
+        |feed switched? Every arrival's prediction joins its source
+        |back on doc_id and each source's predicted-lang distribution
+        |reads its own exact add-1-smoothed KL against the standing
+        |corpus's — q188's arithmetic with every window partitioned by
+        |source (one row per arrival source: n_docs, n_langs, kl_q —
+        |the sheet carries the blame, the one-row twin carries the
+        |alert). All BIGINT → bitwise oracle (the shared q188 drift
+        |chain closed per source). Scale shape: q188's audited plan +
+        |one doc_id-keyed arrival-sized join + ONE (source, class)
+        |rollup; the closes are windows over the sources×K
+        |grid.""".stripMargin,
+      (s, d) => graft.operators.LangId.langDistDriftBySource(
+        Tables.documents(s, d)),
+      Some(LangIdOracle.langDistDriftBySourceSql()))
   )
 
   /** q182 oracle: the q102 allocation CTEs re-rooted on the standing

@@ -137,18 +137,16 @@ object LangIdOracle {
        |FROM agg""".stripMargin
   }
 
-  /** q188 mirror of [[graft.operators.LangId.langDistDrift]]: the
-    * corpus split on the INDEPENDENT arrivals salt, the [[predChain]]
-    * re-rooted on the standing slice with `scoreAll` (the standing
-    * predicted-lang baseline), a second trigram/scoring chain over
-    * the incoming slice against the SAME consts/sheet, and the q158
-    * KL close over the K-class support — every log the fixed-point
-    * replay, one closing row. */
-  def langDistDriftSql(newPermille: Int = 100, trainPermille: Int = 500,
-      buckets: Int = 8192, salt: String = "graft",
-      arrivalSalt: String = "arrivals", alertQ: Long = 32L): String = {
+  /** The q188/q192 shared drift CTEs: the corpus split on the
+    * INDEPENDENT arrivals salt (`std`/`inc`), the [[predChain]]
+    * re-rooted on the standing slice with `scoreAll` (closing as the
+    * `dcnt`/`tg` baseline), and a second trigram/scoring chain over
+    * the incoming slice against the SAME consts/sheet (closing as
+    * `pred2`). Emitted WITHOUT the leading WITH. */
+  private def driftChainCtes(newPermille: Int, trainPermille: Int,
+      buckets: Int, salt: String, arrivalSalt: String): String = {
     val arr = DecontaminateOracle.bucketExpr(arrivalSalt)
-    s"""WITH std AS MATERIALIZED (SELECT * FROM documents
+    s"""std AS MATERIALIZED (SELECT * FROM documents
        |  WHERE doc_id IS NOT NULL AND (($arr) % 1000) >= $newPermille),
        |inc AS MATERIALIZED (SELECT * FROM documents
        |  WHERE doc_id IS NOT NULL AND (($arr) % 1000) < $newPermille),
@@ -179,7 +177,17 @@ object LangIdOracle {
        |pred2 AS (SELECT doc_id, cls,
        |    row_number() OVER (PARTITION BY doc_id
        |      ORDER BY score_q DESC, cls ASC) AS rn
-       |  FROM grid2),
+       |  FROM grid2)""".stripMargin
+  }
+
+  /** q188 mirror of [[graft.operators.LangId.langDistDrift]]: the
+    * shared [[driftChainCtes]] closed by the one-row q158 KL over the
+    * K-class support — every log the fixed-point replay. */
+  def langDistDriftSql(newPermille: Int = 100, trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft",
+      arrivalSalt: String = "arrivals", alertQ: Long = 32L): String =
+    s"""WITH ${driftChainCtes(newPermille, trainPermille, buckets, salt,
+           arrivalSalt)},
        |bcnt AS (SELECT cls, CAST(count(*) AS BIGINT) AS c_bb
        |  FROM pred2 WHERE rn = 1 GROUP BY 1),
        |tb AS (SELECT CAST(coalesce(sum(c_bb), 0) AS BIGINT) AS t_b FROM bcnt),
@@ -209,5 +217,66 @@ object LangIdOracle {
        |       ELSE -((-num) // (n_docs + kk)) END) >= $alertQ
        |       THEN 1 ELSE 0 END AS BIGINT) AS alert
        |FROM agg""".stripMargin
-  }
+
+  /** q192 mirror of [[graft.operators.LangId.langDistDriftBySource]]:
+    * the shared [[driftChainCtes]] with arrival predictions joined
+    * back to their sources, closed by the per-source K-class KL —
+    * every window of the engine's close replayed as per-source
+    * grouping. */
+  def langDistDriftBySourceSql(newPermille: Int = 100,
+      trainPermille: Int = 500, buckets: Int = 8192,
+      salt: String = "graft", arrivalSalt: String = "arrivals"): String =
+    s"""WITH ${driftChainCtes(newPermille, trainPermille, buckets, salt,
+           arrivalSalt)},
+       |psrc AS (SELECT p.doc_id, p.cls,
+       |    coalesce(d.source, 'unknown') AS source
+       |  FROM pred2 p JOIN inc d ON d.doc_id = p.doc_id
+       |  WHERE p.rn = 1),
+       |bcnt AS (SELECT source, cls, CAST(count(*) AS BIGINT) AS c_bb
+       |  FROM psrc GROUP BY 1, 2),
+       |ts AS (SELECT source, CAST(sum(c_bb) AS BIGINT) AS t_b
+       |  FROM bcnt GROUP BY 1),
+       |ks AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM consts),
+       |srcs AS (SELECT DISTINCT coalesce(source, 'unknown') AS source
+       |  FROM inc),
+       |kgrid AS (SELECT s.source, c.cls,
+       |    CAST(coalesce(b.c_bb, 0) AS BIGINT) AS c_bb,
+       |    CAST(coalesce(g.c_gb, 0) AS BIGINT) AS c_gb,
+       |    CAST(coalesce(ts.t_b, 0) AS BIGINT) AS t_b, tg.t_g, ks.kk
+       |  FROM srcs s
+       |  CROSS JOIN consts c
+       |  LEFT JOIN bcnt b ON b.source = s.source AND b.cls = c.cls
+       |  LEFT JOIN dcnt g ON g.cls = c.cls
+       |  LEFT JOIN ts ON ts.source = s.source, tg, ks),
+       |${DsirOracle.logChain("kgrid", Seq(
+           "a" -> "c_bb + 1", "c" -> "t_b + kk",
+           "d" -> "c_gb + 1", "g" -> "t_g + kk"),
+         keyCols = Seq("source", "c_bb", "t_b", "kk"), prefix = "z")},
+       |lr AS (SELECT source, c_bb, t_b, kk,
+       |    (e_a * 64 + f_a) - (e_c * 64 + f_c)
+       |      - (e_d * 64 + f_d) + (e_g * 64 + f_g) AS dq
+       |  FROM z6),
+       |agg AS (SELECT source, CAST(max(t_b) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN c_bb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_langs,
+       |    CAST(sum((c_bb + 1) * dq) AS BIGINT) AS num,
+       |    CAST(max(kk) AS BIGINT) AS kk
+       |  FROM lr GROUP BY 1)
+       |SELECT source, n_docs, n_langs,
+       |  CAST(CASE WHEN num >= 0 THEN num // (n_docs + kk)
+       |       ELSE -((-num) // (n_docs + kk)) END AS BIGINT) AS kl_q
+       |FROM agg""".stripMargin
+
+  /** q191 mirror: the [[applySql]] act embedded as a derived table,
+    * joined back to the corpus and rolled onto (source, lang_id) —
+    * the q76 composition-sheet mechanics keyed on the MINTED label. */
+  def compositionSql(marginThresholdQ: Long, trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): String =
+    s"""WITH act AS MATERIALIZED (SELECT doc_id, lang_id FROM (
+       |${applySql(marginThresholdQ, trainPermille, buckets, salt)}
+       |) t_a)
+       |SELECT d.source, a.lang_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split_regex(coalesce(d.text, ''), '\\s+'))) AS BIGINT) AS n_tokens
+       |FROM documents d JOIN act a ON a.doc_id = d.doc_id
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -188,6 +188,37 @@ class LangIdSpec extends AnyFunSuite {
       er.head.getAs[Long]("alert") == 0L)
   }
 
+  test("langDistDriftBySource: per-source attribution partitions the one-row twin's mass") {
+    val docs = ((1 to 30).map(i =>
+      (i.toLong, "avava vavav aavva avvaa", "ava", "A")) ++
+      (31 to 60).map(i =>
+        (i.toLong, "ozozo zozoz oozzo ozzoo", "ozo", "B")))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = LangId.langDistDriftBySource(docs, newPermille = 300)
+      .collect()
+    val one = LangId.langDistDrift(docs, newPermille = 300).collect().head
+    assert(rows.nonEmpty && one.getAs[Long]("n_docs") > 0L)
+    // the sheet partitions exactly the arrival mass the one-row twin
+    // reads — same split, same scorer, no doc lost or double-counted
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == one.getAs[Long]("n_docs"))
+    // a single-language feed concentrates all its arrival mass on one
+    // class: one predicted lang, positive KL against the balanced
+    // standing corpus — the per-feed blame the aggregate can't assign
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_langs") == 1L,
+        s"source ${r.getAs[String]("source")} not single-language")
+      assert(r.getAs[Long]("kl_q") > 0L,
+        s"source ${r.getAs[String]("source")} read zero KL")
+    }
+    // pure function of the data
+    val re = LangId.langDistDriftBySource(docs.repartition(7),
+      newPermille = 300).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("kl_q"))).toSet
+    assert(re == rows.map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("kl_q"))).toSet)
+  }
+
   test("prediction is a pure function of the data") {
     val a = LangId.langIdScores(bilingual).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("predicted_lang"),

@@ -438,6 +438,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(LangId.applyLangId(_, marginThresholdQ = 5000L))
     invariant(LangId.langIdOperatingPoints(_))
     invariant(LangId.langDistDrift(_))
+    invariant(LangId.langDistDriftBySource(_))
   }
 
   test("capped audits, capped increment and the resample-order capstone are partition-invariant") {
