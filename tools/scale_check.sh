@@ -123,7 +123,11 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   "q184_langid_apply", "q185_langid_abstain_sheet",
   "q186_capped_mix_audit", "q187_capped_curriculum_audit",
   "q188_langid_drift", "q189_resample_training_order",
-  "q190_capped_increment")
+  "q190_capped_increment",
+  // round-15 (2): the composition re-pays q184 + one doc_id join +
+  // a sources x (K+1) rollup; the by-source drift re-pays q188 +
+  // one arrival-sized doc_id join + a (source, class) rollup
+  "q191_langid_composition", "q192_langid_drift_by_source")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
