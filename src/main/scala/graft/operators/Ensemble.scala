@@ -137,24 +137,29 @@ object Ensemble {
   }
 
   /** The feed-triage SCORECARD — the acquisition family's capstone:
-    * one row per source joining the four per-source sheets the family
+    * one row per source joining the five per-source sheets the family
     * built, so the drop/keep/renegotiate decision about a feed reads
     * off a single relation: the q153 gate kill rates (which quality
     * family objects), the q154 dup census (how redundant the feed
-    * is), the q155 KL fingerprint (how alien its content is), and
-    * the q156 length PSI (how alien its shape is). The four members
-    * stay the single source of truth — this operator ADDS only
-    * column pruning and three full-outer joins on source keys
-    * (sources-sized frames; a source missing from the gate sheet —
-    * nothing held out — carries NULLs there, never drops).
+    * is), the q155 KL fingerprint (how alien its content is), the
+    * q156 length PSI (how alien its shape is), and the q193 language
+    * KL (whether the feed's TEXT is in the language the corpus
+    * expects — the seat the provenance label and the content-KL both
+    * structurally miss: a feed that switches language shows here even
+    * when its bigram concentration holds). The five members stay the
+    * single source of truth — this operator ADDS only column pruning
+    * and four broadcast left joins on source keys (sources-sized
+    * frames; a source missing from the gate sheet — nothing held out
+    * — carries NULLs there, never drops).
     *
     * Output: `(source, n_docs, dup_rate_q, drop_rate_q, n_gated,
-    * rate_rules_q, rate_lm_q, rate_nb_q, kl_q, psi_q, psi_alert)`.
-    * Deliberately a composition, not a re-derivation: each column is
-    * bitwise its member sheet's value (EnsembleSpec ties them out),
-    * and the oracle composes the four member oracles the same way.
+    * rate_rules_q, rate_lm_q, rate_nb_q, kl_q, psi_q, psi_alert,
+    * lang_kl_q)`. Deliberately a composition, not a re-derivation:
+    * each column is bitwise its member sheet's value (EnsembleSpec
+    * ties them out), and the oracle composes the five member oracles
+    * the same way.
     *
-    * Scale shape: the four audited member shapes; the joins touch
+    * Scale shape: the five audited member shapes; the joins touch
     * sources-sized frames only. */
   def sourceScorecard(docs: DataFrame, positive: Column,
       textCol: String = "text", trainPermille: Int = 500,
@@ -170,6 +175,9 @@ object Ensemble {
       .select(col("source"), col("kl_q"))
     val psi = Drift.lengthPsiBySource(docs, textCol)
       .select(col("source"), col("psi_q"), col("alert").as("psi_alert"))
+    val lang = LangId.langKlBySource(docs, textCol,
+        trainPermille = trainPermille, buckets = buckets, salt = salt)
+      .select(col("source"), col("kl_q").as("lang_kl_q"))
     // row universe + broadcast LEFT joins instead of full-outer
     // chaining: Spark cannot broadcast a full-outer join, so the
     // chain would sort-merge sources-sized frames. Every member's
@@ -184,6 +192,7 @@ object Ensemble {
       .join(broadcast(gates), Seq("source"), "left")
       .join(broadcast(kl), Seq("source"), "left")
       .join(broadcast(psi), Seq("source"), "left")
+      .join(broadcast(lang), Seq("source"), "left")
   }
 
   /** Feed POLICY — the apply member of the acquisition family,
@@ -191,11 +200,12 @@ object Ensemble {
     * feed granularity): thresholds over the q159 scorecard columns
     * become one per-source verdict — 'drop' (a mirror or an alien
     * feed: dup rate or content-KL past the drop line), 'downweight'
-    * (drifting form or rule-failing mass: PSI alert or rules-kill
-    * rate past the damp line), else 'keep'. The verdict column is
-    * BY CONSTRUCTION a CASE over the scorecard (the oracle composes
-    * the q159 CTE verbatim), so policy can never disagree with the
-    * evidence sheet a reviewer reads.
+    * (drifting form, rule-failing mass, or off-language text: PSI
+    * alert, rules-kill rate, or language-KL past a damp line), else
+    * 'keep'. The verdict column is BY CONSTRUCTION a CASE over the
+    * scorecard (the oracle composes the q159 CTE verbatim), so
+    * policy can never disagree with the evidence sheet a reviewer
+    * reads.
     *
     * NULL semantics (both engines identically): a source absent from
     * a member sheet carries NULL metrics, NULL comparisons are never
@@ -206,20 +216,25 @@ object Ensemble {
     * mass — a mirror), kl_q ≥ 192 (3 bits/bigram from the corpus —
     * alien content), psi_alert (the industry 0.3 PSI line, q156),
     * rate_rules_q ≥ 838861 (~0.8 — four in five docs fail the
-    * mechanical rules). All integer/fixed-point → bitwise oracle.
+    * mechanical rules), lang_kl_q ≥ 128 (2 bits/doc of
+    * predicted-language divergence — a feed concentrated on a
+    * language holding ≤ a quarter of the corpus: damp, don't drop —
+    * off-language text is re-routable, a mirror is not). All
+    * integer/fixed-point → bitwise oracle.
     *
     * Scale shape: exactly q159's audited composition plus one
     * map-side CASE over the sources-sized sheet. */
   def feedPolicy(docs: DataFrame, positive: Column,
       dropDupQ: Long = 524288L, dropKlQ: Long = 192L,
-      downRulesQ: Long = 838861L, textCol: String = "text",
+      downRulesQ: Long = 838861L, downLangKlQ: Long = 128L,
+      textCol: String = "text",
       trainPermille: Int = 500, buckets: Int = 8192,
       salt: String = "graft"): DataFrame =
     sourceScorecard(docs, positive, textCol, trainPermille, buckets, salt)
       .withColumn("verdict",
         when(col("dup_rate_q") >= dropDupQ || col("kl_q") >= dropKlQ, "drop")
-          .when(col("psi_alert") === 1L || col("rate_rules_q") >= downRulesQ,
-            "downweight")
+          .when(col("psi_alert") === 1L || col("rate_rules_q") >= downRulesQ ||
+            col("lang_kl_q") >= downLangKlQ, "downweight")
           .otherwise("keep"))
 
   /** Feed-policy OPERATING POINTS — the q147 evidence sheet for the
@@ -249,7 +264,8 @@ object Ensemble {
     * all touch that sheet crossed with a ≤ 81-row broadcast grid —
     * nothing corpus-sized moves. */
   def feedPolicyOperatingPoints(docs: DataFrame, positive: Column,
-      downRulesQ: Long = 838861L, textCol: String = "text",
+      downRulesQ: Long = 838861L, downLangKlQ: Long = 128L,
+      textCol: String = "text",
       trainPermille: Int = 500, buckets: Int = 8192,
       salt: String = "graft"): DataFrame = {
     val sc = Dedup.materialize(
@@ -268,8 +284,8 @@ object Ensemble {
       .withColumn("__v",
         when(col("dup_rate_q") >= col("thr_dup_q") ||
             col("kl_q") >= col("thr_kl_q"), "drop")
-          .when(col("psi_alert") === 1L || col("rate_rules_q") >= downRulesQ,
-            "downweight")
+          .when(col("psi_alert") === 1L || col("rate_rules_q") >= downRulesQ ||
+            col("lang_kl_q") >= downLangKlQ, "downweight")
           .otherwise("keep"))
       .groupBy(col("thr_dup_q"), col("thr_kl_q"))
       .agg(
@@ -303,6 +319,7 @@ object Ensemble {
   def applyFeedPolicy(docs: DataFrame, positive: Column,
       downweightPermille: Int = 500, dropDupQ: Long = 524288L,
       dropKlQ: Long = 192L, downRulesQ: Long = 838861L,
+      downLangKlQ: Long = 128L,
       textCol: String = "text", trainPermille: Int = 500,
       buckets: Int = 8192, salt: String = "graft",
       downSalt: String = "downweight"): DataFrame = {
@@ -315,7 +332,7 @@ object Ensemble {
     // without this)
     val verdicts = Dedup.materialize(
       feedPolicy(docs, positive, dropDupQ, dropKlQ, downRulesQ,
-          textCol, trainPermille, buckets, salt)
+          downLangKlQ, textCol, trainPermille, buckets, salt)
         .select(col("source"), col("verdict")))
     actOnVerdicts(docs, verdicts, downweightPermille, downSalt)
   }

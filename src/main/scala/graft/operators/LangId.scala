@@ -126,13 +126,16 @@ object LangId {
       .agg(count(lit(1)).as("n_docs"))
 
   /** The trained model collapsed to ONE broadcastable row —
-    * `(classes, priors, tlogs, lgarrs)`: the sorted class list, the
-    * per-class prior and normalizer maps, and per class a DENSE
+    * `(classes, priors, tlogs, lgarrs, buckets)`: the sorted class
+    * list, the per-class prior and normalizer maps, per class a DENSE
     * `buckets`-long log-count array (absent cells hold the
-    * mathematically-correct 0 = log2q(0+1)) — what a production
-    * system persists as the lang-ID artifact and ships to ingest
-    * workers (the [[Classifier.nbModelRow]] convention lifted to K
-    * classes). Dense arrays, not maps, deliberately: Spark evaluates
+    * mathematically-correct 0 = log2q(0+1)), and the bucket count the
+    * model was TRAINED with — persisted so [[scoreAgainstModel]] can
+    * hash arrivals with the artifact's own modulus and reject a
+    * mismatched caller loudly instead of silently misreading the
+    * dense arrays — what a production system persists as the lang-ID
+    * artifact and ships to ingest workers (the
+    * [[Classifier.nbModelRow]] convention lifted to K classes). Dense arrays, not maps, deliberately: Spark evaluates
     * `element_at` on a MAP by LINEAR SCAN of its keys, so a
     * map-shaped artifact costs O(buckets) per trigram lookup —
     * measured as a pegged single task at corpus scale — while the
@@ -187,7 +190,12 @@ object LangId {
         """array_sort(__lg, (l, r) ->
           |  CASE WHEN l.__c < r.__c THEN -1
           |       WHEN l.__c > r.__c THEN 1 ELSE 0 END)""".stripMargin)))
-      .select(col("classes"), col("priors"), col("tlogs"), col("lgarrs"))
+      // the artifact CARRIES its bucket count: [[scoreAgainstModel]]
+      // hashes arrivals mod this persisted value and fails LOUDLY on
+      // a caller mismatch — a silently different modulus would read
+      // wrong dense-array cells and mislabel every arrival
+      .select(col("classes"), col("priors"), col("tlogs"), col("lgarrs"),
+        lit(buckets.toLong).as("buckets"))
   }
 
   /** Score a frame against a broadcast ONE-ROW [[langIdModelRow]]
@@ -220,11 +228,20 @@ object LangId {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val t = lower(col(textCol))
     df.crossJoin(broadcast(model))
+      // the modulus is the PERSISTED artifact value, validated against
+      // the caller's: a mismatch raises instead of silently hashing
+      // into the wrong dense-array cells (the artifact knows what it
+      // was trained with; the caller's default is just a claim)
+      .withColumn("__bk",
+        when(col("buckets") === buckets.toLong, col("buckets"))
+          .otherwise(raise_error(concat(
+            lit("lang-ID model trained with buckets="), col("buckets"),
+            lit(s", caller passed $buckets"))).cast("long")))
       .withColumn("__gs",
         when(t.isNotNull && length(t) >= 3,
           transform(sequence(lit(1), length(t) - lit(2)),
             i => Dedup.md5Base48Of(md5(t.substr(i, lit(3))))
-              % buckets.toLong))
+              % col("__bk")))
           .otherwise(expr("CAST(array() AS array<bigint>)")))
       .withColumn("n_grams", size(col("__gs")).cast("long"))
       // the K-entry class-metadata lookups happen ONCE per row here;
@@ -261,8 +278,8 @@ object LangId {
       .withColumn("margin_q",
         when(col("__best.c").isNull, lit(null).cast("long"))
           .otherwise(col("__best.s") - coalesce(col("__best.r"), col("__best.s"))))
-      .drop("__gs", "__cs", "__scores", "__best",
-        "classes", "priors", "tlogs", "lgarrs")
+      .drop("__gs", "__cs", "__scores", "__best", "__bk",
+        "classes", "priors", "tlogs", "lgarrs", "buckets")
   }
 
   /** The lang-ID APPLY member — the act that MINTS the `lang_id`
@@ -420,7 +437,13 @@ object LangId {
     * EXACTLY the standing shares reads 0. Against an EMPTY support
     * (classless model): one all-NULL row with `alert = 0` — a monitor
     * must never crash, and the NULL kl is the audit signal to not arm
-    * it. All BIGINT → the batch twin oracles bitwise (q188). */
+    * it. An EMPTY BATCH (t_b = 0) likewise reads `(0, 0, NULL, 0)`:
+    * with no arrivals the +1 smoothing would otherwise make the batch
+    * read as uniform and KL(uniform ‖ standing) clears any alert line
+    * on a skewed baseline — a no-data micro-batch must never raise
+    * the language-switch alarm (the empty-support rule applied to the
+    * batch seat). All BIGINT → the batch twin oracles bitwise
+    * (q188). */
   def langDistAgainst(scored: DataFrame, support: DataFrame,
       distRow: DataFrame, alertQ: Long = 32L): DataFrame = {
     val counts = scored.filter(col("predicted_lang").isNotNull)
@@ -447,7 +470,8 @@ object LangId {
         sum((col("c_bb") + 1L) * col("__dq")).as("__num"),
         max(col("__k")).as("__kk"))
       .withColumn("kl_q", expr(
-        """CASE WHEN __num >= 0 THEN __num DIV (n_docs + __kk)
+        """CASE WHEN n_docs IS NULL OR n_docs = 0 THEN CAST(NULL AS BIGINT)
+          |WHEN __num >= 0 THEN __num DIV (n_docs + __kk)
           |ELSE -((-__num) DIV (n_docs + __kk)) END""".stripMargin))
       .withColumn("alert",
         when(col("kl_q") >= alertQ, lit(1L)).otherwise(lit(0L)))
@@ -561,20 +585,40 @@ object LangId {
       .agg(count(lit(1)).as("c_bb"))
     val srcs = incoming
       .select(coalesce(col(srcCol), lit("unknown")).as("source")).distinct()
-    val wSrc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).rowsBetween(Long.MinValue, Long.MaxValue)
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    srcs.crossJoin(
-        consts.select(col("__c").as("predicted_lang"))
-          .withColumn("__k", count(lit(1)).over(whole)))
-      .join(counts, Seq("source", "predicted_lang"), "left")
-      .crossJoin(broadcast(base))
-      .select(col("source"), col("predicted_lang"), col("__k"),
-        coalesce(col("c_bb"), lit(0L)).as("c_bb"),
-        coalesce(element_at(col("lmap"), col("predicted_lang")), lit(0L))
-          .as("c_gb"),
-        coalesce(col("t_g"), lit(0L)).as("t_g"))
+    langKlBySourceClose(
+      srcs.crossJoin(
+          consts.select(col("__c").as("predicted_lang"))
+            .withColumn("__k", count(lit(1)).over(whole)))
+        .join(counts, Seq("source", "predicted_lang"), "left")
+        .crossJoin(broadcast(base))
+        .select(col("source"), col("predicted_lang"), col("__k"),
+          coalesce(col("c_bb"), lit(0L)).as("c_bb"),
+          coalesce(element_at(col("lmap"), col("predicted_lang")), lit(0L))
+            .as("c_gb"),
+          coalesce(col("t_g"), lit(0L)).as("t_g")))
+  }
+
+  /** The per-source K-class KL closing arithmetic over a scoring grid
+    * `(source, predicted_lang, __k, c_bb, c_gb, t_g)` — ONE textual
+    * definition (the [[Mixing.klPerSourceClose]] convention lifted to
+    * the language seat) shared by [[langDistDriftBySource]] (corpus
+    * seat = a standing baseline row), [[langKlBySource]] (corpus seat
+    * = the batch's own totals — the q159 scorecard member) and
+    * [[langKlBySourceAgainstModel]] (the streaming scorecard seat),
+    * so the three sheets cannot drift: per source, the exact
+    * add-1-smoothed KL(P_source ‖ P_seat) in 1/64-log2 units with the
+    * [[langDistAgainst]] empty-seat rule (a source with zero scored
+    * docs reads NULL kl, never KL(uniform ‖ standing)). Output: one
+    * row per source — `(source, n_docs, n_langs, kl_q)`.
+    *
+    * Scale shape: windows and rollups over the sources×K grid only —
+    * nothing corpus-sized enters this close. */
+  private[graft] def langKlBySourceClose(grid: DataFrame): DataFrame = {
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).rowsBetween(Long.MinValue, Long.MaxValue)
+    grid
       .withColumn("t_b", sum(col("c_bb")).over(wSrc))
       .withColumn("__dq",
         expr(Mixing.log2qExpr("c_bb + 1")) -
@@ -586,10 +630,119 @@ object LangId {
         sum(when(col("c_bb") > 0L, 1L).otherwise(0L)).as("n_langs"),
         sum((col("c_bb") + 1L) * col("__dq")).as("__num"),
         max(col("__k")).as("__kk"))
+      // the same empty-seat rule as [[langDistAgainst]]: a source (or
+      // batch) with zero scored docs reads NULL, never
+      // KL(uniform ‖ standing)
       .withColumn("kl_q", expr(
-        """CASE WHEN __num >= 0 THEN __num DIV (n_docs + __kk)
+        """CASE WHEN n_docs IS NULL OR n_docs = 0 THEN CAST(NULL AS BIGINT)
+          |WHEN __num >= 0 THEN __num DIV (n_docs + __kk)
           |ELSE -((-__num) DIV (n_docs + __kk)) END""".stripMargin))
       .drop("__num", "__kk")
+  }
+
+  /** Per-source LANGUAGE-fingerprint KL over the corpus's own minted
+    * predictions — the fifth [[Ensemble.sourceScorecard]] member (the
+    * [[Mixing.sourceKlDivergence]] convention with predicted
+    * languages in the bucket seat): every doc scores through the SAME
+    * [[scoredRows]] arithmetic as the q184 act (threshold 0 — the
+    * member reads raw argmax shares, the acquisition seat, not the
+    * abstain-gated release label), each source's predicted-language
+    * distribution spreads over the K-class support, and the exact
+    * add-1-smoothed KL(P_source ‖ P_corpus) closes per source in
+    * 1/64-log2 units. The signal the provenance label and the
+    * content-KL both structurally miss: a feed whose TEXT is in a
+    * different language than the corpus norm reads a high seat here
+    * even when its bigram concentration (q155) holds. A source
+    * predicting exactly the corpus shares reads 0; NULL sources group
+    * as 'unknown' (the q76 idiom). All BIGINT → bitwise oracle
+    * (q193).
+    *
+    * Output: one row per source — `(source, n_docs, n_langs, kl_q)`
+    * (the q192 sheet shape with the corpus in the baseline seat).
+    *
+    * Scale shape (100 TB): ONE whole-corpus scoring pass
+    * ([[scoredRows]]' audited plan — trigrams collapse map-side onto
+    * (doc, bucket) keys, model sheet and constants broadcast, doc_id
+    * exchanges only), collapsed onto the sources×K counts sheet and
+    * MATERIALIZED (it feeds the class totals, the grand total AND the
+    * per-source grid — the q167 materialize-the-sheet rule); every
+    * close is a window/rollup over that sheet. */
+  def langKlBySource(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", srcCol: String = "source",
+      trainPermille: Int = 500, buckets: Int = 8192,
+      salt: String = "graft"): DataFrame = {
+    graft.GraftSession.ensureConfs(docs.sparkSession)
+    val (meta, hb, consts0, sheet) =
+      parts(docs, textCol, langCol, trainPermille, buckets, salt)
+    // consts feeds the scoring grid AND the class support
+    val consts = Dedup.materialize(consts0)
+    val counts = Dedup.materialize(
+      scoredRows(meta, hb, consts, sheet, heldOutOnly = false)
+        .join(docs.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            coalesce(col(srcCol), lit("unknown")).as("source")),
+          Seq("doc_id"))
+        .filter(col("predicted_lang").isNotNull)
+        .groupBy(col("source"), col("predicted_lang"))
+        .agg(count(lit(1)).as("c_bb")))
+    val gb = counts.groupBy(col("predicted_lang"))
+      .agg(sum(col("c_bb")).as("c_gb"))
+    val tg = counts.agg(coalesce(sum(col("c_bb")), lit(0L)).as("t_g"))
+    val srcs = docs.filter(col("doc_id").isNotNull)
+      .select(coalesce(col(srcCol), lit("unknown")).as("source")).distinct()
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    langKlBySourceClose(
+      srcs.crossJoin(
+          consts.select(col("__c").as("predicted_lang"))
+            .withColumn("__k", count(lit(1)).over(whole)))
+        .join(broadcast(counts), Seq("source", "predicted_lang"), "left")
+        .join(broadcast(gb), Seq("predicted_lang"), "left")
+        .crossJoin(broadcast(tg))
+        .select(col("source"), col("predicted_lang"), col("__k"),
+          coalesce(col("c_bb"), lit(0L)).as("c_bb"),
+          coalesce(col("c_gb"), lit(0L)).as("c_gb"),
+          coalesce(col("t_g"), lit(0L)).as("t_g")))
+  }
+
+  /** [[langKlBySource]]'s STREAMING seat — per-source language KL of
+    * a micro-batch against STANDING artifacts (the
+    * [[Drift.klBySourceAgainstModel]] convention): arrivals score
+    * through the broadcast [[langIdModelRow]] via the gate kernel
+    * ([[scoreAgainstModel]] — pinned bitwise to the batch
+    * arithmetic), each source's predicted-language counts spread over
+    * the model's class support, and the shared
+    * [[langKlBySourceClose]] closes against the standing
+    * [[langDistBaseline]] row. The per-batch scorecard's lang seat
+    * ([[graft.streaming.Curation.scorecardMonitor]]): zero streaming
+    * state, two broadcast one-row artifacts, batch-local exchanges
+    * only. A batch of standing-corpus docs against its own artifacts
+    * reads bitwise [[langKlBySource]]'s sheet
+    * (StreamingScorecardSpec pins it). */
+  def langKlBySourceAgainstModel(batch: DataFrame, model: DataFrame,
+      distRow: DataFrame, textCol: String = "text",
+      srcCol: String = "source", buckets: Int = 8192): DataFrame = {
+    val base = batch.filter(col("doc_id").isNotNull)
+    val counts = scoreAgainstModel(base, model, textCol, buckets)
+      .filter(col("predicted_lang").isNotNull)
+      .groupBy(coalesce(col(srcCol), lit("unknown")).as("source"),
+        col("predicted_lang"))
+      .agg(count(lit(1)).as("c_bb"))
+    val srcs = base
+      .select(coalesce(col(srcCol), lit("unknown")).as("source")).distinct()
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    langKlBySourceClose(
+      srcs.crossJoin(
+          model.select(explode(col("classes")).as("predicted_lang"))
+            .withColumn("__k", count(lit(1)).over(whole)))
+        .join(counts, Seq("source", "predicted_lang"), "left")
+        .crossJoin(broadcast(distRow))
+        .select(col("source"), col("predicted_lang"), col("__k"),
+          coalesce(col("c_bb"), lit(0L)).as("c_bb"),
+          coalesce(element_at(col("lmap"), col("predicted_lang")), lit(0L))
+            .as("c_gb"),
+          coalesce(col("t_g"), lit(0L)).as("t_g")))
   }
 
   /** The shared split → lowered text → hashed char-trigram →

@@ -505,6 +505,140 @@ object Phrases {
           .otherwise("tail").as("bucket"))
   }
 
+  /** PER-LANGUAGE CCNet quality buckets over the MINTED label — what
+    * Wenzek et al. 2020 §4.3 actually do, where [[lmQualityBuckets]]
+    * is the corpus-global approximation: real CCNet trains a language
+    * model PER LANGUAGE and cuts head/middle/tail within each
+    * language, because a single global model scores a minority-
+    * language document mostly on "is not the majority language" — its
+    * perplexity measures language mismatch, not quality, and the
+    * whole minority slice lands in 'tail'. Here the label is the
+    * engine's own minted `lang_id` ([[LangId.applyLangId]] at the
+    * q185-read threshold — the q184 act, not the provenance claim a
+    * feed can lie about; abstained docs form their own 'unknown'
+    * group and cut against each other), the unigram piece model
+    * ([[unigramVocab]]'s arithmetic) trains per minted language, each
+    * doc scores under ITS OWN language's model, and the 33 %/67 %
+    * ppl_q cuts select per language — discrete, exact, per-group.
+    *
+    * Output: one row per doc with a non-NULL doc_id (the act's
+    * universe — q125 keeps NULL-doc_id rows, the act never labels
+    * them) — `(doc_id, lang_id, n_pieces, cost_q, ppl_q, bucket)`.
+    * Single-language degeneracy: a corpus whose every doc mints ONE
+    * lang reproduces q125's sheet bitwise plus the constant lang_id
+    * column (PhrasesSpec pins it — the cap=∞ convention).
+    *
+    * Scale shape (100 TB): the q184 audited scoring plan once
+    * (doc_id-keyed exchanges, broadcast model sheet); the unigram
+    * chain's audited shape with every census/DP key widened to
+    * (lang, ·) — the DP still runs once per DISTINCT (lang, word),
+    * the per-lang piece vocabularies travel as ONE broadcast
+    * K-row map frame, and the seed-census rank window partitions the
+    * piece CENSUS (distinct-substring-bounded), never corpus rows;
+    * the cuts run through the GROUPED radix kernel
+    * ([[Quantiles.groupQuantileDisc]]) — per-language exact
+    * percentiles in 4 map-side histogram passes with no per-group
+    * single-task sort (the corpus/K group shape that outgrows
+    * [[Quantiles.multiQuantileDisc]]'s window sort at scale). */
+  def lmQualityBucketsByLang(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", marginThresholdQ: Long = 5000L,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12, seedSize: Int = 512,
+      trainPermille: Int = 500, buckets: Int = 8192,
+      salt: String = "graft"): DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= 1 && seedSize >= 0,
+      s"bad parameters ($maxPieceLen, $maxWordLen, $seedSize)")
+    // the minted label feeds the training censuses AND the per-doc
+    // stream — materialize the act's sheet once (the q167 rule)
+    val mint = Dedup.materialize(
+      LangId.applyLangId(docs, textCol, langCol, trainPermille,
+          buckets, salt, marginThresholdQ)
+        .select(col("doc_id"), col("lang_id")))
+    val ldocs = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col(textCol).as("__text"))
+      .join(mint, Seq("doc_id"))
+    val scored = lmScoredByLang(ldocs, maxPieceLen, maxWordLen, seedSize)
+    val cuts = Quantiles.groupQuantileDisc(
+      scored.filter(col("n_pieces") > 0L), "lang_id", "ppl_q",
+      Seq("p33" -> 0.33, "p67" -> 0.67),
+      materializeInput = false) // the scored frame is already materialized
+    // LEFT: a language whose every doc is empty has no cuts row — its
+    // docs all take the first branch anyway (same CASE both engines)
+    scored.join(broadcast(cuts), Seq("lang_id"), "left")
+      .select(col("doc_id"), col("lang_id"), col("n_pieces"),
+        col("cost_q"), col("ppl_q"),
+        when(col("n_pieces") === 0L, "empty")
+          .when(col("ppl_q") <= col("p33"), "head")
+          .when(col("ppl_q") <= col("p67"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** The per-(doc, lang) scored frame under [[lmQualityBucketsByLang]]
+    * — [[lmScored]]'s arithmetic with every census, vocabulary and DP
+    * key widened to (lang_id, ·): per-lang word counts, per-lang seed
+    * census with the top-`seedSize` multi-char pieces RANKED WITHIN
+    * each language ((seed_cnt DESC, piece) — the global orderBy/limit
+    * made per-group), per-lang score normalizers (window over the
+    * lang partition replacing the global sum), the per-lang cost maps
+    * collapsed to ONE broadcastable K-row frame joined on lang_id,
+    * and the identical Viterbi DP per distinct (lang, word).
+    * Materialized: feeds both the grouped cuts and the disposition. */
+  private def lmScoredByLang(ldocs: DataFrame, maxPieceLen: Int,
+      maxWordLen: Int, seedSize: Int): DataFrame = {
+    val words = Dedup.materialize(
+      ldocs.filter(col("__text").isNotNull)
+        .select(col("lang_id"),
+          explode(graft.functions.TextFunctions.tokens(col("__text"))).as("w0"))
+        .filter(length(col("w0")) >= 1)
+        .select(col("lang_id"), substring(col("w0"), 1, maxWordLen).as("w"))
+        .groupBy(col("lang_id"), col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("len", length(col("w"))))
+    val seed = words
+      .select(col("lang_id"), col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> transform(sequence(1, least($maxPieceLen, length(w) - i + 1)),
+           |    l -> substring(w, i, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("lang_id"), col("piece")).agg(sum(col("cnt")).as("seed_cnt"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_id"))
+      .orderBy(col("seed_cnt").desc, col("piece"))
+    val vocab0 = seed.filter(length(col("piece")) === 1).unionByName(
+      seed.filter(length(col("piece")) >= 2)
+        .withColumn("__r", row_number().over(wRank))
+        .filter(col("__r") <= seedSize).drop("__r"))
+    val vocab = Dedup.materialize(vocab0
+      .withColumn("score_q", expr(s"CAST((seed_cnt * $Q) DIV sum(seed_cnt) OVER " +
+        "(PARTITION BY lang_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"))
+      .withColumn("piece_cost", lit(22L) - length(bin(col("score_q") + 1)).cast("long")))
+    val cmaps = vocab.groupBy(col("lang_id")).agg(map_from_entries(
+      collect_list(struct(col("piece"), col("piece_cost")))).as("cmap"))
+    val wp = words.join(broadcast(cmaps), Seq("lang_id"))
+      .withColumn("d", expr(dpExprStr(maxPieceLen)))
+      .withColumn("seg", expr(btExprStr))
+      .withColumn("w_cost", expr("element_at(d.costs, CAST(length(w) AS INT) + 1)"))
+      .select(col("lang_id"), col("w"),
+        size(col("seg")).cast("long").as("__np"), col("w_cost"))
+    val perDoc = ldocs.filter(col("__text").isNotNull)
+      .select(col("doc_id"), col("lang_id"),
+        explode(graft.functions.TextFunctions.tokens(col("__text"))).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(col("doc_id"), col("lang_id"),
+        substring(col("w0"), 1, maxWordLen).as("w"))
+      .groupBy(col("doc_id"), col("lang_id"), col("w"))
+      .agg(count(lit(1)).as("__occ"))
+      .join(wp, Seq("lang_id", "w"))
+      .groupBy(col("doc_id"), col("lang_id")).agg(
+        sum(col("__occ") * col("__np")).as("n_pieces"),
+        sum(col("__occ") * col("w_cost")).as("cost_q"))
+    Dedup.materialize(
+      ldocs.select(col("doc_id"), col("lang_id"))
+        .join(perDoc, Seq("doc_id", "lang_id"), "left")
+        .select(col("doc_id"), col("lang_id"),
+          coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+          coalesce(col("cost_q"), lit(0L)).as("cost_q"))
+        .withColumn("ppl_q", when(col("n_pieces") > 0L,
+          expr(s"CAST((cost_q * $Q) DIV n_pieces AS BIGINT)")).otherwise(lit(0L))))
+  }
+
   /** The per-doc scored frame under [[lmQualityBuckets]]:
     * `(doc_id, n_pieces, cost_q, ppl_q)`, materialized (it feeds both
     * the cut computation and the disposition select). */

@@ -156,6 +156,115 @@ object Quantiles {
     located.agg(picks.head, picks.tail: _*)
   }
 
+  /** PER-GROUP exact discrete quantiles with NO per-group single-task
+    * sort — [[globalQuantileDisc]]'s contract lifted to a group key
+    * (the per-LANGUAGE CCNet cuts' kernel, q194): each group's value
+    * is located digit-by-digit by the grouped radix kernel
+    * ([[groupRadixLocate]]), so a group whose rows outgrow one task's
+    * external sort — the corpus/K shape a per-language split of
+    * 100 TB produces, where [[multiQuantileDisc]]'s window sort
+    * serializes each group through ONE task — still cuts in
+    * `64/digitBits` map-side histogram passes.
+    *
+    * Result is bitwise `percentile_disc(q) WITHIN GROUP (ORDER BY v)
+    * ... GROUP BY g` (the same decimal-exact `ceil(q·n)` rank
+    * arithmetic; QuantilesSpec pins the grouped kernel equal to
+    * [[multiQuantileDisc]] on planted ties/negatives/extremes).
+    * Output: one row per group with a named BIGINT column per entry
+    * of `qs` — groups with no non-NULL value are ABSENT (the
+    * [[multiQuantileDisc]] convention: oracles mirror with
+    * `WHERE val IS NOT NULL`).
+    *
+    * Scale shape (100 TB): `64/digitBits` passes over an internally
+    * materialized (group, value) projection; the per-pass broadcast
+    * carries |groups|·|qs| located rows and every exchange carries
+    * histogram cells (≤ |groups|·|qs|·2^digitBits) — nothing
+    * anywhere serializes a group's rows through one task. */
+  def groupQuantileDisc(df: DataFrame, groupCol: String, valCol: String,
+      qs: Seq[(String, Double)], digitBits: Int = 16,
+      materializeInput: Boolean = true): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
+      s"percentiles must be in (0, 1]: $qs")
+    require(qs.forall { case (_, q) => BigDecimal(q).scale <= 10 },
+      s"percentiles must be exact in 10 decimal places (got $qs); " +
+        "rank selection is decimal-exact and will not guess a rounding")
+    require(df.schema(valCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"groupQuantileDisc radix-selects over BIGINT; $valCol is " +
+        df.schema(valCol).dataType.simpleString)
+    val proj = df.select(col(groupCol).as("__g"), col(valCol).as("__u"))
+      .filter(col("__u").isNotNull)
+      .select(col("__g"), col("__u"), lit(1L).as("__w"))
+    val t = if (materializeInput) Dedup.materialize(proj) else proj
+    val targets = t.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .select(col("__g"), explode(array(qs.map { case (name, q) =>
+        val qExact = lit(BigDecimal(q).setScale(10).underlying())
+        struct(lit(name).as("qn"),
+          ceil(qExact * col("__n")).cast("long").as("rr"))
+      }: _*)).as("e"))
+      .select(col("__g"), col("e.qn").as("qn"), col("e.rr").as("rr"))
+    val located = groupRadixLocate(t, targets, digitBits)
+    val picks = qs.map { case (name, _) =>
+      max(when(col("qn") === name, col("u"))).as(name)
+    }
+    located.groupBy(col("__g").as(groupCol))
+      .agg(picks.head, picks.tail: _*)
+  }
+
+  /** [[radixLocate]] lifted to a group key — `tw` rows
+    * `(__g, __u, __w)`, `targets` rows `(__g, qn, rr)`; each
+    * (group, target) locates independently, and candidate rows reach
+    * only their OWN group's targets through a broadcast equi-join on
+    * `__g` (never a row×targets cross product), so the per-pass
+    * frame sizes scale with |groups|·|qs| histogram cells, not with
+    * group count × corpus rows. Same per-pass arithmetic, same
+    * all-NULL row for an unreachable rank, same signed-domain
+    * mapping. Kept textually beside [[radixLocate]] rather than
+    * unifying them: the ungrouped kernel's plan (a ≤|qs|-row
+    * broadcast CROSS join) is audited and anchored fleet-wide, and a
+    * constant-group retrofit would reshape every caller's plan for
+    * zero semantic gain. */
+  private[graft] def groupRadixLocate(tw: DataFrame, targets: DataFrame,
+      digitBits: Int = 16): DataFrame = {
+    require(digitBits >= 1 && digitBits <= 21 && 64 % digitBits == 0,
+      s"digitBits must divide 64 and keep cells addressable: $digitBits")
+    val passes = 64 / digitBits
+    val tm = tw.select(col("__g"),
+      col("__u").bitwiseXOR(lit(Long.MinValue)).as("__u"), col("__w"))
+    var locked = targets.select(col("__g"), col("qn"), lit(0L).as("u"),
+      col("rr"), lit(0L).as("before"))
+    for (p <- 1 to passes) {
+      val loShift = 64 - digitBits * p
+      // Java shifts count mod 64, so u >>> 64 would be a NO-OP, not 0:
+      // round 1 (every row a candidate) must skip the prefix test
+      val prefixMatch =
+        if (p == 1) lit(true)
+        else shiftrightunsigned(col("__u"), 64 - digitBits * (p - 1)) ===
+          col("u")
+      val hist = tm.join(broadcast(locked), Seq("__g"))
+        .filter(col("rr").isNotNull && prefixMatch)
+        .groupBy(col("__g"), col("qn"), col("rr"), col("before"),
+          shiftrightunsigned(col("__u"), loShift).as("nhi"))
+        .agg(sum(col("__w")).as("c"))
+      val wq = Window.partitionBy(col("__g"), col("qn")).orderBy(col("nhi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val loc = hist
+        .withColumn("cumc", sum(col("c")).over(wq))
+        .filter(col("cumc") >= col("rr"))
+        .groupBy(col("__g"), col("qn"))
+        .agg(min(struct(col("nhi"), col("rr"), col("before"),
+          col("cumc"), col("c"))).as("m"))
+        .select(col("__g"), col("qn"), col("m.nhi").as("u"),
+          (col("m.rr") - (col("m.cumc") - col("m.c"))).as("rr"),
+          (col("m.before") + (col("m.cumc") - col("m.c"))).as("before"))
+      locked = locked.select(col("__g"), col("qn"))
+        .join(broadcast(loc), Seq("__g", "qn"), "left")
+    }
+    locked.select(col("__g"), col("qn"),
+      col("u").bitwiseXOR(lit(Long.MinValue)).as("u"),
+      col("rr"), col("before"))
+  }
+
   /** Weighted radix LOCATE — the shared distributed-selection kernel
     * under [[globalQuantileDisc]] (weights ≡ 1: rank select) and the
     * token-budget resample boundary

@@ -162,6 +162,121 @@ object BpeOracle {
        |       ELSE 'tail' END AS bucket
        |FROM scored s, cuts c""".stripMargin
 
+  /** q194 mirror of
+    * [[graft.operators.Phrases.lmQualityBucketsByLang]]: the
+    * [[LangIdOracle.applySql]] act embedded as the `mint` derived
+    * table, then the WHOLE [[unigramChain]] replayed with every
+    * census / vocabulary / DP / backtrace key widened to
+    * (lang_id, ·) — per-lang word counts, the top-`seedSize`
+    * multi-char pieces ranked WITHIN each language (row_number over
+    * (seed_cnt DESC, piece), the global LIMIT made per-group), the
+    * per-lang score normalizer as a window over the lang partition,
+    * per-(lang, word) DP recursion joining its own language's vocab —
+    * closed by per-(doc, lang) sums, per-LANGUAGE exact discrete
+    * 33 %/67 % cuts (percentile_disc GROUP BY lang_id ≡ the grouped
+    * radix kernel, the q60 pin lifted to groups) and the q125 CASE. */
+  def unigramQualityByLangSql(marginThresholdQ: Long = 5000L,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      seedSize: Int = 512): String = {
+    val Q = 1048576L
+    val cands = (1 to maxPieceLen).map { l =>
+      val guard = if (l == 1) "" else s"d.pos >= ${l - 1} AND "
+      s"""CASE WHEN ${guard}v$l.piece IS NOT NULL THEN
+         |  {'cost': d.costs[d.pos + ${2 - l}] + v$l.piece_cost,
+         |   'strt': CAST(d.pos + ${1 - l} AS BIGINT), 'piece': v$l.piece} END""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to maxPieceLen).map { l =>
+      val guard = if (l == 1) "" else s"d.pos >= ${l - 1} AND "
+      s"LEFT JOIN lvc v$l ON ${guard}v$l.lang_id = d.lang_id " +
+        s"AND v$l.piece = substr(d.w, d.pos + ${2 - l}, $l)"
+    }.mkString("\n")
+    s"""WITH RECURSIVE
+       |mint AS MATERIALIZED (SELECT doc_id, lang_id FROM (
+       |${LangIdOracle.applySql(marginThresholdQ)}
+       |) am),
+       |ldocs AS MATERIALIZED (SELECT d.doc_id, m.lang_id, d.text
+       |  FROM documents d JOIN mint m ON m.doc_id = d.doc_id),
+       |ltoks AS MATERIALIZED (SELECT doc_id, lang_id,
+       |    string_split_regex(lower(text), '\\s+') AS t
+       |  FROM ldocs WHERE text IS NOT NULL),
+       |lwords AS MATERIALIZED (SELECT lang_id, substr(w, 1, $maxWordLen) AS w,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT lang_id, unnest(t) AS w FROM ltoks)
+       |  WHERE length(w) >= 1 GROUP BY 1, 2),
+       |locc AS (SELECT lang_id, piece, CAST(sum(cnt) AS BIGINT) AS seed_cnt FROM (
+       |    SELECT lang_id, cnt, unnest(flatten(list_transform(range(1, length(w) + 1),
+       |      i -> list_transform(
+       |        range(1, least($maxPieceLen, length(w) - CAST(i AS INTEGER) + 1) + 1),
+       |        l -> substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)))))) AS piece
+       |    FROM lwords) GROUP BY 1, 2),
+       |lvocab0 AS (SELECT lang_id, piece, seed_cnt FROM locc WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT lang_id, piece, seed_cnt FROM (
+       |    SELECT lang_id, piece, seed_cnt, row_number() OVER (
+       |        PARTITION BY lang_id ORDER BY seed_cnt DESC, piece) AS rnk
+       |    FROM locc WHERE length(piece) >= 2) WHERE rnk <= $seedSize),
+       |lvc AS MATERIALIZED (SELECT lang_id, piece, seed_cnt,
+       |    CAST((seed_cnt * $Q) // (sum(seed_cnt) OVER (PARTITION BY lang_id)) AS BIGINT) AS score_q,
+       |    22 - length(bin(CAST((seed_cnt * $Q) // (sum(seed_cnt) OVER (PARTITION BY lang_id))
+       |      AS BIGINT) + 1)) AS piece_cost
+       |  FROM lvocab0),
+       |ldp AS (
+       |  SELECT lang_id, w, cnt, length(w) AS len, 0 AS pos,
+       |    [CAST(0 AS BIGINT)] AS costs,
+       |    CAST([] AS BIGINT[]) AS preds, CAST([] AS VARCHAR[]) AS pieces
+       |  FROM lwords
+       |  UNION ALL
+       |  SELECT lang_id, w, cnt, len, pos,
+       |    list_append(costs, best.cost), list_append(preds, best.strt),
+       |    list_append(pieces, best.piece)
+       |  FROM (
+       |    SELECT d.lang_id, d.w, d.cnt, d.len, d.pos + 1 AS pos,
+       |      d.costs, d.preds, d.pieces,
+       |      (list_sort(list_filter([
+       |$cands
+       |      ], x -> x.piece IS NOT NULL)))[1] AS best
+       |    FROM ldp d
+       |$joins
+       |    WHERE d.pos < d.len)),
+       |ldpf AS MATERIALIZED (SELECT lang_id, w, cnt, len, costs, preds, pieces
+       |  FROM ldp WHERE pos = len),
+       |lbt AS (
+       |  SELECT lang_id, w, cnt, CAST(len AS BIGINT) AS pos FROM ldpf
+       |  UNION ALL
+       |  SELECT b.lang_id, b.w, b.cnt, f.preds[CAST(b.pos AS INTEGER)]
+       |  FROM lbt b JOIN ldpf f USING (lang_id, w) WHERE b.pos > 0),
+       |lwpc AS (SELECT lang_id, w, CAST(count(*) AS BIGINT) AS np
+       |  FROM lbt WHERE pos > 0 GROUP BY 1, 2),
+       |lwcost AS (SELECT lang_id, w, costs[CAST(len AS INTEGER) + 1] AS wcost
+       |  FROM ldpf),
+       |ltokd AS (SELECT doc_id, lang_id, substr(w, 1, $maxWordLen) AS w
+       |  FROM (SELECT doc_id, lang_id, unnest(t) AS w FROM ltoks)
+       |  WHERE length(w) >= 1),
+       |lper AS (SELECT td.doc_id, td.lang_id,
+       |    CAST(sum(lwpc.np) AS BIGINT) AS n_pieces,
+       |    CAST(sum(lwcost.wcost) AS BIGINT) AS cost_q
+       |  FROM ltokd td JOIN lwpc USING (lang_id, w) JOIN lwcost USING (lang_id, w)
+       |  GROUP BY 1, 2),
+       |lscored AS (SELECT l.doc_id, l.lang_id,
+       |    CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |    CAST(coalesce(p.cost_q, 0) AS BIGINT) AS cost_q,
+       |    CASE WHEN coalesce(p.n_pieces, 0) > 0
+       |      THEN CAST((p.cost_q * $Q) // p.n_pieces AS BIGINT)
+       |      ELSE 0 END AS ppl_q
+       |  FROM ldocs l LEFT JOIN lper p
+       |    ON p.doc_id = l.doc_id AND p.lang_id = l.lang_id),
+       |lcuts AS (SELECT lang_id,
+       |    percentile_disc(0.33) WITHIN GROUP (ORDER BY ppl_q) AS p33,
+       |    percentile_disc(0.67) WITHIN GROUP (ORDER BY ppl_q) AS p67
+       |  FROM lscored WHERE n_pieces > 0 GROUP BY 1)
+       |SELECT s.doc_id, s.lang_id, s.n_pieces, s.cost_q, s.ppl_q,
+       |  CASE WHEN s.n_pieces = 0 THEN 'empty'
+       |       WHEN s.ppl_q <= c.p33 THEN 'head'
+       |       WHEN s.ppl_q <= c.p67 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM lscored s LEFT JOIN lcuts c USING (lang_id)""".stripMargin
+  }
+
   /** The shared unigram CTE chain (toks → words → seed/vocab `vc` →
     * recursive DP `dp`/`dpf` → backtrace `bt`) both unigram oracles
     * close over. See [[unigramSql]]'s scaladoc for the argmin

@@ -3618,14 +3618,16 @@ object ExtensionQueries {
       """Feed-triage scorecard ([[graft.operators.Ensemble
         |.sourceScorecard]]) — the acquisition family's capstone: one
         |row per source joining the q153 gate kill rates, q154 dup
-        |census, q155 KL fingerprint and q156 length PSI, so the
-        |drop/keep/renegotiate decision about a feed reads off a
-        |single relation. Deliberately a composition, not a
-        |re-derivation: every column is bitwise its member sheet's
-        |value (spec-tied), the oracle composes the four member
+        |census, q155 KL fingerprint, q156 length PSI and q193
+        |language KL (the minted-label seat — a feed whose TEXT
+        |switched language shows here even when every other line
+        |holds), so the drop/keep/renegotiate decision about a feed
+        |reads off a single relation. Deliberately a composition, not
+        |a re-derivation: every column is bitwise its member sheet's
+        |value (spec-tied), the oracle composes the five member
         |oracles with the same full-outer joins, and a source absent
         |from the gate sheet carries NULLs, never drops. Scale shape:
-        |the four audited member shapes plus three joins on
+        |the five audited member shapes plus four joins on
         |sources-sized frames.""".stripMargin,
       (s, d) => graft.operators.Ensemble.sourceScorecard(
         Tables.documents(s, d),
@@ -3690,7 +3692,10 @@ object ExtensionQueries {
         |per-source keep / downweight / drop verdict, the decision the
         |scorecard existed to inform. Drop lines: dup_rate_q ≥ 2^19 (a
         |mirror) or kl_q ≥ 192 (3 bits/bigram — alien content); damp
-        |lines: the q156 PSI alert or rules-kill ≥ ~0.8. The verdict
+        |lines: the q156 PSI alert, rules-kill ≥ ~0.8, or the q193
+        |lang KL ≥ 128 (2 bits/doc of minted-label divergence — the
+        |mislabeled-language feed no other line can see; EnsembleSpec
+        |plants one and proves only this seat damps it). The verdict
         |column is BY CONSTRUCTION a CASE over q159 (the oracle embeds
         |the q159 composition verbatim), so policy and evidence cannot
         |disagree; a source with NULL metrics keeps (NULL comparisons
@@ -4446,7 +4451,7 @@ object ExtensionQueries {
           budget = 1500L, maxEpochs64 = 256L, nBlocks = 8)
       },
       Some(s"""${cappedCurriculumChainSql(1500L, 256L)},
-             |${curriculumAuditTailSql(8)}""".stripMargin)),
+             |${curriculumAuditTailSql(8, nPhases = 3)}""".stripMargin)),
 
     QuerySpec(
       "q190_capped_increment",
@@ -4657,7 +4662,60 @@ object ExtensionQueries {
         |grid.""".stripMargin,
       (s, d) => graft.operators.LangId.langDistDriftBySource(
         Tables.documents(s, d)),
-      Some(LangIdOracle.langDistDriftBySourceSql()))
+      Some(LangIdOracle.langDistDriftBySourceSql())),
+
+    QuerySpec(
+      "q193_lang_kl_by_source",
+      """Per-source LANGUAGE-fingerprint KL ([[graft.operators.LangId
+        |.langKlBySource]]) — the FIFTH q159 scorecard member, wiring
+        |the lang-ID line into the acquisition policy: every doc
+        |scores through the q184 act's arithmetic (threshold 0), each
+        |source's predicted-language distribution spreads over the
+        |K-class support, and the exact add-1-smoothed
+        |KL(P_source ‖ P_corpus) closes per source in 1/64-log2 units
+        |— the q155 self-seat convention with MINTED languages in the
+        |bucket seat. The signal provenance labels and content-KL
+        |both structurally miss: a feed whose TEXT switched language
+        |reads a high seat here even when its bigram concentration
+        |holds; the q162 policy damps it (lang_kl_q ≥ 128 — 2
+        |bits/doc). All BIGINT → bitwise oracle (the q192 close with
+        |the corpus in the baseline seat). Scale shape: ONE
+        |whole-corpus scoring pass (q184's audited plan), collapsed
+        |to the materialized sources×K counts sheet; every close is a
+        |window/rollup over that sheet.""".stripMargin,
+      (s, d) => graft.operators.LangId.langKlBySource(
+        Tables.documents(s, d)),
+      Some(LangIdOracle.langKlBySourceSql())),
+
+    QuerySpec(
+      "q194_lang_quality_buckets",
+      """PER-LANGUAGE CCNet quality buckets ([[graft.operators.Phrases
+        |.lmQualityBucketsByLang]]) — what Wenzek et al. 2020 §4.3
+        |actually do, where q125 is the corpus-global approximation:
+        |a single global LM scores a minority-language doc mostly on
+        |"is not the majority language" (its perplexity measures
+        |language mismatch, not quality, and the whole minority slice
+        |lands in 'tail'), so real CCNet trains a model PER LANGUAGE
+        |and cuts head/middle/tail within each. The label is the
+        |engine's own MINTED lang_id (the q184 act at the q185-read
+        |threshold — not the provenance claim a feed can lie about;
+        |abstained docs cut against each other as 'unknown'), the
+        |unigram piece model trains per minted language, each doc
+        |scores under its own language's model, and the 33 %/67 %
+        |ppl_q cuts select per language through the GROUPED radix
+        |kernel ([[graft.operators.Quantiles.groupQuantileDisc]] —
+        |exact per-group percentiles in 4 map-side histogram passes,
+        |no per-group single-task sort). Single-language degeneracy
+        |is bitwise q125 + the constant lang_id column (PhrasesSpec).
+        |All-BIGINT scoring + discrete selection → bitwise oracle.
+        |Scale shape: the q184 audited scoring plan once, the q124
+        |encode shape with keys widened to (lang, ·) — the DP still
+        |runs once per distinct (lang, word), per-lang vocabularies
+        |travel as ONE broadcast K-row map frame — and the grouped
+        |radix cuts.""".stripMargin,
+      (s, d) => graft.operators.Phrases.lmQualityBucketsByLang(
+        Tables.documents(s, d)),
+      Some(BpeOracle.unigramQualityByLangSql()))
   )
 
   /** q182 oracle: the q102 allocation CTEs re-rooted on the standing
@@ -4853,14 +4911,17 @@ object ExtensionQueries {
     * allocation shares re-derived from `cman` by summation. */
   private def curriculumMixAuditSql(budget: Long, nBlocks: Int): String =
     s"""${curriculumChainSql(budget)},
-       |${curriculumAuditTailSql(nBlocks)}""".stripMargin
+       |${curriculumAuditTailSql(nBlocks, nPhases = 3)}""".stripMargin
 
   /** The q180/q187 curriculum audit ROLLUP closing over a `cman`
     * relation — the SQL twin of [[graft.operators.Mixing
     * .phasedMixAuditOverManifest]], ONE textual definition for the
-    * uncapped and capped curriculum acceptance sheets. */
-  private def curriculumAuditTailSql(nBlocks: Int): String = {
-    val slice = 4611686018427387904L / 3
+    * uncapped and capped curriculum acceptance sheets. `nPhases`
+    * mirrors the Scala twin's parameter (the grid slices phase-major
+    * into nPhases equal bands — a hard-coded 3 would silently
+    * mis-slice any curriculum with a different phase count). */
+  private def curriculumAuditTailSql(nBlocks: Int, nPhases: Int = 3): String = {
+    val slice = 4611686018427387904L / nPhases
     val blockW = slice / nBlocks
     s"""blk AS (SELECT phase, source,
        |    least((pos_key - phase * $slice) // $blockW,
@@ -5095,7 +5156,7 @@ object ExtensionQueries {
        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
        |FROM p GROUP BY 1""".stripMargin
 
-  /** q159 oracle: the four member oracles (q153/q154/q155/q156)
+  /** q159 oracle: the five member oracles (q153/q154/q155/q156/q193)
     * embedded verbatim as derived tables and full-outer joined on
     * source — the [[graft.operators.Ensemble.sourceScorecard]]
     * composition, so the scorecard cannot drift from its members. */
@@ -5111,13 +5172,18 @@ object ExtensionQueries {
        |) t3),
        |p AS (SELECT source, psi_q, alert AS psi_alert FROM (
        |${PsiOracle.bySourceSql()}
-       |) t4)
+       |) t4),
+       |lk AS (SELECT source, kl_q AS lang_kl_q FROM (
+       |${LangIdOracle.langKlBySourceSql()}
+       |) t5)
        |SELECT source, n_docs, dup_rate_q, drop_rate_q, n_gated,
-       |  rate_rules_q, rate_lm_q, rate_nb_q, kl_q, psi_q, psi_alert
+       |  rate_rules_q, rate_lm_q, rate_nb_q, kl_q, psi_q, psi_alert,
+       |  lang_kl_q
        |FROM d
        |FULL JOIN g USING (source)
        |FULL JOIN k USING (source)
-       |FULL JOIN p USING (source)""".stripMargin
+       |FULL JOIN p USING (source)
+       |FULL JOIN lk USING (source)""".stripMargin
 
   /** The q71 release chain over an arbitrary corpus frame — ONE
     * textual definition shared by q71 (raw documents) and the q167
@@ -5163,7 +5229,7 @@ object ExtensionQueries {
     * grid cell under identical three-valued NULL logic, and BIGINT
     * what-if rollups. */
   private def feedPolicyOperatingPointsSql(positiveSql: String,
-      downRulesQ: Long = 838861L): String = {
+      downRulesQ: Long = 838861L, downLangKlQ: Long = 128L): String = {
     def decs(c: String) = (1 to 9).map(i =>
       s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY $c)").mkString(",\n      ")
     s"""WITH sc AS MATERIALIZED (
@@ -5179,6 +5245,7 @@ object ExtensionQueries {
        |    CASE WHEN sc.dup_rate_q >= g.thr_dup_q OR sc.kl_q >= g.thr_kl_q
        |           THEN 'drop'
        |         WHEN sc.psi_alert = 1 OR sc.rate_rules_q >= $downRulesQ
+       |           OR sc.lang_kl_q >= $downLangKlQ
        |           THEN 'downweight'
        |         ELSE 'keep' END AS verdict,
        |    coalesce(sc.n_docs, 0) AS nd, coalesce(sc.kl_q, 0) AS klq
@@ -5230,11 +5297,13 @@ object ExtensionQueries {
     * three-valued logic). */
   private def feedPolicySql(positiveSql: String,
       dropDupQ: Long = 524288L, dropKlQ: Long = 192L,
-      downRulesQ: Long = 838861L): String =
+      downRulesQ: Long = 838861L, downLangKlQ: Long = 128L): String =
     s"""SELECT source, n_docs, dup_rate_q, drop_rate_q, n_gated,
        |  rate_rules_q, rate_lm_q, rate_nb_q, kl_q, psi_q, psi_alert,
+       |  lang_kl_q,
        |  CASE WHEN dup_rate_q >= $dropDupQ OR kl_q >= $dropKlQ THEN 'drop'
        |       WHEN psi_alert = 1 OR rate_rules_q >= $downRulesQ
+       |         OR lang_kl_q >= $downLangKlQ
        |         THEN 'downweight'
        |       ELSE 'keep' END AS verdict
        |FROM (

@@ -209,14 +209,15 @@ object LangIdOracle {
        |    CAST(sum(CASE WHEN c_bb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_langs,
        |    CAST(sum((c_bb + 1) * dq) AS BIGINT) AS num,
        |    CAST(max(kk) AS BIGINT) AS kk
-       |  FROM lr)
-       |SELECT n_docs, n_langs,
-       |  CAST(CASE WHEN num >= 0 THEN num // (n_docs + kk)
-       |       ELSE -((-num) // (n_docs + kk)) END AS BIGINT) AS kl_q,
-       |  CAST(CASE WHEN (CASE WHEN num >= 0 THEN num // (n_docs + kk)
-       |       ELSE -((-num) // (n_docs + kk)) END) >= $alertQ
-       |       THEN 1 ELSE 0 END AS BIGINT) AS alert
-       |FROM agg""".stripMargin
+       |  FROM lr),
+       |klc AS (SELECT n_docs, n_langs,
+       |    CAST(CASE WHEN n_docs = 0 THEN NULL
+       |         WHEN num >= 0 THEN num // (n_docs + kk)
+       |         ELSE -((-num) // (n_docs + kk)) END AS BIGINT) AS kl_q
+       |  FROM agg)
+       |SELECT n_docs, n_langs, kl_q,
+       |  CAST(CASE WHEN kl_q >= $alertQ THEN 1 ELSE 0 END AS BIGINT) AS alert
+       |FROM klc""".stripMargin
 
   /** q192 mirror of [[graft.operators.LangId.langDistDriftBySource]]:
     * the shared [[driftChainCtes]] with arrival predictions joined
@@ -262,7 +263,62 @@ object LangIdOracle {
        |    CAST(max(kk) AS BIGINT) AS kk
        |  FROM lr GROUP BY 1)
        |SELECT source, n_docs, n_langs,
-       |  CAST(CASE WHEN num >= 0 THEN num // (n_docs + kk)
+       |  CAST(CASE WHEN n_docs = 0 THEN NULL
+       |       WHEN num >= 0 THEN num // (n_docs + kk)
+       |       ELSE -((-num) // (n_docs + kk)) END AS BIGINT) AS kl_q
+       |FROM agg""".stripMargin
+
+  /** q193 mirror of [[graft.operators.LangId.langKlBySource]] — the
+    * fifth scorecard member: the [[predChain]] with `scoreAll` (every
+    * doc scores, the q184 act at threshold 0), predictions joined
+    * back to their sources, per-source predicted-language counts
+    * spread over the K-class support, and the exact add-1-smoothed
+    * per-source KL against the CORPUS'S OWN totals (the
+    * [[DsirOracle.sourceKlSql]] self-seat convention with languages
+    * in the bucket seat) — every log the fixed-point replay, the
+    * q192 close with the corpus in the baseline seat. */
+  def langKlBySourceSql(trainPermille: Int = 500, buckets: Int = 8192,
+      salt: String = "graft"): String =
+    s"""WITH ${predChain(trainPermille, buckets, salt, scoreAll = true)},
+       |psrc AS (SELECT p.doc_id, p.cls,
+       |    coalesce(d.source, 'unknown') AS source
+       |  FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+       |  WHERE p.rn = 1),
+       |bcnt AS (SELECT source, cls, CAST(count(*) AS BIGINT) AS c_bb
+       |  FROM psrc GROUP BY 1, 2),
+       |gcnt AS (SELECT cls, CAST(sum(c_bb) AS BIGINT) AS c_gb
+       |  FROM bcnt GROUP BY 1),
+       |tg AS (SELECT CAST(coalesce(sum(c_bb), 0) AS BIGINT) AS t_g FROM bcnt),
+       |ts AS (SELECT source, CAST(sum(c_bb) AS BIGINT) AS t_b
+       |  FROM bcnt GROUP BY 1),
+       |ks AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM consts),
+       |srcs AS (SELECT DISTINCT coalesce(source, 'unknown') AS source
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |kgrid AS (SELECT s.source, c.cls,
+       |    CAST(coalesce(b.c_bb, 0) AS BIGINT) AS c_bb,
+       |    CAST(coalesce(g.c_gb, 0) AS BIGINT) AS c_gb,
+       |    CAST(coalesce(ts.t_b, 0) AS BIGINT) AS t_b, tg.t_g, ks.kk
+       |  FROM srcs s
+       |  CROSS JOIN consts c
+       |  LEFT JOIN bcnt b ON b.source = s.source AND b.cls = c.cls
+       |  LEFT JOIN gcnt g ON g.cls = c.cls
+       |  LEFT JOIN ts ON ts.source = s.source, tg, ks),
+       |${DsirOracle.logChain("kgrid", Seq(
+           "a" -> "c_bb + 1", "c" -> "t_b + kk",
+           "d" -> "c_gb + 1", "g" -> "t_g + kk"),
+         keyCols = Seq("source", "c_bb", "t_b", "kk"), prefix = "z")},
+       |lr AS (SELECT source, c_bb, t_b, kk,
+       |    (e_a * 64 + f_a) - (e_c * 64 + f_c)
+       |      - (e_d * 64 + f_d) + (e_g * 64 + f_g) AS dq
+       |  FROM z6),
+       |agg AS (SELECT source, CAST(max(t_b) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN c_bb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_langs,
+       |    CAST(sum((c_bb + 1) * dq) AS BIGINT) AS num,
+       |    CAST(max(kk) AS BIGINT) AS kk
+       |  FROM lr GROUP BY 1)
+       |SELECT source, n_docs, n_langs,
+       |  CAST(CASE WHEN n_docs = 0 THEN NULL
+       |       WHEN num >= 0 THEN num // (n_docs + kk)
        |       ELSE -((-num) // (n_docs + kk)) END AS BIGINT) AS kl_q
        |FROM agg""".stripMargin
 

@@ -346,7 +346,7 @@ object Curation {
   }
 
   /** Per-batch SCORECARD monitor — q159's sheet shape at INGEST: each
-    * micro-batch scored against the FOUR standing model families and
+    * micro-batch scored against the FIVE standing model families and
     * rolled to one row per source, so the drop/keep/renegotiate
     * evidence about a feed is visible the batch it degrades, not at
     * the next corpus audit. Apply inside `foreachBatch`; zero
@@ -358,25 +358,29 @@ object Curation {
     * (itself bitwise q153's rollup), the dup column through
     * [[annGateRatesBySource]] (the standing-index seat of the dup
     * census), the KL column through [[graft.operators.Drift
-    * .klBySourceAgainstModel]] (bitwise q155's arithmetic), and the
-    * PSI columns through [[graft.operators.Drift
-    * .psiBySourceAgainstModel]] (bitwise q156's) —
-    * StreamingScorecardSpec pins a streamed batch's sheet bitwise to
-    * the members' batch sheets on the same fixture. The join layer is
-    * q159's own: a distinct source universe + broadcast LEFT joins
-    * (never full-outer — Spark cannot broadcast one), NULLs where a
-    * member has no row, no feed ever dropped. Output: one row per
-    * source — `(source, n_docs, dup_rate_q, n_gated, rate_rules_q,
-    * rate_lm_q, rate_nb_q, kl_q, psi_q, psi_alert)` (no drop_rate_q:
-    * canonicality is a corpus-audit notion — q154's — not a
-    * per-batch one).
+    * .klBySourceAgainstModel]] (bitwise q155's arithmetic), the PSI
+    * columns through [[graft.operators.Drift
+    * .psiBySourceAgainstModel]] (bitwise q156's), and the language
+    * column through [[graft.operators.LangId
+    * .langKlBySourceAgainstModel]] (the q193 close against the
+    * standing lang artifacts — the gate kernel is pinned bitwise to
+    * the batch scorer) — StreamingScorecardSpec pins a streamed
+    * batch's sheet bitwise to the members' batch sheets on the same
+    * fixture. The join layer is q159's own: a distinct source
+    * universe + broadcast LEFT joins (never full-outer — Spark cannot
+    * broadcast one), NULLs where a member has no row, no feed ever
+    * dropped. Output: one row per source — `(source, n_docs,
+    * dup_rate_q, n_gated, rate_rules_q, rate_lm_q, rate_nb_q, kl_q,
+    * psi_q, psi_alert, lang_kl_q)` (no drop_rate_q: canonicality is
+    * a corpus-audit notion — q154's — not a per-batch one).
     *
-    * Scale shape: four stateless member probes of broadcast model
+    * Scale shape: five stateless member probes of broadcast model
     * rows; the only batch-driven exchanges are the members' audited
     * ones; the closing joins touch sources-sized sheets only. */
   def scorecardMonitor(batch: DataFrame, lmModel: DataFrame,
       lmCuts: DataFrame, nbModel: DataFrame, psiModel: DataFrame,
-      klModel: DataFrame, centroidRow: DataFrame, keptRow: DataFrame,
+      klModel: DataFrame, langModel: DataFrame, langDistRow: DataFrame,
+      centroidRow: DataFrame, keptRow: DataFrame,
       annThreshold: Double, dim: Int, textCol: String = "text",
       embCol: String = "embedding", buckets: Int = 8192,
       bins: Int = 10): DataFrame = {
@@ -393,12 +397,16 @@ object Curation {
       .select(col("source"), col("kl_q"))
     val psi = Drift.psiBySourceAgainstModel(base, psiModel, textCol, bins)
       .select(col("source"), col("psi_q"), col("alert").as("psi_alert"))
+    val lang = graft.operators.LangId.langKlBySourceAgainstModel(
+        batch, langModel, langDistRow, textCol, buckets = buckets)
+      .select(col("source"), col("kl_q").as("lang_kl_q"))
     val srcs = batch
       .select(coalesce(col("source"), lit("unknown")).as("source")).distinct()
     srcs.join(broadcast(dup), Seq("source"), "left")
       .join(broadcast(gates), Seq("source"), "left")
       .join(broadcast(kl), Seq("source"), "left")
       .join(broadcast(psi), Seq("source"), "left")
+      .join(broadcast(lang), Seq("source"), "left")
   }
 
   /** Feed-policy gate — the q162 ACT at INGEST: arrivals filtered

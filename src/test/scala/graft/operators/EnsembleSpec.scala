@@ -76,12 +76,15 @@ class EnsembleSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     val kl = Mixing.sourceKlDivergence(docs).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val lang = LangId.langKlBySource(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("kl_q"))).toMap
     assert(sc.keySet == dups.keySet && sc.keySet == psi.keySet,
       "full-outer joins must preserve every source")
     for ((s, r) <- sc) {
       assert((r.getLong(1), r.getLong(2), r.getLong(3)) == dups(s), s"dup cols of $s")
       assert(r.getLong(8) == kl(s), s"kl col of $s")
       assert((r.getLong(9), r.getLong(10)) == psi(s), s"psi cols of $s")
+      assert(r.getLong(r.fieldIndex("lang_kl_q")) == lang(s), s"lang col of $s")
     }
   }
 
@@ -117,7 +120,8 @@ class EnsembleSpec extends AnyFunSuite {
         if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))
       val expected =
         if (get("dup_rate_q").exists(_ >= 524288L) || get("kl_q").exists(_ >= 192L)) "drop"
-        else if (get("psi_alert").contains(1L) || get("rate_rules_q").exists(_ >= 838861L)) "downweight"
+        else if (get("psi_alert").contains(1L) || get("rate_rules_q").exists(_ >= 838861L) ||
+          get("lang_kl_q").exists(_ >= 128L)) "downweight"
         else "keep"
       assert(r.getString(r.fieldIndex("verdict")) == expected,
         s"verdict CASE for ${r.getString(0)}")
@@ -152,6 +156,60 @@ class EnsembleSpec extends AnyFunSuite {
       "the act returns the corpus's own columns")
   }
 
+  test("a mislabeled-language feed damps via the lang seat alone — no other line can see it") {
+    import spark.implicits._
+    // the regime the fifth member exists for: a feed whose lang LABEL
+    // says 'en' but whose TEXT is zz-language. The rules family can't
+    // object (the label passes non_english, and the planted stopword
+    // prefix clears the stopword ratio); the content-KL stays under
+    // its 3-bit drop line (the corpus holds real zz text elsewhere,
+    // and the +8192 smoothing damps a ~7%-mass feed); only the MINTED
+    // label diverges. A truthfully-labeled zz feed anchors the zz
+    // class in the trained model. The zz text draws from ONE closed
+    // 400-word vocabulary shared by liar and zzfeed — doc-id-unique
+    // words would fingerprint the liar's TRAINED half inside the en
+    // class and pull its held-out half back to en — via a stride-13
+    // walk from a doc-dependent offset, so any two zz docs share
+    // ZERO body words (no dup line fires) while both feeds cover the
+    // same vocabulary; and the zz-text share stays under a quarter
+    // of the corpus so the liar's all-zz prediction vector clears
+    // the 2-bit damp line.
+    def enText(i: Long) =
+      "the and is of " + (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+    def zzText(i: Long) =
+      "the and is of " + (0 until 30).map(j => s"zq${(i * 7 + j * 13) % 400}w").mkString(" ")
+    val clean = (1L to 260L).map(i => (i, enText(i), "en", "clean"))
+    val zzfeed = (1L to 24L).map(i => (3000L + i, zzText(3000L + i), "zz", "zzfeed"))
+    val liar = (1L to 24L).map(i => (4000L + i, zzText(4000L + i), "en", "liar"))
+    val docs = (clean ++ zzfeed ++ liar).toDF("doc_id", "text", "lang", "source")
+    val pos = col("source") === "clean"
+
+    val sc = Ensemble.sourceScorecard(docs, pos).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def gl(s: String, c: String): Option[Long] = {
+      val r = sc(s); val i = r.fieldIndex(c)
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    }
+    // the liar feed clears every OTHER line...
+    assert(gl("liar", "dup_rate_q").forall(_ < 524288L), "liar is not a mirror")
+    assert(gl("liar", "kl_q").forall(_ < 192L),
+      s"liar's content must not be alien (corpus holds zz text): ${gl("liar", "kl_q")}")
+    assert(gl("liar", "psi_alert").forall(_ == 0L), "liar's shape is the corpus norm")
+    assert(gl("liar", "rate_rules_q").forall(_ < 838861L),
+      "the mechanical rules cannot see a mislabeled language")
+    // ...and fails the lang line
+    assert(gl("liar", "lang_kl_q").exists(_ >= 128L),
+      s"the minted-label KL must expose the liar: ${gl("liar", "lang_kl_q")}")
+    assert(gl("clean", "lang_kl_q").exists(_ < 128L),
+      s"the majority feed reads a low lang seat: ${gl("clean", "lang_kl_q")}")
+
+    val verdicts = Ensemble.feedPolicy(docs, pos).collect()
+      .map(r => r.getString(0) -> r.getString(r.fieldIndex("verdict"))).toMap
+    assert(verdicts("liar") == "downweight",
+      s"the lang damp line must act on the liar: $verdicts")
+    assert(verdicts("clean") == "keep", s"clean must keep: $verdicts")
+  }
+
   test("operating points: thresholds are scorecard deciles; every cell recomputes locally") {
     import spark.implicits._
     // the mirror fixture plus a third, alien-vocabulary feed so the
@@ -182,7 +240,8 @@ class EnsembleSpec extends AnyFunSuite {
         val drop = optLong(r, "dup_rate_q").exists(_ >= td) ||
           optLong(r, "kl_q").exists(_ >= tk)
         val down = !drop && (optLong(r, "psi_alert").contains(1L) ||
-          optLong(r, "rate_rules_q").exists(_ >= 838861L))
+          optLong(r, "rate_rules_q").exists(_ >= 838861L) ||
+          optLong(r, "lang_kl_q").exists(_ >= 128L))
         val v = if (drop) "drop" else if (down) "downweight" else "keep"
         (v, optLong(r, "n_docs").getOrElse(0L), optLong(r, "kl_q").getOrElse(0L))
       }

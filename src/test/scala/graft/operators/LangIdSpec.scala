@@ -219,6 +219,35 @@ class LangIdSpec extends AnyFunSuite {
       r.getAs[Long]("n_docs"), r.getAs[Long]("kl_q"))).toSet)
   }
 
+  test("empty batch reads (0, 0, NULL, 0) — a no-data micro-batch never raises the language alarm") {
+    val model = LangId.langIdModelRow(bilingual)
+    val support = model.select(explode(col("classes")).as("predicted_lang"))
+    val dist = LangId.langDistBaseline(bilingual)
+    // with t_b = 0 the +1 smoothing would read the batch as uniform
+    // and KL(uniform ‖ standing) clears any alert line on a skewed
+    // baseline — the guard must return the empty-support shape instead
+    val r = LangId.langDistAgainst(
+      LangId.scoreAgainstModel(bilingual.filter(col("doc_id") < 0L), model),
+      support, dist).collect().head
+    assert(r.getAs[Long]("n_docs") == 0L && r.getAs[Long]("n_langs") == 0L)
+    assert(r.isNullAt(r.fieldIndex("kl_q")) && r.getAs[Long]("alert") == 0L)
+  }
+
+  test("the model row persists its bucket count; a mismatched caller fails loudly") {
+    val model = LangId.langIdModelRow(bilingual, buckets = 4096)
+    assert(model.collect().head.getAs[Long]("buckets") == 4096L)
+    // a matching caller scores normally (and bitwise the 4096 batch
+    // sheet — same modulus on both sides)
+    assert(LangId.scoreAgainstModel(bilingual, model, buckets = 4096)
+      .count() == 60L)
+    // the default-buckets caller against a 4096 model must raise, not
+    // silently hash into the wrong dense-array cells
+    val ex = intercept[Exception] {
+      LangId.scoreAgainstModel(bilingual, model).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("prediction is a pure function of the data") {
     val a = LangId.langIdScores(bilingual).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("predicted_lang"),

@@ -439,6 +439,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     invariant(LangId.langIdOperatingPoints(_))
     invariant(LangId.langDistDrift(_))
     invariant(LangId.langDistDriftBySource(_))
+    invariant(LangId.langKlBySource(_))
+    invariant(Phrases.lmQualityBucketsByLang(_))
   }
 
   test("capped audits, capped increment and the resample-order capstone are partition-invariant") {

@@ -272,6 +272,63 @@ class PhrasesSpec extends AnyFunSuite {
     assert(re.length == 2 && re.forall(_.getString(4) == "empty"))
   }
 
+  test("lmQualityBucketsByLang: single-language degeneracy is bitwise q125 plus the constant lang_id") {
+    // one lang label + threshold 0 → every doc (null text included,
+    // prior-only) mints the same class, so the per-lang chain — vocab,
+    // DP, cuts and all — must collapse to the corpus-global q125 sheet
+    val docs = ((1 to 36).map { i =>
+      val t = if (i % 3 == 0) s"w${i % 6} rare oddity qqq plain run"
+              else s"w${i % 6} plain run of common text"
+      (i.toLong, Option(t), "en")
+    } :+ ((40L, None: Option[String], "en")))
+      .toDF("doc_id", "text", "lang")
+    val byLang = Phrases.lmQualityBucketsByLang(docs, marginThresholdQ = 0L)
+      .collect()
+    assert(byLang.map(_.getAs[String]("lang_id")).toSet == Set("en"))
+    val got = byLang.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_pieces"), r.getAs[Long]("cost_q"),
+        r.getAs[Long]("ppl_q"), r.getAs[String]("bucket")))).toMap
+    val want = Phrases.lmQualityBuckets(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got == want, "single-lang per-lang sheet must be bitwise q125")
+  }
+
+  test("lmQualityBucketsByLang: the minority language splits within itself where the global model tails it") {
+    // the Wenzek §4.3 regime the operator exists for: a global LM
+    // scores the minority alphabet's docs mostly on "is not the
+    // majority language" — its whole slice lands in 'tail' — while
+    // the per-language model ranks them against EACH OTHER. Disjoint
+    // alphabets make the minted labels exact (the LangIdSpec regime);
+    // within each language, clean docs repeat the language's common
+    // words and noisy docs use rare long strings of the same alphabet.
+    val docs = (
+      (1 to 18).map(i => (i.toLong, "ava vava avva ava vava avva", "ava")) ++
+      (19 to 30).map(i => (i.toLong, "ava vava avva aavv ava vava", "ava")) ++
+      (31 to 38).map(i => (i.toLong, "ozo zozo ozzo ozo zozo ozzo", "ozo")) ++
+      (39 to 42).map(i => (i.toLong, "ozzozzoo zozozozz oozozzoz ozo", "ozo"))
+    ).toDF("doc_id", "text", "lang")
+    val byLang = Phrases.lmQualityBucketsByLang(docs, marginThresholdQ = 0L)
+      .collect()
+    // minted labels are exact on the disjoint alphabets
+    assert(byLang.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("lang_id")).toMap.forall { case (id, l) =>
+        l == (if (id <= 30) "ava" else "ozo") }, "minted labels exact")
+    val ozoByLang = byLang.filter(_.getAs[String]("lang_id") == "ozo")
+    assert(ozoByLang.filter(r => r.getAs[Long]("doc_id") <= 38)
+      .forall(_.getAs[String]("bucket") == "head"),
+      "per-lang: the minority's clean docs read head under their OWN model")
+    assert(ozoByLang.map(_.getAs[String]("bucket")).toSet.size >= 2,
+      "per-lang: the minority slice splits within itself")
+    val globalOzo = Phrases.lmQualityBuckets(docs, "text")
+      .collect().filter(_.getLong(0) > 30L)
+    assert(globalOzo.count(_.getString(4) == "tail") > globalOzo.length / 2,
+      "global: the minority slice predominantly tails — language " +
+        "mismatch read as bad quality")
+    assert(!globalOzo.exists(_.getString(4) == "head"),
+      "global: no minority doc can reach head under the majority's model")
+  }
+
   test("bigramLmQuality: word order matters — scrambled common words score worse than ordered ones") {
     // 20 docs share one fixed phrase (its bigrams are common); 2 docs
     // use the SAME WORDS scrambled (every bigram rare). A unigram

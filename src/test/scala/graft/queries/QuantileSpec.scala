@@ -141,6 +141,37 @@ class QuantileSpec extends AnyFunSuite {
     }
   }
 
+  test("groupQuantileDisc is bitwise multiQuantileDisc per group on ties, negatives and 64-bit extremes") {
+    import spark.implicits._
+    // per-group variants of the global pin's adversarial sets: plateau
+    // duplicates, negatives, the BIGINT corners, group sizes 1..n —
+    // every group must locate independently through the shared
+    // broadcast rounds, and all-NULL groups must be ABSENT (the
+    // multiQuantileDisc convention)
+    val data: Seq[(String, Option[Long])] =
+      (1 to 7).flatMap(g => (1 to g * g).map(i =>
+        s"g$g" -> Some(((i * 13) % 23 - 8).toLong))) ++
+      Seq("gx" -> Some(Long.MinValue), "gx" -> Some(Long.MaxValue),
+        "gx" -> Some(0L), "gx" -> Some(-1L),
+        "g1" -> None, "gnull" -> None, "gnull" -> None)
+    val df = data.toDF("g", "v")
+    val qs = Seq("p07" -> 0.07, "p33" -> 0.33, "p50" -> 0.50,
+      "p67" -> 0.67, "p100" -> 1.0)
+    val got = graft.operators.Quantiles.groupQuantileDisc(df, "g", "v", qs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val want = graft.operators.Quantiles
+      .multiQuantileDisc(df, "g", "v", qs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    assert(!got.keySet.contains("gnull"), "all-NULL groups are absent")
+    got.foreach { case (k, g) =>
+      qs.map(_._1).foreach { c =>
+        assert(g.getAs[Long](c) == want(k).getAs[Long](c),
+          s"group $k column $c: ${g.getAs[Long](c)} != ${want(k).getAs[Long](c)}")
+      }
+    }
+  }
+
   test("globalQuantileDisc returns one all-NULL row on empty and all-NULL input") {
     import spark.implicits._
     val qs = Seq("p50" -> 0.5, "p95" -> 0.95)

@@ -44,7 +44,7 @@ class StreamingScorecardSpec extends AnyFunSuite {
       if (r.isNullAt(r.fieldIndex(c))) null else r.get(r.fieldIndex(c))
     (r.getString(0), g("n_docs"), g("dup_rate_q"), g("n_gated"),
       g("rate_rules_q"), g("rate_lm_q"), g("rate_nb_q"), g("kl_q"),
-      g("psi_q"), g("psi_alert"))
+      g("psi_q"), g("psi_alert"), g("lang_kl_q"))
   }.toSet
 
   test("a streamed micro-batch reproduces the batch composition bitwise; members pin to q155/q156") {
@@ -64,10 +64,12 @@ class StreamingScorecardSpec extends AnyFunSuite {
     val centRow = Similarity.annGateCentroids(cents, dim = 3)
     val keptRow = Similarity.annGateKeptIndex(standing, cents,
       threshold = 0.95, dim = 3)
+    val langModel = graft.operators.LangId.langIdModelRow(textDocs)
+    val langDist = graft.operators.LangId.langDistBaseline(textDocs)
 
     def monitor(b: DataFrame): DataFrame = Curation.scorecardMonitor(
-      b, lmModel, lmCuts, nbModel, psiModel, klModel, centRow, keptRow,
-      annThreshold = 0.95, dim = 3)
+      b, lmModel, lmCuts, nbModel, psiModel, klModel, langModel, langDist,
+      centRow, keptRow, annThreshold = 0.95, dim = 3)
 
     val batchSheet = sheet(monitor(docs))
     assert(batchSheet.map(_._1) == Set("good", "spamfeed", "soup"))
@@ -92,10 +94,25 @@ class StreamingScorecardSpec extends AnyFunSuite {
     val psiBatch = Drift.lengthPsiBySource(docs)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(psiStream == psiBatch, "psiBySourceAgainstModel must be bitwise q156")
+    // the language seat: the standing-artifact kernel equals the q193
+    // batch sheet when the artifacts are the batch corpus's own (the
+    // langKlBySourceClose single-sourcing, scored via the pinned gate
+    // kernel)
+    val langStream = graft.operators.LangId
+      .langKlBySourceAgainstModel(docs, langModel, langDist)
+      .collect().map(r => (r.getString(0),
+        r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("n_langs")),
+        r.getLong(r.fieldIndex("kl_q")))).toSet
+    val langBatch = graft.operators.LangId.langKlBySource(textDocs)
+      .collect().map(r => (r.getString(0),
+        r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("n_langs")),
+        r.getLong(r.fieldIndex("kl_q")))).toSet
+    assert(langStream == langBatch,
+      "langKlBySourceAgainstModel must be bitwise q193")
 
     // the streamed twin: one micro-batch carrying the whole fixture
     val results = scala.collection.mutable.ArrayBuffer
-      .empty[Set[(String, Any, Any, Any, Any, Any, Any, Any, Any, Any)]]
+      .empty[Set[(String, Any, Any, Any, Any, Any, Any, Any, Any, Any, Any)]]
     val stream = MemoryStream[(Long, Option[String], String, String, Array[Float])](spark)
     val q = stream.toDF().toDF("doc_id", "text", "lang", "source", "embedding")
       .writeStream.outputMode("append")
