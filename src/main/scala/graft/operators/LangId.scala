@@ -164,6 +164,18 @@ object LangId {
       buckets: Int = 8192, salt: String = "graft"): DataFrame = {
     val (_, _, consts, sheet) =
       parts(docs, textCol, langCol, trainPermille, buckets, salt)
+    modelRowOf(consts, sheet, buckets)
+  }
+
+  /** The one-row-artifact CLOSING shared by [[langIdModelRow]]
+    * (monolithic train) and [[langIdModelRowIncrement]] (counts
+    * fold): `consts` = `(__c, prior_q, tlog_q)`, `sheet` =
+    * `(b, __c, lg_q)` → the dense-array artifact row. ONE textual
+    * definition so a patched artifact cannot differ in SHAPE from a
+    * retrained one — only in the counts it was built from (and the
+    * fold makes those equal too; LangIdSpec pins it). */
+  private def modelRowOf(consts: DataFrame, sheet: DataFrame,
+      buckets: Int): DataFrame = {
     val perClass = consts.select(col("__c"),
         explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${buckets - 1} AS BIGINT))"))
           .as("b"))
@@ -196,6 +208,120 @@ object LangId {
       // wrong dense-array cells and mislabel every arrival
       .select(col("classes"), col("priors"), col("tlogs"), col("lgarrs"),
         lit(buckets.toLong).as("buckets"))
+  }
+
+  /** The model's RAW-count grains — `(cls: (__c, n_c, t_c),
+    * cells: (__c, b, cnt))` over the corpus's train split: what a
+    * production system persists BESIDE the quantized artifact when it
+    * wants exact incremental retrains, because NB counts are ADDITIVE
+    * where the quantized logs are not (log2q(a+b) ≠ log2q(a) +
+    * log2q(b) — a patched model must fold counts and re-quantize, so
+    * the incremental family's lang member stores counts). Sheet-sized
+    * whatever the corpus: ≤ K class rows + ≤ buckets×K cells. */
+  def langIdCounts(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft")
+      : (DataFrame, DataFrame) = {
+    val (meta, hb, _, _) =
+      parts(docs, textCol, langCol, trainPermille, buckets, salt)
+    val cls = meta.filter(col("__train") && col("__text").isNotNull)
+      .groupBy(col("__lang").as("__c")).agg(count(lit(1)).as("n_c"))
+      .join(hb.filter(col("__train"))
+        .groupBy(col("__lang").as("__c")).agg(sum(col("occ")).as("t_c")),
+        Seq("__c"), "left")
+      .select(col("__c"), col("n_c"),
+        coalesce(col("t_c"), lit(0L)).as("t_c"))
+    val cells = hb.filter(col("__train"))
+      .groupBy(col("__lang").as("__c"), col("b"))
+      .agg(sum(col("occ")).as("cnt"))
+    (cls, cells)
+  }
+
+  /** The INCREMENTAL lang-ID model member — the q105/q109/q119
+    * family's seat for the language model: a batch's (bucket, class)
+    * trigram counts FOLD into the standing counts with NO retrain of
+    * the standing corpus, exactly because multinomial NB state is a
+    * sum of per-doc counts. Both sides' counts derive through the
+    * SAME [[langIdCounts]] split/feature chain (the standing corpus
+    * and the arriving batch each contribute their own train-split
+    * rows — the md5 split is a pure function of doc_id, so the union
+    * of the two train slices IS the monolithic train slice), the
+    * folded counts re-quantize through the [[parts]] formulas, and
+    * the result is BITWISE the monolithic retrain on standing ∪ batch
+    * — the oracle is deliberately monolithic so the hash PROVES
+    * incremental == monolithic (q195). Standing and batch must be
+    * disjoint corpora (a doc present in both double-counts — the
+    * incremental family's standing contract).
+    *
+    * Output: the patched model in relational form — one row per
+    * trained (class, bucket) cell carrying the class constants:
+    * `(cls, b, cnt, lg_q, n_c, t_c, prior_q, tlog_q)`; a class whose
+    * train docs carry no trigrams keeps one `(cls, NULL, 0, 0, …)`
+    * row (priors still count it).
+    *
+    * Scale shape (100 TB): the batch pays its OWN [[parts]] trigram
+    * collapse only; the standing seat is sheet-sized counts (persist
+    * them via [[langIdCounts]] and hand them to
+    * [[incrementOverCounts]] — this convenience wrapper re-derives
+    * them when given the corpus); every fold exchange carries
+    * ≤ buckets×K cells. */
+  def langIdModelIncrement(standing: DataFrame, batch: DataFrame,
+      textCol: String = "text", langCol: String = "lang",
+      trainPermille: Int = 500, buckets: Int = 8192,
+      salt: String = "graft"): DataFrame = {
+    val (sCls, sCells) =
+      langIdCounts(standing, textCol, langCol, trainPermille, buckets, salt)
+    val (bCls, bCells) =
+      langIdCounts(batch, textCol, langCol, trainPermille, buckets, salt)
+    incrementOverCounts(sCls, sCells, bCls, bCells, buckets)
+  }
+
+  /** The fold tail under [[langIdModelIncrement]], split out so a
+    * deployment can hand it PERSISTED standing counts
+    * ([[langIdCounts]]' grains) instead of re-deriving them — the
+    * steady-state cost is then batch-sized + sheet-sized. Adds count
+    * grains class-wise and cell-wise, then re-quantizes every log
+    * through the [[parts]] formulas (prior = log2q(n_c + 1),
+    * normalizer = log2q(t_c + buckets), cell = log2q(cnt + 1)). */
+  def incrementOverCounts(sCls: DataFrame, sCells: DataFrame,
+      bCls: DataFrame, bCells: DataFrame, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val cls = sCls.unionByName(bCls).groupBy(col("__c"))
+      .agg(sum(col("n_c")).as("n_c"), sum(col("t_c")).as("t_c"))
+      .select(col("__c"), col("n_c"), col("t_c"),
+        expr(Mixing.log2qExpr("n_c + 1")).as("prior_q"),
+        expr(Mixing.log2qExpr(s"t_c + $buckets")).as("tlog_q"))
+    val cells = sCells.unionByName(bCells).groupBy(col("__c"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+    // sheet-sized on both sides (≤ K and ≤ buckets×K rows) — the one
+    // exchange here is independent of corpus size
+    cls.join(cells, Seq("__c"), "left")
+      .select(col("__c").as("cls"), col("b"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        expr(Mixing.log2qExpr("coalesce(cnt, 0) + 1")).as("lg_q"),
+        col("n_c"), col("t_c"), col("prior_q"), col("tlog_q"))
+  }
+
+  /** The PATCHED one-row artifact — [[langIdModelIncrement]]'s sheet
+    * closed through the SAME [[modelRowOf]] as the monolithic
+    * [[langIdModelRow]], so a gate holding the patched artifact
+    * predicts bitwise what a gate holding the retrained artifact
+    * would (LangIdSpec pins scoreAgainstModel under both). The
+    * patched sheet materializes once (it feeds the constants and the
+    * dense-array grains). */
+  def langIdModelRowIncrement(standing: DataFrame, batch: DataFrame,
+      textCol: String = "text", langCol: String = "lang",
+      trainPermille: Int = 500, buckets: Int = 8192,
+      salt: String = "graft"): DataFrame = {
+    val patched = Dedup.materialize(
+      langIdModelIncrement(standing, batch, textCol, langCol,
+        trainPermille, buckets, salt))
+    modelRowOf(
+      patched.select(col("cls").as("__c"), col("prior_q"), col("tlog_q"))
+        .distinct(),
+      patched.filter(col("b").isNotNull)
+        .select(col("b"), col("cls").as("__c"), col("lg_q")),
+      buckets)
   }
 
   /** Score a frame against a broadcast ONE-ROW [[langIdModelRow]]
@@ -322,6 +448,39 @@ object LangId {
         when(col("predicted_lang").isNull ||
           col("margin_q") < marginThresholdQ, lit("unknown"))
           .otherwise(col("predicted_lang")))
+  }
+
+  /** The lang-ID act applied to the CORPUS — CCNet's FIRST gate
+    * (Wenzek et al. 2020 drop non-target and low-confidence-language
+    * docs before any quality machinery runs): keep the docs whose
+    * MINTED `lang_id` ([[applyLangId]] at `marginThresholdQ`) is a
+    * target language — `keepLangs = None` keeps every confidently
+    * identified doc (drops only the abstained 'unknown' mass; the
+    * multilingual-corpus seat), `Some(langs)` keeps exactly those
+    * (the per-language-release seat) — and REPLACE the provenance
+    * `langCol` with the minted label, so every downstream per-lang
+    * sheet (q76/q118/q194) keys on what the text IS rather than what
+    * a feed claimed. The q162→q164 evidence→act convention with the
+    * language line in the verdict seat; q196 composes it at the HEAD
+    * of the shared release build.
+    *
+    * Scale shape (100 TB): [[applyLangId]]'s audited plan + ONE
+    * doc_id-keyed keep join (the q169 keep-set shape) + a map-side
+    * relabel; everything downstream runs on the SMALLER kept
+    * corpus. */
+  def actOnLangId(docs: DataFrame, marginThresholdQ: Long = 5000L,
+      keepLangs: Option[Seq[String]] = None, textCol: String = "text",
+      langCol: String = "lang", trainPermille: Int = 500,
+      buckets: Int = 8192, salt: String = "graft"): DataFrame = {
+    val act = applyLangId(docs, textCol, langCol, trainPermille,
+        buckets, salt, marginThresholdQ)
+      .select(col("doc_id"), col("lang_id"))
+    val kept = keepLangs match {
+      case Some(ls) => act.filter(col("lang_id").isin(ls: _*))
+      case None     => act.filter(col("lang_id") =!= "unknown")
+    }
+    docs.join(kept, Seq("doc_id"))
+      .withColumn(langCol, col("lang_id")).drop("lang_id")
   }
 
   /** The ABSTAIN operating-points sheet — the q147 convention for the

@@ -169,4 +169,71 @@ object SequencePack {
           .otherwise(0L)).as("boundary_crossers"),
         countDistinct(col("__g")).cast("long").as("n_sources"))
   }
+
+  /** [[interleavedShardManifest]] for a PHASED (curriculum) order —
+    * the packing step a trainer runs after q177/q183: pack and shard
+    * numbering RESTART at every phase boundary, so no shard ever
+    * spans two phases — a curriculum whose phase 0 must finish before
+    * phase 1 begins cannot be served by a shard that mixes both (the
+    * phase-agnostic kernel would happily pack the last appearances of
+    * one phase with the first of the next into one shard; a trainer
+    * honoring phase boundaries would then have to split that shard
+    * itself). The phase derives from the manifest's own grid
+    * coordinate — `phase = pos_key DIV (2^62 DIV nPhases)`, the
+    * phase-major slice every phased interleave mints — so any
+    * phase-major manifest packs correctly without carrying an
+    * explicit phase column.
+    *
+    * Output: one row per (phase, shard) — the [[interleavedShardManifest]]
+    * census columns keyed by phase; shard ids are per-phase ordinals.
+    * At `nPhases = 1` bitwise the phase-agnostic kernel plus the
+    * constant phase 0 (SequencePackSpec pins it — the cap=∞
+    * convention).
+    *
+    * Scale shape: identical to [[interleavedShardManifest]] with
+    * every prefix-sum key widened to (phase, bucket) — the two-level
+    * kernel's bucket frame stays ≤ 2^20 rows (buckets are global
+    * grid coordinates; a bucket straddling a phase boundary splits
+    * into its two (phase, bucket) groups), and the per-phase offsets
+    * broadcast. */
+  def phasedShardManifest(manifest: DataFrame, groupCol: String,
+      capacity: Long, packsPerShard: Long, nPhases: Int): DataFrame = {
+    require(capacity > 0, s"pack capacity must be positive: $capacity")
+    require(packsPerShard > 0, s"packsPerShard must be positive: $packsPerShard")
+    require(nPhases >= 1, s"nPhases must be positive: $nPhases")
+    val slice = 4611686018427387904L / nPhases
+    val t = Dedup.materialize(manifest
+      .select(col(groupCol).as("__g"), col("appearance"), col("pos_key"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("n_tokens",
+        when(col("n_tokens") >= 0L, col("n_tokens")).otherwise(raise_error(concat(
+          lit("negative or NULL n_tokens at appearance="),
+          coalesce(col("appearance").cast("string"), lit("NULL")))).cast("long")))
+      .withColumn("__p", expr(s"pos_key div $slice"))
+      .withColumn("__b", expr("pos_key div 4398046511104"))) // 2^42
+    val subtotals = t.groupBy(col("__p"), col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+    val exclusiveBuckets = Window.partitionBy(col("__p")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtotals
+      .withColumn("__off", coalesce(sum(col("__bt")).over(exclusiveBuckets), lit(0L)))
+      .select(col("__p"), col("__b"), col("__off"))
+    val exclusiveInBucket = Window.partitionBy(col("__p"), col("__b"))
+      .orderBy(col("pos_key"), col("__g"), col("appearance"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offsets), Seq("__p", "__b"))
+      .withColumn("__cb",
+        col("__off") + coalesce(sum(col("n_tokens")).over(exclusiveInBucket), lit(0L)))
+      .select(col("__p").as("phase"), col("__g"), col("n_tokens"),
+        expr(s"__cb div $capacity").as("pack_first"),
+        expr(s"(__cb + greatest(n_tokens, 1L) - 1L) div $capacity").as("pack_last"))
+      .withColumn("shard", expr(s"pack_first div $packsPerShard"))
+      .groupBy(col("phase"), col("shard"))
+      .agg(count(lit(1)).as("n_appearances"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("pack_last") - col("pack_first") + lit(1L)).as("max_span"),
+        sum(when(expr(s"pack_last div $packsPerShard") =!= col("shard"), 1L)
+          .otherwise(0L)).as("boundary_crossers"),
+        countDistinct(col("__g")).cast("long").as("n_sources"))
+  }
 }

@@ -4162,7 +4162,15 @@ object ExtensionQueries {
         |phased allocation replayed). Scale shape: q125's audited
         |scoring once, then q170's audited plan with strictly FINER
         |window partitions ((phase, source) keys) and two extra
-        |sheet-sized Hamilton passes.""".stripMargin,
+        |sheet-sized Hamilton passes. ADJUDICATION (r16): this
+        |curriculum deliberately keeps the GLOBAL q125 buckets — its
+        |subject is the anneal order under the corpus's own model,
+        |and re-phasing on q194's per-language buckets would change
+        |which docs anneal last without exercising any machinery
+        |q183/q194 don't already oracle; a per-language curriculum IS
+        |buildable today with zero new code — pass q194's per-lang
+        |bucket as phaseCol exactly as this query passes q125's — and
+        |a production multilingual run should.""".stripMargin,
       (s, d) => {
         val docs = Tables.documents(s, d)
         val phases = graft.operators.Phrases.lmQualityBuckets(docs, "text")
@@ -4715,7 +4723,126 @@ object ExtensionQueries {
         |radix cuts.""".stripMargin,
       (s, d) => graft.operators.Phrases.lmQualityBucketsByLang(
         Tables.documents(s, d)),
-      Some(BpeOracle.unigramQualityByLangSql()))
+      Some(BpeOracle.unigramQualityByLangSql())),
+
+    QuerySpec(
+      "q195_langid_model_increment",
+      """Incremental lang-ID model ([[graft.operators.LangId
+        |.langIdModelIncrement]]) — the q105/q109/q119 family's seat
+        |for the language model: multinomial NB state is a SUM of
+        |per-doc counts, so a batch's (bucket, class) trigram counts
+        |fold into the standing counts artifact with NO retrain of the
+        |standing corpus (where the quantized logs could never fold —
+        |log2q(a+b) ≠ log2q(a)+log2q(b) — the artifact persists
+        |counts, [[graft.operators.LangId.langIdCounts]]), and the
+        |folded counts re-quantize through the same formulas. The
+        |corpus splits on the independent arrivals salt (q188's
+        |convention, is_new ⇔ bucket < 100); the oracle is
+        |deliberately MONOLITHIC — one retrain over standing ∪ batch —
+        |so the hash match PROVES incremental == monolithic; LangIdSpec
+        |additionally pins the PATCHED one-row artifact's gate
+        |predictions bitwise to the retrained artifact's (a new class
+        |arriving only in the batch included). Scale shape: the batch
+        |pays its own trigram collapse; the standing seat is
+        |sheet-sized persisted counts ([[graft.operators.LangId
+        |.incrementOverCounts]] is the production entry); every fold
+        |exchange carries ≤ buckets×K cells.""".stripMargin,
+      (s, d) => {
+        val flagged = graft.operators.Sampling.withSplitBucket(
+          Tables.documents(s, d), "doc_id", "arrivals")
+        graft.operators.LangId.langIdModelIncrement(
+          flagged.filter(col("__bucket") >= 100).drop("__bucket"),
+          flagged.filter(col("__bucket") < 100).drop("__bucket"))
+      },
+      Some(LangIdOracle.modelIncrementSql())),
+
+    QuerySpec(
+      "q196_lang_release",
+      """Lang→release capstone ([[graft.operators.LangId.actOnLangId]]
+        |∘ the q71 release build) — CCNet's actual pipeline order:
+        |language identification acts FIRST (Wenzek et al. 2020 drop
+        |non-target/low-confidence-language docs before any quality
+        |machinery), so the release chain runs on docs whose MINTED
+        |lang_id is confident, carrying the minted label — not the
+        |provenance claim — into the released corpus's `lang` seat.
+        |The act drops the q184 abstained mass (lang_id = 'unknown' at
+        |the q185-read threshold); the ENTIRE release machinery —
+        |per-source cap, train split, near-dup keep-set over the
+        |minhash∪simhash pair graph, decontamination, PII redaction —
+        |is the shared [[corpusBuild]] chain, so q71/q167/q169/q196
+        |cannot drift. The oracle chains the q184 CTE into the q71
+        |chain verbatim. Completes the act matrix: policy→release
+        |(q167), resample→release (q169), lang→release (q196). Scale
+        |shape: the q184 audited scoring plan once + ONE doc_id-keyed
+        |keep join; downstream stages keep their audited shapes over
+        |the SMALLER kept corpus.""".stripMargin,
+      (s, d) => corpusBuild(graft.operators.LangId.actOnLangId(
+        Tables.documents(s, d), marginThresholdQ = 5000L)),
+      Some(langReleaseSql(marginThresholdQ = 5000L))),
+
+    QuerySpec(
+      "q197_curriculum_shards",
+      """Curriculum SHARD MANIFEST ([[graft.operators.SequencePack
+        |.phasedShardManifest]] over the q183 capped curriculum) — the
+        |packing step that was MISSING from the phased line: q174
+        |packs the flat order and q183 ships a phased one, but a
+        |trainer honoring phase boundaries cannot consume shards that
+        |mix two phases, so pack and shard numbering here RESTART at
+        |every phase boundary (phase = pos_key DIV the phase-major
+        |slice — the grid coordinate every phased interleave mints; no
+        |shard spans a phase BY CONSTRUCTION). One row per
+        |(phase, shard) with the q174 census columns — n_sources still
+        |shows the interleave landed within every phase. At nPhases=1
+        |bitwise q174's kernel + the constant phase (SequencePackSpec
+        |pins it). Integer end-to-end → bitwise oracle (the q183 chain
+        |into the q174 pack tail with every window phase-partitioned).
+        |Scale shape: q183's audited plan + the q174 two-level prefix
+        |kernel with keys widened to (phase, bucket) — the bucket
+        |frame stays ≤ 2^20 rows, offsets broadcast, one map-side
+        |shard rollup.""".stripMargin,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val phases = graft.operators.Phrases.lmQualityBuckets(docs, "text")
+          .select(col("doc_id"),
+            when(col("bucket") === "tail", 0L)
+              .when(col("bucket") === "middle", 1L)
+              .when(col("bucket") === "head", 2L).as("phase"))
+          .filter(col("phase").isNotNull)
+        graft.operators.SequencePack.phasedShardManifest(
+          graft.operators.Mixing.cappedPhasedInterleave(
+            docs.join(phases, "doc_id")
+              .select(col("doc_id"), col("source"), col("phase"),
+                TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+                  .as("n_tokens")),
+            "doc_id", "source", "n_tokens", "phase", nPhases = 3,
+            budget = 1500L, maxEpochs64 = 256L),
+          "source", capacity = ManifestCapacity,
+          packsPerShard = ManifestPacksPerShard, nPhases = 3)
+      },
+      Some({
+        val slice = 4611686018427387904L / 3
+        s"""${cappedCurriculumChainSql(1500L, 256L)},
+           |ord AS (SELECT pos_key // $slice AS phase, source, n_tokens,
+           |    appearance, pos_key,
+           |    CAST(coalesce(sum(n_tokens) OVER (
+           |      PARTITION BY pos_key // $slice
+           |      ORDER BY pos_key, source, appearance
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+           |  FROM cman),
+           |pk AS (SELECT phase, source, n_tokens,
+           |    cb // $ManifestCapacity AS pack_first,
+           |    (cb + greatest(n_tokens, 1) - 1) // $ManifestCapacity AS pack_last
+           |  FROM ord)
+           |SELECT CAST(phase AS BIGINT) AS phase,
+           |  pack_first // $ManifestPacksPerShard AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_appearances,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(max(pack_last - pack_first + 1) AS BIGINT) AS max_span,
+           |  CAST(sum(CASE WHEN pack_last // $ManifestPacksPerShard <> pack_first // $ManifestPacksPerShard
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS boundary_crossers,
+           |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+           |FROM pk GROUP BY 1, 2""".stripMargin
+      }))
   )
 
   /** q182 oracle: the q102 allocation CTEs re-rooted on the standing
@@ -5267,6 +5394,20 @@ object ExtensionQueries {
     * then the ENTIRE q71 chain ([[CorpusOracle.ctes]]) re-rooted on
     * it — one WITH RECURSIVE, every stage textually identical to its
     * standalone oracle. */
+  /** q196 oracle: the q184 act embedded as the language keep-set —
+    * kept docs carry the MINTED label in the `lang` seat — then the
+    * ENTIRE q71 chain re-rooted on the kept corpus; the lang twin of
+    * [[policyReleaseSql]]/[[resampleReleaseSql]]. */
+  private def langReleaseSql(marginThresholdQ: Long): String =
+    s"""WITH RECURSIVE acted AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source, a.lang_id AS lang, d.text
+       |  FROM documents d JOIN (
+       |${LangIdOracle.applySql(marginThresholdQ)}
+       |  ) a ON a.doc_id = d.doc_id
+       |  WHERE a.lang_id <> 'unknown'),
+       |${CorpusOracle.ctes("acted")}
+       |${CorpusOracle.closing}""".stripMargin
+
   private def policyReleaseSql(positiveSql: String): String =
     s"""WITH RECURSIVE acted AS MATERIALIZED (
        |${policyActSql(positiveSql,

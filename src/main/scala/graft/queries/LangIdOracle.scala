@@ -322,6 +322,31 @@ object LangIdOracle {
        |       ELSE -((-num) // (n_docs + kk)) END AS BIGINT) AS kl_q
        |FROM agg""".stripMargin
 
+  /** q195 mirror of
+    * [[graft.operators.LangId.langIdModelIncrement]] — deliberately
+    * MONOLITHIC (the q105/q109/q119 incremental-family convention):
+    * the [[predChain]] trains over ALL documents at once and the
+    * patched relational sheet reads straight off its `cl` / `sh0` /
+    * `consts` / `sheet` CTEs, so the hash match PROVES the Spark
+    * side's standing+batch counts fold equals a full retrain. One
+    * row per trained (class, bucket) cell carrying the class
+    * constants; a trigram-free class keeps its `(cls, NULL, 0, 0)`
+    * row. */
+  def modelIncrementSql(trainPermille: Int = 500, buckets: Int = 8192,
+      salt: String = "graft"): String =
+    s"""WITH ${predChain(trainPermille, buckets, salt)}
+       |SELECT c.cls, CAST(s0.b AS BIGINT) AS b,
+       |  CAST(coalesce(s0.cnt, 0) AS BIGINT) AS cnt,
+       |  CAST(coalesce(sh.lg_q, 0) AS BIGINT) AS lg_q,
+       |  CAST(cl.n_c AS BIGINT) AS n_c,
+       |  CAST(cl.t_c AS BIGINT) AS t_c,
+       |  CAST(c.prior_q AS BIGINT) AS prior_q,
+       |  CAST(c.tlog_q AS BIGINT) AS tlog_q
+       |FROM consts c
+       |JOIN cl ON cl.lang = c.cls
+       |LEFT JOIN sh0 s0 ON s0.lang = c.cls
+       |LEFT JOIN sheet sh ON sh.cls = c.cls AND sh.b = s0.b""".stripMargin
+
   /** q191 mirror: the [[applySql]] act embedded as a derived table,
     * joined back to the corpus and rolled onto (source, lang_id) —
     * the q76 composition-sheet mechanics keyed on the MINTED label. */

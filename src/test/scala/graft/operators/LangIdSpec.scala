@@ -248,6 +248,40 @@ class LangIdSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("incremental model fold is exact: the patched artifact predicts bitwise the retrained one") {
+    // a batch carrying more of a standing class AND an entirely NEW
+    // class — additive counts must handle both without retrain
+    val batch = (
+      (61 to 70).map(i => (i.toLong, "avava vavav aavva", "ava")) ++
+      (71 to 82).map(i => (i.toLong, "ululu lulul uullu ulluu", "ulu"))
+    ).toDF("doc_id", "text", "lang")
+    val union = bilingual.unionByName(batch)
+    val patched = LangId.langIdModelRowIncrement(bilingual, batch)
+    val retrained = LangId.langIdModelRow(union)
+    def preds(model: org.apache.spark.sql.DataFrame) =
+      LangId.scoreAgainstModel(union, model)
+        .select("doc_id", "n_grams", "predicted_lang", "margin_q")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+          r.getAs[String]("predicted_lang"), r.getAs[Long]("margin_q"))).toSet
+    assert(preds(patched) == preds(retrained),
+      "patched gate must predict bitwise the retrained gate")
+    assert(patched.collect().head.getSeq[String](
+        patched.schema.fieldIndex("classes")).contains("ulu"),
+      "the batch-only class enters the patched artifact")
+
+    // relational degeneracy: folding an EMPTY batch is the monolithic
+    // sheet — and the monolithic sheet over the union equals the fold
+    val empty = batch.filter(col("doc_id") < 0L)
+    def sheet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("cls"),
+        Option(r.get(r.fieldIndex("b"))), r.getAs[Long]("cnt"),
+        r.getAs[Long]("lg_q"), r.getAs[Long]("n_c"), r.getAs[Long]("t_c"),
+        r.getAs[Long]("prior_q"), r.getAs[Long]("tlog_q"))).toSet
+    assert(sheet(LangId.langIdModelIncrement(bilingual, batch)) ==
+      sheet(LangId.langIdModelIncrement(union, empty)),
+      "standing+batch fold == monolithic fold with an empty batch")
+  }
+
   test("prediction is a pure function of the data") {
     val a = LangId.langIdScores(bilingual).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("predicted_lang"),

@@ -472,4 +472,26 @@ class PartitionInvarianceSpec extends AnyFunSuite {
         "source", capacity = 256L, packsPerShard = 4L)
     }
   }
+
+  test("lang model increment, lang release act and curriculum shards are partition-invariant") {
+    invariant { d =>
+      val flagged = Sampling.withSplitBucket(d, "doc_id", "arrivals")
+      LangId.langIdModelIncrement(
+        flagged.filter(col("__bucket") >= 100).drop("__bucket"),
+        flagged.filter(col("__bucket") < 100).drop("__bucket"))
+    }
+    invariant(d => LangId.actOnLangId(d, marginThresholdQ = 5000L)
+      .select(col("doc_id"), col("lang")))
+    invariant { d =>
+      val phased = d.select(col("doc_id"), col("source"),
+        (col("doc_id") % 3).as("phase"),
+        graft.functions.TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+          .as("n_tokens"))
+      SequencePack.phasedShardManifest(
+        Mixing.cappedPhasedInterleave(phased, "doc_id", "source",
+          "n_tokens", "phase", nPhases = 3, budget = 300L,
+          maxEpochs64 = 256L),
+        "source", capacity = 256L, packsPerShard = 4L, nPhases = 3)
+    }
+  }
 }

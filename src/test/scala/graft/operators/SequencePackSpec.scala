@@ -132,4 +132,54 @@ class SequencePackSpec extends AnyFunSuite {
       .map(_.distinct.length).toSeq
     assert(contrast == Seq(1, 1, 1, 1))
   }
+
+  test("phased shard manifest: per-phase restart == the flat kernel run on each phase alone; nPhases=1 is bitwise flat") {
+    import org.apache.spark.sql.functions._
+    def census(df: org.apache.spark.sql.DataFrame,
+        keyCols: Seq[String]): Map[Seq[Long], (Long, Long, Long, Long, Long)] =
+      df.collect().map(r => keyCols.map(r.getAs[Long](_)) ->
+        ((r.getAs[Long]("n_appearances"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("max_span"), r.getAs[Long]("boundary_crossers"),
+          r.getAs[Long]("n_sources")))).toMap
+
+    // a 2-phase curriculum whose phases allocate differently
+    val items = ((1 to 6).map(i => (s"a$i", "a", 0L, 100L)) ++
+      (1 to 2).map(i => (s"b$i", "b", 0L, 100L)) ++
+      (1 to 4).map(i => (s"c$i", "a", 1L, 100L)) ++
+      (1 to 4).map(i => (s"d$i", "b", 1L, 100L)))
+      .toDF("doc_id", "source", "phase", "n_tokens")
+    val manifest = Dedup.materialize(Mixing.phasedInterleave(
+      items, "doc_id", "source", "n_tokens", "phase", nPhases = 2,
+      budget = 24L))
+    val phased = census(SequencePack.phasedShardManifest(manifest,
+      "source", capacity = 300L, packsPerShard = 2L, nPhases = 2),
+      Seq("phase", "shard"))
+    assert(phased.nonEmpty && phased.keySet.map(_.head) == Set(0L, 1L),
+      "both phases shard")
+    // the semantic contract: each phase's census is EXACTLY what the
+    // flat kernel produces on that phase's slice alone — shard ids
+    // restart, nothing leaks across the boundary
+    val slice = 4611686018427387904L / 2
+    for (p <- 0L to 1L) {
+      val alone = census(SequencePack.interleavedShardManifest(
+        manifest.filter(expr(s"pos_key div $slice") === p),
+        "source", capacity = 300L, packsPerShard = 2L), Seq("shard"))
+        .map { case (k, v) => (Seq(p) ++ k) -> v }
+      assert(phased.filter(_._1.head == p) == alone,
+        s"phase $p must pack as if alone")
+    }
+
+    // nPhases = 1 degeneracy: bitwise the phase-agnostic kernel plus
+    // the constant phase 0
+    val flat = Dedup.materialize(Mixing.interleaveManifest(
+      items.select(col("doc_id"), col("source"), col("n_tokens")),
+      "doc_id", "source", "n_tokens", budget = 24L))
+    val one = census(SequencePack.phasedShardManifest(flat, "source",
+      capacity = 300L, packsPerShard = 2L, nPhases = 1),
+      Seq("phase", "shard"))
+    val agnostic = census(SequencePack.interleavedShardManifest(flat,
+      "source", capacity = 300L, packsPerShard = 2L), Seq("shard"))
+      .map { case (k, v) => (Seq(0L) ++ k) -> v }
+    assert(one == agnostic, "nPhases=1 must be bitwise the flat kernel")
+  }
 }

@@ -18,7 +18,7 @@ val picks = Seq("q01_agg_pricing_summary","q03_filter_pushdown","q04_join_revenu
   "q134_bm25_retrieval","q135_rrf_fusion","q136_oov_audit","q137_bigram_lm_quality",
   "q138_semantic_contamination","q139_sq8_audit","q140_quality_keepset","q141_filter_overlap","q142_ivfadc_rerank","q143_quality_classifier","q144_length_psi","q145_source_overlap","q146_ivf_balance","q147_classifier_pr","q148_classifier_calibration","q149_prefix_recall","q150_gate_agreement","q151_rp_distortion","q152_zipf_audit","q153_gate_rates_by_source","q154_dup_rates_by_source","q155_source_kl_fingerprint","q156_source_length_psi","q157_label_separation","q158_content_kl_drift","q159_source_scorecard","q160_dup_profile","q161_dsir_resample","q162_feed_policy","q163_resample_mix","q164_policy_act","q165_token_budget_resample","q166_policy_operating_points","q167_policy_release","q168_resample_budget_sweep","q169_resample_release","q170_interleave_manifest","q171_interleave_mix_audit","q172_cluster_balanced_sample","q173_epoch_plan","q174_interleaved_shards","q175_cluster_sample_sheet","q176_policy_training_order","q177_curriculum_order","q178_incremental_cluster_sample","q179_capped_interleave","q180_curriculum_mix_audit","q181_langid_confusion","q182_interleave_increment","q183_capped_curriculum",
   "q184_langid_apply","q185_langid_abstain_sheet","q186_capped_mix_audit","q187_capped_curriculum_audit","q188_langid_drift","q189_resample_training_order","q190_capped_increment","q191_langid_composition","q192_langid_drift_by_source",
-  "q193_lang_kl_by_source")
+  "q193_lang_kl_by_source","q194_lang_quality_buckets","q195_langid_model_increment","q196_lang_release","q197_curriculum_shards")
 // Normalize session-volatile ids (expression #ids, exchange plan_ids)
 // to per-plan first-appearance ordinals so regenerated PLANS.md diffs
 // show only REAL plan changes, not ~30k lines of id churn per round.
