@@ -127,7 +127,20 @@ val allNames = Seq("q58_neardup_clusters", "q59_dedup_keepset",
   // round-15 (2): the composition re-pays q184 + one doc_id join +
   // a sources x (K+1) rollup; the by-source drift re-pays q188 +
   // one arrival-sized doc_id join + a (source, class) rollup
-  "q191_langid_composition", "q192_langid_drift_by_source")
+  "q191_langid_composition", "q192_langid_drift_by_source",
+  // round-16: the lang-KL member re-pays q184's scoring once into a
+  // materialized sources x K counts sheet (the claim: shuffle ~ the
+  // scoring chain's own, every close a window over that sheet); the
+  // per-lang buckets re-pay q184 + the q125 unigram chain with keys
+  // widened to (lang, .) + grouped radix cuts (sheet-sized histogram
+  // cells); the model increment pays the two train-slice trigram
+  // collapses and sheet-sized folds ONLY (no corpus re-key); the
+  // lang release re-pays q184 + the q71 chain on the SMALLER kept
+  // corpus; the curriculum shards re-pay q183 + the two-level pack
+  // kernel with (phase, bucket) keys
+  "q193_lang_kl_by_source", "q194_lang_quality_buckets",
+  "q195_langid_model_increment", "q196_lang_release",
+  "q197_curriculum_shards")
 // SCALE_ONLY=q123,q126 restricts the sweep (re-measuring one family
 // without re-paying the shingle/CC cells)
 val names = sys.env.get("SCALE_ONLY").map(f => allNames.filter(f.split(",").map(_.trim).toSet)).getOrElse(allNames)
