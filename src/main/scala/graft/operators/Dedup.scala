@@ -224,6 +224,26 @@ object Dedup {
       threshold: Double = 0.8): DataFrame =
     nearDupPairsFromShingles(shingleRows(docs), numHashes, rowsPerBand, threshold)
 
+  /** The q58 pair graph — minhash ([[nearDupPairs]]) ∪ simhash
+    * ([[simhashNearDupPairs]]) `(a_id, b_id)` edges — with the two
+    * INDEPENDENT arms built concurrently (guide §2.6: each arm's eager
+    * internal materializations — bands/candidates on the minhash side,
+    * the 64-column signature frame on the simhash side — are separate
+    * job chains that only ran sequentially because the driver
+    * constructed them sequentially). Identical edges, identical
+    * downstream plan; one definition for every minhash∪simhash
+    * consumer so the union cannot drift. */
+  def unionNearDupPairs(docs: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxHamming: Int = 5): DataFrame = {
+    val Seq(mh, sh) = Par.run[DataFrame](
+      () => nearDupPairs(docs, numHashes, rowsPerBand, threshold)
+        .select(col("a_id"), col("b_id")),
+      () => simhashNearDupPairs(docs, maxHamming)
+        .select(col("a_id"), col("b_id")))
+    mh.union(sh)
+  }
+
   /** [[nearDupPairs]] over a precomputed shingle frame (see
     * [[minhashSignaturesFromShingles]] for the sharing rule). With an
     * UN-materialized frame this is exactly [[nearDupPairs]] — the
@@ -971,9 +991,8 @@ object Dedup {
       rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxHamming: Int = 5): DataFrame = {
     graft.GraftSession.ensureConfs(docs.sparkSession)
-    val pairs = nearDupPairs(docs, numHashes, rowsPerBand, threshold)
-      .select(col("a_id"), col("b_id"))
-      .union(simhashNearDupPairs(docs, maxHamming).select(col("a_id"), col("b_id")))
+    val pairs = unionNearDupPairs(docs, numHashes, rowsPerBand, threshold,
+      maxHamming)
     val comp = materialize(ConnectedComponents.components(pairs))
     val sizes = comp.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("__sz"))
@@ -1030,9 +1049,8 @@ object Dedup {
       rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxHamming: Int = 5): DataFrame = {
     graft.GraftSession.ensureConfs(docs.sparkSession)
-    val pairs = nearDupPairs(docs, numHashes, rowsPerBand, threshold)
-      .select(col("a_id"), col("b_id"))
-      .union(simhashNearDupPairs(docs, maxHamming).select(col("a_id"), col("b_id")))
+    val pairs = unionNearDupPairs(docs, numHashes, rowsPerBand, threshold,
+      maxHamming)
     val comp = ConnectedComponents.components(pairs)
       .select(col("node_id").as("doc_id"), col("cluster_id"))
     val base = docs.filter(col("doc_id").isNotNull)

@@ -53,13 +53,19 @@ object Ensemble {
       textCol: String, trainPermille: Int, buckets: Int,
       salt: String): DataFrame = {
     graft.GraftSession.ensureConfs(docs.sparkSession)
-    val nb = Classifier.nbQualityScores(
-        docs, positive, textCol, trainPermille, buckets, salt)
-      .select(col("doc_id"), (col("predicted") === 0L).as("k_nb"))
-    val lm = Phrases.lmQualityBuckets(docs, textCol)
-      .select(col("doc_id"), col("bucket").isin("tail", "empty").as("k_lm"))
-    val rl = QualityRules.audit(docs)
-      .select(col("doc_id"), (col("reason") =!= "kept").as("k_rules"))
+    // the three family constructors are independent and each runs its
+    // own eager internal materializations (the NB (doc, bucket) count
+    // frame, the LM scored frame) — build them concurrently so those
+    // jobs overlap (guide §2.6); the returned frames stay lazy and the
+    // composed join plan is unchanged
+    val Seq(nb, lm, rl) = Par.run[DataFrame](
+      () => Classifier.nbQualityScores(
+          docs, positive, textCol, trainPermille, buckets, salt)
+        .select(col("doc_id"), (col("predicted") === 0L).as("k_nb")),
+      () => Phrases.lmQualityBuckets(docs, textCol)
+        .select(col("doc_id"), col("bucket").isin("tail", "empty").as("k_lm")),
+      () => QualityRules.audit(docs)
+        .select(col("doc_id"), (col("reason") =!= "kept").as("k_rules")))
     nb.join(lm, Seq("doc_id")).join(rl, Seq("doc_id"))
   }
 
@@ -164,30 +170,43 @@ object Ensemble {
   def sourceScorecard(docs: DataFrame, positive: Column,
       textCol: String = "text", trainPermille: Int = 500,
       buckets: Int = 8192, salt: String = "graft"): DataFrame = {
-    val dups = Dedup.dupRatesBySource(docs)
-      .select(col("source"), col("n").as("n_docs"),
-        col("dup_rate_q"), col("drop_rate_q"))
-    val gates = gateRatesBySource(docs, positive, textCol, trainPermille,
-        buckets, salt)
-      .select(col("source"), col("n").as("n_gated"),
-        col("rate_rules_q"), col("rate_lm_q"), col("rate_nb_q"))
-    val kl = Mixing.sourceKlDivergence(docs, textCol, buckets)
-      .select(col("source"), col("kl_q"))
-    val psi = Drift.lengthPsiBySource(docs, textCol)
-      .select(col("source"), col("psi_q"), col("alert").as("psi_alert"))
-    val lang = LangId.langKlBySource(docs, textCol,
-        trainPermille = trainPermille, buckets = buckets, salt = salt)
-      .select(col("source"), col("kl_q").as("lang_kl_q"))
-    // row universe + broadcast LEFT joins instead of full-outer
-    // chaining: Spark cannot broadcast a full-outer join, so the
-    // chain would sort-merge sources-sized frames. Every member's
-    // sources are a subset of the all-docs universe (q154/q156
-    // exclude doc_id-null DOCS but not their sources' other rows;
-    // q153 covers the held-out slice), so the left joins produce
-    // exactly the full-outer result — with NULLs where a member has
-    // no row, never dropping a feed.
-    val srcs = docs
-      .select(coalesce(col("source"), lit("unknown")).as("source")).distinct()
+    // The five members are INDEPENDENT evidence passes that each end in
+    // a sources-sized sheet; build them concurrently and materialize
+    // each sheet (guide §2.6 — the members' eager jobs back-fill each
+    // other's stage tails, so the scorecard's wall is ~the slowest
+    // member, not the sum), and the composed plan downstream of here is
+    // five sheet scans instead of five corpus chains — q162/q164/q166/
+    // q167/q176 all embed this composition, so every one of their
+    // plans (and AQE's per-stage replanning over them) shrinks by the
+    // same amount. Results are bitwise unchanged: materialize only
+    // cuts lineage.
+    val Seq(dups, gates, kl, psi, lang, srcs) = Par.run[DataFrame](
+      () => Dedup.materialize(Dedup.dupRatesBySource(docs)
+        .select(col("source"), col("n").as("n_docs"),
+          col("dup_rate_q"), col("drop_rate_q"))),
+      () => Dedup.materialize(
+        gateRatesBySource(docs, positive, textCol, trainPermille,
+          buckets, salt)
+        .select(col("source"), col("n").as("n_gated"),
+          col("rate_rules_q"), col("rate_lm_q"), col("rate_nb_q"))),
+      () => Dedup.materialize(Mixing.sourceKlDivergence(docs, textCol, buckets)
+        .select(col("source"), col("kl_q"))),
+      () => Dedup.materialize(Drift.lengthPsiBySource(docs, textCol)
+        .select(col("source"), col("psi_q"), col("alert").as("psi_alert"))),
+      () => Dedup.materialize(LangId.langKlBySource(docs, textCol,
+          trainPermille = trainPermille, buckets = buckets, salt = salt)
+        .select(col("source"), col("kl_q").as("lang_kl_q"))),
+      // row universe + broadcast LEFT joins instead of full-outer
+      // chaining: Spark cannot broadcast a full-outer join, so the
+      // chain would sort-merge sources-sized frames. Every member's
+      // sources are a subset of the all-docs universe (q154/q156
+      // exclude doc_id-null DOCS but not their sources' other rows;
+      // q153 covers the held-out slice), so the left joins produce
+      // exactly the full-outer result — with NULLs where a member has
+      // no row, never dropping a feed.
+      () => Dedup.materialize(docs
+        .select(coalesce(col("source"), lit("unknown")).as("source"))
+        .distinct()))
     srcs.join(broadcast(dups), Seq("source"), "left")
       .join(broadcast(gates), Seq("source"), "left")
       .join(broadcast(kl), Seq("source"), "left")

@@ -482,8 +482,7 @@ object ExtensionQueries {
         |id", so they agree exactly regardless of algorithm.""".stripMargin,
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
-          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+        val pairs = Dedup.unionNearDupPairs(docs, maxHamming = 5)
         graft.operators.ConnectedComponents.clusterLabels(docs, "doc_id", pairs)
       },
       Some(ClusterOracle.clustersSql)),
@@ -498,8 +497,7 @@ object ExtensionQueries {
         |spec-checked: |kept| = |docs| − Σ(|cluster|−1).""".stripMargin,
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
-          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+        val pairs = Dedup.unionNearDupPairs(docs, maxHamming = 5)
         graft.operators.ConnectedComponents.keepCanonical(
           docs.select("doc_id", "lang", "source"), "doc_id", pairs)
       },
@@ -2192,8 +2190,7 @@ object ExtensionQueries {
         |bucket and split are per-row projections.""".stripMargin,
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
-          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+        val pairs = Dedup.unionNearDupPairs(docs, maxHamming = 5)
         graft.operators.Sampling.clusterSafeSplit(docs, "doc_id",
           graft.operators.ConnectedComponents.components(pairs), evalPermille = 100)
       },
@@ -2354,10 +2351,15 @@ object ExtensionQueries {
         val docs = Tables.documents(s, d)
         // ONE shingle pass feeds the minhash pipeline; ONE components
         // frame feeds the keep flag AND the cluster-keyed split — the
-        // q71 shared-frame rule.
-        val shingles = Dedup.materialize(Dedup.shingleRows(docs))
-        val pairs = Dedup.nearDupPairsFromShingles(shingles).select("a_id", "b_id")
-          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+        // q71 shared-frame rule. Shingle checkpoint and simhash arm
+        // are independent eager chains: built concurrently (§2.6).
+        val Seq(shingles, simPairs) =
+          graft.operators.Par.run[org.apache.spark.sql.DataFrame](
+            () => Dedup.materialize(Dedup.shingleRows(docs)),
+            () => Dedup.simhashNearDupPairs(docs, maxHamming = 5)
+              .select("a_id", "b_id"))
+        val pairs = Dedup.nearDupPairsFromShingles(shingles)
+          .select("a_id", "b_id").union(simPairs)
         val comps = cc.components(pairs)
         // base is consumed by the disposition join, the split, and the
         // allocation population — materialized so the WIDE text column
@@ -3152,8 +3154,7 @@ object ExtensionQueries {
         |(id, n_tokens) projection.""".stripMargin,
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = Dedup.nearDupPairs(docs).select("a_id", "b_id")
-          .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+        val pairs = Dedup.unionNearDupPairs(docs, maxHamming = 5)
         val scored = docs.filter(col("doc_id").isNotNull)
           .select(col("doc_id"),
             TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens"))
@@ -5329,10 +5330,15 @@ object ExtensionQueries {
       .filter(col("__bucket") >= 100).drop("__bucket")
     // ONE shingle pass (the token-stream window shuffle) feeds the
     // minhash signature, Jaccard-verify, AND decontamination stages
-    // — the FromShingles sharing rule
-    val shingles = Dedup.materialize(Dedup.shingleRows(docs))
+    // — the FromShingles sharing rule. The shingle checkpoint and the
+    // simhash arm are independent eager chains: build them
+    // concurrently (guide §2.6) so their jobs overlap instead of
+    // queueing behind each other.
+    val Seq(shingles, simPairs) = graft.operators.Par.run[org.apache.spark.sql.DataFrame](
+      () => Dedup.materialize(Dedup.shingleRows(docs)),
+      () => Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
     val pairs = Dedup.nearDupPairsFromShingles(shingles).select("a_id", "b_id")
-      .union(Dedup.simhashNearDupPairs(docs, maxHamming = 5).select("a_id", "b_id"))
+      .union(simPairs)
     val comps = graft.operators.ConnectedComponents.components(pairs)
     val deduped = graft.operators.ConnectedComponents
       .keepCanonicalFromComponents(train, "doc_id", comps)
