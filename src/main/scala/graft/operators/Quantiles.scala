@@ -140,16 +140,26 @@ object Quantiles {
     val proj = df.select(col(valCol).as("__u")).filter(col("__u").isNotNull)
       .select(col("__u"), lit(1L).as("__w"))
     val t = if (materializeInput) Dedup.materialize(proj) else proj
-    val targets = t.agg(count(lit(1)).as("__n"))
-      .select(explode(array(qs.map { case (name, q) =>
-        val qExact = lit(BigDecimal(q).setScale(10).underlying())
-        // decimal-exact rank: the multiQuantileDisc ceil(q·n) contract
-        struct(lit(name).as("qn"),
-          when(col("__n") > 0L, ceil(qExact * col("__n")).cast("long"))
-            .as("rr"))
-      }: _*)).as("e"))
-      .select(col("e.qn").as("qn"), col("e.rr").as("rr"))
-    val located = radixLocate(t, targets, digitBits)
+    // n rides the same bounded one-row read [[radixLocate]] already
+    // pays for its shared-prefix skip, so the targets frame is pure
+    // literals instead of one more full scan of `t` inside the locate
+    // DAG. The rank arithmetic stays decimal-exact: BigDecimal
+    // multiplication is exact rational arithmetic, identical to the
+    // decimal(11,10)×decimal(20,0) ceil the in-plan expression did.
+    val nRow = t.agg(count(lit(1)).as("__n"),
+      min(col("__u")).as("__lo"), max(col("__u")).as("__hi")).head()
+    val n = nRow.getLong(0)
+    import t.sparkSession.implicits._
+    val targets = qs.map { case (name, q) =>
+      val rr = if (n > 0L)
+        Some((BigDecimal(q).setScale(10) * BigDecimal(n))
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toLongExact)
+      else None
+      (name, rr)
+    }.toDF("qn", "rr")
+    val bounds =
+      if (n > 0L) Some((nRow.getLong(1), nRow.getLong(2))) else None
+    val located = radixLocate(t, targets, digitBits, bounds)
     val picks = qs.map { case (name, _) =>
       max(when(col("qn") === name, col("u"))).as(name)
     }
@@ -231,14 +241,34 @@ object Quantiles {
     val passes = 64 / digitBits
     val tm = tw.select(col("__g"),
       col("__u").bitwiseXOR(lit(Long.MinValue)).as("__u"), col("__w"))
-    var locked = targets.select(col("__g"), col("qn"), lit(0L).as("u"),
+    // same shared-prefix pass skip as [[radixLocate]], with the GLOBAL
+    // (all-groups) min/max — conservative for every group, so each
+    // (group, target) still locates its own value exactly
+    val mm = tw.agg(min(col("__u")), max(col("__u"))).head()
+    val skip: Int =
+      if (mm.isNullAt(0)) 0
+      else {
+        val lo = mm.getLong(0) ^ Long.MinValue
+        val hi = mm.getLong(1) ^ Long.MinValue
+        var p = 0
+        while (p < passes - 1 &&
+            (lo >>> (64 - digitBits * (p + 1))) ==
+              (hi >>> (64 - digitBits * (p + 1)))) p += 1
+        p
+      }
+    val prefix: Long =
+      if (skip == 0 || mm.isNullAt(0)) 0L
+      else (mm.getLong(0) ^ Long.MinValue) >>> (64 - digitBits * skip)
+    var locked = targets.select(col("__g"), col("qn"), lit(prefix).as("u"),
       col("rr"), lit(0L).as("before"))
-    for (p <- 1 to passes) {
+    for (p <- (skip + 1) to passes) {
       val loShift = 64 - digitBits * p
       // Java shifts count mod 64, so u >>> 64 would be a NO-OP, not 0:
-      // round 1 (every row a candidate) must skip the prefix test
+      // round 1 (every row a candidate) must skip the prefix test; a
+      // skipped-prefix start behaves identically (every row carries the
+      // shared prefix by construction)
       val prefixMatch =
-        if (p == 1) lit(true)
+        if (p == skip + 1) lit(true)
         else shiftrightunsigned(col("__u"), 64 - digitBits * (p - 1)) ===
           col("u")
       val hist = tm.join(broadcast(locked), Seq("__g"))
@@ -297,7 +327,8 @@ object Quantiles {
     * adversarial distributions (all values equal, all distinct, any
     * skew) change nothing about the per-round frame sizes. */
   private[graft] def radixLocate(tw: DataFrame, targets: DataFrame,
-      digitBits: Int = 16): DataFrame = {
+      digitBits: Int = 16,
+      knownBounds: Option[(Long, Long)] = None): DataFrame = {
     require(digitBits >= 1 && digitBits <= 21 && 64 % digitBits == 0,
       s"digitBits must divide 64 and keep cells addressable: $digitBits")
     val passes = 64 / digitBits
@@ -305,14 +336,50 @@ object Quantiles {
     // the digit prefixes == signed comparison of the original keys
     val tm = tw.select(
       col("__u").bitwiseXOR(lit(Long.MinValue)).as("__u"), col("__w"))
-    var locked = targets.select(col("qn"), lit(0L).as("u"), col("rr"),
+    // Skip the passes every row agrees on. A pass whose digit is shared
+    // by the WHOLE key domain histograms into exactly one cell and
+    // locates that digit — pure overhead. One map-side min/max
+    // aggregation (a bounded ONE-ROW driver read, the
+    // Similarity.inferDim idiom; a caller that already holds signed
+    // (min, max) — e.g. from the read that sized its targets — passes
+    // them via `knownBounds` and skips the scan) finds how many
+    // leading digits the domain shares and seeds the locate with that
+    // prefix directly: real-world keys (doc ids, token counts,
+    // fixed-point scores) fill well under 48 bits, so this typically
+    // replaces 2-3 of the 4 full histogram passes (each a corpus scan
+    // + exchange + window) with one plain aggregate scan — a win at
+    // any scale; on a genuinely 64-bit-spread domain it degrades to
+    // one extra scan. Results are bitwise unchanged: the skipped
+    // passes could only ever have located the shared prefix with
+    // rank/mass untouched.
+    val mmOpt: Option[(Long, Long)] = knownBounds.orElse {
+      val mm = tw.agg(min(col("__u")), max(col("__u"))).head()
+      if (mm.isNullAt(0)) None else Some((mm.getLong(0), mm.getLong(1)))
+    }
+    val skip: Int = mmOpt match {
+      case None => 0
+      case Some((sLo, sHi)) =>
+        val lo = sLo ^ Long.MinValue
+        val hi = sHi ^ Long.MinValue
+        var p = 0
+        while (p < passes - 1 &&
+            (lo >>> (64 - digitBits * (p + 1))) ==
+              (hi >>> (64 - digitBits * (p + 1)))) p += 1
+        p
+    }
+    val prefix: Long =
+      if (skip == 0) 0L
+      else (mmOpt.get._1 ^ Long.MinValue) >>> (64 - digitBits * skip)
+    var locked = targets.select(col("qn"), lit(prefix).as("u"), col("rr"),
       lit(0L).as("before"))
-    for (p <- 1 to passes) {
+    for (p <- (skip + 1) to passes) {
       val loShift = 64 - digitBits * p
       // Java shifts count mod 64, so u >>> 64 would be a NO-OP, not 0:
-      // round 1 (every row a candidate) must skip the prefix test
+      // round 1 (every row a candidate) must skip the prefix test; a
+      // skipped-prefix start behaves identically (every row carries the
+      // shared prefix by construction)
       val prefixMatch =
-        if (p == 1) lit(true)
+        if (p == skip + 1) lit(true)
         else shiftrightunsigned(col("__u"), 64 - digitBits * (p - 1)) ===
           col("u")
       val hist = tm.crossJoin(broadcast(locked))
