@@ -34,8 +34,24 @@ object Profile {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val taskTimeMs = new AtomicLong(0L)
+    // GRAFT_PROFILE_JOBS=1: additionally print one line per job with its
+    // wall duration and callSite, so a chain's job count decomposes to
+    // the operator calls that submitted them.
+    val perJob = sys.env.get("GRAFT_PROFILE_JOBS").contains("1")
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (perJob) {
+          val site = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          jobStartNs.put(js.jobId, (System.nanoTime(), site))
+        }
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (perJob) Option(jobStartNs.remove(je.jobId)).foreach { case (t0, site) =>
+          println(f"[job] id=${je.jobId} ${(System.nanoTime() - t0) / 1e3}%.0fus $site")
+        }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(sc.stageInfo.numTasks)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-dup pair graph — the step that
@@ -66,13 +67,24 @@ object ConnectedComponents {
       .isEmpty
 
   /** Large-star round: for each node u, connect every STRICTLY LARGER
-    * neighbor to the minimum of u's neighborhood (u included). */
+    * neighbor to the minimum of u's neighborhood (u included).
+    *
+    * Implemented as ONE keyed window over the neighbor list (the
+    * Kiveris et al. secondary-sort shape) instead of groupBy-min +
+    * join: the join form shuffles the neighbor list for the join AND
+    * the per-node mins for the aggregation (plus a broadcast build
+    * when the planner picks BHJ) — two exchanges and a duplicated
+    * subtree per round where one exchange suffices. Skew exposure is
+    * identical: a hot node's neighborhood lands in one task either
+    * way (the join, too, keys on u), the window's group buffer spills
+    * to disk, and the large-star algebra itself is what shrinks
+    * degrees geometrically across rounds. */
   private def largeStar(edges: DataFrame): DataFrame = {
     val nbrs = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
-      .select(col("u"), least(col("u"), col("mv")).as("m"))
-    nbrs.join(mins, "u")
+    val m = least(col("u"),
+      min(col("v")).over(Window.partitionBy(col("u"))))
+    nbrs.select(col("u"), col("v"), m.as("m"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
@@ -82,14 +94,18 @@ object ConnectedComponents {
 
   /** Small-star round: direct each edge toward its smaller endpoint;
     * for each node, connect its smaller neighbors (and itself) to the
-    * minimum among them. */
+    * minimum among them. Same one-exchange window shape as
+    * [[largeStar]]; the root's own (hi → m) edge is emitted per input
+    * row instead of once per root — the round-final distinct collapses
+    * the duplicates, so the output SET (the iteration's state) is
+    * unchanged. */
   private def smallStar(edges: DataFrame): DataFrame = {
     val directed = edges.select(
       greatest(col("u"), col("v")).as("hi"), least(col("u"), col("v")).as("lo"))
-    val mins = directed.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-    directed.join(mins, "hi")
-      .select(col("lo").as("u"), col("m").as("v"))
-      .union(mins.select(col("hi").as("u"), col("m").as("v")))
+    val withMin = directed.select(col("hi"), col("lo"),
+      min(col("lo")).over(Window.partitionBy(col("hi"))).as("m"))
+    withMin.select(col("lo").as("u"), col("m").as("v"))
+      .union(withMin.select(col("hi").as("u"), col("m").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
   }

@@ -1294,11 +1294,17 @@ object Mixing {
     else {
       val q = BigDecimal(1000 - budgetPermille) / BigDecimal(1000)
       // globalQuantileDisc always yields ONE row, even on an empty
-      // corpus (NULL cut then keeps nothing — the q125 idiom)
-      val cut = Quantiles.globalQuantileDisc(scored, "key_q",
-          Seq("cut" -> q.toDouble),
-          materializeInput = false) // scored is already materialized
-        .select(col("cut").as("__cut"))
+      // corpus (NULL cut then keeps nothing — the q125 idiom).
+      // Materialized (the dsirResampleTokens `loc` rule): the keep
+      // frame is consumed from several places when a release chain
+      // composes on it (q169 re-scans the kept corpus for the cap,
+      // shingle and simhash stages) — without this each consumer
+      // re-derives the whole radix-locate chain
+      val cut = Dedup.materialize(
+        Quantiles.globalQuantileDisc(scored, "key_q",
+            Seq("cut" -> q.toDouble),
+            materializeInput = false) // scored is already materialized
+          .select(col("cut").as("__cut")))
       scored.crossJoin(broadcast(cut))
         .filter(col("key_q") > col("__cut"))
         .drop("__cut")
